@@ -1,0 +1,212 @@
+"""B-fn queries (SURVEY.md §2): scalar function families — string,
+datetime, math, array, map, JSON — each exercised over fixture columns.
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side, inside
+whole-stage codegen; none of these fall back to Python at runtime.
+
+Cross-engine discipline: integer-returning Spark functions (year, size, …)
+cast to bigint (DuckDB's default); libm-computed doubles (ln, sqrt, pow)
+rounded at 6 (1-ulp engine differences ≪ rounding step); events.ts handled
+per the ns-vs-µs rule (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..operators._util import T
+from ..plans.registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           lower(c_mktsegment) AS seg_lower,
+           substring(c_name, 10, 9) AS digits_part,
+           length(c_name) AS name_len,
+           concat(c_mktsegment, ':', c_name) AS seg_name,
+           trim('  ' || c_mktsegment || ' ') AS seg_trim,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad,
+           string_split(c_name, '#')[2] AS name_num,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+           replace(c_name, 'Customer', 'Cliente') AS name_pt,
+           (c_mktsegment LIKE 'MACH%') AS is_mach
+    FROM customer
+    """,
+)
+def fn_string(spark, d):
+    c = T(spark, d, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 10, 9).alias("digits_part"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.concat("c_mktsegment", F.lit(":"), "c_name").alias("seg_name"),
+        F.trim(F.concat(F.lit("  "), "c_mktsegment", F.lit(" "))).alias("seg_trim"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_pad"),
+        F.split("c_name", "#").getItem(1).alias("name_num"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cliente")).alias("name_pt"),
+        F.col("c_mktsegment").like("MACH%").alias("is_mach"),
+    )
+
+
+@register(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mth,
+           CAST(day(o_orderdate) AS BIGINT) AS dom,
+           CAST(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS VARCHAR)
+               AS month_start_s,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS days_since_95,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS VARCHAR) AS due_s,
+           CAST(CAST(o_orderdate AS DATE) - INTERVAL 1 YEAR AS VARCHAR) AS prior_year_s
+    FROM orders
+    """,
+)
+def fn_datetime(spark, d):
+    """Datetime family incl. the reference's days() transform building
+    block (README.md:304-307) and interval arithmetic (README.md:319 uses
+    NOW() - INTERVAL; a fixed literal keeps the query deterministic)."""
+    o = T(spark, d, "orders")
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(od).cast("bigint").alias("yr"),
+        F.month(od).cast("bigint").alias("mth"),
+        F.dayofmonth(od).cast("bigint").alias("dom"),
+        F.date_trunc("month", od).cast("string").alias("month_start_s"),
+        F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint").alias("days_since_95"),
+        F.date_add(od.cast("date"), 30).cast("timestamp").cast("string").alias("due_s"),
+        F.add_months(od.cast("date"), -12).cast("timestamp").cast("string")
+        .alias("prior_year_s"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice, 1) AS price_r1,
+           abs(o_totalprice - 250000.0) AS dist_from_mid,
+           CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(o_orderkey % 7 AS BIGINT) AS key_mod7,
+           round(power(o_totalprice / 100000.0, 2), 6) AS pow2,
+           round(ln(o_totalprice), 6) AS log_price,
+           round(sqrt(o_totalprice), 6) AS sqrt_price,
+           CAST(sign(o_totalprice - 250000.0) AS DOUBLE) AS side
+    FROM orders
+    """,
+)
+def fn_math(spark, d):
+    o = T(spark, d, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(p, 1).alias("price_r1"),
+        F.abs(p - 250000.0).alias("dist_from_mid"),
+        F.ceil(p).cast("bigint").alias("price_ceil"),
+        F.floor(p).cast("bigint").alias("price_floor"),
+        (F.col("o_orderkey") % 7).cast("bigint").alias("key_mod7"),
+        F.round(F.pow(p / 100000.0, 2), 6).alias("pow2"),
+        F.round(F.log(p), 6).alias("log_price"),
+        F.round(F.sqrt(p), 6).alias("sqrt_price"),
+        F.signum(p - 250000.0).cast("double").alias("side"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) + 0 AS first_elem,
+           round((SELECT sum(CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x)), 4) + 0
+               AS vec_sum,
+           CAST((SELECT count(*) FROM unnest(embedding) AS u(x) WHERE x > 0) AS BIGINT)
+               AS n_positive,
+           round((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 2.0)
+                  FROM unnest(embedding) AS u(x)), 4) AS sum_sq_doubled,
+           round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) + 0 AS min_elem
+    FROM embeddings
+    """,
+)
+def fn_array(spark, d):
+    """Array family incl. higher-order functions (transform / filter /
+    aggregate) over the 64-dim embedding column."""
+    e = T(spark, d, "embeddings")
+    emb = F.col("embedding")
+    dbl = emb.cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size(emb).cast("bigint").alias("dim"),
+        (F.round(F.element_at(emb, 1).cast("double"), 6) + F.lit(0.0)).alias("first_elem"),
+        (F.round(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4) + F.lit(0.0))
+        .alias("vec_sum"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("n_positive"),
+        F.round(
+            F.aggregate(F.transform(dbl, lambda x: x * x * 2.0),
+                        F.lit(0.0), lambda acc, x: acc + x), 4)
+        .alias("sum_sq_doubled"),
+        (F.round(F.element_at(F.sort_array(emb), 1).cast("double"), 6) + F.lit(0.0)).alias("min_elem"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT event_id, 'type' AS k1, event_type AS v1,
+           CAST(round(value, 2) AS VARCHAR) AS v2,
+           CAST(2 AS BIGINT) AS n_keys
+    FROM events
+    """,
+)
+def fn_map(spark, d):
+    """Map family: build a map column, then read it back out via
+    map_keys/map_values/element_at (oracle checks the extracted values —
+    DuckDB's MAP type does not round-trip through pandas comparably)."""
+    e = T(spark, d, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("value"), F.round("value", 2).cast("string"),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("k1"),
+        F.element_at(m, "type").alias("v1"),
+        F.element_at(F.map_values(m), 2).alias("v2"),
+        F.size(m).cast("bigint").alias("n_keys"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled
+    FROM events
+    """,
+)
+def fn_json(spark, d):
+    """JSON family over the events.props JSON-string column
+    (get_json_object / from_json)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    e = T(spark, d, "events")
+    parsed = F.from_json("props", StructType([StructField("k", LongType())]))
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_num"),
+        (parsed.getField("k") * 2).alias("k_doubled"),
+    )

@@ -1,0 +1,182 @@
+"""B-udf queries (SURVEY.md §2): the full user-defined-function surface —
+row-at-a-time Python UDF, vectorized (Arrow) pandas UDFs (scalar and
+grouped-agg), applyInPandas grouped-map, mapInPandas, and a Python UDTF.
+
+Scale notes: row-at-a-time UDFs exist for coverage, not for hot paths —
+they serialize row-by-row across the JVM↔Python boundary.  Every other
+entry here moves data as Arrow record batches (10-100× less overhead) and
+is the sanctioned pattern for custom logic at 100 TB.  Each UDF's logic is
+mirrored in plain oracle SQL so the driver hash-checks the results.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..operators._util import T
+from ..plans.registry import register
+
+
+@register(
+    "udf_python_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_totalprice >= 300000 THEN 3
+                     WHEN o_totalprice >= 100000 THEN 2
+                     ELSE 1 END AS BIGINT) AS tier
+    FROM orders
+    """,
+)
+def udf_python_scalar(spark, d):
+    """Row-at-a-time Python UDF (coverage of the slow path)."""
+    from pyspark.sql.types import LongType
+
+    @F.udf(returnType=LongType())
+    def tier(price: float) -> int:
+        if price >= 300000:
+            return 3
+        if price >= 100000:
+            return 2
+        return 1
+
+    o = T(spark, d, "orders")
+    return o.select("o_orderkey", tier("o_totalprice").alias("tier"))
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * 1.1, 6) AS adj_price
+    FROM lineitem
+    """,
+)
+def udf_pandas_scalar(spark, d):
+    """Vectorized Series→Series pandas UDF over Arrow batches."""
+
+    @pandas_udf("double")
+    def adj_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return (price * (1.0 - disc) * 1.1).round(6)
+
+    li = T(spark, d, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        adj_price("l_extendedprice", "l_discount").alias("adj_price"),
+    )
+
+
+@register(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / (100.0 * count(*)) AS mean_bal,
+           max(c_acctbal) - min(c_acctbal) AS bal_range
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def udf_pandas_grouped_agg(spark, d):
+    """Vectorized UDAF: Series→scalar pandas UDFs inside .agg()."""
+
+    @pandas_udf("double")
+    def exact_mean(v: pd.Series) -> float:
+        # acctbal has exactly 2 decimals: sum exact integer cents, then one
+        # float division — bit-identical to the oracle's decimal-sum/count
+        cents = (v * 100).round().astype("int64").sum()
+        return float(cents) / (100.0 * len(v))
+
+    @pandas_udf("double")
+    def value_range(v: pd.Series) -> float:
+        return float(v.max() - v.min())
+
+    c = T(spark, d, "customer")
+    return c.groupBy("c_nationkey").agg(
+        exact_mean("c_acctbal").alias("mean_bal"),
+        value_range("c_acctbal").alias("bal_range"),
+    )
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey))
+                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey), 4) + 0
+               AS bal_z
+    FROM customer
+    """,
+)
+def udf_grouped_map(spark, d):
+    """applyInPandas grouped-map: per-nation z-score normalization.  The
+    group key partitions the shuffle; each group is one pandas frame
+    (bounded by the largest nation — salting would split a hot group)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["c_acctbal"].mean()
+        sd = pdf["c_acctbal"].std(ddof=1)
+        return pd.DataFrame({
+            "c_custkey": pdf["c_custkey"],
+            "c_nationkey": pdf["c_nationkey"],
+            "bal_z": ((pdf["c_acctbal"] - mu) / sd).round(4) + 0.0,
+        })
+
+    c = T(spark, d, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    return c.groupBy("c_nationkey").applyInPandas(
+        zscore, "c_custkey bigint, c_nationkey int, bal_z double")
+
+
+@register(
+    "udf_map_in_pandas",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def udf_map_in_pandas(spark, d):
+    """mapInPandas partition-wise iterator transform (Arrow batches in and
+    out) — the plumbing pattern for multimodal decode at scale."""
+
+    def tokenize(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "n_tokens": pdf["text"].str.split(" ").str.len().astype("int64"),
+                "n_chars": pdf["n_chars"],
+            })
+
+    docs = T(spark, d, "documents")
+    return docs.mapInPandas(
+        tokenize, "doc_id bigint, lang string, n_tokens bigint, n_chars bigint")
+
+
+@register(
+    "udtf_python",
+    oracle="""
+    SELECT r_regionkey, r_name, CAST(u.n AS BIGINT) AS n,
+           concat(r_name, '-', CAST(u.n AS VARCHAR)) AS tag
+    FROM region, unnest([1, 2, 3]) AS u(n)
+    """,
+)
+def udtf_python(spark, d):
+    """Python UDTF (Spark 4): one input row → three output rows via a
+    lateral join."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="n bigint, tag string")
+    class Fanout:
+        def eval(self, key: int, name: str):
+            for n in (1, 2, 3):
+                yield n, f"{name}-{n}"
+
+    spark.udtf.register("fanout_udtf", Fanout)
+    T(spark, d, "region").createOrReplaceTempView("region_udtf")
+    return spark.sql("""
+        SELECT r.r_regionkey, r.r_name, f.n, f.tag
+        FROM region_udtf r, LATERAL fanout_udtf(r.r_regionkey, r.r_name) f
+    """)

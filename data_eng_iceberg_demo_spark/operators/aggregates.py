@@ -1,0 +1,192 @@
+"""B-agg queries (SURVEY.md §2): hash aggregation, distinct aggregates,
+HAVING, ROLLUP/CUBE/GROUPING SETS, approximate distinct.
+
+Scale notes: every groupBy here compiles to partial (map-side) + final hash
+aggregation — the shuffle carries pre-aggregated partials, not raw rows, so
+the exchange volume is bounded by |groups| × partitions, not by table size.
+Low-cardinality group keys (returnflag × linestatus = 6 groups) make the
+Q1 shape effectively shuffle-free at any scale.  Float discipline
+(SURVEY.md §5.3): sums of doubles rounded at 2 decimals (abs error of
+order-dependent double summation ≪ 0.005 at any realistic group size),
+averages at 4.
+
+Reference parallel: GROUP BY count (README.md:238).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..plans.registry import register
+from ._util import T
+
+
+@register(
+    "agg_groupby_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+               AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby_basic(spark, d):
+    """TPC-H Q1 shape: scan-heavy, 6-group hash aggregate."""
+    li = T(spark, d, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+        .alias("sum_base_price"),
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
+        (F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+         / F.count("*")).alias("avg_qty"),
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+         / F.count("*")).alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark, d):
+    """Exact distinct counts — Spark plans Expand + two-phase aggregate;
+    at scale the expand doubles shuffle volume, acceptable for exact
+    semantics (use agg_approx_count_distinct when a bound suffices)."""
+    return T(spark, d, "lineitem").groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@register("agg_approx_count_distinct")  # rows-only: approximate by design
+def agg_approx_count_distinct(spark, d):
+    """HyperLogLog++ distinct estimate — sketch merges are associative, so
+    the shuffle carries fixed-size sketches regardless of data volume (the
+    100 TB-scale answer to count-distinct).  Not hash-checkable against an
+    exact oracle; tests assert ±5% of exact."""
+    return T(spark, d, "lineitem").groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS order_cnt,
+           round(sum(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 8
+    """,
+)
+def agg_having(spark, d):
+    return (
+        T(spark, d, "orders").groupBy("o_custkey")
+        .agg(F.count("*").alias("order_cnt"),
+             F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .filter(F.col("order_cnt") >= 8)
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS cnt,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark, d):
+    c = T(spark, d, "customer")
+    n = T(spark, d, "nation")
+    r = T(spark, d, "region")
+    joined = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus, count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+)
+def agg_cube(spark, d):
+    o = T(spark, d, "orders")
+    c = T(spark, d, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(F.count("*").alias("cnt"),
+             (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              / F.count("*")).alias("avg_price"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg, CAST(grouping(c_nationkey) AS BIGINT) AS g_nat,
+           count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+    """,
+)
+def agg_grouping_sets(spark, d):
+    """Explicit grouping sets with per-column grouping() markers
+    (grouping_id bit order differs across engines; grouping() does not)."""
+    T(spark, d, "customer").createOrReplaceTempView("customer_gs")
+    return spark.sql("""
+        SELECT c_mktsegment, c_nationkey,
+               CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg, CAST(grouping(c_nationkey) AS BIGINT) AS g_nat,
+               count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal
+        FROM customer_gs
+        GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+    """)
+
+
+@register(
+    "agg_distinct_within",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty,
+           CAST(sum(DISTINCT CAST(l_discount AS DECIMAL(6,2))) AS DOUBLE)
+               / count(DISTINCT CAST(l_discount AS DECIMAL(6,2))) AS avg_distinct_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_within(spark, d):
+    return T(spark, d, "lineitem").groupBy("l_returnflag").agg(
+        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+        F.expr("CAST(sum(DISTINCT CAST(l_discount AS DECIMAL(6,2))) AS DOUBLE) / count(DISTINCT CAST(l_discount AS DECIMAL(6,2)))").alias("avg_distinct_disc"),
+    )

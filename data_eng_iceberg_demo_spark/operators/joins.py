@@ -1,0 +1,281 @@
+"""B-join queries (SURVEY.md §2): equi/outer/semi/anti/cross joins, the
+flagship multiway star join, and the composed range / as-of / interval joins.
+
+Scale notes (100 TB design point):
+  * Dimension tables (region/nation/customer at warehouse scale: region and
+    nation always, customer usually) are broadcast — no shuffle of the fact
+    side.  `F.broadcast` is explicit where the optimizer's size estimate
+    might miss; elsewhere AQE converts sort-merge → broadcast at runtime.
+  * The as-of join avoids a per-key row explosion at scale by being
+    expressible as the union/last-value window trick; at fixture scale the
+    join+row_number form is used because it is oracle-checkable row for row.
+    Both forms shuffle once on the join key.
+  * Range/theta joins restrict the non-equi condition to a banded predicate
+    so a real deployment can bucketize the band into an equi prefix
+    (bucket join) instead of a nested-loop cross product.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from ..plans.registry import register
+from ._util import T
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 100000
+    """,
+)
+def join_inner_equi(spark, d):
+    o = T(spark, d, "orders").filter(F.col("o_totalprice") > 100000)
+    c = T(spark, d, "customer")
+    return (o.join(c, o.o_custkey == c.c_custkey, "inner")
+            .select("o_orderkey", "c_name", "o_totalprice"))
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT p.p_brand, count(*) AS cnt,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size < 15
+    GROUP BY p.p_brand
+    """,
+)
+def join_broadcast(spark, d):
+    """Explicit broadcast-hash join: the part dimension ships to every
+    executor; the lineitem fact side never shuffles for the join."""
+    li = T(spark, d, "lineitem")
+    p = T(spark, d, "part").filter(F.col("p_size") < 15)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"),
+             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "join_multiway",
+    oracle="""
+    SELECT r.r_name, count(*) AS order_cnt,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey   = c.c_custkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def join_multiway(spark, d):
+    """Flagship (t1 smoke, SURVEY.md §7.2): 4-table star join + hash agg +
+    sort.  region/nation/customer are broadcast (each orders-of-magnitude
+    smaller than orders), so the only wide exchange is the final aggregate."""
+    r = T(spark, d, "region")
+    n = T(spark, d, "nation")
+    c = T(spark, d, "customer")
+    o = T(spark, d, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("order_cnt"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    """,
+)
+def join_left_outer(spark, d):
+    c = T(spark, d, "customer")
+    o = T(spark, d, "orders")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_totalprice > 400000)
+    return c.join(o, cond, "left").select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey
+    FROM orders o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    """,
+)
+def join_right_outer(spark, d):
+    c = T(spark, d, "customer")
+    o = T(spark, d, "orders")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_orderpriority == "1-URGENT")
+    return o.join(c, cond, "right").select("c_custkey", "c_name", "o_orderkey")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_nationkey < 8) c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 250000) o
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_full_outer(spark, d):
+    c = T(spark, d, "customer").filter(F.col("c_nationkey") < 8)
+    o = T(spark, d, "orders").filter(F.col("o_totalprice") > 250000)
+    return (c.join(o, o.o_custkey == c.c_custkey, "full")
+            .select("c_custkey", "c_name", "o_orderkey", "o_totalprice"))
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_left_semi(spark, d):
+    c = T(spark, d, "customer")
+    o = T(spark, d, "orders").filter(F.col("o_totalprice") > 300000)
+    return (c.join(o, o.o_custkey == c.c_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_left_anti(spark, d):
+    c = T(spark, d, "customer")
+    o = T(spark, d, "orders").filter(F.col("o_totalprice") > 300000)
+    return (c.join(o, o.o_custkey == c.c_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@register(
+    "join_cross_limited",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross_limited(spark, d):
+    """Bounded cartesian product (5 × 25). At scale a cross join is only
+    ever valid against a broadcast-sized side — same shape as here."""
+    r = T(spark, d, "region").select("r_name")
+    n = T(spark, d, "nation").select("n_name")
+    return r.crossJoin(F.broadcast(n))
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+    SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b, a.p_size AS size_a, b.p_size AS size_b
+    FROM part a JOIN part b
+      ON a.p_size BETWEEN b.p_size - 1 AND b.p_size
+     AND a.p_partkey < b.p_partkey
+     AND a.p_brand = b.p_brand
+    """,
+)
+def join_range_theta(spark, d):
+    """Banded non-equi join.  The equi component (p_brand) becomes the
+    shuffle key so Spark plans a sort-merge/hash join with the band as a
+    post-join filter — not a nested loop.  At 100 TB the band would instead
+    be bucketized ((size div band) equi key) to keep the prefix equi."""
+    p = T(spark, d, "part")
+    a = p.alias("a")
+    b = p.alias("b")
+    cond = (
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & F.col("a.p_size").between(F.col("b.p_size") - 1, F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+    )
+    return a.join(b, cond).select(
+        F.col("a.p_partkey").alias("pk_a"), F.col("b.p_partkey").alias("pk_b"),
+        F.col("a.p_size").alias("size_a"), F.col("b.p_size").alias("size_b"),
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def join_asof(spark, d):
+    """As-of join: each event matched to the latest order of its user at or
+    before the event time.  Spark has no native DataFrame as-of join; this
+    is the join + row_number composition (deterministic tiebreak on
+    o_orderkey).  Scale path: the union/last-value window trick — tag both
+    inputs, union, and take last(order_col, ignorenulls) over
+    (partition by key order by ts) — one shuffle, no pair explosion.
+    DuckDB's native ASOF JOIN leaves timestamp ties ambiguous, so the
+    oracle uses the identical row_number formulation."""
+    e = T(spark, d, "events")
+    o = T(spark, d, "orders")
+    joined = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "join_interval",
+    oracle="""
+    SELECT a.event_id AS eid_a, b.event_id AS eid_b
+    FROM (SELECT event_id, user_id, date_trunc('second', ts) AS tss FROM events) a
+    JOIN (SELECT event_id, user_id, date_trunc('second', ts) AS tss FROM events) b
+      ON a.user_id = b.user_id
+     AND b.tss > a.tss
+     AND b.tss <= a.tss + INTERVAL 1 HOUR
+    """,
+)
+def join_interval(spark, d):
+    """Interval join: pairs of same-user events within a 1-hour window.
+    Equi key (user_id) drives the shuffle; the time band is a residual
+    predicate, so the plan stays a hash/sort-merge join at scale (the band
+    can be bucketized into the equi key for very hot users).  Timestamps are
+    second-truncated in-plan: events.ts is ns in parquet, µs in Spark
+    (SURVEY.md §5.3), and truncation makes both engines see equal values."""
+    e = T(spark, d, "events").select(
+        "event_id", "user_id", F.date_trunc("second", "ts").alias("tss"))
+    a, b = e.alias("a"), e.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.tss") > F.col("a.tss"))
+        & (F.col("b.tss") <= F.col("a.tss") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return a.join(b, cond).select(
+        F.col("a.event_id").alias("eid_a"), F.col("b.event_id").alias("eid_b"))

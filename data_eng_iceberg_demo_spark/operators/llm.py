@@ -1,0 +1,359 @@
+"""B-llm queries (SURVEY.md §2, BASELINE.json north star): the
+LLM-training-data-pipeline operators — exact and near-duplicate
+deduplication, embedding similarity search, text statistics, tf-idf,
+language routing, multimodal join, centroid aggregation — plus the
+scale-path variants (MinHash LSH, random-projection LSH ANN).
+
+Scale notes (the 100 TB design point, SURVEY.md §7.4):
+  * near-dup: the exact shingle-Jaccard pipeline is oracle-checkable and
+    already avoids O(n²) — candidate pairs come from the shingle inverted
+    index (self-join on shingle), so cost scales with shared-shingle pairs,
+    not all pairs.  The MinHashLSH variant bounds even that by banding.
+  * similarity: brute-force cosine is the correctness baseline; the LSH
+    variant prunes candidates by bucket.  Both keep vectors as
+    array<float> columns — dot products run in the JVM via higher-order
+    functions (no Python in the loop).
+  * every aggregate here is partial-aggregatable; no driver-side loops.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..plans.registry import register
+from ._util import T
+
+
+@register(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies,
+           min(length(text)) AS text_len
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def llm_dedup_exact(spark, d):
+    """Exact dedup by content hash: one group per distinct text, keep the
+    lowest doc_id.  Grouping on md5(text) (not raw text) keeps shuffle keys
+    at 32 bytes regardless of document size — the 100 TB-safe form."""
+    docs = T(spark, d, "documents")
+    return (docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count("*").alias("n_copies"),
+                 F.min(F.length("text")).cast("bigint").alias("text_len"))
+            .drop("h"))
+
+
+@register(
+    "llm_dedup_near",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ), pos AS (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM tok
+    ), sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM pos
+    ), cnt AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 4) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.5
+    """,
+)
+def llm_dedup_near(spark, d):
+    """Near-duplicate pairs by exact 3-gram-shingle Jaccard >= 0.5.
+    Candidate generation via the shingle inverted index (explode + self-join
+    on shingle) — never all-pairs.  Scale path: llm_dedup_minhash."""
+    docs = T(spark, d, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    docs = docs.filter(F.size("w") >= 3)
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size("w") - 3),
+            lambda i: F.concat_ws(" ", F.element_at(F.col("w"), i + 1),
+                                  F.element_at(F.col("w"), i + 2),
+                                  F.element_at(F.col("w"), i + 3)),
+        ))).alias("shingle"))
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("common")))
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (inter.join(ca, "doc_a").join(cb, "doc_b")
+           .withColumn("jaccard_raw",
+                       F.col("common").cast("double")
+                       / (F.col("na") + F.col("nb") - F.col("common"))))
+    return (jac.filter(F.col("jaccard_raw") >= 0.5)
+            .select("doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard")))
+
+
+@register("llm_dedup_minhash")  # rows-only: LSH is approximate by design
+def llm_dedup_minhash(spark, d):
+    """MinHash-LSH near-dup scale path (pyspark.ml): shingles → sparse
+    binary vectors (HashingTF) → MinHash signatures → banded bucket join
+    (approxSimilarityJoin).  Fixed seed keeps runs deterministic; still
+    declared rows-only because LSH recall is probabilistic by design."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = T(spark, d, "documents").select("doc_id", F.split("text", " ").alias("w"))
+    docs = docs.filter(F.size("w") >= 3).select(
+        "doc_id",
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size("w") - 3),
+            lambda i: F.concat_ws(" ", F.element_at(F.col("w"), i + 1),
+                                  F.element_at(F.col("w"), i + 2),
+                                  F.element_at(F.col("w"), i + 3)),
+        )).alias("shingles"))
+    tf = HashingTF(inputCol="shingles", outputCol="features",
+                   numFeatures=1 << 18, binary=True)
+    feat = tf.transform(docs).filter(F.expr("size(shingles) > 0"))
+    mh = MinHashLSH(inputCol="features", outputCol="hashes",
+                    numHashTables=8, seed=42)
+    model = mh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, threshold=0.5,
+                                       distCol="jaccard_dist")
+    return (pairs
+            .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+            .select(F.col("datasetA.doc_id").alias("doc_a"),
+                    F.col("datasetB.doc_id").alias("doc_b"),
+                    F.round(1 - F.col("jaccard_dist"), 4).alias("est_jaccard")))
+
+
+_COSINE_ORACLE = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    pos AS (
+        SELECT qid, cid, qe, ce, unnest(generate_series(1, 64)) AS i
+        FROM q, c WHERE qid <> cid
+    ), dots AS (
+        SELECT qid, cid,
+               sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+               sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS qq,
+               sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS cc
+        FROM pos GROUP BY qid, cid
+    ), sims AS (
+        SELECT qid, cid, round(dot / (sqrt(qq) * sqrt(cc)), 4) + 0 AS cosine
+        FROM dots
+    )
+    SELECT qid, cid, cosine FROM (
+        SELECT qid, cid, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid ASC) AS rn
+        FROM sims
+    ) WHERE rn <= 10
+"""
+
+
+@register("llm_similarity_topk", oracle=_COSINE_ORACLE)
+def llm_similarity_topk(spark, d):
+    """Brute-force cosine top-10 for 5 query vectors — the correctness
+    baseline for ANN.  Dot products via zip_with/aggregate run JVM-side in
+    codegen; ranking on the rounded similarity (stable across engines) with
+    vec_id tiebreak.  Scale path: llm_similarity_lsh (bucketed candidates);
+    at 100 TB the query side stays broadcast and the candidate side is
+    pruned by LSH buckets before any dot product."""
+    from pyspark.sql import Window
+
+    emb = T(spark, d, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    with_norm = emb.withColumn(
+        "norm", F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                                   F.lit(0.0), lambda a, x: a + x)))
+    q = (with_norm.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                 F.col("norm").alias("qnorm")))
+    c = with_norm.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+                         F.col("norm").alias("cnorm"))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("qid") != F.col("cid"))
+    dotted = pairs.withColumn(
+        "dot", F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y),
+                           F.lit(0.0), lambda a, x: a + x))
+    sims = dotted.select(
+        "qid", "cid",
+        (F.round(F.col("dot") / (F.col("qnorm") * F.col("cnorm")), 4) + F.lit(0.0)).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10).select("qid", "cid", "cosine"))
+
+
+@register("llm_similarity_lsh")  # rows-only: ANN recall is approximate
+def llm_similarity_lsh(spark, d):
+    """ANN scale path: random-projection (sign) LSH over the embeddings —
+    candidates share a bucket with the query, then exact cosine re-rank
+    within the bucket.  Deterministic (fixed seed) but approximate recall,
+    hence rows-only."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    emb = T(spark, d, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v"))
+    lsh = BucketedRandomProjectionLSH(inputCol="v", outputCol="hashes",
+                                      bucketLength=2.0, numHashTables=4, seed=42)
+    model = lsh.fit(emb)
+    q = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "qid")
+    joined = model.approxSimilarityJoin(
+        q.withColumnRenamed("qid", "vec_id"), emb, threshold=float("inf"),
+        distCol="l2")
+    pairs = (joined.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+             .select(F.col("datasetA.vec_id").alias("qid"),
+                     F.col("datasetB.vec_id").alias("cid"),
+                     F.round("l2", 4).alias("l2_dist")))
+    w = Window.partitionBy("qid").orderBy(F.col("l2_dist").asc(), F.col("cid").asc())
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10).drop("rn"))
+
+
+@register(
+    "llm_text_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           round(avg(n_chars), 4) AS avg_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def llm_text_stats(spark, d):
+    """Per-language corpus statistics (doc counts, token counts, length
+    distribution) — token counting via whitespace split, JVM-side."""
+    docs = T(spark, d, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "llm_tfidf_terms",
+    oracle="""
+    WITH tokens AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT source, term, count(*) AS tf FROM tokens GROUP BY source, term
+    ), df AS (
+        SELECT term, count(DISTINCT source) AS df FROM tokens GROUP BY term
+    ), s AS (
+        SELECT count(DISTINCT source) AS n_sources FROM documents
+    ), scored AS (
+        SELECT tf.source, tf.term,
+               round(tf.tf * ln(CAST(s.n_sources AS DOUBLE) / df.df), 4) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN s
+    )
+    SELECT source, term, tfidf FROM (
+        SELECT source, term, tfidf,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY tfidf DESC, term ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def llm_tfidf_terms(spark, d):
+    """Top-5 tf-idf terms per source — pure DataFrame composition (token
+    explode → tf counts → df counts → log weighting → windowed top-k).
+    Scale path: ml.feature.HashingTF/IDF for fixed-width features."""
+    from pyspark.sql import Window
+
+    tokens = (T(spark, d, "documents")
+              .select("source", F.explode(F.split("text", " ")).alias("term")))
+    tf = tokens.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df = tokens.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    s = tokens.select(F.countDistinct("source").alias("n_sources"))
+    scored = (tf.join(df, "term").crossJoin(F.broadcast(s))
+              .select("source", "term",
+                      F.round(F.col("tf") * F.log(F.col("n_sources").cast("double")
+                                                  / F.col("df")), 4).alias("tfidf")))
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5).select("source", "term", "tfidf"))
+
+
+@register(
+    "llm_lang_filter_route",
+    oracle="""
+    SELECT lang, doc_id, source, n_chars
+    FROM documents
+    WHERE lang IN ('en', 'de')
+    """,
+)
+def llm_lang_filter_route(spark, d):
+    """Language filter/routing: the predicate pushes to the scan; the
+    write path would partitionBy(lang) so each language lands in its own
+    partition directory (partition-pruned downstream reads)."""
+    return (T(spark, d, "documents")
+            .filter(F.col("lang").isin("en", "de"))
+            .select("lang", "doc_id", "source", "n_chars"))
+
+
+@register(
+    "llm_multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CAST(e.label AS BIGINT) AS label,
+           CAST(len(e.embedding) AS BIGINT) AS dim,
+           round(CAST(e.embedding[1] AS DOUBLE), 6) AS e0
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def llm_multimodal_join(spark, d):
+    """Multimodal record assembly: text document ⋈ embedding vector into a
+    struct column (text + vector + metadata), flattened for hashing.  At
+    scale both sides co-partition on the id — one shuffle, or none with
+    bucketed storage."""
+    docs = T(spark, d, "documents")
+    emb = T(spark, d, "embeddings")
+    rec = (docs.join(emb, docs.doc_id == emb.vec_id)
+           .select(F.struct("doc_id", "lang", "n_chars").alias("doc"),
+                   F.struct("label", "embedding").alias("media")))
+    return rec.select(
+        F.col("doc.doc_id").alias("doc_id"),
+        F.col("doc.lang").alias("lang"),
+        F.col("doc.n_chars").alias("n_chars"),
+        F.col("media.label").cast("bigint").alias("label"),
+        F.size("media.embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at("media.embedding", 1).cast("double"), 6).alias("e0"),
+    )
+
+
+@register(
+    "llm_embedding_agg",
+    oracle="""
+    SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 4) + 0 AS centroid
+    FROM (SELECT label, embedding, unnest(generate_series(1, 64)) AS i
+          FROM embeddings)
+    GROUP BY label, dim
+    """,
+)
+def llm_embedding_agg(spark, d):
+    """Per-label centroid of the 64-dim embeddings via posexplode + group
+    average — fully partial-aggregatable ((label,dim) keys), unlike a
+    naive collect-then-average.  Scale path: ml.stat.Summarizer.mean over
+    vectors for one-pass per-partition summaries."""
+    emb = T(spark, d, "embeddings").select(
+        F.col("label").cast("bigint").alias("label"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"))
+    return (emb.groupBy("label", F.col("dim").cast("bigint").alias("dim"))
+            .agg((F.round(F.avg("val"), 4) + F.lit(0.0)).alias("centroid")))

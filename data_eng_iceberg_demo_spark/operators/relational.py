@@ -1,0 +1,308 @@
+"""B-scan / B-proj / B-set queries: scans, projections, filters, predicates,
+CASE/cast expressions, DISTINCT, and set operations (SURVEY.md §2).
+
+All are single-pass narrow plans (scan → project/filter) or unions — no
+shuffle except DISTINCT/INTERSECT/EXCEPT, which hash-partition on the full
+row; at 100 TB those rely on partial aggregation map-side and AQE-coalesced
+shuffle, which Spark provides natively for these operators.
+
+Reference parallels: projection+LIMIT (README.md:216), predicate delete
+filter shape (README.md:231), CSV scan options (README.md:186-193), typed
+casts (README.md:199-208).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..plans.registry import register
+from ._util import T
+
+FIXTURE_DIR = "/root/repo/tests/fixtures"
+
+
+# ---------------------------------------------------------------- B-scan
+
+@register(
+    "scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+           CAST(l_shipdate AS VARCHAR) AS l_shipdate_s
+    FROM lineitem
+    """,
+)
+def scan_parquet(spark, d):
+    """Full-projection parquet scan (vectorized reader, all columns)."""
+    return T(spark, d, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        F.col("l_shipdate").cast("string").alias("l_shipdate_s"),
+    )
+
+
+@register(
+    "scan_csv",
+    oracle=f"""
+    SELECT id_pedido, produto,
+           CAST(CAST(valor_unitario AS DECIMAL(10,2)) AS DOUBLE) AS valor_unitario,
+           CAST(quantidade AS BIGINT) AS quantidade,
+           CAST(CAST(data_criacao AS TIMESTAMP) AS VARCHAR) AS data_criacao_s,
+           uf, CAST(id_cliente AS BIGINT) AS id_cliente
+    FROM read_csv('{FIXTURE_DIR}/pedidos.csv.gz', delim=';', header=true,
+                  columns={{'id_pedido':'VARCHAR','produto':'VARCHAR',
+                           'valor_unitario':'VARCHAR','quantidade':'VARCHAR',
+                           'data_criacao':'VARCHAR','uf':'VARCHAR',
+                           'id_cliente':'VARCHAR'}})
+    """,
+)
+def scan_csv(spark, d):
+    """CSV scan with the reference's options (';' delim, header, gzip —
+    README.md:186-193) + the reference's typed casts (README.md:199-208)."""
+    from ..sources import read_csv
+
+    raw = read_csv(spark, f"{FIXTURE_DIR}/pedidos.csv.gz", sep=";", header=True)
+    return raw.select(
+        "id_pedido", "produto",
+        F.col("valor_unitario").cast("decimal(10,2)").cast("double").alias("valor_unitario"),
+        F.col("quantidade").cast("bigint").alias("quantidade"),
+        F.col("data_criacao").cast("timestamp").cast("string").alias("data_criacao_s"),
+        "uf",
+        F.col("id_cliente").cast("bigint").alias("id_cliente"),
+    )
+
+
+@register(
+    "scan_json_lines",
+    oracle=f"""
+    SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+           CAST(value AS DOUBLE) AS value, ts_s
+    FROM read_json('{FIXTURE_DIR}/events_sample.jsonl',
+                   columns={{'event_id':'BIGINT','event_type':'VARCHAR',
+                            'value':'DOUBLE','ts_s':'VARCHAR'}})
+    """,
+)
+def scan_json_lines(spark, d):
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("ts_s", StringType()),
+    ])
+    return spark.read.schema(schema).json(f"{FIXTURE_DIR}/events_sample.jsonl")
+
+
+@register("sink_parquet")  # rows-only: write + read-back round trip
+def sink_parquet(spark, d):
+    """Parquet sink: write a derived table, read it back (README.md:199
+    warehouse-write analog). Rows-only oracle — verifies the round trip."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="sink_parquet_", dir="/tmp")
+    df = (
+        T(spark, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .filter(F.col("o_totalprice") > 1000.0)
+    )
+    df.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------- B-proj
+
+@register(
+    "project_select_alias",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS disc_price,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge
+    FROM lineitem
+    """,
+)
+def project_select_alias(spark, d):
+    li = T(spark, d, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(disc, 4).alias("disc_price"),
+        F.round(disc * (1 + F.col("l_tax")), 6).alias("charge"),
+    )
+
+
+@register(
+    "filter_comparison",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+    FROM lineitem
+    WHERE l_quantity >= 30 AND l_discount < 0.05 AND l_returnflag <> 'A'
+          AND l_extendedprice > 10000
+    """,
+)
+def filter_comparison(spark, d):
+    """=, <>, <, >= predicates — all pushed to the parquet scan."""
+    li = T(spark, d, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") >= 30) & (F.col("l_discount") < 0.05)
+        & (F.col("l_returnflag") != "A") & (F.col("l_extendedprice") > 10000)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+
+
+@register(
+    "filter_in_between_like",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice BETWEEN 50000 AND 200000
+      AND o_orderpriority LIKE '%-%'
+    """,
+)
+def filter_in_between_like(spark, d):
+    o = T(spark, d, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(50000, 200000)
+        & F.col("o_orderpriority").like("%-%")
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus")
+
+
+@register(
+    "filter_null_and_or_not",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE (NULLIF(c_mktsegment, 'BUILDING') IS NULL AND c_acctbal > 0)
+       OR (NOT (c_nationkey < 10) AND c_acctbal < 0)
+    """,
+)
+def filter_null_and_or_not(spark, d):
+    c = T(spark, d, "customer")
+    seg_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).isNull()
+    return c.filter(
+        (seg_null & (F.col("c_acctbal") > 0))
+        | (~(F.col("c_nationkey") < 10) & (F.col("c_acctbal") < 0))
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+@register(
+    "project_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'large'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'small' END AS size_tier,
+           coalesce(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+           greatest(o_totalprice, 150000.0) AS at_least,
+           least(o_totalprice, 150000.0) AS at_most
+    FROM orders
+    """,
+)
+def project_case_when(spark, d):
+    o = T(spark, d, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "large")
+        .when(F.col("o_totalprice") >= 100000, "medium")
+        .otherwise("small").alias("size_tier"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias("status_or_open"),
+        F.greatest("o_totalprice", F.lit(150000.0)).alias("at_least"),
+        F.least("o_totalprice", F.lit(150000.0)).alias("at_most"),
+    )
+
+
+@register(
+    "project_cast_types",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS key_s,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date_s,
+           CAST(o_custkey AS INT) AS custkey_i
+    FROM orders
+    """,
+)
+def project_cast_types(spark, d):
+    """String/bigint/date/int casts (reference ingest casts, README.md:203-207).
+    floor() before the double→bigint cast: Spark truncates, DuckDB rounds —
+    floor makes both exact."""
+    o = T(spark, d, "orders")
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("key_s"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        F.col("o_orderdate").cast("date").cast("string").alias("order_date_s"),
+        F.col("o_custkey").cast("int").alias("custkey_i"),
+    )
+
+
+@register(
+    "distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_rows(spark, d):
+    return T(spark, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------- B-set
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT o_orderpriority AS pri, o_orderkey FROM orders WHERE o_totalprice > 300000
+    UNION ALL
+    SELECT o_orderpriority AS pri, o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_union_all(spark, d):
+    o = T(spark, d, "orders")
+    a = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_orderpriority").alias("pri"), "o_orderkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("pri"), "o_orderkey")
+    return a.unionByName(b)
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000
+    UNION
+    SELECT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def set_union_distinct(spark, d):
+    c = T(spark, d, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_nationkey").alias("nk"))
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select(F.col("c_nationkey").alias("nk"))
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_mktsegment AS seg FROM customer WHERE c_nationkey < 12
+    INTERSECT
+    SELECT c_mktsegment AS seg FROM customer WHERE c_acctbal > 2000
+    """,
+)
+def set_intersect(spark, d):
+    c = T(spark, d, "customer")
+    a = c.filter(F.col("c_nationkey") < 12).select(F.col("c_mktsegment").alias("seg"))
+    b = c.filter(F.col("c_acctbal") > 2000).select(F.col("c_mktsegment").alias("seg"))
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT n_nationkey AS nk FROM nation
+    EXCEPT
+    SELECT DISTINCT c_nationkey AS nk FROM customer WHERE c_acctbal > 1000
+    """,
+)
+def set_except(spark, d):
+    n = T(spark, d, "nation").select(F.col("n_nationkey").alias("nk"))
+    c = (T(spark, d, "customer").filter(F.col("c_acctbal") > 1000)
+         .select(F.col("c_nationkey").alias("nk")).distinct())
+    return n.subtract(c)

@@ -1,0 +1,149 @@
+"""B-win queries (SURVEY.md §2): ranking, lag/lead, running and range
+frames, analytic functions.
+
+Determinism discipline: every window ORDER BY carries a unique tiebreaker
+(custkey/orderkey/event_id); events.ts is second-truncated in-plan so both
+engines order identical values (ns-vs-µs, SURVEY.md §5.3).
+
+Scale notes: a window over partitionBy(k) is one shuffle on k + a
+per-partition sort; nothing here uses a global (unpartitioned) window
+except via explicit top-level queries in sorts.py.  Frames are streaming
+(running) or bounded — no whole-partition buffering beyond the sort.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from ..plans.registry import register
+from ._util import T
+
+
+@register(
+    "window_ranking",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           row_number()  OVER w AS rn,
+           rank()        OVER w AS rnk,
+           dense_rank()  OVER w AS drnk,
+           ntile(4)      OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def window_ranking(spark, d):
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return T(spark, d, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value, 1)  OVER w AS prev_value,
+           lead(value, 1) OVER w AS next_value,
+           lag(value, 2, -1.0) OVER w AS prev2_or_default
+    FROM (SELECT event_id, user_id, value, date_trunc('second', ts) AS tss
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY tss ASC, event_id ASC)
+    """,
+)
+def window_lag_lead(spark, d):
+    e = T(spark, d, "events").select(
+        "event_id", "user_id", "value", F.date_trunc("second", "ts").alias("tss"))
+    w = Window.partitionBy("user_id").orderBy(F.col("tss").asc(), F.col("event_id").asc())
+    return e.select(
+        "event_id", "user_id", "value",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.lag("value", 2, -1.0).over(w).alias("prev2_or_default"),
+    )
+
+
+@register(
+    "window_running_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           round(avg(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+    FROM orders
+    """,
+)
+def window_running_frame(spark, d):
+    """Running sum + 3-row moving average — streaming frames, O(1) state
+    per row after the partition sort."""
+    order = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    w_run = (Window.partitionBy("o_custkey").orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_mov = (Window.partitionBy("o_custkey").orderBy(*order)
+             .rowsBetween(-2, Window.currentRow))
+    return T(spark, d, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(w_mov), 4).alias("moving_avg3"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           count(*) OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal
+               RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS peers_within_500,
+           round(sum(c_acctbal) OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal
+               RANGE BETWEEN 500 PRECEDING AND CURRENT ROW), 2) AS bal_within_500
+    FROM customer
+    """,
+)
+def window_range_frame(spark, d):
+    """Value-based (RANGE) frame: all peers whose acctbal is within 500
+    below the current row's."""
+    w = (Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal"))
+         .rangeBetween(-500, Window.currentRow))
+    return T(spark, d, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal",
+        F.count("*").over(w).alias("peers_within_500"),
+        F.round(F.sum("c_acctbal").over(w), 2).alias("bal_within_500"),
+    )
+
+
+@register(
+    "window_analytic",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume,
+           first_value(c_name)  OVER w AS richest,
+           last_value(c_name)   OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING) AS poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def window_analytic(spark, d):
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return T(spark, d, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_name").over(w).alias("richest"),
+        F.last("c_name").over(w_full).alias("poorest"),
+    )

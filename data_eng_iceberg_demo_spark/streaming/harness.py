@@ -1,0 +1,171 @@
+"""True Structured Streaming behaviors (B-stream, SURVEY.md §2): a
+file-source micro-batch harness with availableNow triggers and a memory
+sink, driving watermark/late-data handling, keyed streaming dedup, and a
+custom stateful per-key aggregate.
+
+Offline constraint (SURVEY.md §7.4): no live source exists, so streams are
+parquet file sources; event-time (not wall-clock) semantics make the runs
+deterministic.  Queries that depend on micro-batch sequencing
+(stream_watermark_late) write their input as separate files with controlled
+modification times and maxFilesPerTrigger=1 so watermark advancement is
+reproducible.
+
+Scale notes: these are the operators that carry 100 TB streaming loads —
+state lives in the state store keyed by the shuffle partitioning; watermark
+bounds state size; dropDuplicates state is similarly watermark-evicted.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from ..operators._util import T
+from ..plans.registry import register
+
+_counter = itertools.count()
+
+
+def _events_stream(spark, d, path=None):
+    """readStream over the events parquet (schema from a batch peek of the
+    raw file — ts arrives as int64 nanos, converted to µs timestamp).
+    The file source wants a directory, so the single fixture file is
+    symlinked into a scratch dir."""
+    if path is None:
+        src_file = f"{d}/events.parquet"
+        path = tempfile.mkdtemp(prefix="events_src_", dir="/tmp")
+        os.symlink(src_file, os.path.join(path, "events.parquet"))
+    raw_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(raw_schema).parquet(path)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_stream_to_df(spark, d, build, name, output_mode="append", options=None):
+    """Run builder(stream_df) → memory sink with availableNow; return the
+    collected result table as a batch DataFrame."""
+    qname = f"{name}_{next(_counter)}"
+    stream = _events_stream(spark, d)
+    q = (build(stream).writeStream.format("memory").queryName(qname)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+@register("stream_watermark_late")  # rows-only: depends on micro-batch order
+def stream_watermark_late(spark, d):
+    """Watermark + late-data drop.  Three micro-batches: (1) events from
+    the first day, (2) much later events that advance the watermark past
+    day one, (3) replayed day-one events — now late beyond the 10-minute
+    watermark and dropped.  Append mode emits only windows finalized by the
+    watermark, so the result excludes both the late rows and still-open
+    windows."""
+    e = T(spark, d, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.date_trunc("second", "ts").alias("tss"))
+    day1 = e.filter(F.col("tss") < "2024-01-02")
+    later = e.filter((F.col("tss") >= "2024-01-05") & (F.col("tss") < "2024-01-08"))
+    late_replay = day1.limit(50)
+
+    tmp = tempfile.mkdtemp(prefix="wm_late_", dir="/tmp")
+    for i, batch in enumerate([day1, later, late_replay]):
+        fpath = os.path.join(tmp, f"batch{i}")
+        batch.coalesce(1).write.mode("overwrite").parquet(fpath)
+    # one file per batch dir; flatten into the source dir with ordered mtimes
+    src = os.path.join(tmp, "src")
+    os.makedirs(src, exist_ok=True)
+    t0 = 1_700_000_000
+    for i in range(3):
+        bdir = os.path.join(tmp, f"batch{i}")
+        part = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        os.replace(os.path.join(bdir, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    schema = day1.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    agg = (stream.withWatermark("tss", "10 minutes")
+           .groupBy(F.window("tss", "1 hour").alias("w"), "event_type")
+           .agg(F.count("*").alias("cnt")))
+    out = agg.select(F.col("w.start").cast("string").alias("window_start"),
+                     "event_type", "cnt")
+    qname = f"wm_late_{next(_counter)}"
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+@register(
+    "stream_dedup_keyed",
+    oracle="""
+    SELECT event_id, event_type, round(value, 2) AS value_r
+    FROM events
+    """,
+)
+def stream_dedup_keyed(spark, d):
+    """Streaming dropDuplicates on the event key within a watermark.  The
+    input stream is events ∪ an exact-duplicate replay of 100 events; the
+    deduplicated output equals the original table (hash oracle)."""
+    e = T(spark, d, "events").select(
+        "event_id", "event_type", "value", F.date_trunc("second", "ts").alias("tss"))
+    dupes = e.orderBy("event_id").limit(100)
+
+    tmp = tempfile.mkdtemp(prefix="dedup_keyed_", dir="/tmp")
+    e.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(tmp)
+
+    stream = spark.readStream.schema(e.schema).parquet(tmp)
+    deduped = (stream.withWatermark("tss", "1 hour")
+               .dropDuplicates(["event_id"])
+               .select("event_id", "event_type", F.round("value", 2).alias("value_r")))
+    qname = f"dedup_keyed_{next(_counter)}"
+    q = (deduped.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+@register("stream_stateful_running")  # rows-only: custom stateful operator
+def stream_stateful_running(spark, d):
+    """Custom stateful per-key aggregate via applyInPandasWithState: a
+    running (count, sum) of value per user, emitted once per micro-batch.
+    State is a per-key tuple in the state store; the watermark-free
+    NoTimeout config keeps keys alive for the whole run."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("cnt", LongType()),
+        StructField("total", DoubleType()),
+    ])
+
+    def update(key, pdf_iter, state):
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt],
+                            "total_value": [round(total, 2)]})
+
+    stream = _events_stream(spark, d).select("user_id", "value")
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+    qname = f"stateful_running_{next(_counter)}"
+    q = (result.writeStream.format("memory").queryName(qname)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(qname)

@@ -1,0 +1,385 @@
+"""icelite — a PySpark-native snapshot/metadata table layer over Parquet.
+
+Delivers the reference's Iceberg-table semantics (README.md:159-328)
+without the Iceberg connector (uninstallable offline, SURVEY.md §0):
+
+  * typed CREATE TABLE (README.md:167-177)         -> create_table()
+  * INSERT INTO ... SELECT (README.md:199-208)     -> insert()
+  * row-level DELETE WHERE (README.md:231)         -> delete_where() (copy-on-write)
+  * snapshot history table (README.md:245-248)     -> history()
+  * time travel VERSION AS OF (README.md:255-258)  -> read(version=snapshot_id)
+  * ADD COLUMN, old rows NULL (README.md:269-276)  -> add_column()
+  * metadata-only RENAME COLUMN (README.md:282-292)-> rename_column()
+  * hidden partitioning days(ts) (README.md:304-307)-> set_partition_days() +
+      predicate-to-partition pruning in scan()
+  * expire_snapshots (README.md:319-322)           -> expire_snapshots()
+  * rewrite_data_files compaction (README.md:328)  -> rewrite_data_files()
+
+Design (SURVEY.md §7.3): semantics-equivalent, NOT format-compatible — we
+do not write Iceberg's spec files.  All metadata is one JSON document per
+table; all data movement goes through Spark DataFrames.  Schema evolution
+is rename-safe via field ids: every data file records the schema version
+it was written under; reads remap that version's names to current names
+(renames never rewrite files — the one place Parquet name-based resolution
+is insufficient, SURVEY.md §7.4).
+
+Scale notes: metadata is O(snapshots + files) JSON — at warehouse scale
+this would shard into manifest files, but the commit protocol (write files,
+then atomically swap the metadata pointer) is the same one Iceberg uses.
+Copy-on-write delete rewrites only files containing matching rows (file
+skipping by predicate evaluation), keeping write amplification bounded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_META = "metadata.json"
+
+
+class IceliteCatalog:
+    """Filesystem-rooted catalog: namespace dirs holding icelite tables
+    (the reference's CREATE SCHEMA analog, README.md:159)."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    def create_namespace(self, ns: str) -> None:
+        os.makedirs(os.path.join(self.base_dir, ns), exist_ok=True)
+
+    def create_table(self, name: str, schema: StructType,
+                     properties: dict | None = None) -> "IceliteTable":
+        """CREATE TABLE with a typed schema (README.md:167-177)."""
+        tdir = os.path.join(self.base_dir, *name.split("."))
+        if os.path.exists(os.path.join(tdir, _META)):
+            raise ValueError(f"table exists: {name}")
+        os.makedirs(os.path.join(tdir, "data"), exist_ok=True)
+        fields = [{"id": i + 1, "name": f.name, "type": f.dataType.simpleString()}
+                  for i, f in enumerate(schema.fields)]
+        meta = {
+            "table": name,
+            "properties": properties or {"format-version": "2"},
+            "schema_versions": [{"version": 0, "fields": fields}],
+            "current_schema": 0,
+            "next_field_id": len(fields) + 1,
+            "partition_spec": None,
+            "snapshots": [],
+            "current_snapshot": None,
+        }
+        _write_meta(tdir, meta)
+        return IceliteTable(self.spark, tdir)
+
+    def load_table(self, name: str) -> "IceliteTable":
+        return IceliteTable(self.spark, os.path.join(self.base_dir, *name.split(".")))
+
+
+def _write_meta(tdir: str, meta: dict) -> None:
+    """Atomic metadata swap: write sidecar, then rename over the pointer —
+    the commit point for every table mutation."""
+    tmp = os.path.join(tdir, f".{_META}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(tdir, _META))
+
+
+class IceliteTable:
+    def __init__(self, spark: SparkSession, tdir: str):
+        self.spark = spark
+        self.tdir = tdir
+
+    # ------------------------------------------------------------ metadata
+    @property
+    def meta(self) -> dict:
+        with open(os.path.join(self.tdir, _META)) as f:
+            return json.load(f)
+
+    def _schema_fields(self, meta: dict, version: int) -> list[dict]:
+        for sv in meta["schema_versions"]:
+            if sv["version"] == version:
+                return sv["fields"]
+        raise ValueError(f"no schema version {version}")
+
+    def current_columns(self, meta: dict | None = None) -> list[str]:
+        meta = meta or self.meta
+        return [f["name"] for f in self._schema_fields(meta, meta["current_schema"])]
+
+    def _snapshot(self, meta: dict, snapshot_id: int | None) -> dict:
+        sid = snapshot_id if snapshot_id is not None else meta["current_snapshot"]
+        for s in meta["snapshots"]:
+            if s["id"] == sid:
+                return s
+        raise ValueError(f"no snapshot {sid} (expired or never existed)")
+
+    def _commit_snapshot(self, meta: dict, operation: str, files: list[dict]) -> dict:
+        sid = (max((s["id"] for s in meta["snapshots"]), default=0)) + 1
+        snap = {
+            "id": sid,
+            "parent": meta["current_snapshot"],
+            "ts": time.time(),
+            "operation": operation,
+            "files": files,
+        }
+        meta["snapshots"].append(snap)
+        meta["current_snapshot"] = sid
+        _write_meta(self.tdir, meta)
+        return snap
+
+    # ------------------------------------------------------------ write path
+    def _write_files(self, df: DataFrame, meta: dict) -> list[dict]:
+        """Write df as new parquet files under data/, tagged with the
+        current schema version (and partition dirs when a spec is set)."""
+        batch = uuid.uuid4().hex[:12]
+        out = os.path.join(self.tdir, "data", batch)
+        spec = meta["partition_spec"]
+        writer = df
+        if spec is not None:
+            writer = df.withColumn(spec["name"],
+                                   F.to_date(F.col(spec["source"])).cast("string"))
+            writer.write.partitionBy(spec["name"]).mode("overwrite").parquet(out)
+        else:
+            writer.write.mode("overwrite").parquet(out)
+        files = []
+        for root, _dirs, names in os.walk(out):
+            for n in names:
+                if n.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, n), self.tdir)
+                    part = None
+                    if spec is not None:
+                        for seg in os.path.relpath(root, out).split(os.sep):
+                            if seg.startswith(spec["name"] + "="):
+                                part = seg.split("=", 1)[1]
+                    files.append({"path": rel,
+                                  "schema_version": meta["current_schema"],
+                                  "partition": part})
+        return files
+
+    def insert(self, df: DataFrame) -> None:
+        """Append snapshot (INSERT INTO ... SELECT, README.md:199-208)."""
+        meta = self.meta
+        cols = self.current_columns(meta)
+        new_files = self._write_files(df.select(*cols), meta)
+        cur = (self._snapshot(meta, None)["files"]
+               if meta["current_snapshot"] is not None else [])
+        self._commit_snapshot(meta, "append", cur + new_files)
+
+    def delete_where(self, predicate: str) -> None:
+        """Copy-on-write row-level DELETE (README.md:231): files containing
+        matching rows are rewritten without them; untouched files carry
+        over to the new snapshot unchanged."""
+        meta = self.meta
+        cur = self._snapshot(meta, None)
+        touched, kept = [], []
+        for finfo in cur["files"]:
+            df = self._read_one(finfo, meta)
+            if df.filter(F.expr(predicate)).limit(1).count() > 0:
+                touched.append(finfo)
+            else:
+                kept.append(finfo)
+        if not touched:
+            self._commit_snapshot(meta, "delete", list(cur["files"]))
+            return
+        survivors = None
+        for finfo in touched:
+            part = self._read_one(finfo, meta).filter(~F.expr(predicate))
+            survivors = part if survivors is None else survivors.unionByName(part)
+        new_files = (self._write_files(survivors, meta)
+                     if survivors is not None else [])
+        self._commit_snapshot(meta, "delete", kept + new_files)
+
+    # ------------------------------------------------------------ read path
+    def _read_one(self, finfo: dict, meta: dict) -> DataFrame:
+        """Read one data file, remapping its write-time schema (by field
+        id) to the current schema: renamed fields resolve, later-added
+        fields fill NULL (README.md:276,292 semantics)."""
+        cur_fields = self._schema_fields(meta, meta["current_schema"])
+        old_fields = {f["id"]: f for f in
+                      self._schema_fields(meta, finfo["schema_version"])}
+        df = self.spark.read.parquet(os.path.join(self.tdir, finfo["path"]))
+        cols = []
+        for f in cur_fields:
+            old = old_fields.get(f["id"])
+            if old is not None:
+                cols.append(F.col(old["name"]).alias(f["name"]))
+            else:
+                cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+        return df.select(*cols)
+
+    def _read_files(self, files: list[dict], meta: dict) -> DataFrame:
+        """Read a file list grouped by schema version (one Spark scan per
+        version — files of the same version read as a single multi-path
+        scan, preserving scan parallelism)."""
+        cur_fields = self._schema_fields(meta, meta["current_schema"])
+        if not files:
+            schema = ", ".join(f"`{f['name']}` {f['type']}" for f in cur_fields)
+            return self.spark.createDataFrame([], schema)
+        by_ver: dict[int, list[dict]] = {}
+        for fi in files:
+            by_ver.setdefault(fi["schema_version"], []).append(fi)
+        out = None
+        for ver, group in sorted(by_ver.items()):
+            old_fields = {f["id"]: f for f in self._schema_fields(meta, ver)}
+            paths = [os.path.join(self.tdir, fi["path"]) for fi in group]
+            df = self.spark.read.parquet(*paths)
+            cols = []
+            for f in cur_fields:
+                old = old_fields.get(f["id"])
+                cols.append(F.col(old["name"]).alias(f["name"]) if old is not None
+                            else F.lit(None).cast(f["type"]).alias(f["name"]))
+            part = df.select(*cols)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current read, or time travel when version=snapshot_id
+        (VERSION AS OF, README.md:255-258)."""
+        meta = self.meta
+        if meta["current_snapshot"] is None and version is None:
+            return self._read_files([], meta)
+        snap = self._snapshot(meta, version)
+        return self._read_files(snap["files"], meta)
+
+    def plan_files(self, ts_lo: str | None = None,
+                   ts_hi: str | None = None) -> list[dict]:
+        """Hidden-partition pruning (README.md:304-307): map a predicate on
+        the partition SOURCE column to partition-value bounds and skip
+        non-qualifying files.  Returns the pruned file list (tests assert
+        len(pruned) < len(all))."""
+        meta = self.meta
+        snap = self._snapshot(meta, None)
+        spec = meta["partition_spec"]
+        if spec is None or (ts_lo is None and ts_hi is None):
+            return list(snap["files"])
+        lo_day = ts_lo.split(" ")[0] if ts_lo else None
+        hi_day = ts_hi.split(" ")[0] if ts_hi else None
+        out = []
+        for fi in snap["files"]:
+            p = fi.get("partition")
+            if p is None:  # pre-spec file: cannot prune, must read
+                out.append(fi)
+                continue
+            if lo_day is not None and p < lo_day:
+                continue
+            if hi_day is not None and p > hi_day:
+                continue
+            out.append(fi)
+        return out
+
+    def scan(self, ts_lo: str | None = None, ts_hi: str | None = None) -> DataFrame:
+        """Read with hidden-partition pruning + the residual row filter on
+        the source column (user never references the partition column)."""
+        meta = self.meta
+        df = self._read_files(self.plan_files(ts_lo, ts_hi), meta)
+        spec = meta["partition_spec"]
+        if spec is not None:
+            src = F.col(spec["source"])
+            if ts_lo is not None:
+                df = df.filter(src >= F.lit(ts_lo).cast("timestamp"))
+            if ts_hi is not None:
+                df = df.filter(src < F.lit(ts_hi).cast("timestamp"))
+        return df
+
+    # ------------------------------------------------------------ evolution
+    def add_column(self, name: str, sql_type: str) -> None:
+        """Metadata-only ADD COLUMN; existing rows read NULL
+        (README.md:269-276)."""
+        meta = self.meta
+        fields = [dict(f) for f in
+                  self._schema_fields(meta, meta["current_schema"])]
+        if any(f["name"] == name for f in fields):
+            raise ValueError(f"column exists: {name}")
+        fields.append({"id": meta["next_field_id"], "name": name, "type": sql_type})
+        meta["next_field_id"] += 1
+        meta["schema_versions"].append(
+            {"version": meta["current_schema"] + 1, "fields": fields})
+        meta["current_schema"] += 1
+        _write_meta(self.tdir, meta)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Metadata-only RENAME via field id — zero data files touched
+        (README.md:282-292)."""
+        meta = self.meta
+        fields = [dict(f) for f in
+                  self._schema_fields(meta, meta["current_schema"])]
+        hit = [f for f in fields if f["name"] == old]
+        if not hit:
+            raise ValueError(f"no column: {old}")
+        hit[0]["name"] = new
+        meta["schema_versions"].append(
+            {"version": meta["current_schema"] + 1, "fields": fields})
+        meta["current_schema"] += 1
+        _write_meta(self.tdir, meta)
+
+    def set_partition_days(self, source_col: str,
+                           partition_name: str = "p_day") -> None:
+        """ADD PARTITION FIELD days(source) (README.md:304-307): future
+        writes partition by the derived day; reads prune via plan_files."""
+        meta = self.meta
+        meta["partition_spec"] = {"transform": "days", "source": source_col,
+                                  "name": partition_name}
+        _write_meta(self.tdir, meta)
+
+    # ------------------------------------------------------------ maintenance
+    def history(self) -> DataFrame:
+        """Snapshot log as a DataFrame (README.md:245-248)."""
+        meta = self.meta
+        anc = set()
+        sid = meta["current_snapshot"]
+        by_id = {s["id"]: s for s in meta["snapshots"]}
+        while sid is not None and sid in by_id:
+            anc.add(sid)
+            sid = by_id[sid]["parent"]
+        rows = [(s["id"], s["parent"], s["operation"], float(s["ts"]),
+                 len(s["files"]), s["id"] in anc)
+                for s in meta["snapshots"]]
+        return self.spark.createDataFrame(
+            rows, "snapshot_id bigint, parent_id bigint, operation string, "
+                  "made_current_at double, n_files bigint, "
+                  "is_current_ancestor boolean")
+
+    def expire_snapshots(self, older_than_ts: float | None = None,
+                         retain_last: int = 1) -> list[int]:
+        """Retention (README.md:319-322): drop snapshots older than the
+        cutoff, always retaining the most recent `retain_last` and the
+        current snapshot; orphaned data files are deleted from disk."""
+        meta = self.meta
+        snaps = sorted(meta["snapshots"], key=lambda s: s["id"])
+        keep_ids = {s["id"] for s in snaps[-retain_last:]}
+        if meta["current_snapshot"] is not None:
+            keep_ids.add(meta["current_snapshot"])
+        expired = [s for s in snaps
+                   if s["id"] not in keep_ids
+                   and (older_than_ts is None or s["ts"] < older_than_ts)]
+        expired_ids = [s["id"] for s in expired]
+        keep = [s for s in snaps if s["id"] not in set(expired_ids)]
+        live_paths = {f["path"] for s in keep for f in s["files"]}
+        dead_paths = {f["path"] for s in expired for f in s["files"]} - live_paths
+        for p in dead_paths:
+            full = os.path.join(self.tdir, p)
+            if os.path.exists(full):
+                os.remove(full)
+        meta["snapshots"] = keep
+        _write_meta(self.tdir, meta)
+        return expired_ids
+
+    def rewrite_data_files(self, target_files: int = 1) -> None:
+        """Compaction (README.md:324-328): rewrite the current file set
+        into `target_files` larger files — same rows, new 'replace'
+        snapshot; history and time travel to prior snapshots unaffected."""
+        meta = self.meta
+        df = self.read()
+        compacted = df.repartition(target_files)
+        new_files = self._write_files(compacted, meta)
+        self._commit_snapshot(meta, "replace", new_files)
+
+    def file_count(self, version: int | None = None) -> int:
+        meta = self.meta
+        return len(self._snapshot(meta, version)["files"])

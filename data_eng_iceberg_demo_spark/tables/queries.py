@@ -1,0 +1,191 @@
+"""B-scan table-lifecycle declared queries (SURVEY.md §2) — each builds a
+scratch icelite table from the committed pedidos CSV fixture (the
+reference's own table, README.md:167-208) and exercises one lifecycle
+operation.  Where the end state is expressible over the raw CSV, the
+oracle reads the same CSV with DuckDB read_csv — so DELETE, time travel,
+schema evolution, partition pruning, compaction and retention are
+hash-checked, not just row-counted.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import (DecimalType, IntegerType, LongType, StringType,
+                               StructField, StructType, TimestampType)
+
+from ..plans.registry import register
+from .icelite import IceliteCatalog
+
+FIXTURE = "/root/repo/tests/fixtures/pedidos.csv.gz"
+
+PEDIDOS_SCHEMA = StructType([
+    StructField("id_pedido", StringType()),
+    StructField("produto", StringType()),
+    StructField("valor_unitario", DecimalType(10, 2)),
+    StructField("quantidade", IntegerType()),
+    StructField("data_criacao", TimestampType()),
+    StructField("uf", StringType()),
+    StructField("id_cliente", LongType()),
+])
+
+# Canonical SELECT over the raw CSV for oracle parity (casts mirror
+# README.md:199-208; decimal → double for cross-engine pandas dtype parity).
+_CSV_ORACLE_BASE = f"""
+    SELECT id_pedido, produto,
+           CAST(CAST(valor_unitario AS DECIMAL(10,2)) AS DOUBLE) AS valor_unitario,
+           CAST(quantidade AS BIGINT) AS quantidade,
+           CAST(CAST(data_criacao AS TIMESTAMP) AS VARCHAR) AS data_criacao_s,
+           uf, CAST(id_cliente AS BIGINT) AS id_cliente
+    FROM read_csv('{FIXTURE}', delim=';', header=true,
+                  columns={{'id_pedido':'VARCHAR','produto':'VARCHAR',
+                           'valor_unitario':'VARCHAR','quantidade':'VARCHAR',
+                           'data_criacao':'VARCHAR','uf':'VARCHAR',
+                           'id_cliente':'VARCHAR'}})
+"""
+
+
+def _typed_pedidos(spark):
+    """CSV → typed DataFrame (the reference's INSERT INTO ... SELECT CAST
+    ingest, README.md:199-208)."""
+    raw = (spark.read.option("header", "true").option("sep", ";").csv(FIXTURE))
+    return raw.select(
+        "id_pedido", "produto",
+        F.col("valor_unitario").cast(DecimalType(10, 2)).alias("valor_unitario"),
+        F.col("quantidade").cast("int").alias("quantidade"),
+        F.col("data_criacao").cast("timestamp").alias("data_criacao"),
+        "uf",
+        F.col("id_cliente").cast("bigint").alias("id_cliente"),
+    )
+
+
+def _fresh_table(spark, n_batches: int = 1):
+    cat = IceliteCatalog(spark, tempfile.mkdtemp(prefix="icelite_", dir="/tmp"))
+    cat.create_namespace("db")
+    t = cat.create_table("db.pedidos", PEDIDOS_SCHEMA)
+    df = _typed_pedidos(spark)
+    if n_batches == 1:
+        t.insert(df)
+    else:
+        for i in range(n_batches):
+            t.insert(df.filter(F.col("id_cliente") % n_batches == i))
+    return t
+
+
+def _as_output(df):
+    """Project an icelite pedidos read to the hash-stable output shape."""
+    return df.select(
+        "id_pedido", "produto",
+        F.col("valor_unitario").cast("double").alias("valor_unitario"),
+        F.col("quantidade").cast("bigint").alias("quantidade"),
+        F.col("data_criacao").cast("string").alias("data_criacao_s"),
+        "uf", "id_cliente",
+    )
+
+
+@register("table_insert_select", oracle=_CSV_ORACLE_BASE)
+def table_insert_select(spark, d):
+    """CREATE TABLE + typed INSERT INTO ... SELECT (README.md:167-208) —
+    read-back equals the source CSV."""
+    t = _fresh_table(spark)
+    return _as_output(t.read())
+
+
+@register("table_delete_where",
+          oracle=f"SELECT * FROM ({_CSV_ORACLE_BASE}) WHERE uf <> 'SP'")
+def table_delete_where(spark, d):
+    """Row-level DELETE WHERE uf='SP' (README.md:231) via copy-on-write —
+    survivors hash-match the CSV filtered in the oracle."""
+    t = _fresh_table(spark)
+    t.delete_where("uf = 'SP'")
+    return _as_output(t.read())
+
+
+@register("table_time_travel", oracle=_CSV_ORACLE_BASE)
+def table_time_travel(spark, d):
+    """Time travel (VERSION AS OF, README.md:255-258): after the DELETE,
+    reading snapshot 1 still shows the SP rows — the pre-delete table
+    hash-matches the full CSV ('Resultado Mágico', README.md:258)."""
+    t = _fresh_table(spark)
+    t.delete_where("uf = 'SP'")
+    return _as_output(t.read(version=1))
+
+
+@register("table_history")  # rows-only: wall-clock commit times in metadata
+def table_history(spark, d):
+    """Snapshot history (README.md:245-248): insert then delete yields two
+    snapshots, both current-ancestors, parent-linked."""
+    t = _fresh_table(spark)
+    t.delete_where("uf = 'SP'")
+    return (t.history()
+            .select("snapshot_id", "parent_id", "operation",
+                    "n_files", "is_current_ancestor"))
+
+
+@register(
+    "table_schema_evolution",
+    oracle=f"""
+    SELECT id_pedido, produto, quantidade, estado, status FROM (
+        SELECT id_pedido, produto, CAST(quantidade AS BIGINT) AS quantidade,
+               uf AS estado, CAST(NULL AS VARCHAR) AS status
+        FROM read_csv('{FIXTURE}', delim=';', header=true,
+                      columns={{'id_pedido':'VARCHAR','produto':'VARCHAR',
+                               'valor_unitario':'VARCHAR','quantidade':'VARCHAR',
+                               'data_criacao':'VARCHAR','uf':'VARCHAR',
+                               'id_cliente':'VARCHAR'}})
+    )
+    """,
+)
+def table_schema_evolution(spark, d):
+    """ADD COLUMN status (old rows NULL, README.md:269-276) + metadata-only
+    RENAME uf→estado (README.md:282-292): data files written before either
+    change read correctly under the new schema via field-id mapping."""
+    t = _fresh_table(spark)
+    t.add_column("status", "string")
+    t.rename_column("uf", "estado")
+    return t.read().select(
+        "id_pedido", "produto",
+        F.col("quantidade").cast("bigint").alias("quantidade"),
+        "estado", "status")
+
+
+@register(
+    "table_partition_pruning",
+    oracle=f"""
+    SELECT * FROM ({_CSV_ORACLE_BASE})
+    WHERE CAST(data_criacao_s AS TIMESTAMP) >= TIMESTAMP '2024-02-01 00:00:00'
+      AND CAST(data_criacao_s AS TIMESTAMP) <  TIMESTAMP '2024-03-01 00:00:00'
+    """,
+)
+def table_partition_pruning(spark, d):
+    """Hidden partitioning by days(data_criacao) (README.md:304-307): the
+    query filters on the timestamp; the engine maps it to partition-value
+    bounds and reads only qualifying files (pruning asserted in pytest)."""
+    cat = IceliteCatalog(spark, tempfile.mkdtemp(prefix="icelite_", dir="/tmp"))
+    t = cat.create_table("db.pedidos_part", PEDIDOS_SCHEMA)
+    t.set_partition_days("data_criacao")
+    t.insert(_typed_pedidos(spark))
+    return _as_output(t.scan(ts_lo="2024-02-01 00:00:00", ts_hi="2024-03-01 00:00:00"))
+
+
+@register("table_compaction", oracle=_CSV_ORACLE_BASE)
+def table_compaction(spark, d):
+    """rewrite_data_files (README.md:324-328): many small files → few large
+    ones; the data hash-matches the CSV exactly (file-count drop asserted
+    in pytest)."""
+    t = _fresh_table(spark, n_batches=5)
+    t.rewrite_data_files(target_files=2)
+    return _as_output(t.read())
+
+
+@register("table_expire_snapshots",
+          oracle=f"SELECT * FROM ({_CSV_ORACLE_BASE}) WHERE uf <> 'SP'")
+def table_expire_snapshots(spark, d):
+    """expire_snapshots retention (README.md:319-322): after expiry only
+    the newest snapshot survives; current reads are unaffected (expired
+    time travel raising is asserted in pytest)."""
+    t = _fresh_table(spark)
+    t.delete_where("uf = 'SP'")
+    t.expire_snapshots(retain_last=1)
+    return _as_output(t.read())

@@ -1,0 +1,131 @@
+"""icelite table-layer semantics tests — direct automation of the
+reference tutorial's prose assertions (SURVEY.md §5.1):
+
+  * history shows insert→delete, both ancestors (README.md:245-248)
+  * time travel restores pre-delete rows (README.md:255-258)
+  * ADD COLUMN: old rows NULL (README.md:269-276)
+  * RENAME COLUMN is metadata-only — zero data files touched (README.md:292)
+  * hidden partitioning prunes files on ts predicates (README.md:304-307)
+  * compaction shrinks file count, data identical (README.md:324-328)
+  * expire_snapshots drops old snapshots; expired time travel raises
+    (README.md:319-322)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_eng_iceberg_demo_spark.tables.icelite import IceliteCatalog
+from data_eng_iceberg_demo_spark.tables.queries import (PEDIDOS_SCHEMA,
+                                                        _typed_pedidos)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    cat = IceliteCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.pedidos", PEDIDOS_SCHEMA)
+    t.insert(_typed_pedidos(spark))
+    return t
+
+
+def _rowset(df):
+    return sorted(tuple(r) for r in df.select("id_pedido", "uf").collect())
+
+
+def test_delete_and_time_travel(spark, table):
+    before = _rowset(table.read())
+    n_sp = table.read().filter("uf = 'SP'").count()
+    assert n_sp > 0
+    table.delete_where("uf = 'SP'")
+    after = table.read()
+    assert after.filter("uf = 'SP'").count() == 0
+    assert after.count() == len(before) - n_sp
+    # "Resultado Mágico": snapshot 1 still shows SP rows
+    assert _rowset(table.read(version=1)) == before
+
+
+def test_history_two_snapshots(spark, table):
+    table.delete_where("uf = 'SP'")
+    h = {r["snapshot_id"]: r for r in table.history().collect()}
+    assert set(h) == {1, 2}
+    assert h[1]["operation"] == "append" and h[1]["parent_id"] is None
+    assert h[2]["operation"] == "delete" and h[2]["parent_id"] == 1
+    assert h[1]["is_current_ancestor"] and h[2]["is_current_ancestor"]
+
+
+def test_schema_evolution_add_null_and_rename_metadata_only(spark, table):
+    files_before = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(table.tdir)
+        for f in fs if f.endswith(".parquet"))
+    mtimes = {p: os.path.getmtime(p) for p in files_before}
+
+    table.add_column("status", "string")
+    df = table.read()
+    assert "status" in df.columns
+    assert df.filter(F.col("status").isNotNull()).count() == 0  # old rows NULL
+
+    table.rename_column("uf", "estado")
+    df2 = table.read()
+    assert "estado" in df2.columns and "uf" not in df2.columns
+    assert df2.filter("estado = 'SP'").count() > 0  # data readable post-rename
+
+    files_after = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(table.tdir)
+        for f in fs if f.endswith(".parquet"))
+    assert files_after == files_before  # metadata-only: no rewrite
+    assert all(os.path.getmtime(p) == mtimes[p] for p in files_after)
+
+    # add-after-rename: evolution chain still resolves old files (§7.4)
+    table.add_column("uf", "int")  # reuse the old NAME for a NEW field id
+    df3 = table.read()
+    assert df3.filter("estado = 'SP'").count() > 0
+    assert df3.filter(F.col("uf").isNotNull()).count() == 0
+
+
+def test_hidden_partition_pruning(spark, tmp_path):
+    cat = IceliteCatalog(spark, str(tmp_path))
+    t = cat.create_table("db.pedidos_part", PEDIDOS_SCHEMA)
+    t.set_partition_days("data_criacao")
+    t.insert(_typed_pedidos(spark))
+    total = len(t.plan_files())
+    pruned = t.plan_files(ts_lo="2024-02-01 00:00:00", ts_hi="2024-02-08 00:00:00")
+    assert 0 < len(pruned) < total  # README.md:304-307: reads only relevant files
+    got = t.scan(ts_lo="2024-02-01 00:00:00", ts_hi="2024-02-08 00:00:00")
+    want = (_typed_pedidos(spark)
+            .filter((F.col("data_criacao") >= "2024-02-01")
+                    & (F.col("data_criacao") < "2024-02-08")))
+    assert got.count() == want.count()
+
+
+def test_compaction_reduces_files_same_data(spark, tmp_path):
+    cat = IceliteCatalog(spark, str(tmp_path))
+    t = cat.create_table("db.pedidos", PEDIDOS_SCHEMA)
+    df = _typed_pedidos(spark)
+    for i in range(5):
+        t.insert(df.filter(F.col("id_cliente") % 5 == i))
+    before_files = t.file_count()
+    before_rows = _rowset(t.read())
+    t.rewrite_data_files(target_files=2)
+    assert t.file_count() < before_files
+    assert _rowset(t.read()) == before_rows  # same data, new layout
+
+
+def test_expire_snapshots_retention(spark, table):
+    table.delete_where("uf = 'SP'")
+    current = _rowset(table.read())
+    expired = table.expire_snapshots(retain_last=1)
+    assert expired == [1]
+    assert _rowset(table.read()) == current  # current read unaffected
+    with pytest.raises(ValueError):
+        table.read(version=1)  # expired snapshot gone
+
+
+def test_insert_empty_table_roundtrip(spark, tmp_path):
+    cat = IceliteCatalog(spark, str(tmp_path))
+    t = cat.create_table("db.empty", PEDIDOS_SCHEMA)
+    assert t.read().count() == 0
+    assert t.read().columns == [f.name for f in PEDIDOS_SCHEMA.fields]
