@@ -357,3 +357,135 @@ def llm_embedding_agg(spark, d):
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"))
     return (emb.groupBy("label", F.col("dim").cast("bigint").alias("dim"))
             .agg((F.round(F.avg("val"), 4) + F.lit(0.0)).alias("centroid")))
+
+
+# ---------------------------------------------------------- text analysis
+
+# Tiny per-language marker lists for the n-gram/stopword language-ID
+# heuristic.  The fixture corpus shares one analytics vocabulary across all
+# langs, so markers are drawn from it — the *operator pattern* (per-lang
+# overlap scoring + argmax routing) is what matters at scale.
+_LANG_MARKERS = {
+    "en": ("the", "a", "data", "query"),
+    "es": ("table", "row", "scan", "filter"),
+    "de": ("group", "sort", "merge", "window"),
+    "fr": ("stream", "batch", "value", "join"),
+    "zh": ("spark", "hash", "line", "customer"),
+}
+
+
+@register(
+    "llm_lang_id",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang AS lang_actual,
+               len(list_filter(list_distinct(string_split(text, ' ')),
+                   x -> x IN ('the', 'a', 'data', 'query'))) AS s_en,
+               len(list_filter(list_distinct(string_split(text, ' ')),
+                   x -> x IN ('table', 'row', 'scan', 'filter'))) AS s_es,
+               len(list_filter(list_distinct(string_split(text, ' ')),
+                   x -> x IN ('group', 'sort', 'merge', 'window'))) AS s_de,
+               len(list_filter(list_distinct(string_split(text, ' ')),
+                   x -> x IN ('stream', 'batch', 'value', 'join'))) AS s_fr,
+               len(list_filter(list_distinct(string_split(text, ' ')),
+                   x -> x IN ('spark', 'hash', 'line', 'customer'))) AS s_zh
+        FROM documents
+    )
+    SELECT doc_id, lang_actual,
+           CASE greatest(s_en, s_es, s_de, s_fr, s_zh)
+                WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+                WHEN s_fr THEN 'fr' ELSE 'zh' END AS lang_guess,
+           CAST(greatest(s_en, s_es, s_de, s_fr, s_zh) AS BIGINT) AS best_score
+    FROM scored
+    """,
+)
+def llm_lang_id(spark, d):
+    """Language-ID heuristic: score each document's distinct-token overlap
+    against per-language marker lists, classify by argmax (alphabetical-ish
+    tiebreak mirrored exactly in the oracle CASE).  At scale the marker
+    lists broadcast as literals inside codegen — no join, no shuffle."""
+    docs = T(spark, d, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    scores = {lang: F.size(F.array_intersect(
+        toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    guess = (F.when(best == scores["de"], "de")
+             .when(best == scores["en"], "en")
+             .when(best == scores["es"], "es")
+             .when(best == scores["fr"], "fr")
+             .otherwise("zh"))
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_actual"),
+        guess.alias("lang_guess"), best.cast("bigint").alias("best_score"))
+
+
+@register(
+    "llm_quality_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w, n_chars FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio,
+           CAST(n_chars AS DOUBLE) / len(w) AS avg_token_len,
+           CASE WHEN len(w) >= 20
+                 AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.2
+                THEN 'keep' ELSE 'drop' END AS quality_route
+    FROM t
+    """,
+)
+def llm_quality_score(spark, d):
+    """Quality scoring for corpus filtering: token count, type/token ratio
+    (lexical diversity), average token length, and the keep/drop routing
+    decision a training-data pipeline applies before dedup.  Pure codegen
+    expressions — no UDF, no shuffle."""
+    docs = T(spark, d, "documents")
+    w = F.split("text", " ")
+    n_tok = F.size(w)
+    n_typ = F.size(F.array_distinct(w))
+    ttr = n_typ.cast("double") / n_tok
+    return docs.select(
+        "doc_id", "lang",
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_typ.cast("bigint").alias("n_types"),
+        ttr.alias("type_token_ratio"),
+        (F.col("n_chars").cast("double") / n_tok).alias("avg_token_len"),
+        F.when((n_tok >= 20) & (ttr > 0.2), "keep").otherwise("drop")
+        .alias("quality_route"),
+    )
+
+
+@register(
+    "llm_fingerprint",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS content_fp,
+               md5(text) AS exact_fp
+        FROM documents
+    )
+    SELECT doc_id, lang, exact_fp, content_fp,
+           count(*) OVER (PARTITION BY content_fp) AS fp_group_size
+    FROM fp
+    """,
+)
+def llm_fingerprint(spark, d):
+    """Document fingerprinting: an exact-content hash plus an order-
+    insensitive bag-of-words fingerprint (sorted distinct tokens → md5) —
+    the cheap first pass before shingle/MinHash near-dup.  Fingerprints are
+    32-byte shuffle keys regardless of document size."""
+    from pyspark.sql import Window
+
+    docs = T(spark, d, "documents")
+    content_fp = F.md5(F.concat_ws(
+        " ", F.sort_array(F.array_distinct(F.split("text", " ")))).cast("binary"))
+    fp = docs.select(
+        "doc_id", "lang",
+        F.md5(F.col("text").cast("binary")).alias("exact_fp"),
+        content_fp.alias("content_fp"))
+    return fp.withColumn(
+        "fp_group_size", F.count("*").over(Window.partitionBy("content_fp")))

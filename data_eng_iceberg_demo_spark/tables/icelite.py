@@ -144,6 +144,10 @@ class IceliteTable:
         if spec is not None:
             writer = df.withColumn(spec["name"],
                                    F.to_date(F.col(spec["source"])).cast("string"))
+            # cluster rows by partition value before the partitioned write:
+            # one task owns each day → one file per partition instead of
+            # (tasks × days) small files — the small-file guard at scale
+            writer = writer.repartition(F.col(spec["name"]))
             writer.write.partitionBy(spec["name"]).mode("overwrite").parquet(out)
         else:
             writer.write.mode("overwrite").parquet(out)

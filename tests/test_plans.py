@@ -1,0 +1,72 @@
+"""Physical-plan assertions (the 100 TB design contract): filters and
+column pruning reach the parquet scan, dimension joins broadcast,
+aggregates are partial+final around a single exchange, global top-k never
+does a full sort.  A regression here is a scale bug even when results
+stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
+                                                        _load_all_modules)
+
+_load_all_modules()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def node_count(plan: str, node: str) -> int:
+    """Count physical nodes via their unique '(N) NodeName' detail headers
+    (the tree section repeats names; detail headers appear exactly once)."""
+    return len(re.findall(rf"^\(\d+\) {node}", plan, flags=re.M))
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "filter_comparison")
+    assert "GreaterThanOrEqual(l_quantity,30.0)" in p  # predicate at the scan
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_tax" not in read_schema  # unused column pruned from the scan
+
+
+def test_flagship_broadcasts_all_dimensions(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "join_multiway")
+    assert node_count(p, "BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in p  # fact side never shuffles for joins
+
+
+def test_q1_partial_final_aggregate_single_exchange(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "agg_groupby_basic")
+    assert node_count(p, "HashAggregate") >= 2  # partial + final
+    assert node_count(p, "Exchange") == 1  # only the agg shuffle, carrying partials
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "topk_global")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_range_join_keeps_equi_prefix_hash_join(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "join_range_theta")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "CartesianProduct" not in p  # band is residual, not a cross product
+
+
+def test_similarity_broadcasts_query_side(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "llm_similarity_topk")
+    assert "BroadcastNestedLoopJoin" in p  # 5-row query side ships, not 100 TB
+
+
+@pytest.mark.parametrize("name", ["scan_parquet", "project_select_alias"])
+def test_narrow_queries_have_no_exchange(spark, sf_dir, name):
+    assert "Exchange" not in plan_of(spark, sf_dir, name)
