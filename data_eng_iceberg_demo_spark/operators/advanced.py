@@ -1,0 +1,232 @@
+"""Advanced relational surface: subqueries (scalar / IN / correlated
+EXISTS), PIVOT/UNPIVOT, statistical and ordered-set aggregates, string
+aggregation, sampling — rounding out the SQL surface a reference user
+would expect (SURVEY.md §2 B-proj/B-agg closure).
+
+Scale notes: scalar subqueries broadcast a 1-row result (no shuffle);
+IN-subqueries plan as left-semi hash joins; PIVOT is conditional
+aggregation (partial-aggregatable, one exchange); exact percentiles sort
+within groups only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..plans.registry import register
+from ._util import T
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (
+        SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        FROM orders)
+    """,
+)
+def subquery_scalar(spark, d):
+    """Scalar subquery threshold (exact decimal average on both sides so
+    the predicate boundary is bit-identical).  Plans as a broadcast of the
+    1-row aggregate — no shuffle of the probe side."""
+    o = T(spark, d, "orders")
+    o.createOrReplaceTempView("orders_sq")
+    return spark.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders_sq
+        WHERE o_totalprice > 2 * (
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)
+            FROM orders_sq)
+    """)
+
+
+@register(
+    "subquery_in",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+    """,
+)
+def subquery_in(spark, d):
+    """IN-subqueries → left-semi hash joins."""
+    T(spark, d, "customer").createOrReplaceTempView("customer_sq")
+    T(spark, d, "orders").createOrReplaceTempView("orders_sq2")
+    T(spark, d, "nation").createOrReplaceTempView("nation_sq")
+    return spark.sql("""
+        SELECT c_custkey, c_name
+        FROM customer_sq
+        WHERE c_custkey IN (SELECT o_custkey FROM orders_sq2
+                            WHERE o_totalprice > 400000)
+          AND c_nationkey IN (SELECT n_nationkey FROM nation_sq
+                              WHERE n_regionkey <= 2)
+    """)
+
+
+@register(
+    "subquery_correlated_exists",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand
+    FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_partkey = p.p_partkey AND l2.l_discount > 0.09)
+    """,
+)
+def subquery_correlated_exists(spark, d):
+    """Correlated EXISTS + NOT EXISTS → semi + anti joins in one plan."""
+    T(spark, d, "part").createOrReplaceTempView("part_sq")
+    T(spark, d, "lineitem").createOrReplaceTempView("lineitem_sq")
+    return spark.sql("""
+        SELECT p.p_partkey, p.p_brand
+        FROM part_sq p
+        WHERE EXISTS (SELECT 1 FROM lineitem_sq l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_sq l2
+                          WHERE l2.l_partkey = p.p_partkey AND l2.l_discount > 0.09)
+    """)
+
+
+@register(
+    "pivot_status_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F,
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
+           CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS cnt_F,
+           CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS cnt_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_status_by_flag(spark, d):
+    """PIVOT (wide conditional aggregation) with an explicit value list —
+    the explicit list keeps the plan one-pass (no value-discovery job)."""
+    li = T(spark, d, "lineitem")
+    piv = (li.groupBy("l_returnflag")
+           .pivot("l_linestatus", ["F", "O"])
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+                F.count(F.lit(1)).alias("cnt")))
+    return piv.select(
+        "l_returnflag",
+        F.col("F_qty").cast("double").alias("qty_F"),
+        F.col("O_qty").cast("double").alias("qty_O"),
+        F.coalesce(F.col("F_cnt"), F.lit(0)).alias("cnt_F"),
+        F.coalesce(F.col("O_cnt"), F.lit(0)).alias("cnt_O"),
+    )
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS value
+    FROM orders WHERE o_orderkey < 100
+    UNION ALL
+    SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) AS value
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def unpivot_measures(spark, d):
+    """UNPIVOT/melt: wide columns → (measure, value) rows."""
+    o = T(spark, d, "orders").filter(F.col("o_orderkey") < 100).select(
+        "o_orderkey", F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"))
+    return o.unpivot("o_orderkey", ["totalprice", "custkey"], "measure", "value")
+
+
+@register(
+    "agg_stats_family",
+    oracle="""
+    SELECT c_nationkey,
+           round(stddev_samp(c_acctbal), 4) AS sd_bal,
+           round(var_samp(c_acctbal), 0) AS var_bal,
+           round(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS corr_bal_key,
+           round(covar_samp(c_acctbal, CAST(c_custkey AS DOUBLE)), 0) AS covar_bal_key
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def agg_stats_family(spark, d):
+    """Statistical aggregates (stddev/variance/correlation/covariance) —
+    single-pass moment computation, partial-aggregatable."""
+    c = T(spark, d, "customer")
+    key_d = F.col("c_custkey").cast("double")
+    return c.groupBy("c_nationkey").agg(
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+        F.round(F.var_samp("c_acctbal"), 0).alias("var_bal"),
+        F.round(F.corr(F.col("c_acctbal"), key_d), 6).alias("corr_bal_key"),
+        F.round(F.covar_samp(F.col("c_acctbal"), key_d), 0).alias("covar_bal_key"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, d):
+    """Exact continuous percentiles (linear interpolation — identical
+    definition in Spark `percentile` and DuckDB `quantile_cont`).  Exact
+    percentile sorts per group; the approx_percentile sketch is the
+    100 TB path (see agg_approx_percentile)."""
+    li = T(spark, d, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q1_qty"),
+    )
+
+
+@register("agg_approx_percentile")  # rows-only: sketch-based by design
+def agg_approx_percentile(spark, d):
+    """approx_percentile (KLL-style sketch): fixed-size mergeable state —
+    the percentile operator that survives 100 TB.  Tests assert it lands
+    within tolerance of exact."""
+    li = T(spark, d, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register(
+    "agg_string_collect",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_string_collect(spark, d):
+    """Ordered string aggregation (collect_list → sort → join: the
+    deterministic form — bare collect_list order is partition-dependent)."""
+    n = T(spark, d, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations_csv"),
+        F.count("*").alias("n_nations"),
+    )
+
+
+@register("sample_fraction")  # rows-only: sampling is seeded but engine-specific
+def sample_fraction(spark, d):
+    """TABLESAMPLE: seeded Bernoulli sample — deterministic within Spark
+    (seed fixed) but not reproducible by another engine, hence rows-only.
+    At scale, sampling at the scan avoids materializing the full table."""
+    return (T(spark, d, "lineitem")
+            .sample(fraction=0.1, seed=42)
+            .select("l_orderkey", "l_linenumber", "l_quantity"))

@@ -374,6 +374,56 @@ class IceliteTable:
         _write_meta(self.tdir, meta)
         return expired_ids
 
+    def insert_overwrite(self, df: DataFrame) -> None:
+        """INSERT OVERWRITE: replace the table contents in one snapshot
+        (the old contents stay time-travelable)."""
+        meta = self.meta
+        cols = self.current_columns(meta)
+        new_files = self._write_files(df.select(*cols), meta)
+        self._commit_snapshot(meta, "overwrite", new_files)
+
+    def merge_into(self, source: DataFrame, key: str,
+                   update_cols: list[str]) -> None:
+        """MERGE INTO (upsert): rows matched on `key` take the source's
+        values for `update_cols`; unmatched source rows are inserted;
+        unmatched target rows carry over.  Copy-on-write: one new snapshot
+        with the merged file set.  At scale both sides co-partition on the
+        key — a single shuffle, no row-by-row RPCs."""
+        meta = self.meta
+        cols = self.current_columns(meta)
+        target = self.read()
+        src = source.select(*cols)
+        s_pref = src.select([F.col(c).alias(f"__s_{c}") for c in cols])
+        joined = target.join(
+            s_pref, target[key] == s_pref[f"__s_{key}"], "full_outer")
+        # matched rows: update_cols from source, others from target;
+        # insert rows: all from source; delete never happens here
+        sel = []
+        for c in cols:
+            if c == key:
+                sel.append(F.coalesce(F.col(c), F.col(f"__s_{c}")).alias(c))
+            elif c in update_cols:
+                sel.append(F.coalesce(F.col(f"__s_{c}"), F.col(c)).alias(c))
+            else:
+                sel.append(F.coalesce(F.col(c), F.col(f"__s_{c}")).alias(c))
+        merged = joined.select(*sel)
+        new_files = self._write_files(merged, meta)
+        self._commit_snapshot(meta, "merge", new_files)
+
+    def drop_column(self, name: str) -> None:
+        """Metadata-only DROP COLUMN: the field leaves the current schema;
+        data files keep the bytes, reads never project them."""
+        meta = self.meta
+        fields = [dict(f) for f in
+                  self._schema_fields(meta, meta["current_schema"])]
+        if not any(f["name"] == name for f in fields):
+            raise ValueError(f"no column: {name}")
+        fields = [f for f in fields if f["name"] != name]
+        meta["schema_versions"].append(
+            {"version": meta["current_schema"] + 1, "fields": fields})
+        meta["current_schema"] += 1
+        _write_meta(self.tdir, meta)
+
     def rewrite_data_files(self, target_files: int = 1) -> None:
         """Compaction (README.md:324-328): rewrite the current file set
         into `target_files` larger files — same rows, new 'replace'

@@ -124,6 +124,52 @@ def test_expire_snapshots_retention(spark, table):
         table.read(version=1)  # expired snapshot gone
 
 
+def test_insert_overwrite_replaces_but_time_travels(spark, table):
+    before = _rowset(table.read())
+    table.insert_overwrite(_typed_pedidos(spark).filter("uf = 'RJ'"))
+    after = table.read()
+    assert after.filter("uf <> 'RJ'").count() == 0
+    assert after.count() == len([r for r in before if r[1] == "RJ"])
+    assert _rowset(table.read(version=1)) == before  # old contents retained
+    ops = [r["operation"] for r in table.history().collect()]
+    assert "overwrite" in ops
+
+
+def test_merge_into_upsert(spark, table):
+    before = table.read()
+    n_before = before.count()
+    # source: update every SP row's produto, plus one brand-new row
+    updates = (before.filter("uf = 'SP'")
+               .withColumn("produto", F.lit("MERGED")))
+    new_row = (before.limit(1)
+               .withColumn("id_pedido", F.lit("zz-new-1"))
+               .withColumn("uf", F.lit("XX")))
+    table.merge_into(updates.unionByName(new_row), key="id_pedido",
+                     update_cols=["produto"])
+    after = table.read()
+    assert after.count() == n_before + 1  # upsert: no dup rows
+    assert after.filter("uf = 'SP'").filter("produto <> 'MERGED'").count() == 0
+    assert after.filter("id_pedido = 'zz-new-1'").count() == 1
+    # non-update columns of matched rows kept the target's values
+    assert _rowset(after.filter("uf = 'SP'")) == _rowset(before.filter("uf = 'SP'"))
+
+
+def test_drop_column_metadata_only(spark, table):
+    files_before = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(table.tdir)
+        for f in fs if f.endswith(".parquet"))
+    table.drop_column("produto")
+    df = table.read()
+    assert "produto" not in df.columns
+    assert df.filter("uf = 'SP'").count() > 0  # other columns intact
+    files_after = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(table.tdir)
+        for f in fs if f.endswith(".parquet"))
+    assert files_after == files_before  # no rewrite
+    with pytest.raises(ValueError):
+        table.drop_column("nope")
+
+
 def test_insert_empty_table_roundtrip(spark, tmp_path):
     cat = IceliteCatalog(spark, str(tmp_path))
     t = cat.create_table("db.empty", PEDIDOS_SCHEMA)
