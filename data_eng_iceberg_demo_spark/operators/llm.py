@@ -489,3 +489,184 @@ def llm_fingerprint(spark, d):
         content_fp.alias("content_fp"))
     return fp.withColumn(
         "fp_group_size", F.count("*").over(Window.partitionBy("content_fp")))
+
+
+# --- SimHash near-dup ------------------------------------------------------
+# Both engines derive the same 60-bit token hash from md5 hex (Spark: conv;
+# DuckDB: positional digit sum — verified bit-identical), so the whole
+# fingerprint pipeline is oracle-checkable.
+_SIMHASH_BITS = 60
+_SIMHASH_BANDS = 4          # 4 bands x 15 bits: any pair with hamming <= 3
+_SIMHASH_MAXHAM = 3         # must agree on >= 1 band (pigeonhole) -> banding
+                            # candidate generation is EXACT, not approximate.
+
+_DIGSUM = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h,{i},1))-1)*{16 ** (15 - i)}"
+    for i in range(1, 16))
+_VSUM = ", ".join(
+    f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(_SIMHASH_BITS))
+_FPSUM = " + ".join(
+    f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(_SIMHASH_BITS))
+
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id, {_DIGSUM} AS th
+        FROM (SELECT doc_id, md5(w) AS h FROM tok)
+    ), vecs AS (
+        SELECT doc_id, {_VSUM} FROM hashed GROUP BY doc_id
+    ), fp AS (
+        SELECT doc_id, {_FPSUM} AS f FROM vecs
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= {_SIMHASH_MAXHAM}
+"""
+
+
+def simhash_fingerprints(docs, id_col: str = "doc_id",
+                         text_col: str = "text"):
+    """60-bit SimHash per document: sign of the per-bit sum of +-1
+    token-hash bits over distinct whitespace tokens.  Returns
+    (id_col, f BIGINT).  Exposed for reuse/testing."""
+    from functools import reduce
+    from operator import add
+
+    tok = docs.select(
+        id_col,
+        F.explode(F.array_distinct(F.split(text_col, " "))).alias("w"))
+    th = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint")
+    hashed = tok.select(id_col, th.alias("th"))
+    sums = hashed.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"v{j}")
+        for j in range(_SIMHASH_BITS)])
+    fp_col = reduce(add, [
+        F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(_SIMHASH_BITS)])
+    return sums.select(id_col, fp_col.cast("bigint").alias("f"))
+
+
+def simhash_pairs(fp, id_col: str = "doc_id",
+                  max_hamming: int = _SIMHASH_MAXHAM):
+    """Banded candidate join over fingerprints + exact hamming filter.
+    With 4 bands of 15 bits, any pair within hamming 3 agrees on >= 1
+    band (pigeonhole), so banding loses nothing for max_hamming <= 3."""
+    band_w = _SIMHASH_BITS // _SIMHASH_BANDS
+    bands = fp.select(
+        id_col, "f",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("f"), band_w * b)
+            .bitwiseAND(F.lit((1 << band_w) - 1))
+            for b in range(_SIMHASH_BANDS)])).alias("band", "bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b"),
+                    F.col("a.f").alias("fa"), F.col("b.f").alias("fb"))
+            .distinct())
+    return (cand
+            .withColumn("hamming",
+                        F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+                        .cast("bigint"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
+
+
+@register("llm_dedup_simhash", oracle=_SIMHASH_ORACLE)
+def llm_dedup_simhash(spark, d):
+    """SimHash near-dup: 60-bit fingerprint per document, pairs at
+    hamming <= 3 via exact LSH banding (see simhash_pairs).  At 100 TB
+    the band join touches only same-bucket pairs (cost ~ sum of
+    bucket^2), never n^2, and the fingerprint is a fixed 8-byte
+    shuffle key."""
+    docs = T(spark, d, "documents")
+    return simhash_pairs(simhash_fingerprints(docs))
+
+
+@register(
+    "llm_dedup_embedding",
+    oracle="""
+    WITH pos AS (
+        SELECT a.vec_id va, b.vec_id vb, a.embedding ae, b.embedding be,
+               unnest(generate_series(1, 64)) AS i
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ), dots AS (
+        SELECT va, vb,
+               sum(CAST(ae[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS dot,
+               sum(CAST(ae[i] AS DOUBLE) * CAST(ae[i] AS DOUBLE)) AS aa,
+               sum(CAST(be[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS bb
+        FROM pos GROUP BY va, vb
+    )
+    SELECT va AS vec_a, vb AS vec_b,
+           round(dot / (sqrt(aa) * sqrt(bb)), 4) + 0 AS cosine
+    FROM dots
+    WHERE round(dot / (sqrt(aa) * sqrt(bb)), 4) >= 0.45
+    """,
+)
+def llm_dedup_embedding(spark, d):
+    """Embedding-cosine near-dup: all pairs above a cosine threshold —
+    the exact correctness baseline (threshold calibrated to the fixture's
+    similarity range).  Dot products run JVM-side via zip_with/aggregate.
+    At 100 TB all-pairs is banned: the scale path is sign-LSH bucketing
+    (llm_similarity_lsh) or IVF coarse quantization to prune candidates
+    before the exact re-rank — same re-rank kernel as here."""
+    emb = T(spark, d, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    with_norm = emb.withColumn(
+        "nrm", F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                                  F.lit(0.0), lambda acc, x: acc + x)))
+    a = with_norm.select(F.col("vec_id").alias("vec_a"),
+                         F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = with_norm.select(F.col("vec_id").alias("vec_b"),
+                         F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    dotted = pairs.withColumn(
+        "dot", F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x))
+    cos = (F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4)
+           + F.lit(0.0))
+    return (dotted.withColumn("cosine", cos)
+            .filter(F.col("cosine") >= 0.45)
+            .select("vec_a", "vec_b", "cosine"))
+
+
+_BPE_PAT = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "llm_token_count",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '{_BPE_PAT}'))) AS BIGINT)
+               AS bpe_tokens,
+           round(avg(CAST(len(regexp_extract_all(text, '{_BPE_PAT}'))
+                 AS DOUBLE) / len(string_split(text, ' '))), 4)
+               AS bpe_per_ws
+    FROM documents
+    GROUP BY source
+    """,
+)
+def llm_token_count(spark, d):
+    """Token counting per source: whitespace tokens plus a BPE-ish
+    regex tokenizer (word / number / single-symbol pieces — the shape a
+    byte-pair pretokenizer produces).  Pure JVM regex in codegen; token
+    counts partial-aggregate so the shuffle carries one row per source."""
+    docs = T(spark, d, "documents")
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_PAT}', 0)"))
+    ws = F.size(F.split("text", " "))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ws).cast("bigint").alias("ws_tokens"),
+        F.sum(bpe).cast("bigint").alias("bpe_tokens"),
+        F.round(F.avg(bpe.cast("double") / ws), 4).alias("bpe_per_ws"),
+    )
