@@ -230,3 +230,41 @@ def sample_fraction(spark, d):
     return (T(spark, d, "lineitem")
             .sample(fraction=0.1, seed=42)
             .select("l_orderkey", "l_linenumber", "l_quantity"))
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_skew_salted(spark, d):
+    """Hand-salted skew join: the probe side's key is salted with
+    pmod(hash, N) and the build side replicated N times on an exploded
+    salt column, so one hot key spreads over N shuffle partitions
+    instead of stalling a single reducer.  AQE's skew-join split is the
+    first line of defense; explicit salting is the deterministic form
+    for pipelines that pre-partition or bucket their output.  Results
+    are salt-invariant — the oracle is the plain join."""
+    o = T(spark, d, "orders")
+    c = T(spark, d, "customer")
+    n = T(spark, d, "nation")
+    n_salts = 8
+    probe = o.withColumn("salt", F.pmod(F.hash("o_orderkey"), F.lit(n_salts)))
+    build = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .select("c_custkey", "n_name")
+             .withColumn("salt", F.explode(
+                 F.array(*[F.lit(i) for i in range(n_salts)]))))
+    joined = probe.join(build,
+                        (probe.o_custkey == build.c_custkey)
+                        & (probe.salt == build.salt))
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("total_price"))

@@ -144,3 +144,81 @@ def llm_multimodal_route(spark, d):
         F.sum("nb").alias("total_bytes"),
         F.max("nb").alias("max_bytes"),
     )
+
+
+@register(
+    "llm_multimodal_frames",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, text, octet_length(encode(text)) // 64 AS n_frames
+        FROM documents
+    ), e AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, n_frames - 1)) AS i
+        FROM b WHERE n_frames > 0
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           md5(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_sig
+    FROM e
+    WHERE i % 4 = 0
+    """,
+)
+def llm_multimodal_frames(spark, d):
+    """Frame sampling: explode the payload into fixed 64-byte 'frames'
+    and keep every 4th (the video-keyframe shape: 1 row in -> k rows
+    out).  mapInPandas streams Arrow batches, so a huge payload never
+    materializes per-row Python objects beyond its own frames; output
+    rows carry only the 32-byte signature, not the frame bytes."""
+
+    def sample_frames(batches):
+        import hashlib
+        for pdf in batches:
+            ids, idxs, sigs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(0, len(payload) // 64, 4):
+                    frame = payload[i * 64:(i + 1) * 64]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sigs.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "frame_idx": pd.Series(idxs, dtype="int64"),
+                                "frame_sig": pd.Series(sigs, dtype="object")})
+
+    m = _media(spark, d).select("doc_id", "payload")
+    return m.mapInPandas(
+        sample_frames, "doc_id bigint, frame_idx bigint, frame_sig string")
+
+
+@register(
+    "llm_multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(128 AS BIGINT) AS resized_bytes,
+           md5(rpad(substring(text, 1, 128), 128, ' ')) AS resized_sig
+    FROM documents
+    """,
+)
+def llm_multimodal_resize(spark, d):
+    """'Resize' to a fixed byte budget (truncate-or-pad to 128 bytes) —
+    the byte-level stand-in for image resize; a real deployment swaps the
+    kernel for PIL.thumbnail inside the same mapInPandas signature
+    (binary in, binary out, bounded batch memory).  Emits the size and a
+    content signature rather than raw bytes so downstream compares stay
+    cheap."""
+
+    def resize(batches):
+        import hashlib
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda b: (b[:128] + b" " * max(0, 128 - len(b))))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "resized_bytes": resized.map(len).astype("int64"),
+                "resized_sig": resized.map(
+                    lambda b: hashlib.md5(b).hexdigest()),
+            })
+
+    m = _media(spark, d).select("doc_id", "payload")
+    return m.mapInPandas(
+        resize, "doc_id bigint, resized_bytes bigint, resized_sig string")

@@ -70,3 +70,20 @@ def test_similarity_broadcasts_query_side(spark, sf_dir):
 @pytest.mark.parametrize("name", ["scan_parquet", "project_select_alias"])
 def test_narrow_queries_have_no_exchange(spark, sf_dir, name):
     assert "Exchange" not in plan_of(spark, sf_dir, name)
+
+
+def test_simhash_candidates_via_band_equi_join_not_cartesian(spark, sf_dir):
+    """The simhash pair generator must join on (band, band-value) equi
+    keys — a cartesian/nested-loop here would be O(n^2) at 100 TB."""
+    p = plan_of(spark, sf_dir, "llm_dedup_simhash")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert node_count(p, "SortMergeJoin") + node_count(p, "BroadcastHashJoin") >= 1
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark, sf_dir):
+    """Exact dedup groups on md5(text): the exchange must carry the
+    32-byte digest, never the document body."""
+    p = plan_of(spark, sf_dir, "llm_dedup_exact")
+    exchange_sections = re.findall(r"\(\d+\) Exchange\n(?:.+\n)+?", p)
+    assert exchange_sections and all("text#" not in s for s in exchange_sections)
