@@ -281,8 +281,10 @@ def llm_tfidf_terms(spark, d):
     tokens = (T(spark, d, "documents")
               .select("source", F.explode(F.split("text", " ")).alias("term")))
     tf = tokens.groupBy("source", "term").agg(F.count("*").alias("tf"))
-    df = tokens.groupBy("term").agg(F.countDistinct("source").alias("df"))
-    s = tokens.select(F.countDistinct("source").alias("n_sources"))
+    # df/n_sources derive from tf, not raw tokens: one row per (source,
+    # term) instead of one per token crosses the second shuffle
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    s = tf.select(F.countDistinct("source").alias("n_sources"))
     scored = (tf.join(df, "term").crossJoin(F.broadcast(s))
               .select("source", "term",
                       F.round(F.col("tf") * F.log(F.col("n_sources").cast("double")
@@ -767,6 +769,7 @@ def llm_dedup_clusters(spark, d, max_iter: int = 20):
                               F.col("doc_a").alias("dst")))).cache()
 
     labels = docs.select("doc_id", F.col("doc_id").alias("lbl"))
+    prev_cached = None
     for _ in range(max_iter):
         neigh = (bidir.join(labels, bidir.src == labels.doc_id)
                  .groupBy(F.col("dst").alias("doc_id"))
@@ -778,9 +781,12 @@ def llm_dedup_clusters(spark, d, max_iter: int = 20):
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "doc_id")
                    .filter(F.col("n.lbl") != F.col("o.lbl")).count())
-        labels = new_labels
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = labels = new_labels
         if changed == 0:
             break
+    bidir.unpersist()
     return labels.select(
         "doc_id", F.col("lbl").alias("canonical_id"),
         (F.col("lbl") != F.col("doc_id")).alias("is_duplicate"))

@@ -306,3 +306,76 @@ def set_except(spark, d):
     c = (T(spark, d, "customer").filter(F.col("c_acctbal") > 1000)
          .select(F.col("c_nationkey").alias("nk")).distinct())
     return n.subtract(c)
+
+
+_SINK_SELECT_ORACLE = """
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_totalprice > 1000.0
+"""
+
+
+@register("sink_orc", oracle=_SINK_SELECT_ORACLE)
+def sink_orc(spark, d):
+    """ORC sink + scan round trip (the second columnar format a lakehouse
+    serves; same vectorized reader + pushdown machinery as parquet).  The
+    read-back hash-matches the source relation, proving lossless typed
+    round-tripping."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="sink_orc_", dir="/tmp")
+    (T(spark, d, "orders")
+     .select("o_orderkey", "o_custkey",
+             F.col("o_totalprice").cast("double").alias("o_totalprice"),
+             "o_orderpriority")
+     .filter(F.col("o_totalprice") > 1000.0)
+     .write.mode("overwrite").orc(out))
+    return spark.read.orc(out)
+
+
+@register("sink_csv_roundtrip", oracle=_SINK_SELECT_ORACLE)
+def sink_csv_roundtrip(spark, d):
+    """CSV sink + schema-full scan round trip (the reference's external
+    CSV pattern in reverse, README.md:186-193): types survive via the
+    explicit read schema, mirroring the tutorial's cast-on-ingest."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="sink_csv_", dir="/tmp")
+    src = (T(spark, d, "orders")
+           .select("o_orderkey", "o_custkey",
+                   F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                   "o_orderpriority")
+           .filter(F.col("o_totalprice") > 1000.0))
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    return (spark.read.option("header", "true").schema(src.schema).csv(out))
+
+
+@register(
+    "sink_partitioned",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def sink_partitioned(spark, d):
+    """Hive-style partitioned write + partition-pruned read: the output
+    directory is laid out by o_orderpriority, and the read-back filter
+    becomes a PartitionFilter — only the two matching directories are
+    scanned (asserted in tests/test_plans.py).  This is the layout that
+    makes a 100 TB table cheap to query by its routing key."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="sink_part_", dir="/tmp")
+    (T(spark, d, "orders")
+     .select("o_orderkey", "o_custkey",
+             F.col("o_totalprice").cast("double").alias("o_totalprice"),
+             "o_orderpriority")
+     .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out))
+    read = spark.read.parquet(out)
+    return (read
+            .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+            .select("o_orderkey", "o_custkey", "o_totalprice",
+                    "o_orderpriority"))

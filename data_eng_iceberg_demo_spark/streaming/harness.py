@@ -169,3 +169,67 @@ def stream_stateful_running(spark, d):
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(qname)
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      date_trunc('second', ts) AS tss
+               FROM events)
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+           CAST(date_diff('second', v.tss, c.tss) AS BIGINT) AS gap_s
+    FROM e v JOIN e c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.tss >= v.tss
+     AND c.tss <= v.tss + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark, d):
+    """Stream-stream interval join: views joined to the clicks that
+    follow within 30 minutes per user, both sides watermarked.  The
+    watermark + time-range condition bound the join state — each side
+    retains only rows inside the interval horizon, which is what makes
+    a stream-stream join runnable forever at 100 TB/day (state is
+    O(rate x horizon), not O(history)).  Inner joins emit eagerly, so
+    with availableNow the result equals the batch interval join (hash
+    oracle)."""
+    import tempfile as _tf
+
+    e = T(spark, d, "events").select(
+        "event_id", "user_id", "event_type",
+        F.date_trunc("second", "ts").alias("tss"))
+    views_dir = _tf.mkdtemp(prefix="ss_views_", dir="/tmp")
+    clicks_dir = _tf.mkdtemp(prefix="ss_clicks_", dir="/tmp")
+    e.filter("event_type = 'view'").coalesce(1) \
+        .write.mode("overwrite").parquet(views_dir)
+    e.filter("event_type = 'click'").coalesce(1) \
+        .write.mode("overwrite").parquet(clicks_dir)
+
+    schema = e.schema
+    views = (spark.readStream.schema(schema).parquet(views_dir)
+             .withWatermark("tss", "1 hour")
+             .select(F.col("event_id").alias("view_id"),
+                     F.col("user_id").alias("v_user"),
+                     F.col("tss").alias("v_tss")))
+    clicks = (spark.readStream.schema(schema).parquet(clicks_dir)
+              .withWatermark("tss", "1 hour")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("tss").alias("c_tss")))
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_tss") >= F.col("v_tss"))
+        & (F.col("c_tss") <= F.col("v_tss") + F.expr("INTERVAL 30 MINUTES")),
+        "inner")
+    out = joined.select(
+        "view_id", "click_id", F.col("v_user").alias("user_id"),
+        (F.unix_timestamp("c_tss") - F.unix_timestamp("v_tss"))
+        .cast("bigint").alias("gap_s"))
+    qname = f"ss_join_{next(_counter)}"
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(qname)

@@ -316,6 +316,8 @@ class IceliteTable:
         hit = [f for f in fields if f["name"] == old]
         if not hit:
             raise ValueError(f"no column: {old}")
+        if any(f["name"] == new for f in fields):
+            raise ValueError(f"column exists: {new}")
         hit[0]["name"] = new
         meta["schema_versions"].append(
             {"version": meta["current_schema"] + 1, "fields": fields})
@@ -423,6 +425,15 @@ class IceliteTable:
             {"version": meta["current_schema"] + 1, "fields": fields})
         meta["current_schema"] += 1
         _write_meta(self.tdir, meta)
+
+    def rollback_to_snapshot(self, snapshot_id: int) -> None:
+        """Roll the table back to an earlier snapshot's file list — a new
+        'rollback' snapshot whose contents equal the target's (history is
+        append-only; nothing is deleted, so the rolled-past snapshots stay
+        time-travelable until expired).  Metadata-only: no data movement."""
+        meta = self.meta
+        target = self._snapshot(meta, snapshot_id)
+        self._commit_snapshot(meta, "rollback", list(target["files"]))
 
     def rewrite_data_files(self, target_files: int = 1) -> None:
         """Compaction (README.md:324-328): rewrite the current file set

@@ -81,6 +81,15 @@ def test_simhash_candidates_via_band_equi_join_not_cartesian(spark, sf_dir):
     assert node_count(p, "SortMergeJoin") + node_count(p, "BroadcastHashJoin") >= 1
 
 
+def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
+    """Reading back a partitionBy() layout with a filter on the partition
+    column must show PartitionFilters at the scan (directory pruning),
+    not a post-scan Filter over all partitions."""
+    p = plan_of(spark, sf_dir, "sink_partitioned")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "o_orderpriority" in m.group(1)
+
+
 def test_exact_dedup_shuffles_digest_not_text(spark, sf_dir):
     """Exact dedup groups on md5(text): the exchange must carry the
     32-byte digest, never the document body."""
