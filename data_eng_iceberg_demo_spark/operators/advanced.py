@@ -268,3 +268,41 @@ def join_skew_salted(spark, d):
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double").alias("total_price"))
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 100000.0
+    """,
+)
+def join_bucketed_colocated(spark, d):
+    """Bucketed co-located join: both sides written bucketBy(custkey)
+    into the session catalog, so the join needs NO exchange on either
+    side — bucket layout IS the shuffle, paid once at write time and
+    amortized over every later join on that key.  This is the layout
+    discipline that turns the 100 TB fact-fact join from a per-query
+    shuffle into a local merge (plan asserted in tests/test_plans.py)."""
+    import tempfile
+
+    n_buckets = 8
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    wh = tempfile.mkdtemp(prefix="bucketed_wh_", dir="/tmp")
+    o_tbl, c_tbl = "bkt_orders", "bkt_customer"
+    for tbl in (o_tbl, c_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (T(spark, d, "orders")
+     .select("o_orderkey", "o_custkey", F.col("o_totalprice").cast("double")
+             .alias("o_totalprice"))
+     .write.bucketBy(n_buckets, "o_custkey").sortBy("o_custkey")
+     .option("path", f"{wh}/{o_tbl}").mode("overwrite").saveAsTable(o_tbl))
+    (T(spark, d, "customer")
+     .select("c_custkey", "c_name")
+     .write.bucketBy(n_buckets, "c_custkey").sortBy("c_custkey")
+     .option("path", f"{wh}/{c_tbl}").mode("overwrite").saveAsTable(c_tbl))
+    o = spark.table(o_tbl).filter(F.col("o_totalprice") > 100000.0)
+    c = spark.table(c_tbl)
+    return (o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+            .select("o_orderkey", "o_totalprice", "c_name"))

@@ -233,3 +233,61 @@ def stream_stream_join(spark, d):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(qname)
+
+
+@register(
+    "stream_foreach_batch_merge",
+    oracle="""
+    SELECT event_id, event_type, round(value, 2) AS value_r
+    FROM events
+    """,
+)
+def stream_foreach_batch_merge(spark, d):
+    """foreachBatch -> icelite MERGE: each micro-batch upserts into a
+    snapshot table keyed by event_id, so replayed events overwrite
+    instead of duplicating — the streaming-lakehouse CDC pattern
+    (micro-batch writes, table-format commit protocol, exactly-once
+    effect from idempotent merge).  Input replays 100 events across
+    later batches; the final table equals the distinct event set (hash
+    oracle).  At scale each merge is one co-partitioned shuffle per
+    batch and one snapshot commit."""
+    import tempfile as _tf
+
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    from ..tables.icelite import IceliteCatalog
+
+    e = T(spark, d, "events").select(
+        "event_id", "event_type", F.round("value", 2).alias("value_r"))
+    replay = e.orderBy("event_id").limit(100)
+
+    src = _tf.mkdtemp(prefix="fbm_src_", dir="/tmp")
+    t0 = 1_700_000_000
+    for i, batch in enumerate([e, replay]):
+        bdir = _tf.mkdtemp(prefix="fbm_b_", dir="/tmp")
+        batch.coalesce(1).write.mode("overwrite").parquet(bdir)
+        part = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        os.replace(os.path.join(bdir, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value_r", DoubleType()),
+    ])
+    cat = IceliteCatalog(spark, _tf.mkdtemp(prefix="fbm_tbl_", dir="/tmp"))
+    table = cat.create_table("db.events_upsert", schema)
+
+    def merge_batch(batch_df, _batch_id):
+        table.merge_into(batch_df.dropDuplicates(["event_id"]),
+                         key="event_id",
+                         update_cols=["event_type", "value_r"])
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (stream.writeStream.foreachBatch(merge_batch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return table.read()

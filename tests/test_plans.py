@@ -81,6 +81,14 @@ def test_simhash_candidates_via_band_equi_join_not_cartesian(spark, sf_dir):
     assert node_count(p, "SortMergeJoin") + node_count(p, "BroadcastHashJoin") >= 1
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Both sides bucketed on the join key: the sort-merge join must run
+    on the bucket layout directly — zero Exchange nodes in the plan."""
+    p = plan_of(spark, sf_dir, "join_bucketed_colocated")
+    assert node_count(p, "Exchange") == 0
+    assert "SortMergeJoin" in p
+
+
 def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
     """Reading back a partitionBy() layout with a filter on the partition
     column must show PartitionFilters at the scan (directory pruning),
