@@ -210,3 +210,66 @@ def fn_json(spark, d):
         parsed.getField("k").alias("k_num"),
         (parsed.getField("k") * 2).alias("k_doubled"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(o_orderkey >> 4 AS BIGINT) AS shr4,
+           CAST((o_orderkey & 15) << 2 AS BIGINT) AS shl2,
+           CAST(xor(o_orderkey, 21845) AS BIGINT) AS xored,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def fn_bitwise(spark, d):
+    """Bitwise family (and/or/xor/shifts/popcount) — the primitives the
+    simhash/banding operators are built from, exposed as a query."""
+    o = T(spark, d, "orders").filter(F.col("o_orderkey") < 1000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("low_byte"),
+        F.shiftright(k, 4).cast("bigint").alias("shr4"),
+        F.shiftleft(k.bitwiseAND(F.lit(15)), 2).cast("bigint").alias("shl2"),
+        k.bitwiseXOR(F.lit(21845)).cast("bigint").alias("xored"),
+        F.bit_count(k).cast("bigint").alias("popcount"),
+    )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey AS cust_id,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           o_orderpriority AS prio,
+           CAST(o_custkey AS VARCHAR) || ':' ||
+               CAST(round(CAST(o_totalprice AS DOUBLE), 2) AS VARCHAR)
+               AS packed
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+)
+def fn_struct(spark, d):
+    """Struct family: build a nested struct, read fields back out, and
+    serialize it — nested types stay columnar (parquet stores struct
+    fields as separate column chunks, so field access prunes)."""
+    o = T(spark, d, "orders").filter(F.col("o_orderkey") < 500)
+    s = F.struct(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderpriority").alias("prio"))
+    packed = o.select("o_orderkey", s.alias("rec"))
+    return packed.select(
+        "o_orderkey",
+        F.col("rec.cust_id").alias("cust_id"),
+        F.col("rec.price").alias("price"),
+        F.col("rec.prio").alias("prio"),
+        F.concat(F.col("rec.cust_id").cast("string"), F.lit(":"),
+                 F.round(F.col("rec.price"), 2).cast("string"))
+        .alias("packed"),
+    )

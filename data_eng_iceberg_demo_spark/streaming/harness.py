@@ -30,6 +30,25 @@ from ..plans.registry import register
 _counter = itertools.count()
 
 
+class _state_partitions:
+    """Temporarily size spark.sql.shuffle.partitions for a stateful
+    streaming query: each shuffle partition owns one state-store
+    instance, so partition count should track key cardinality, not CPU
+    count (the fixture streams have ~150 keys; a 100 TB stream sizes
+    this up with its key space).  Restores the session conf on exit."""
+
+    def __init__(self, spark, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
 def _events_stream(spark, d, path=None):
     """readStream over the events parquet (schema from a batch peek of the
     raw file — ts arrives as int64 nanos, converted to µs timestamp).
@@ -97,9 +116,10 @@ def stream_watermark_late(spark, d):
     out = agg.select(F.col("w.start").cast("string").alias("window_start"),
                      "event_type", "cnt")
     qname = f"wm_late_{next(_counter)}"
-    q = (out.writeStream.format("memory").queryName(qname)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _state_partitions(spark, 8):
+        q = (out.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(qname)
 
 
@@ -126,9 +146,10 @@ def stream_dedup_keyed(spark, d):
                .dropDuplicates(["event_id"])
                .select("event_id", "event_type", F.round("value", 2).alias("value_r")))
     qname = f"dedup_keyed_{next(_counter)}"
-    q = (deduped.writeStream.format("memory").queryName(qname)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _state_partitions(spark, 8):
+        q = (deduped.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(qname)
 
 
@@ -165,9 +186,10 @@ def stream_stateful_running(spark, d):
     result = stream.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
     qname = f"stateful_running_{next(_counter)}"
-    q = (result.writeStream.format("memory").queryName(qname)
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _state_partitions(spark, 8):
+        q = (result.writeStream.format("memory").queryName(qname)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(qname)
 
 
@@ -229,9 +251,10 @@ def stream_stream_join(spark, d):
         (F.unix_timestamp("c_tss") - F.unix_timestamp("v_tss"))
         .cast("bigint").alias("gap_s"))
     qname = f"ss_join_{next(_counter)}"
-    q = (out.writeStream.format("memory").queryName(qname)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with _state_partitions(spark, 8):
+        q = (out.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.table(qname)
 
 
