@@ -52,6 +52,7 @@ def _load_all_modules() -> None:
         tpch, windows,
     )
     from ..functions import families, udfs  # noqa: F401
+    from ..sources import pysource  # noqa: F401
     from ..streaming import windows as stream_windows  # noqa: F401
     from ..streaming import harness  # noqa: F401
     from ..tables import queries as table_queries  # noqa: F401

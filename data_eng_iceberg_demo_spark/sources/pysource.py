@@ -1,0 +1,112 @@
+"""Custom Python data source (Spark 4 DataSource API): a deterministic
+synthetic event generator, registered as format("synthetic_events").
+
+This is the engine's template for wrapping any Python-reachable system
+(REST API, message queue, bespoke file format) as a first-class Spark
+relation: partitions() declares the parallelism (each partition becomes
+one Spark task, so generation scales out like any scan), read() yields
+Arrow-friendly tuples, and the declared schema makes downstream pruning
+and codegen work as if the data came from parquet.
+
+Determinism: row content is a pure function of (partition, row index) —
+a splittable counter-based scheme (like Philox RNGs) rather than stateful
+random generation, so any task can regenerate its partition
+independently; retries and speculative execution stay correct at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition)
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+])
+
+
+def _row(i: int):
+    # counter-based: mix the index through a 64-bit LCG step (splittable,
+    # stateless — same value for the same i on any executor)
+    h = (i * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+    return (
+        i,
+        h % 150,
+        EVENT_TYPES[(h >> 8) % len(EVENT_TYPES)],
+        round(((h >> 16) % 100000) / 100.0, 2),
+    )
+
+
+class _Partition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("rows", "1000"))
+        self.parts = int(options.get("partitions", "4"))
+
+    def partitions(self):
+        step = max(1, self.n // self.parts)
+        bounds = list(range(0, self.n, step)) + [self.n]
+        return [_Partition(a, b) for a, b in zip(bounds, bounds[1:])]
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+
+class SyntheticEventsSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "synthetic_events"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema):
+        return SyntheticEventsReader(self.options)
+
+
+def register_source(spark) -> None:
+    """Idempotently register the source with a session."""
+    spark.dataSource.register(SyntheticEventsSource)
+
+
+from ..plans.registry import register  # noqa: E402
+
+
+@register(
+    "scan_python_datasource",
+    oracle="""
+    WITH g AS (SELECT unnest(generate_series(0, 999)) AS i),
+    h AS (
+        SELECT i,
+               CAST((CAST(i AS HUGEINT) * 6364136223846793005
+                     + 1442695040888963407) % 18446744073709551616 AS HUGEINT)
+                   AS hv
+        FROM g
+    )
+    SELECT CAST(i AS BIGINT) AS event_id,
+           CAST(hv % 150 AS BIGINT) AS user_id,
+           (['click','view','purchase','signup','error'])
+               [CAST((hv // 256) % 5 AS INTEGER) + 1] AS event_type,
+           round(CAST((hv // 65536) % 100000 AS DOUBLE) / 100.0, 2) AS value
+    FROM h
+    """,
+)
+def scan_python_datasource(spark, d):
+    """Scan through the custom Python data source: 1000 deterministic
+    rows over 4 partitions (4 Spark tasks).  The oracle replays the
+    same counter-based row function in SQL, proving the source is a
+    pure, splittable function of the row index."""
+    register_source(spark)
+    return (spark.read.format("synthetic_events")
+            .option("rows", "1000").option("partitions", "4").load())

@@ -44,6 +44,11 @@ from pyspark.sql.types import StructType
 _META = "metadata.json"
 
 
+class CommitConflict(RuntimeError):
+    """Another writer advanced the table between base-read and commit;
+    re-read the table and re-apply the operation."""
+
+
 class IceliteCatalog:
     """Filesystem-rooted catalog: namespace dirs holding icelite tables
     (the reference's CREATE SCHEMA analog, README.md:159)."""
@@ -120,6 +125,18 @@ class IceliteTable:
         raise ValueError(f"no snapshot {sid} (expired or never existed)")
 
     def _commit_snapshot(self, meta: dict, operation: str, files: list[dict]) -> dict:
+        """Commit with optimistic concurrency (the Iceberg protocol):
+        the new snapshot's parent must still be the table's current
+        snapshot at commit time.  If another writer committed since this
+        operation read its base metadata, raise CommitConflict — callers
+        re-read and re-apply (data files already written are orphans, to
+        be collected by expire_snapshots; they never corrupt the table
+        because only the metadata swap publishes them)."""
+        on_disk = self.meta
+        if on_disk["current_snapshot"] != meta["current_snapshot"]:
+            raise CommitConflict(
+                f"table advanced to snapshot {on_disk['current_snapshot']} "
+                f"while this commit was based on {meta['current_snapshot']}")
         sid = (max((s["id"] for s in meta["snapshots"]), default=0)) + 1
         snap = {
             "id": sid,

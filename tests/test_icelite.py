@@ -175,3 +175,20 @@ def test_insert_empty_table_roundtrip(spark, tmp_path):
     t = cat.create_table("db.empty", PEDIDOS_SCHEMA)
     assert t.read().count() == 0
     assert t.read().columns == [f.name for f in PEDIDOS_SCHEMA.fields]
+
+
+def test_concurrent_commit_conflict_detected(spark, table):
+    """Optimistic concurrency: a commit based on stale metadata must be
+    rejected, and the winning commit's data must be intact."""
+    from data_eng_iceberg_demo_spark.tables.icelite import (CommitConflict,
+                                                            IceliteTable)
+
+    # second handle simulates another writer committing first
+    other = IceliteTable(spark, table.tdir)
+    stale_meta = table.meta            # this writer reads its base...
+    other.delete_where("uf = 'SP'")    # ...the other writer wins the race
+    with pytest.raises(CommitConflict):
+        table._commit_snapshot(stale_meta, "append", [])
+    # winner's commit is intact; loser can re-read and re-apply
+    assert table.read().filter("uf = 'SP'").count() == 0
+    table.insert(table.read().limit(0))  # fresh-base commit succeeds

@@ -61,3 +61,18 @@ def test_simhash_fingerprint_order_invariant_to_partitioning(spark):
     two = {r["doc_id"]: r["f"]
            for r in simhash_fingerprints(docs.coalesce(1)).collect()}
     assert one == two
+
+
+def test_minhash_matches_exact_pairs_on_fixture(spark, sf_dir):
+    """The banded MinHash path must find the same >= 0.5-Jaccard pairs as
+    the exact inverted-index pipeline on the fixture corpus (its expected
+    miss rate at the 0.5 boundary is < 2%; the fixture's pairs sit far
+    enough above it that recall is 1.0)."""
+    from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
+                                                            _load_all_modules)
+    _load_all_modules()
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in REGISTRY["llm_dedup_near"].fn(spark, sf_dir).collect()}
+    approx = {(r["doc_a"], r["doc_b"])
+              for r in REGISTRY["llm_dedup_minhash"].fn(spark, sf_dir).collect()}
+    assert approx == exact
