@@ -273,3 +273,27 @@ def fn_struct(spark, d):
                  F.round(F.col("rec.price"), 2).cast("string"))
         .alias("packed"),
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+               AS k_mod
+    FROM events
+    """,
+)
+def fn_variant(spark, d):
+    """VARIANT semi-structured type (Spark 4): parse_json once into a
+    binary variant column, then typed variant_get extraction — unlike
+    from_json no full schema is declared and unlike get_json_object the
+    parse cost is paid once per row, not per path.  The modern
+    JSON-at-scale path."""
+    e = T(spark, d, "events")
+    return e.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+        (F.expr("variant_get(parse_json(props), '$.k', 'bigint')") % 10)
+        .alias("k_mod"))

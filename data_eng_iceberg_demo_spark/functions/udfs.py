@@ -180,3 +180,85 @@ def udtf_python(spark, d):
         SELECT r.r_regionkey, r.r_name, f.n, f.tag
         FROM region_udtf r, LATERAL fanout_udtf(r.r_regionkey, r.r_name) f
     """)
+
+
+@register(
+    "udf_sql_declared",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2))), 4)
+                AS DOUBLE) AS net,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(18,2))), 4)
+                AS DOUBLE) AS gross
+    FROM lineitem
+    WHERE l_quantity >= 45
+    """,
+)
+def udf_sql_declared(spark, d):
+    """SQL-declared scalar UDFs (Spark 4 CREATE FUNCTION ... RETURN):
+    the function body is an expression the optimizer INLINES — unlike
+    Python UDFs there is no serialization boundary, so declared SQL
+    UDFs are the 100 TB-safe way to share business logic."""
+    T(spark, d, "lineitem").createOrReplaceTempView("li_sqludf")
+    # decimal-in, decimal-out: 2-decimal inputs put products exactly on
+    # the 1e-4/1e-6 grid, where double round() hits half-way ties that
+    # resolve differently per engine — decimal math keeps ties exact
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION net_price(
+            p DECIMAL(18,2), disc DECIMAL(18,2))
+        RETURNS DECIMAL(28,4) RETURN p * (1 - disc)
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION gross_price(
+            p DECIMAL(18,2), disc DECIMAL(18,2), tax DECIMAL(18,2))
+        RETURNS DECIMAL(38,6) RETURN net_price(p, disc) * (1 + tax)
+    """)
+    return spark.sql("""
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(net_price(CAST(l_extendedprice AS DECIMAL(18,2)),
+                                    CAST(l_discount AS DECIMAL(18,2))), 4)
+                    AS DOUBLE) AS net,
+               CAST(round(gross_price(CAST(l_extendedprice AS DECIMAL(18,2)),
+                                      CAST(l_discount AS DECIMAL(18,2)),
+                                      CAST(l_tax AS DECIMAL(18,2))), 4)
+                    AS DOUBLE) AS gross
+        FROM li_sqludf
+        WHERE l_quantity >= 45
+    """)
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT event_id,
+           round(value * 2.0, 4) AS doubled,
+           CAST(length(event_type) AS INTEGER) AS type_len
+    FROM events
+    """,
+)
+def udf_map_in_arrow(spark, d):
+    """mapInArrow: the zero-copy Arrow batch surface under the pandas
+    UDFs — pyarrow.compute kernels run vectorized on each RecordBatch
+    with no pandas conversion cost.  The right tier for byte-level and
+    columnar-native transforms."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def transform(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            yield pa.RecordBatch.from_arrays(
+                [t.column("event_id").combine_chunks(),
+                 pc.round(pc.multiply(
+                     t.column("value").combine_chunks(),
+                     pa.scalar(2.0)), 4),
+                 pc.cast(pc.utf8_length(
+                     t.column("event_type").combine_chunks()), pa.int32())],
+                ["event_id", "doubled", "type_len"])
+
+    e = T(spark, d, "events").select("event_id", "value", "event_type")
+    return e.mapInArrow(
+        transform, "event_id bigint, doubled double, type_len int")

@@ -393,6 +393,26 @@ class IceliteTable:
         _write_meta(self.tdir, meta)
         return expired_ids
 
+    def remove_orphan_files(self) -> list[str]:
+        """Delete data files referenced by NO live snapshot — the debris
+        a failed commit leaves behind (files are written before the
+        metadata swap, so a CommitConflict orphans them; they are
+        invisible to reads and safe to delete any time).  Returns the
+        deleted paths."""
+        meta = self.meta
+        referenced = {f["path"] for s in meta["snapshots"] for f in s["files"]}
+        removed = []
+        data_root = os.path.join(self.tdir, "data")
+        for root, _dirs, names in os.walk(data_root):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(root, n), self.tdir)
+                if rel not in referenced:
+                    os.remove(os.path.join(root, n))
+                    removed.append(rel)
+        return removed
+
     def insert_overwrite(self, df: DataFrame) -> None:
         """INSERT OVERWRITE: replace the table contents in one snapshot
         (the old contents stay time-travelable)."""

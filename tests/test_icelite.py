@@ -192,3 +192,27 @@ def test_concurrent_commit_conflict_detected(spark, table):
     # winner's commit is intact; loser can re-read and re-apply
     assert table.read().filter("uf = 'SP'").count() == 0
     table.insert(table.read().limit(0))  # fresh-base commit succeeds
+
+
+def test_remove_orphan_files_only_touches_unreferenced(spark, table):
+    """Files from a failed (conflicted) commit are invisible debris;
+    remove_orphan_files deletes exactly those and nothing referenced."""
+    from data_eng_iceberg_demo_spark.tables.icelite import (CommitConflict,
+                                                            IceliteTable)
+
+    before = _rowset(table.read())
+    # simulate the losing side of a race: files written, commit refused
+    loser = IceliteTable(spark, table.tdir)
+    stale = loser.meta
+    orphan_files = loser._write_files(
+        _typed_pedidos(spark).limit(7), stale)
+    table.delete_where("uf = 'SP'")          # winner commits first
+    with pytest.raises(CommitConflict):
+        loser._commit_snapshot(stale, "append", orphan_files)
+
+    removed = table.remove_orphan_files()
+    assert sorted(removed) == sorted(f["path"] for f in orphan_files)
+    # every live snapshot still reads (incl. time travel to snapshot 1)
+    assert table.read().filter("uf = 'SP'").count() == 0
+    assert _rowset(table.read(version=1)) == before
+    assert table.remove_orphan_files() == []  # idempotent
