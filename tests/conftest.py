@@ -7,7 +7,10 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# default to sf0.01 — the exact scale the driver hash-compares at, so CI
+# catches scale-dependent issues (e.g. rounding ties that only occur on
+# rows absent from sf0.001); override with SPARK_GRAFT_TEST_SF_DIR
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
