@@ -49,6 +49,49 @@ class CommitConflict(RuntimeError):
     re-read the table and re-apply the operation."""
 
 
+def _footer_stats(path: str, name_to_id: dict[str, int]) -> dict:
+    """Per-column min/max from the parquet FOOTER (no data read) — the
+    manifest-level stats Iceberg keeps, keyed by FIELD ID so they stay
+    valid across renames.  Values are stored as strings (JSON-safe,
+    lexicographic compare is only used for same-typed bounds)."""
+    import pyarrow.parquet as pq
+
+    import datetime
+
+    def norm(v):
+        if isinstance(v, (int, float, str, bool)):
+            return v
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat(sep=" ")  # ISO order == time order
+        return None
+
+    stats: dict[str, list] = {}
+    try:
+        f = pq.ParquetFile(path)
+    except Exception:
+        return stats
+    for rg in range(f.metadata.num_row_groups):
+        meta_rg = f.metadata.row_group(rg)
+        for ci in range(meta_rg.num_columns):
+            col = meta_rg.column(ci)
+            name = col.path_in_schema
+            try:  # some physical types (e.g. decimal) have no accessor
+                st = col.statistics
+                if st is None or not st.has_min_max or name not in name_to_id:
+                    continue
+                mn, mx = norm(st.min), norm(st.max)
+            except Exception:
+                continue
+            if mn is None or mx is None:
+                continue
+            fid = str(name_to_id[name])
+            if fid in stats:
+                stats[fid] = [min(stats[fid][0], mn), max(stats[fid][1], mx)]
+            else:
+                stats[fid] = [mn, mx]
+    return stats
+
+
 class IceliteCatalog:
     """Filesystem-rooted catalog: namespace dirs holding icelite tables
     (the reference's CREATE SCHEMA analog, README.md:159)."""
@@ -168,11 +211,14 @@ class IceliteTable:
             writer.write.partitionBy(spec["name"]).mode("overwrite").parquet(out)
         else:
             writer.write.mode("overwrite").parquet(out)
+        name_to_id = {f["name"]: f["id"] for f in
+                      self._schema_fields(meta, meta["current_schema"])}
         files = []
         for root, _dirs, names in os.walk(out):
             for n in names:
                 if n.endswith(".parquet"):
-                    rel = os.path.relpath(os.path.join(root, n), self.tdir)
+                    full = os.path.join(root, n)
+                    rel = os.path.relpath(full, self.tdir)
                     part = None
                     if spec is not None:
                         for seg in os.path.relpath(root, out).split(os.sep):
@@ -180,7 +226,8 @@ class IceliteTable:
                                 part = seg.split("=", 1)[1]
                     files.append({"path": rel,
                                   "schema_version": meta["current_schema"],
-                                  "partition": part})
+                                  "partition": part,
+                                  "stats": _footer_stats(full, name_to_id)})
         return files
 
     def insert(self, df: DataFrame) -> None:
@@ -307,6 +354,73 @@ class IceliteTable:
             if ts_hi is not None:
                 df = df.filter(src < F.lit(ts_hi).cast("timestamp"))
         return df
+
+    def plan_files_range(self, col: str, lo=None, hi=None) -> list[dict]:
+        """File skipping by footer min/max stats (Iceberg manifest-stats
+        semantics): keep a file only if [min,max] of `col` intersects
+        [lo,hi].  Stats are keyed by field id, so renames don't invalidate
+        them; files without stats for the column must be read."""
+        meta = self.meta
+        snap = self._snapshot(meta, None)
+        fid = None
+        for f in self._schema_fields(meta, meta["current_schema"]):
+            if f["name"] == col:
+                fid = str(f["id"])
+        if fid is None:
+            raise ValueError(f"no column: {col}")
+        out = []
+        for fi in snap["files"]:
+            st = (fi.get("stats") or {}).get(fid)
+            if st is None:
+                out.append(fi)  # no stats: cannot prune
+                continue
+            mn, mx = st
+            if lo is not None and mx < lo:
+                continue
+            if hi is not None and mn > hi:
+                continue
+            out.append(fi)
+        return out
+
+    def scan_range(self, col: str, lo=None, hi=None) -> DataFrame:
+        """Stats-pruned read + residual row filter: `lo <= col <= hi`."""
+        meta = self.meta
+        df = self._read_files(self.plan_files_range(col, lo, hi), meta)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
+    def read_changes(self, from_version: int, to_version: int | None = None
+                     ) -> DataFrame:
+        """Incremental (CDC) read: rows APPENDED between two snapshots =
+        the files present in `to` but not in `from` (Iceberg's
+        incremental append scan).  Raises if the range contains a
+        delete/overwrite/replace — row-level diffs need those snapshots'
+        remove sets, which copy-on-write folds away."""
+        meta = self.meta
+        to_snap = self._snapshot(meta, to_version)
+        from_snap = self._snapshot(meta, from_version)
+        by_id = {s["id"]: s for s in meta["snapshots"]}
+        sid = to_snap["id"]
+        while sid is not None and sid != from_snap["id"]:
+            s = by_id.get(sid)
+            if s is None:
+                raise ValueError(
+                    f"snapshot {from_snap['id']} is not an ancestor of "
+                    f"{to_snap['id']}")
+            if sid != from_snap["id"] and s["operation"] not in (
+                    "append", "merge"):
+                if s["operation"] in ("delete", "overwrite", "replace",
+                                      "rollback"):
+                    raise ValueError(
+                        f"incremental read crosses non-append snapshot "
+                        f"{sid} ({s['operation']})")
+            sid = s["parent"]
+        old_paths = {f["path"] for f in from_snap["files"]}
+        new_files = [f for f in to_snap["files"] if f["path"] not in old_paths]
+        return self._read_files(new_files, meta)
 
     # ------------------------------------------------------------ evolution
     def add_column(self, name: str, sql_type: str) -> None:

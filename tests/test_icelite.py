@@ -216,3 +216,55 @@ def test_remove_orphan_files_only_touches_unreferenced(spark, table):
     assert table.read().filter("uf = 'SP'").count() == 0
     assert _rowset(table.read(version=1)) == before
     assert table.remove_orphan_files() == []  # idempotent
+
+
+def test_stats_file_skipping_scan_range(spark, tmp_path):
+    """Footer min/max stats must skip files whose id_cliente range can't
+    match, and the skipped-scan result must equal the full-scan filter."""
+    cat = IceliteCatalog(spark, str(tmp_path))
+    t = cat.create_table("db.pedidos", PEDIDOS_SCHEMA)
+    df = _typed_pedidos(spark)
+    # 4 batches with disjoint id_cliente ranges -> disjoint file stats
+    for i in range(4):
+        t.insert(df.filter((F.col("id_cliente") % 4) == i)
+                 .withColumn("id_cliente",
+                             (F.col("id_cliente") % 4) * 1000
+                             + F.col("id_cliente")))
+    total = len(t.plan_files_range("id_cliente"))
+    pruned = t.plan_files_range("id_cliente", lo=2000, hi=2999)
+    assert 0 < len(pruned) < total
+    got = sorted(r["id_pedido"] for r in
+                 t.scan_range("id_cliente", lo=2000, hi=2999).collect())
+    want = sorted(r["id_pedido"] for r in
+                  t.read().filter("id_cliente BETWEEN 2000 AND 2999").collect())
+    assert got == want and len(got) > 0
+
+
+def test_stats_skipping_survives_rename(spark, tmp_path):
+    """Stats are keyed by field id: renaming the column must not break
+    or mis-prune an existing file's stats."""
+    cat = IceliteCatalog(spark, str(tmp_path))
+    t = cat.create_table("db.pedidos", PEDIDOS_SCHEMA)
+    t.insert(_typed_pedidos(spark))
+    n_before = len(t.plan_files_range("id_cliente", lo=0, hi=10**9))
+    t.rename_column("id_cliente", "cliente_id")
+    assert len(t.plan_files_range("cliente_id", lo=0, hi=10**9)) == n_before
+    assert t.scan_range("cliente_id", lo=0, hi=10**9).count() == t.read().count()
+    with pytest.raises(ValueError):
+        t.plan_files_range("id_cliente")  # old name gone
+
+
+def test_incremental_read_changes(spark, tmp_path):
+    cat = IceliteCatalog(spark, str(tmp_path))
+    t = cat.create_table("db.pedidos", PEDIDOS_SCHEMA)
+    df = _typed_pedidos(spark)
+    t.insert(df.filter("uf = 'SP'"))    # snapshot 1
+    t.insert(df.filter("uf = 'RJ'"))    # snapshot 2
+    t.insert(df.filter("uf = 'MG'"))    # snapshot 3
+    delta = t.read_changes(from_version=1, to_version=3)
+    assert sorted(set(r["uf"] for r in delta.collect())) == ["MG", "RJ"]
+    assert delta.count() == df.filter("uf IN ('RJ','MG')").count()
+    # crossing a delete is refused (copy-on-write folds remove-sets away)
+    t.delete_where("uf = 'SP'")         # snapshot 4
+    with pytest.raises(ValueError):
+        t.read_changes(from_version=1, to_version=4)
