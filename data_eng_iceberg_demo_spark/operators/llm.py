@@ -896,3 +896,84 @@ def llm_pii_scrub(spark, d):
         "doc_id", clean.alias("clean"),
         (F.length("raw") - F.length(clean)).cast("bigint")
         .alias("bytes_redacted"))
+
+
+@register(
+    "llm_embedding_quantize",
+    oracle="""
+    WITH pos AS (
+        SELECT vec_id, label, embedding AS e,
+               unnest(generate_series(1, 64)) AS i
+        FROM embeddings
+    ), comp AS (
+        SELECT vec_id, label, CAST(e[i] AS DOUBLE) AS x,
+               max(abs(CAST(e[i] AS DOUBLE)))
+                   OVER (PARTITION BY vec_id) AS scale
+        FROM pos
+    ), q AS (
+        SELECT vec_id, label, x, scale,
+               round(x * 127.0 / scale) AS qv
+        FROM comp
+    )
+    SELECT label,
+           CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+           round(avg(pow(x - qv * scale / 127.0, 2)) * 1e6, 4)
+               AS mse_x1e6,
+           CAST(max(abs(qv)) AS BIGINT) AS max_q
+    FROM q
+    GROUP BY label
+    """,
+)
+def llm_embedding_quantize(spark, d):
+    """int8 symmetric quantization of embeddings (scale = max|x|/127 per
+    vector) with reconstruction-error accounting per label — the
+    compression step that cuts a 100 TB float32 embedding store 4× for
+    ANN serving.  All arithmetic stays in JVM higher-order functions;
+    the oracle replays it per-component.  max_q == 127 proves the full
+    int8 range is used; mse quantifies the fidelity loss."""
+    emb = T(spark, d, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    comp = emb.select(
+        "vec_id", "label",
+        F.posexplode("e").alias("i", "x"),
+        F.array_max(F.transform("e", lambda v: F.abs(v))).alias("scale"))
+    q = comp.withColumn("qv", F.round(F.col("x") * 127.0 / F.col("scale")))
+    return q.groupBy("label").agg(
+        F.countDistinct("vec_id").alias("n_vecs"),
+        F.round(F.avg(F.pow(F.col("x") - F.col("qv") * F.col("scale") / 127.0,
+                            2)) * 1e6, 4).alias("mse_x1e6"),
+        F.max(F.abs("qv")).cast("bigint").alias("max_q"))
+
+
+_MIX_HASH_DUCK = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),{i},1))-1)"
+    f"*{16 ** (8 - i)}" for i in range(1, 9))
+
+
+@register(
+    "llm_dataset_mixture",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang, source,
+               ({_MIX_HASH_DUCK}) % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, source FROM h
+    WHERE bucket < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 ELSE 10 END)
+    """,
+)
+def llm_dataset_mixture(spark, d):
+    """Dataset-mixture sampling: per-language keep rates (en 50%, de 30%,
+    rest 10%) decided by a STABLE content hash of the key, not rand() —
+    so the sample is reproducible across runs, engines and cluster
+    sizes, and re-running the pipeline on grown data keeps previously
+    selected documents selected (the property training-data curation
+    needs).  A narrow map: no shuffle, no state."""
+    docs = T(spark, d, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                     16, 10).cast("bigint") % 100)
+    rate = (F.when(F.col("lang") == "en", 50)
+            .when(F.col("lang") == "de", 30).otherwise(10))
+    return (docs.withColumn("bucket", bucket)
+            .filter(F.col("bucket") < rate)
+            .select("doc_id", "lang", "source"))
