@@ -190,3 +190,26 @@ def agg_distinct_within(spark, d):
         F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
         F.expr("CAST(sum(DISTINCT CAST(l_discount AS DECIMAL(6,2))) AS DOUBLE) / count(DISTINCT CAST(l_discount AS DECIMAL(6,2)))").alias("avg_distinct_disc"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark, d):
+    """Fixed-width histogram by arithmetic bucketing — one partial-
+    aggregatable pass; the shuffle carries one row per bucket, so a
+    100 TB histogram costs one scan plus a ~20-row exchange."""
+    o = T(spark, d, "orders")
+    return (o.groupBy(F.floor(F.col("o_totalprice") / 50000.0)
+                      .cast("bigint").alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("o_totalprice"), 2).alias("lo"),
+                 F.round(F.max("o_totalprice"), 2).alias("hi")))

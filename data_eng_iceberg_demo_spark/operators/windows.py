@@ -147,3 +147,51 @@ def window_analytic(spark, d):
         F.first("c_name").over(w).alias("richest"),
         F.last("c_name").over(w_full).alias("poorest"),
     )
+
+
+@register(
+    "window_sessionize_batch",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, date_trunc('second', ts) AS tss FROM events
+    ), flagged AS (
+        SELECT user_id, tss,
+               CASE WHEN tss - lag(tss) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss)
+    ), sess AS (
+        SELECT user_id, tss,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY tss
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(date_diff('second', min(tss), max(tss)) AS BIGINT)
+               AS duration_s
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def window_sessionize_batch(spark, d):
+    """Batch sessionization (gaps-and-islands): a session breaks after a
+    30-minute silence; session ids come from a running sum of
+    break-flags.  One shuffle on user_id serves both window passes and
+    the final aggregate — the same partitioning is reused across all
+    three operators."""
+    from pyspark.sql import Window
+
+    e = T(spark, d, "events").select(
+        "user_id", F.date_trunc("second", "ts").alias("tss"))
+    w = Window.partitionBy("user_id").orderBy("tss")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.unix_timestamp("tss")
+               - F.unix_timestamp(F.lag("tss").over(w)) <= 1800, 0)
+        .otherwise(1))
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 (F.unix_timestamp(F.max("tss"))
+                  - F.unix_timestamp(F.min("tss"))).alias("duration_s")))

@@ -1,0 +1,164 @@
+"""SQL dialect shim: run the reference tutorial's Iceberg SQL verbatim
+against icelite tables (README.md:155-328).
+
+The real Iceberg stack injects a Spark session extension for `CALL`,
+`VERSION AS OF` and `ADD PARTITION FIELD` syntax (README.md:66); that jar
+is uninstallable offline (SURVEY.md §0), so this shim routes exactly those
+statement shapes to the icelite Python API and passes everything else to
+stock ``spark.sql``.  Table references like ``db.pedidos`` in plain
+SELECTs are rewritten to temp views over the table's current (or
+time-traveled) snapshot — the user-visible behavior of the tutorial's
+session, statement for statement (verified by
+tests/test_reference_replay.py).
+
+This is intentionally a statement ROUTER, not a SQL parser: each handled
+shape is one anchored regex; anything unmatched is stock Spark SQL.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from .icelite import IceliteCatalog
+
+_INTERVAL_S = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+
+
+class IceliteSqlSession:
+    """``sql(text)`` entry point with the Iceberg statement surface the
+    reference tutorial uses."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.catalog = IceliteCatalog(spark, warehouse_dir)
+        self._tables: dict[str, object] = {}
+
+    def _table(self, name: str):
+        if name not in self._tables:
+            self._tables[name] = self.catalog.load_table(name)
+        return self._tables[name]
+
+    def sql(self, text: str) -> DataFrame | None:
+        s = text.strip().rstrip(";").strip()
+        # strip line comments (the tutorial annotates statements)
+        s = "\n".join(ln for ln in s.splitlines()
+                      if not ln.strip().startswith("--")).strip()
+
+        m = re.match(r"CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)$",
+                     s, re.I)
+        if m:
+            self.catalog.create_namespace(m.group(1))
+            return None
+
+        m = re.match(
+            r"CREATE\s+TABLE\s+([\w.]+)\s*\((.*)\)\s*USING\s+iceberg"
+            r"(?:\s+TBLPROPERTIES\s*\((.*)\))?$", s, re.I | re.S)
+        if m:
+            name, cols, props_s = m.groups()
+            schema = StructType.fromDDL(cols)
+            props = dict(re.findall(r"'([^']+)'\s*=\s*'([^']+)'",
+                                    props_s or ""))
+            self._tables[name] = self.catalog.create_table(
+                name, schema, props or None)
+            return None
+
+        m = re.match(r"INSERT\s+INTO\s+([\w.]+)\s+(SELECT\b.*)$", s, re.I | re.S)
+        if m:
+            name, select = m.groups()
+            self._table(name).insert(self.spark.sql(select))
+            return None
+
+        m = re.match(r"DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.*)$", s, re.I | re.S)
+        if m:
+            name, pred = m.groups()
+            self._table(name).delete_where(pred)
+            return None
+
+        m = re.match(r"ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+(\w+(?:\(.*\))?)$",
+                     s, re.I)
+        if m:
+            name, col, typ = m.groups()
+            self._table(name).add_column(col, typ.lower())
+            return None
+
+        m = re.match(r"ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$",
+                     s, re.I)
+        if m:
+            name, old, new = m.groups()
+            self._table(name).rename_column(old, new)
+            return None
+
+        m = re.match(r"ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)$", s, re.I)
+        if m:
+            self._table(m.group(1)).drop_column(m.group(2))
+            return None
+
+        m = re.match(r"ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+PARTITION\s+FIELD\s+"
+                     r"days\s*\(\s*(\w+)\s*\)$", s, re.I)
+        if m:
+            self._table(m.group(1)).set_partition_days(m.group(2))
+            return None
+
+        m = re.match(r"CALL\s+(?:\w+\.)?system\.expire_snapshots\s*\(\s*'([\w.]+)'"
+                     r"(.*)\)$", s, re.I | re.S)
+        if m:
+            name, args = m.groups()
+            retain = re.search(r"retain_last\s*=>\s*(\d+)", args, re.I)
+            older = re.search(
+                r"older_than\s*=>\s*NOW\(\)\s*-\s*INTERVAL\s*'(\d+)'\s*(\w+)",
+                args, re.I)
+            older_ts = (time.time()
+                        - int(older.group(1)) * _INTERVAL_S[older.group(2).upper()]
+                        if older else None)
+            self._table(name).expire_snapshots(
+                older_than_ts=older_ts,
+                retain_last=int(retain.group(1)) if retain else 1)
+            return None
+
+        m = re.match(r"CALL\s+(?:\w+\.)?system\.rewrite_data_files\s*\(\s*"
+                     r"table\s*=>\s*'([\w.]+)'\s*\)$", s, re.I)
+        if m:
+            self._table(m.group(1)).rewrite_data_files()
+            return None
+
+        # SELECT path: resolve <table>.history, VERSION AS OF, and plain
+        # icelite table references via temp views, then delegate
+        return self.spark.sql(self._rewrite_select(s))
+
+    def _rewrite_select(self, s: str) -> str:
+        for name in self._known_tables():
+            view = "__icelite_" + name.replace(".", "_")
+            t = self._table(name)
+            hist = re.compile(rf"\b{re.escape(name)}\.history\b", re.I)
+            if hist.search(s):
+                t.history().createOrReplaceTempView(view + "_history")
+                s = hist.sub(view + "_history", s)
+            tt = re.compile(
+                rf"\b{re.escape(name)}\s+VERSION\s+AS\s+OF\s+(\d+)", re.I)
+            mv = tt.search(s)
+            if mv:
+                ver = int(mv.group(1))
+                t.read(version=ver).createOrReplaceTempView(
+                    f"{view}_v{ver}")
+                s = tt.sub(f"{view}_v{ver}", s)
+            ref = re.compile(rf"\b{re.escape(name)}\b")
+            if ref.search(s):
+                t.read().createOrReplaceTempView(view)
+                s = ref.sub(view, s)
+        return s
+
+    def _known_tables(self) -> list[str]:
+        import os
+
+        known = set(self._tables)
+        base = self.catalog.base_dir
+        for root, _dirs, files in os.walk(base):
+            if "metadata.json" in files:
+                rel = os.path.relpath(root, base)
+                known.add(rel.replace(os.sep, "."))
+        # longest names first so t.history resolves before t
+        return sorted(known, key=len, reverse=True)
