@@ -151,3 +151,251 @@ def tpch_q10(spark, d):
                     "n_name")
             .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
             .limit(20))
+
+
+@register(
+    "tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+               AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*), 2) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 2) AS avg_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, d):
+    """Q1 pricing-summary shape: one full scan, eight aggregates computed
+    in a single partial+final hash aggregate — the exchange carries ~6
+    partial rows per task regardless of fact-table size.  All money sums
+    are exact decimal per row (order-insensitive), converted to DOUBLE
+    only at the very end."""
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    li = T(spark, d, "lineitem").filter(
+        F.col("l_shipdate") <= "2000-12-01 00:00:00")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty).cast("double").alias("sum_qty"),
+                 F.sum(price).cast("double").alias("sum_base_price"),
+                 F.sum(price * (F.lit(1) - disc)).cast("double")
+                  .alias("sum_disc_price"),
+                 F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+                  .cast("double").alias("sum_charge"),
+                 F.round(F.sum(qty).cast("double") / F.count("*"), 2)
+                  .alias("avg_qty"),
+                 F.round(F.sum(price).cast("double") / F.count("*"), 2)
+                  .alias("avg_price"),
+                 F.count("*").alias("count_order")))
+
+
+@register(
+    "tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4(spark, d):
+    """Q4 order-priority shape (adapted: the fixture has no
+    l_commitdate/l_receiptdate, so "late" means shipped >= 60 days after
+    the order date).  The EXISTS becomes a left-semi join — the probe
+    side never widens, and lineitem is reduced to (orderkey, shipdate)
+    before the shuffle."""
+    o = T(spark, d, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1996-04-01 00:00:00"))
+    li = T(spark, d, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+@register(
+    "tpch_q6",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark, d):
+    """Q6 forecasting-revenue shape: every predicate reaches the parquet
+    scan (PushedFilters on shipdate/discount/quantity), so row groups
+    outside the year are never decoded; the plan is scan -> one partial
+    sum per task -> single-row exchange."""
+    li = T(spark, d, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24))
+    return li.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+              * F.col("l_discount").cast("decimal(4,2)"))
+        .cast("double").alias("revenue"))
+
+
+@register(
+    "tpch_q12",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+)
+def tpch_q12(spark, d):
+    """Q12 shipping-mode shape (adapted: the fixture has no l_shipmode,
+    so lines group by l_linestatus).  Conditional counting folds into the
+    aggregate — no separate filter passes — and orders broadcasts onto
+    the date-pruned lineitem scan."""
+    o = T(spark, d, "orders").select("o_orderkey", "o_orderpriority")
+    li = T(spark, d, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-01-01 00:00:00"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+@register(
+    "tpch_q14",
+    oracle=f"""
+    SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN {_REV_SQL} ELSE 0 END) AS DOUBLE)
+                 / CAST(sum({_REV_SQL}) AS DOUBLE), 4) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def tpch_q14(spark, d):
+    """Q14 promotion-effect shape: part broadcasts, both branches of the
+    ratio come out of ONE aggregate over one scan (exact decimal sums;
+    the division happens once, on two exact values)."""
+    p = T(spark, d, "part").select("p_partkey", "p_type")
+    li = T(spark, d, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01 00:00:00")
+        & (F.col("l_shipdate") < "1996-04-01 00:00:00"))
+    rev = _rev_col()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(F.round(F.lit(100.0) * F.sum(promo).cast("double")
+                         / F.sum(rev).cast("double"), 4)
+                 .alias("promo_revenue")))
+
+
+@register(
+    "tpch_q18",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS VARCHAR) AS o_orderdate_s,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(b.total_qty AS DOUBLE) AS total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark, d):
+    """Q18 large-volume-customer shape: the HAVING aggregate shrinks
+    lineitem to a tiny keep-list FIRST, and that keep-list broadcasts
+    into orders — the expensive table is never joined at full width.  At
+    100 TB the aggregate output is ~0.3% of orders, so the broadcast
+    always fits."""
+    li = T(spark, d, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+                .alias("total_qty"))
+           .filter(F.col("total_qty") > 300))
+    o = T(spark, d, "orders")
+    c = T(spark, d, "customer")
+    return (o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.col("o_orderdate").cast("string").alias("o_orderdate_s"),
+                    F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                    F.col("total_qty").cast("double").alias("total_qty"))
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(100))
+
+
+@register(
+    "tpch_q19",
+    oracle=f"""
+    SELECT CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark, d):
+    """Q19 discounted-revenue shape (adapted: no p_container in the
+    fixture): a disjunction of conjunctive band predicates spanning BOTH
+    join sides.  The single-side implications ARE pushed manually —
+    part is pre-filtered to the three brands and lineitem to the
+    quantity hull — so the residual OR only runs on join survivors."""
+    p = T(spark, d, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & F.col("p_size").between(1, 15))
+    li = T(spark, d, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30)))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .filter(cond)
+            .agg(F.sum(_rev_col()).cast("double").alias("revenue")))

@@ -104,3 +104,37 @@ def test_exact_dedup_shuffles_digest_not_text(spark, sf_dir):
     p = plan_of(spark, sf_dir, "llm_dedup_exact")
     exchange_sections = re.findall(r"\(\d+\) Exchange\n(?:.+\n)+?", p)
     assert exchange_sections and all("text#" not in s for s in exchange_sections)
+
+
+def test_tpch_q6_all_predicates_pushed_single_row_exchange(spark, sf_dir):
+    """Q6: every predicate reaches the parquet scan and the only exchange
+    carries one partial-sum row per task."""
+    p = plan_of(spark, sf_dir, "tpch_q6")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed \
+        and "l_quantity" in pushed
+    assert node_count(p, "Exchange") == 1
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_tax" not in read_schema
+
+
+def test_tpch_q18_aggregate_keeplist_broadcasts(spark, sf_dir):
+    """Q18: the HAVING output (a tiny keep-list) must broadcast into
+    orders — orders itself never shuffles for the join."""
+    p = plan_of(spark, sf_dir, "tpch_q18")
+    assert node_count(p, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+@pytest.mark.parametrize("name", ["tpch_q12", "tpch_q14", "tpch_q19"])
+def test_tpch_dimension_joins_broadcast(spark, sf_dir, name):
+    p = plan_of(spark, sf_dir, name)
+    assert node_count(p, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_tpch_q1_partial_final_single_exchange(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "tpch_q1")
+    assert node_count(p, "HashAggregate") >= 2
+    assert node_count(p, "Exchange") == 1
