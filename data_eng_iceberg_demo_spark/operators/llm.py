@@ -977,3 +977,85 @@ def llm_dataset_mixture(spark, d):
     return (docs.withColumn("bucket", bucket)
             .filter(F.col("bucket") < rate)
             .select("doc_id", "lang", "source"))
+
+
+def ivf_centroids(emb_df, k=16, iters=5, sample_n=2048):
+    """Train the IVF coarse quantizer: Lloyd iterations over a BOUNDED,
+    deterministic sample (first sample_n vectors by vec_id) with
+    deterministic init (first k sample rows).  This is the standard ANN
+    recipe (faiss trains IVF on a sample too): the driver never holds
+    more than sample_n * dim doubles no matter the table size.  Returns
+    unit-normalised centroids, so nearest-by-dot == nearest-by-cosine."""
+    import numpy as np
+
+    sample = emb_df.orderBy("vec_id").limit(sample_n).select("e").collect()
+    X = np.array([r["e"] for r in sample], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    C = X[:k].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+    return C
+
+
+@register("llm_similarity_ivf")  # rows-only: ANN recall is approximate
+def llm_similarity_ivf(spark, d):
+    """ANN scale path #2 — IVF (inverted-file) partitioning: a 16-cell
+    coarse quantizer assigns every vector to its nearest centroid; each
+    query probes only its nprobe=4 nearest cells, so the exact re-rank
+    touches ~nprobe/k of the corpus instead of all of it.  The
+    assignment is one vectorized Arrow batch pass (the only Python in
+    the pipeline); the candidate restriction is a broadcast equi-join on
+    cell id; the re-rank runs JVM-side in codegen.  At 100 TB: k grows
+    to ~sqrt(n) cells, assignment stays a narrow map, and each query
+    still reads only its probed cells — the classic IVF contract."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    emb = T(spark, d, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    C = ivf_centroids(emb)
+    nprobe = 4
+
+    @pandas_udf("int", "SCALAR")
+    def cell_of(es):
+        X = np.array(es.tolist(), dtype=np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        return pd.Series((X @ C.T).argmax(axis=1).astype("int32"))
+
+    @pandas_udf("array<int>", "SCALAR")
+    def probes_of(es):
+        X = np.array(es.tolist(), dtype=np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        order = np.argsort(-(X @ C.T), axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    with_norm = emb.withColumn(
+        "norm", F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                                   F.lit(0.0), lambda a, x: a + x)))
+    cand = with_norm.withColumn("cell", cell_of("e")).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+        F.col("norm").alias("cnorm"), "cell")
+    q = (with_norm.filter(F.col("vec_id") < 5)
+         .withColumn("cell", F.explode(probes_of("e")))
+         .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                 F.col("norm").alias("qnorm"), "cell"))
+    pairs = (cand.join(F.broadcast(q), "cell")
+             .filter(F.col("qid") != F.col("cid")))
+    dotted = pairs.withColumn(
+        "dot", F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y),
+                           F.lit(0.0), lambda a, x: a + x))
+    sims = dotted.select(
+        "qid", "cid",
+        (F.round(F.col("dot") / (F.col("qnorm") * F.col("cnorm")), 4)
+         + F.lit(0.0)).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("cid").asc())
+    return (sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10).select("qid", "cid", "cosine"))

@@ -76,3 +76,22 @@ def test_minhash_matches_exact_pairs_on_fixture(spark, sf_dir):
     approx = {(r["doc_a"], r["doc_b"])
               for r in REGISTRY["llm_dedup_minhash"].fn(spark, sf_dir).collect()}
     assert approx == exact
+
+
+def test_ivf_recall_against_brute_force(spark, sf_dir):
+    """IVF with nprobe=4 of k=16 cells scans ~25% of the corpus per query;
+    on the fixture embeddings that buys >= 0.7 mean recall@10 vs the exact
+    brute-force ranking (each query individually stays above 0.5)."""
+    from collections import defaultdict
+
+    from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
+                                                            _load_all_modules)
+    _load_all_modules()
+    ex, iv = defaultdict(set), defaultdict(set)
+    for r in REGISTRY["llm_similarity_topk"].fn(spark, sf_dir).collect():
+        ex[r["qid"]].add(r["cid"])
+    for r in REGISTRY["llm_similarity_ivf"].fn(spark, sf_dir).collect():
+        iv[r["qid"]].add(r["cid"])
+    recalls = [len(ex[q] & iv[q]) / len(ex[q]) for q in ex]
+    assert min(recalls) >= 0.5
+    assert sum(recalls) / len(recalls) >= 0.7
