@@ -586,13 +586,50 @@ class IceliteTable:
         target = self._snapshot(meta, snapshot_id)
         self._commit_snapshot(meta, "rollback", list(target["files"]))
 
-    def rewrite_data_files(self, target_files: int = 1) -> None:
+    def rewrite_data_files(self, target_files: int = 1,
+                           zorder_by: list[str] | None = None) -> None:
         """Compaction (README.md:324-328): rewrite the current file set
         into `target_files` larger files — same rows, new 'replace'
-        snapshot; history and time travel to prior snapshots unaffected."""
+        snapshot; history and time travel to prior snapshots unaffected.
+
+        With `zorder_by`, rows are clustered on the Z-order (Morton)
+        curve over the given columns before the split — Iceberg's
+        `rewrite_data_files(strategy => 'sort', sort_order => 'zorder(a,
+        b)')`.  Each output file then covers a compact sub-rectangle of
+        the (a, b) value space, so footer min/max skipping
+        (plan_files_range) prunes on EITHER column, not just a leading
+        sort key.  The z-value is built from 8-bit linear codes (one
+        min/max aggregate per column, no global sort/window), bits
+        interleaved JVM-side; the split is a range-partition on z — all
+        of it scales as one scan + one exchange at any table size."""
         meta = self.meta
         df = self.read()
-        compacted = df.repartition(target_files)
+        if zorder_by:
+            bits = 8
+            aggs = []
+            for c in zorder_by:
+                dc = F.col(c).cast("double")
+                aggs += [F.min(dc).alias(f"mn_{c}"), F.max(dc).alias(f"mx_{c}")]
+            bounds = df.agg(*aggs).collect()[0]
+            n = len(zorder_by)
+            z = F.lit(0).cast("bigint")
+            for j, c in enumerate(zorder_by):
+                mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+                span = (mx - mn) if (mx is not None and mx > mn) else 1.0
+                code = F.least(
+                    F.lit((1 << bits) - 1),
+                    F.floor((F.col(c).cast("double") - F.lit(mn))
+                            / F.lit(span) * (1 << bits)).cast("int"))
+                code = F.coalesce(code, F.lit(0))
+                for i in range(bits):
+                    z = z + (F.shiftright(code, i).bitwiseAND(F.lit(1))
+                             .cast("bigint") * F.lit(1 << (i * n + j)))
+            compacted = (df.withColumn("__z", z)
+                         .repartitionByRange(target_files, "__z")
+                         .sortWithinPartitions("__z")
+                         .drop("__z"))
+        else:
+            compacted = df.repartition(target_files)
         new_files = self._write_files(compacted, meta)
         self._commit_snapshot(meta, "replace", new_files)
 

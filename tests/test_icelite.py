@@ -268,3 +268,39 @@ def test_incremental_read_changes(spark, tmp_path):
     t.delete_where("uf = 'SP'")         # snapshot 4
     with pytest.raises(ValueError):
         t.read_changes(from_version=1, to_version=4)
+
+
+def test_zorder_rewrite_enables_pruning_on_both_columns(spark, tmp_path):
+    """Z-order compaction: after rewrite_data_files(zorder_by=[a, b]),
+    footer-stats skipping must prune narrow ranges on EITHER column
+    (each file covers a sub-rectangle of the value space).  Before the
+    rewrite every file spans the full range of both columns, so nothing
+    can be skipped; data must be unchanged by the relayout."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cat = IceliteCatalog(spark, str(tmp_path))
+    schema = StructType([StructField("rid", LongType()),
+                         StructField("a", LongType()),
+                         StructField("b", LongType())])
+    t = cat.create_table("db.zorder", schema)
+    df = (spark.range(4096).select(
+        F.col("id").alias("rid"),
+        F.pmod(F.hash(F.col("id")), F.lit(1000)).alias("a"),
+        F.pmod(F.hash(F.col("id") + 99999), F.lit(1000)).alias("b")))
+    t.insert(df.repartition(16))  # random layout: full-span stats per file
+
+    total = t.file_count()
+    assert len(t.plan_files_range("a", lo=100, hi=199)) == total  # no skip
+    before = sorted(tuple(r) for r in t.read().collect())
+
+    t.rewrite_data_files(target_files=16, zorder_by=["a", "b"])
+    total2 = t.file_count()
+    pruned_a = len(t.plan_files_range("a", lo=100, hi=199))
+    pruned_b = len(t.plan_files_range("b", lo=100, hi=199))
+    assert pruned_a <= total2 // 2 and pruned_b <= total2 // 2
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    got = sorted(r["rid"] for r in
+                 t.scan_range("a", lo=100, hi=199).collect())
+    want = sorted(r["rid"] for r in
+                  t.read().filter("a BETWEEN 100 AND 199").collect())
+    assert got == want and len(got) > 0
