@@ -306,10 +306,17 @@ class IceliteTable:
             out = part if out is None else out.unionByName(part)
         return out
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Current read, or time travel when version=snapshot_id
-        (VERSION AS OF, README.md:255-258)."""
+    def read(self, version: int | None = None,
+             ref: str | None = None) -> DataFrame:
+        """Current read, time travel when version=snapshot_id (VERSION AS
+        OF, README.md:255-258), or a named-ref read when ref=tag/branch
+        name (Iceberg's ``VERSION AS OF 'ref'``)."""
         meta = self.meta
+        if ref is not None:
+            r = meta.get("refs", {}).get(ref)
+            if r is None:
+                raise ValueError(f"no ref: {ref}")
+            version = r["snapshot_id"]
         if meta["current_snapshot"] is None and version is None:
             return self._read_files([], meta)
         snap = self._snapshot(meta, version)
@@ -492,6 +499,9 @@ class IceliteTable:
         keep_ids = {s["id"] for s in snaps[-retain_last:]}
         if meta["current_snapshot"] is not None:
             keep_ids.add(meta["current_snapshot"])
+        for r in meta.get("refs", {}).values():
+            if r["snapshot_id"] is not None:  # refs pin their snapshots
+                keep_ids.add(r["snapshot_id"])
         expired = [s for s in snaps
                    if s["id"] not in keep_ids
                    and (older_than_ts is None or s["ts"] < older_than_ts)]
@@ -585,6 +595,84 @@ class IceliteTable:
         meta = self.meta
         target = self._snapshot(meta, snapshot_id)
         self._commit_snapshot(meta, "rollback", list(target["files"]))
+
+    # ------------------------------------------------- refs: tags / branches
+    def refs(self) -> dict:
+        return dict(self.meta.get("refs", {}))
+
+    def _set_ref(self, name: str, kind: str, snapshot_id: int | None) -> None:
+        meta = self.meta
+        refs = meta.setdefault("refs", {})
+        if name in refs:
+            raise ValueError(f"ref exists: {name}")
+        if snapshot_id is not None:
+            self._snapshot(meta, snapshot_id)  # must exist
+        refs[name] = {"type": kind, "snapshot_id": snapshot_id}
+        _write_meta(self.tdir, meta)
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Immutable named pointer to a snapshot (Iceberg tag): the
+        snapshot it pins survives expire_snapshots until the tag drops."""
+        snapshot_id = (snapshot_id if snapshot_id is not None
+                       else self.meta["current_snapshot"])
+        self._set_ref(name, "tag", snapshot_id)
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        """Mutable named pointer (Iceberg branch) — the WAP staging
+        target: write_to_branch advances it without touching main."""
+        snapshot_id = (snapshot_id if snapshot_id is not None
+                       else self.meta["current_snapshot"])
+        self._set_ref(name, "branch", snapshot_id)
+
+    def drop_ref(self, name: str) -> None:
+        meta = self.meta
+        if name not in meta.get("refs", {}):
+            raise ValueError(f"no ref: {name}")
+        del meta["refs"][name]
+        _write_meta(self.tdir, meta)
+
+    def write_to_branch(self, branch: str, df: DataFrame) -> None:
+        """Append a snapshot visible ONLY on the branch (main readers are
+        unaffected) — the write half of write-audit-publish.  Optimistic
+        concurrency applies per branch head, exactly like main commits."""
+        meta = self.meta
+        ref = meta.get("refs", {}).get(branch)
+        if ref is None or ref["type"] != "branch":
+            raise ValueError(f"no branch: {branch}")
+        cols = self.current_columns(meta)
+        new_files = self._write_files(df.select(*cols), meta)
+        base_files = (self._snapshot(meta, ref["snapshot_id"])["files"]
+                      if ref["snapshot_id"] is not None else [])
+        on_disk = self.meta.get("refs", {}).get(branch)
+        if on_disk is None or on_disk["snapshot_id"] != ref["snapshot_id"]:
+            raise CommitConflict(
+                f"branch {branch} advanced while this commit was in flight")
+        sid = max((s["id"] for s in meta["snapshots"]), default=0) + 1
+        meta["snapshots"].append({
+            "id": sid, "parent": ref["snapshot_id"], "ts": time.time(),
+            "operation": "append", "files": base_files + new_files})
+        meta["refs"][branch]["snapshot_id"] = sid
+        _write_meta(self.tdir, meta)
+
+    def fast_forward(self, branch: str) -> None:
+        """Publish half of WAP: point main at the branch head.  Allowed
+        only when main is an ancestor of the branch head (a true
+        fast-forward — Iceberg's fast_forward procedure); otherwise the
+        branch diverged and the caller must rebase/merge explicitly."""
+        meta = self.meta
+        ref = meta.get("refs", {}).get(branch)
+        if ref is None or ref["type"] != "branch":
+            raise ValueError(f"no branch: {branch}")
+        by_id = {s["id"]: s for s in meta["snapshots"]}
+        sid = ref["snapshot_id"]
+        while sid is not None and sid != meta["current_snapshot"]:
+            sid = by_id[sid]["parent"] if sid in by_id else None
+        if sid != meta["current_snapshot"]:
+            raise ValueError(
+                f"main is not an ancestor of branch {branch}: not a "
+                f"fast-forward")
+        meta["current_snapshot"] = ref["snapshot_id"]
+        _write_meta(self.tdir, meta)
 
     def rewrite_data_files(self, target_files: int = 1,
                            zorder_by: list[str] | None = None) -> None:

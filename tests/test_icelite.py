@@ -304,3 +304,47 @@ def test_zorder_rewrite_enables_pruning_on_both_columns(spark, tmp_path):
     want = sorted(r["rid"] for r in
                   t.read().filter("a BETWEEN 100 AND 199").collect())
     assert got == want and len(got) > 0
+
+
+def test_tag_pins_snapshot_through_expiry(spark, table):
+    """A tag is an immutable named pointer: reads via the tag see the
+    tagged snapshot forever, and expire_snapshots must NOT drop a
+    tagged snapshot even when retention would."""
+    before = _rowset(table.read())
+    table.create_tag("v1")
+    table.delete_where("uf = 'SP'")
+    table.delete_where("uf = 'RJ'")
+    assert _rowset(table.read(ref="v1")) == before
+    table.expire_snapshots(retain_last=1)
+    assert _rowset(table.read(ref="v1")) == before  # tag pinned it
+    with pytest.raises(ValueError):
+        table.create_tag("v1")  # refs are unique
+
+
+def test_branch_wap_write_audit_publish(spark, table):
+    """Write-audit-publish: a branch write is invisible on main until
+    fast_forward publishes it; after publishing, main sees the branch
+    rows and the branch can be dropped."""
+    main_before = _rowset(table.read())
+    table.create_branch("audit")
+    extra = _typed_pedidos(spark).limit(3).withColumn(
+        "id_pedido", F.concat(F.lit("wap-"), F.col("id_pedido")))
+    table.write_to_branch("audit", extra)
+    assert _rowset(table.read()) == main_before          # main unchanged
+    branch_rows = _rowset(table.read(ref="audit"))
+    assert len(branch_rows) == len(main_before) + 3      # branch sees them
+    table.fast_forward("audit")                          # publish
+    assert _rowset(table.read()) == branch_rows
+    table.drop_ref("audit")
+    with pytest.raises(ValueError):
+        table.read(ref="audit")
+
+
+def test_fast_forward_rejects_diverged_branch(spark, table):
+    """If main advanced past the branch point, publishing the branch is
+    no longer a fast-forward and must be refused."""
+    table.create_branch("stale")
+    table.write_to_branch("stale", _typed_pedidos(spark).limit(1))
+    table.delete_where("uf = 'SP'")  # main moves independently
+    with pytest.raises(ValueError, match="fast-forward"):
+        table.fast_forward("stale")
