@@ -379,3 +379,48 @@ def sink_partitioned(spark, d):
             .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
             .select("o_orderkey", "o_custkey", "o_totalprice",
                     "o_orderpriority"))
+
+
+@register(
+    "join_dpp_partitioned",
+    oracle="""
+    WITH dim(priority, speed_class) AS (
+        VALUES ('1-URGENT', 'rush'), ('2-HIGH', 'rush'),
+               ('3-MEDIUM', 'std'), ('4-NOT SPECIFIED', 'std'),
+               ('5-LOW', 'slow')
+    )
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+    FROM orders o
+    JOIN dim ON o.o_orderpriority = dim.priority
+    WHERE dim.speed_class = 'rush'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_dpp_partitioned(spark, d):
+    """Dynamic partition pruning: the fact table is laid out by
+    o_orderpriority, but the query filters the DIM side on an attribute
+    (speed_class) — so which partitions survive is only known at
+    runtime.  Spark's DPP turns the broadcast dim into a pruning
+    subquery on the fact scan (dynamicpruning# in PartitionFilters,
+    asserted in tests/test_plans.py): at 100 TB the fact directories
+    for non-rush priorities are never listed, let alone read."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="dpp_fact_", dir="/tmp")
+    (T(spark, d, "orders")
+     .select("o_orderkey",
+             F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+             "o_orderpriority")
+     .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out))
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "rush"), ("2-HIGH", "rush"), ("3-MEDIUM", "std"),
+         ("4-NOT SPECIFIED", "std"), ("5-LOW", "slow")],
+        ["priority", "speed_class"])
+    return (fact.join(F.broadcast(dim).filter(F.col("speed_class") == "rush"),
+                      fact.o_orderpriority == F.col("priority"))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.sum("o_totalprice").cast("double").alias("total")))

@@ -138,3 +138,12 @@ def test_tpch_q1_partial_final_single_exchange(spark, sf_dir):
     p = plan_of(spark, sf_dir, "tpch_q1")
     assert node_count(p, "HashAggregate") >= 2
     assert node_count(p, "Exchange") == 1
+
+
+def test_dpp_fact_scan_prunes_at_runtime(spark, sf_dir):
+    """The dim-side filter is on a non-partition attribute, so only DPP
+    can prune the fact's partition directories — the scan must carry a
+    dynamicpruningexpression over o_orderpriority."""
+    p = plan_of(spark, sf_dir, "join_dpp_partitioned")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "dynamicpruning" in m.group(1)
