@@ -348,3 +348,25 @@ def test_fast_forward_rejects_diverged_branch(spark, table):
     table.delete_where("uf = 'SP'")  # main moves independently
     with pytest.raises(ValueError, match="fast-forward"):
         table.fast_forward("stale")
+
+
+def test_incremental_aggregate_maintenance_via_read_changes(spark, tmp_path):
+    """The 100 TB pipeline pattern read_changes exists for: a
+    materialized per-uf count is brought up to date by aggregating ONLY
+    the appended rows between two snapshots and merging — the result
+    must equal a full recompute, without rescanning the base table."""
+    cat = IceliteCatalog(spark, str(tmp_path))
+    t = cat.create_table("db.pedidos", PEDIDOS_SCHEMA)
+    df = _typed_pedidos(spark)
+    t.insert(df.filter(F.col("id_cliente") % 2 == 0))
+    v1 = t.meta["current_snapshot"]
+    mat = (t.read().groupBy("uf").count()
+           .withColumnRenamed("count", "n").collect())          # materialize @ v1
+    t.insert(df.filter(F.col("id_cliente") % 2 == 1))           # new data lands
+    delta = (t.read_changes(v1).groupBy("uf").count()
+             .withColumnRenamed("count", "n"))
+    merged = (spark.createDataFrame(mat).unionByName(delta)
+              .groupBy("uf").agg(F.sum("n").alias("n")))
+    full = t.read().groupBy("uf").agg(F.count("*").alias("n"))
+    assert (sorted(tuple(r) for r in merged.collect())
+            == sorted(tuple(r) for r in full.collect()))
