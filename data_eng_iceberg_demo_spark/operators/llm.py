@@ -1059,3 +1059,47 @@ def llm_similarity_ivf(spark, d):
                                           F.col("cid").asc())
     return (sims.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 10).select("qid", "cid", "cosine"))
+
+
+@register(
+    "llm_pack_sequences",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS ntok
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, source, ntok,
+               CAST(floor((sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - ntok) / 512.0)
+                    AS BIGINT) AS seq_id
+        FROM tok
+    )
+    SELECT source, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS seq_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM packed GROUP BY source, seq_id
+    """,
+)
+def llm_pack_sequences(spark, d):
+    """Sequence packing — the pretraining step that concatenates documents
+    into fixed-budget context windows (cap 512 tokens here).  Each doc's
+    sequence id is the 512-bucket of its START offset in the per-source
+    token stream (deterministic doc_id order), i.e. contiguous packing
+    where the straddling doc belongs to the window it starts in.  Cost:
+    ONE shuffle on source for the running sum; the pack assignment and
+    roll-up reuse that partitioning.  At 100 TB, source-keyed streams
+    pack independently — no global coordination."""
+    from pyspark.sql import Window
+
+    docs = T(spark, d, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("ntok"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    packed = docs.withColumn(
+        "seq_id",
+        F.floor((F.sum("ntok").over(w) - F.col("ntok")) / 512.0)
+        .cast("bigint"))
+    return (packed.groupBy("source", "seq_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("ntok").cast("bigint").alias("seq_tokens"),
+                 F.min("doc_id").cast("bigint").alias("first_doc")))

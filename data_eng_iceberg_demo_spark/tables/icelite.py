@@ -596,6 +596,21 @@ class IceliteTable:
         target = self._snapshot(meta, snapshot_id)
         self._commit_snapshot(meta, "rollback", list(target["files"]))
 
+    def files(self, version: int | None = None) -> DataFrame:
+        """Metadata table (Iceberg's ``db.t.files`` analog): one row per
+        data file in the snapshot — path, partition value, schema
+        version, and per-column min/max stats as a JSON string.  Pure
+        metadata: answers "how is this table laid out" without touching
+        a single data file."""
+        meta = self.meta
+        snap = self._snapshot(meta, version)
+        rows = [(f["path"], f.get("partition"), f["schema_version"],
+                 json.dumps(f.get("stats") or {}, sort_keys=True))
+                for f in snap["files"]]
+        return self.spark.createDataFrame(
+            rows, "file_path string, partition string, "
+                  "schema_version int, stats string")
+
     # ------------------------------------------------- refs: tags / branches
     def refs(self) -> dict:
         return dict(self.meta.get("refs", {}))

@@ -370,3 +370,14 @@ def test_incremental_aggregate_maintenance_via_read_changes(spark, tmp_path):
     full = t.read().groupBy("uf").agg(F.count("*").alias("n"))
     assert (sorted(tuple(r) for r in merged.collect())
             == sorted(tuple(r) for r in full.collect()))
+
+
+def test_files_metadata_table(spark, table):
+    """files() lists exactly the current snapshot's data files with
+    partition + stats, without reading any data file."""
+    rows = table.files().collect()
+    assert len(rows) == table.file_count()
+    assert all(r["file_path"].endswith(".parquet") for r in rows)
+    assert all(r["stats"] for r in rows)  # footer stats recorded at write
+    table.delete_where("uf = 'SP'")
+    assert len(table.files().collect()) == table.file_count()
