@@ -1,0 +1,105 @@
+"""Event-analytics operators over the `events` stream fixture: ordered
+funnel conversion and cohort retention — the two classic product-analytics
+shapes a warehouse engine is asked for at scale.
+
+Scale notes: every stage keys on user_id, so ONE hash partitioning is
+reused across all joins and aggregates (no re-shuffle between stages);
+funnel stages shrink monotonically, and the cohort matrix output is
+O(days²) regardless of event volume.  events.ts is date_trunc'd per the
+registry discipline (parquet ns vs Spark µs).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..plans.registry import register
+from ._util import T
+
+
+def _events(spark, d):
+    return T(spark, d, "events").select(
+        "user_id", "event_type",
+        F.date_trunc("second", "ts").alias("tss"))
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, date_trunc('second', ts) AS tss
+        FROM events
+    ), v AS (
+        SELECT user_id, min(tss) AS t_view FROM e
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.tss) AS t_click
+        FROM e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.tss > v.t_view
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.tss) AS t_purchase
+        FROM e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.tss > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS stage_view,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS stage_click,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS stage_purchase
+    """,
+)
+def events_funnel(spark, d):
+    """Ordered funnel view -> click -> purchase: a user converts a stage
+    only with an event strictly AFTER their previous-stage time.  Each
+    stage is min-timestamp aggregate + equi-join on user_id; the user
+    set shrinks at every stage, and all stages share one user_id
+    partitioning — no re-shuffle between them."""
+    e = _events(spark, d)
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("tss").alias("t_view")))
+    c = (e.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("tss") > F.col("t_view"))
+         .groupBy("user_id").agg(F.min("tss").alias("t_click")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("tss") > F.col("t_click"))
+         .groupBy("user_id").agg(F.min("tss").alias("t_purchase")))
+    counts = [df.agg(F.count("*").alias(alias))
+              for df, alias in ((v, "stage_view"), (c, "stage_click"),
+                                (p, "stage_purchase"))]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(date_trunc('second', ts) AS DATE) AS d
+        FROM events
+    ), first AS (
+        SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id
+    )
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, e.d) AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM e JOIN first f ON e.user_id = f.user_id
+    GROUP BY f.cohort_day, date_diff('day', f.cohort_day, e.d)
+    """,
+)
+def events_cohort_retention(spark, d):
+    """Cohort retention matrix: users grouped by their first-activity
+    day, counted distinct on each later day offset.  The first-touch
+    aggregate and the retention count share the user_id partitioning;
+    the output is bounded by days x days however large the event log —
+    the shape that stays cheap at 100 TB."""
+    e = T(spark, d, "events").select(
+        "user_id", F.date_trunc("second", "ts").cast("date").alias("day"))
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (e.join(first, "user_id")
+            .groupBy(F.col("cohort_day"),
+                     F.datediff("day", "cohort_day").alias("day_offset"))
+            .agg(F.count_distinct("user_id").alias("n_users"))
+            .select(F.col("cohort_day").cast("string").alias("cohort_day"),
+                    F.col("day_offset").cast("bigint").alias("day_offset"),
+                    "n_users"))

@@ -48,8 +48,8 @@ def register(name: str, oracle: str | None = None):
 def _load_all_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     from ..operators import (  # noqa: F401
-        advanced, aggregates, joins, llm, multimodal, relational, sorts,
-        tpch, windows,
+        advanced, aggregates, analytics, joins, llm, multimodal, relational,
+        sorts, tpch, windows,
     )
     from ..functions import families, udfs  # noqa: F401
     from ..sources import pysource  # noqa: F401
