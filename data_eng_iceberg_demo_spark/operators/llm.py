@@ -86,11 +86,18 @@ def llm_dedup_near(spark, d):
                                   F.element_at(F.col("w"), i + 3)),
         ))).alias("shingle"))
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    # inverted-index pair generation with ONE shuffle: posting lists per
+    # shingle (df==1 postings — most of a real corpus — drop before any
+    # pair exists), then a narrow in-place expansion of each list's
+    # ordered pairs.  The shingle strings are never shuffled twice and
+    # never joined; output is identical to the postings self-join.
+    posts = (sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ids"))
+             .filter(F.size("ids") >= 2))
+    inter = (posts
+             .select(F.explode("ids").alias("doc_a"), "ids")
+             .select("doc_a", F.explode("ids").alias("doc_b"))
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
              .agg(F.count("*").alias("common")))
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
