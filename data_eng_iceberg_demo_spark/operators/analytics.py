@@ -103,3 +103,46 @@ def events_cohort_retention(spark, d):
             .select(F.col("cohort_day").cast("string").alias("cohort_day"),
                     F.col("day_offset").cast("bigint").alias("day_offset"),
                     "n_users"))
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, date_trunc('second', ts) AS tss,
+               event_id
+        FROM events
+    ), seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)
+    )
+    SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+)
+def events_top_paths(spark, d):
+    """Path mining: the 10 most common 3-step event sequences.  lead()
+    windows over the per-user timeline (event_id tiebreak keeps ties
+    deterministic), then a count per trigram — one user_id shuffle for
+    the window, one tiny aggregate, top-10 without a global sort."""
+    from pyspark.sql import Window
+
+    e = T(spark, d, "events").select(
+        "user_id", "event_type",
+        F.date_trunc("second", "ts").alias("tss"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"))
+    return (seq.filter(F.col("e3").isNotNull())
+            .select(F.concat_ws(" > ", "event_type", "e2", "e3").alias("path"))
+            .groupBy("path").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("path"))
+            .limit(10))
