@@ -795,8 +795,18 @@ def llm_dedup_clusters(spark, d, max_iter: int = 20):
                  edges.select(F.col("doc_b").alias("src"),
                               F.col("doc_a").alias("dst")))).cache()
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("lbl"))
+    # only nodes with at least one dup edge can ever change label — the
+    # loop runs on the dup SUBGRAPH (a sliver of the corpus at 100 TB);
+    # every isolated doc is its own canonical id, attached at the end
+    # with one left join, outside the iteration entirely.  The label
+    # frames are tiny relative to the corpus, so the rounds run with
+    # few shuffle partitions (restored after) — per-round task overhead,
+    # not data volume, is what bounds iterative CC.
+    nodes = bidir.select(F.col("src").alias("doc_id")).distinct()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("lbl"))
     prev_cached = None
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     for _ in range(max_iter):
         neigh = (bidir.join(labels, bidir.src == labels.doc_id)
                  .groupBy(F.col("dst").alias("doc_id"))
@@ -813,10 +823,13 @@ def llm_dedup_clusters(spark, d, max_iter: int = 20):
         prev_cached = labels = new_labels
         if changed == 0:
             break
+    spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     bidir.unpersist()
-    return labels.select(
-        "doc_id", F.col("lbl").alias("canonical_id"),
-        (F.col("lbl") != F.col("doc_id")).alias("is_duplicate"))
+    return (docs.join(labels, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("lbl", "doc_id").alias("canonical_id"),
+                    (F.coalesce("lbl", "doc_id") != F.col("doc_id"))
+                    .alias("is_duplicate")))
 
 
 @register(
