@@ -424,3 +424,37 @@ def join_dpp_partitioned(spark, d):
             .groupBy("o_orderpriority")
             .agg(F.count("*").alias("n"),
                  F.sum("o_totalprice").cast("double").alias("total")))
+
+
+@register(
+    "scan_binary_files",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def scan_binary_files(spark, d):
+    """binaryFile source — the ingest path for opaque multimodal payloads
+    (images/audio land as whole-file binary rows with path + length
+    metadata).  Fixture setup materializes 20 documents as .bin files
+    (bounded, setup-only); the OPERATOR is the distributed binaryFile
+    scan + JVM-side projection: id parsed from the path, byte length,
+    and content digest — verified byte-identical to the source rows.
+    At 100 TB the scan parallelizes per file with no Python anywhere."""
+    import os
+    import tempfile
+
+    rows = (T(spark, d, "documents").filter(F.col("doc_id") < 20)
+            .select("doc_id", "text").collect())
+    out = tempfile.mkdtemp(prefix="binfiles_", dir="/tmp")
+    for r in rows:
+        with open(os.path.join(out, f"{r['doc_id']:05d}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    b = spark.read.format("binaryFile").load(out)
+    return b.select(
+        F.regexp_extract("path", r"(\d+)\.bin$", 1).cast("bigint")
+        .alias("doc_id"),
+        F.length("content").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("content_md5"))
