@@ -297,3 +297,26 @@ def fn_variant(spark, d):
         F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
         (F.expr("variant_get(parse_json(props), '$.k', 'bigint')") % 10)
         .alias("k_mod"))
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS h_md5,
+           sha256(p_name) AS h_sha256,
+           CAST(length(md5(p_name)) AS INT) AS md5_len
+    FROM part WHERE p_partkey <= 50
+    """,
+)
+def fn_hash(spark, d):
+    """Cryptographic digest family (md5 / sha2-256): hex output verified
+    byte-identical across engines — the column-fingerprint primitives
+    dedup and partition-routing hash on.  Pure codegen, narrow map."""
+    p = T(spark, d, "part").filter(F.col("p_partkey") <= 50)
+    return p.select(
+        "p_partkey",
+        F.md5(F.col("p_name").cast("binary")).alias("h_md5"),
+        F.sha2(F.col("p_name").cast("binary"), 256).alias("h_sha256"),
+        F.length(F.md5(F.col("p_name").cast("binary"))).cast("int")
+        .alias("md5_len"))

@@ -213,3 +213,25 @@ def agg_histogram(spark, d):
             .agg(F.count("*").alias("n"),
                  F.round(F.min("o_totalprice"), 2).alias("lo"),
                  F.round(F.max("o_totalprice"), 2).alias("hi")))
+
+
+@register(
+    "agg_boolean_family",
+    oracle="""
+    SELECT l_linestatus,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount > 0.09) AS any_high_disc,
+           CAST(count_if(l_returnflag = 'R') AS BIGINT) AS n_returned
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_boolean_family(spark, d):
+    """Boolean aggregates (bool_and/bool_or/count_if): predicates fold
+    into the aggregate — no separate filter passes, one partial+final
+    exchange whose payload is three booleans and a count per group."""
+    li = T(spark, d, "lineitem")
+    return (li.groupBy("l_linestatus")
+            .agg(F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+                 F.bool_or(F.col("l_discount") > 0.09).alias("any_high_disc"),
+                 F.count_if(F.col("l_returnflag") == "R").alias("n_returned")))

@@ -1123,3 +1123,54 @@ def llm_pack_sequences(spark, d):
             .agg(F.count("*").alias("n_docs"),
                  F.sum("ntok").cast("bigint").alias("seq_tokens"),
                  F.min("doc_id").cast("bigint").alias("first_doc")))
+
+
+@register(
+    "llm_decontaminate",
+    oracle="""
+    WITH ev AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE doc_id < 10 AND len(string_split(text, ' ')) >= 8
+    ), evsh AS (
+        SELECT DISTINCT array_to_string(list_slice(w, i, i + 7), ' ') AS sh
+        FROM ev, unnest(generate_series(1, len(w) - 7)) AS t(i)
+    ), tr AS (
+        SELECT doc_id, w FROM documents
+        WHERE doc_id >= 10 AND len(string_split(text, ' ')) >= 8
+    ), trsh AS (
+        SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 7), ' ')
+               AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+              WHERE doc_id >= 10) tr2,
+             unnest(generate_series(1, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8
+    )
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM trsh t JOIN evsh e ON t.sh = e.sh
+    GROUP BY t.doc_id
+    """,
+)
+def llm_decontaminate(spark, d):
+    """Benchmark decontamination — the eval-leakage check every serious
+    pretraining pipeline runs: find training docs sharing any 8-gram
+    with the eval set (docs 0-9 stand in for the benchmark).  Eval
+    8-grams are a tiny distinct set, so the check is a BROADCAST
+    semi-ish join against them — the 100 TB training corpus shingles
+    stream past in place, nothing shuffles but per-doc hit counts."""
+    docs = T(spark, d, "documents").select(
+        "doc_id", F.split("text", " ").alias("w"))
+    docs = docs.filter(F.size("w") >= 8)
+
+    def grams(df):
+        return df.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.transform(
+                F.sequence(F.lit(0), F.size("w") - 8),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col("w"), i + k)
+                           for k in range(1, 9)])))).alias("sh"))
+
+    ev = grams(docs.filter(F.col("doc_id") < 10)).select("sh").distinct()
+    tr = grams(docs.filter(F.col("doc_id") >= 10))
+    return (tr.join(F.broadcast(ev), "sh")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
