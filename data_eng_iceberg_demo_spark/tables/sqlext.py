@@ -125,6 +125,20 @@ class IceliteSqlSession:
             self._table(m.group(1)).rewrite_data_files()
             return None
 
+        m = re.match(r"ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+(TAG|BRANCH)\s+"
+                     r"(\w+)$", s, re.I)
+        if m:
+            name, kind, ref = m.groups()
+            t = self._table(name)
+            (t.create_tag if kind.upper() == "TAG" else t.create_branch)(ref)
+            return None
+
+        m = re.match(r"CALL\s+(?:\w+\.)?system\.fast_forward\s*\(\s*"
+                     r"'([\w.]+)'\s*,\s*'(\w+)'\s*\)$", s, re.I)
+        if m:
+            self._table(m.group(1)).fast_forward(m.group(2))
+            return None
+
         # SELECT path: resolve <table>.history, VERSION AS OF, and plain
         # icelite table references via temp views, then delegate
         return self.spark.sql(self._rewrite_select(s))
@@ -145,6 +159,13 @@ class IceliteSqlSession:
                 t.read(version=ver).createOrReplaceTempView(
                     f"{view}_v{ver}")
                 s = tt.sub(f"{view}_v{ver}", s)
+            tr = re.compile(
+                rf"\b{re.escape(name)}\s+VERSION\s+AS\s+OF\s+'(\w+)'", re.I)
+            mr = tr.search(s)
+            if mr:  # named ref (tag/branch) time travel
+                ref = mr.group(1)
+                t.read(ref=ref).createOrReplaceTempView(f"{view}_r_{ref}")
+                s = tr.sub(f"{view}_r_{ref}", s)
             ref = re.compile(rf"\b{re.escape(name)}\b")
             if ref.search(s):
                 t.read().createOrReplaceTempView(view)

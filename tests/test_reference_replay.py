@@ -114,3 +114,29 @@ def test_tutorial_sessions_3_through_7(spark, sess):
 def test_unhandled_statements_pass_through_to_spark(spark, sess):
     df = sess.sql("SELECT 1 AS one")
     assert df.collect()[0]["one"] == 1
+
+
+def test_tag_branch_wap_sql_surface(spark, sess):
+    """Iceberg's ref DDL shapes route through the shim: CREATE TAG pins a
+    readable version, CREATE BRANCH + fast_forward publish WAP writes."""
+    sess.sql("CREATE SCHEMA IF NOT EXISTS db;")
+    sess.sql("""
+        CREATE TABLE db.t (id BIGINT, v STRING) USING iceberg;
+    """)
+    spark.range(3).selectExpr("id", "CAST(id AS STRING) AS v") \
+        .createOrReplaceTempView("seed")
+    sess.sql("INSERT INTO db.t SELECT id, v FROM seed;")
+    sess.sql("ALTER TABLE db.t CREATE TAG v1;")
+    sess.sql("DELETE FROM db.t WHERE id = 0;")
+    assert sess.sql("SELECT * FROM db.t;").count() == 2
+    tagged = sess.sql("SELECT * FROM db.t VERSION AS OF 'v1';")
+    assert tagged.count() == 3  # the tag still sees the pre-delete rows
+
+    sess.sql("ALTER TABLE db.t CREATE BRANCH audit;")
+    t = sess._table("db.t")
+    t.write_to_branch(
+        "audit", spark.range(10, 12).selectExpr("id", "CAST(id AS STRING) AS v"))
+    assert sess.sql("SELECT * FROM db.t;").count() == 2      # main unchanged
+    assert sess.sql("SELECT * FROM db.t VERSION AS OF 'audit';").count() == 4
+    sess.sql("CALL system.fast_forward('db.t', 'audit');")
+    assert sess.sql("SELECT * FROM db.t;").count() == 4      # published
