@@ -146,3 +146,35 @@ def events_top_paths(spark, d):
             .groupBy("path").agg(F.count("*").alias("n"))
             .orderBy(F.col("n").desc(), F.col("path"))
             .limit(10))
+
+
+@register(
+    "events_anomaly",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(CAST(e.value AS DOUBLE), 2) AS value,
+           round((e.value - s.mu) / s.sd, 2) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs(e.value - s.mu) > 3 * s.sd
+    """,
+)
+def events_anomaly(spark, d):
+    """Z-score outlier detection per event type: one tiny per-type
+    moments aggregate (5 rows) broadcast back onto the stream — the full
+    scan is filtered in place, and only outliers survive.  At 100 TB the
+    stats side is always broadcastable (one row per event type) so the
+    event log never shuffles."""
+    e = T(spark, d, "events")
+    stats = (e.groupBy("event_type")
+             .agg(F.avg("value").alias("mu"),
+                  F.stddev_samp("value").alias("sd")))
+    return (e.join(F.broadcast(stats), "event_type")
+            .filter(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"))
+            .select("event_id", "event_type",
+                    F.round(F.col("value").cast("double"), 2).alias("value"),
+                    F.round((F.col("value") - F.col("mu")) / F.col("sd"), 2)
+                    .alias("zscore")))

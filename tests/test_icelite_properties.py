@@ -120,3 +120,42 @@ def test_rollback_restores_old_contents_and_keeps_history(spark, tmp_path):
     assert t.read(version=2).count() == 1
     with pytest.raises(ValueError):
         t.rollback_to_snapshot(99)
+
+
+# --------------------------------------------------------- z-order pruning
+@pytest.fixture(scope="module")
+def zorder_table(spark, tmp_path_factory):
+    """One z-ordered table shared by the property runs (build once)."""
+    from pyspark.sql.types import LongType
+
+    base = tmp_path_factory.mktemp("zprop")
+    cat = IceliteCatalog(spark, str(base))
+    t = cat.create_table("db.z", StructType([
+        StructField("rid", LongType()), StructField("a", LongType()),
+        StructField("b", LongType())]))
+    df = (spark.range(2048).select(
+        F.col("id").alias("rid"),
+        F.pmod(F.hash(F.col("id")), F.lit(1000)).alias("a"),
+        F.pmod(F.hash(F.col("id") + 7), F.lit(1000)).alias("b")))
+    t.insert(df.repartition(8))
+    t.rewrite_data_files(target_files=8, zorder_by=["a", "b"])
+    full = {r["rid"]: (r["a"], r["b"]) for r in t.read().collect()}
+    return t, full
+
+
+@given(col=st.sampled_from(["a", "b"]),
+       lo=st.integers(min_value=-50, max_value=1000),
+       width=st.integers(min_value=0, max_value=400))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_scan_range_equals_full_filter(zorder_table, col, lo, width):
+    """For ANY range on EITHER z-order column, the stats-pruned scan must
+    return exactly the rows a full-scan filter returns (skipping is an
+    optimization, never a semantics change) — including empty and
+    out-of-domain ranges."""
+    t, full = zorder_table
+    hi = lo + width
+    idx = 0 if col == "a" else 1
+    want = sorted(r for r, v in full.items() if lo <= v[idx] <= hi)
+    got = sorted(r["rid"] for r in t.scan_range(col, lo=lo, hi=hi).collect())
+    assert got == want
