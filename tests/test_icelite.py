@@ -381,3 +381,42 @@ def test_files_metadata_table(spark, table):
     assert all(r["stats"] for r in rows)  # footer stats recorded at write
     table.delete_where("uf = 'SP'")
     assert len(table.files().collect()) == table.file_count()
+
+
+def test_incremental_topk_similarity_via_read_changes(spark, tmp_path):
+    """Incremental top-k similarity maintenance (the interactive-session
+    pattern from the retrieved EDBT'20 paper, lakehouse edition): when new
+    vectors land as an append snapshot, the fresh top-k is the top-k of
+    (previous top-k ∪ top-k over ONLY the appended rows) — the base
+    corpus is never rescanned.  Must equal a full recompute exactly."""
+    from data_eng_iceberg_demo_spark.sources.readers import load
+
+    def topk(qvec, cand, k=10):
+        dot = F.aggregate(F.zip_with("e", F.lit(qvec).cast("array<double>"),
+                                     lambda x, y: x * y),
+                          F.lit(0.0), lambda a, x: a + x)
+        nrm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                                 F.lit(0.0), lambda a, x: a + x))
+        return (cand.select("vec_id", (F.round(dot / nrm, 4) + F.lit(0.0))
+                            .alias("sim"))
+                .orderBy(F.col("sim").desc(), F.col("vec_id")).limit(k))
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    qvec = [float(i % 7 - 3) for i in range(64)]
+
+    cat = IceliteCatalog(spark, str(tmp_path))
+    t = cat.create_table("db.emb", emb.schema)
+    t.insert(emb.filter(F.col("vec_id") < 400))
+    v1 = t.meta["current_snapshot"]
+    top_v1 = topk(qvec, t.read()).collect()          # materialized @ v1
+
+    t.insert(emb.filter(F.col("vec_id") >= 400))     # new vectors land
+    delta_top = topk(qvec, t.read_changes(v1))
+    prev = spark.createDataFrame(top_v1)
+    merged = (prev.unionByName(delta_top)
+              .orderBy(F.col("sim").desc(), F.col("vec_id")).limit(10))
+
+    full = topk(qvec, t.read())
+    assert [tuple(r) for r in merged.collect()] \
+        == [tuple(r) for r in full.collect()]
