@@ -399,3 +399,284 @@ def tpch_q19(spark, d):
     return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
             .filter(cond)
             .agg(F.sum(_rev_col()).cast("double").alias("revenue")))
+
+
+@register(
+    "tpch_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark, d):
+    """Q7 volume-shipping shape: revenue between two trading nations per
+    shipment year.  Both nation joins broadcast; the cross-side nation-pair
+    disjunction cannot be pushed to either scan, but each single-side
+    implication CAN — supplier and customer are pre-restricted to the two
+    nations, so the fact rows surviving the joins are already the ~2/25
+    nation slice before the residual OR runs."""
+    pair = ("NATION_1", "NATION_2")
+    n = T(spark, d, "nation").filter(F.col("n_name").isin(*pair))
+    s = (T(spark, d, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    c = (T(spark, d, "customer")
+         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    o = T(spark, d, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, d, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00"))
+    return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .filter(((F.col("supp_nation") == pair[0])
+                     & (F.col("cust_nation") == pair[1]))
+                    | ((F.col("supp_nation") == pair[1])
+                       & (F.col("cust_nation") == pair[0])))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("int").alias("l_year"))
+            .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+@register(
+    "tpch_q8",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+                          THEN {_REV_SQL}
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum({_REV_SQL}) AS DOUBLE), 4) AS mkt_share
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'REGION_1'
+      AND p.p_type = 'STANDARD'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8(spark, d):
+    """Q8 national-market-share shape: the supplier nation's share of
+    regional revenue for one part type, per order year.  All seven
+    dimension sides broadcast; numerator and denominator come out of ONE
+    aggregate (conditional decimal sum), so the fact table is scanned and
+    shuffled exactly once."""
+    p = T(spark, d, "part").filter(F.col("p_type") == "STANDARD") \
+        .select("p_partkey")
+    r = T(spark, d, "region").filter(F.col("r_name") == "REGION_1")
+    n = T(spark, d, "nation")
+    c = (T(spark, d, "customer")
+         .join(F.broadcast(
+             n.join(F.broadcast(r), n.n_regionkey == F.col("r_regionkey"))),
+             F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey"))
+    s = (T(spark, d, "supplier")
+         .join(F.broadcast(T(spark, d, "nation")
+                           .select(F.col("n_nationkey").alias("sn_key"),
+                                   F.col("n_name").alias("supp_nation"))),
+               F.col("s_nationkey") == F.col("sn_key"))
+         .select("s_suppkey", "supp_nation"))
+    o = T(spark, d, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1998-01-01 00:00:00")) \
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    li = T(spark, d, "lineitem")
+    rev = _rev_col()
+    nat = F.when(F.col("supp_nation") == "NATION_5", rev) \
+        .otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(F.round(F.sum(nat).cast("double")
+                         / F.sum(rev).cast("double"), 4).alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(coalesce(cnt.c_count, 0) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN (
+            SELECT o_custkey, count(*) AS c_count
+            FROM orders
+            WHERE o_orderpriority <> '1-URGENT'
+            GROUP BY o_custkey
+        ) cnt ON cnt.o_custkey = c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark, d):
+    """Q13 customer-distribution shape (adapted: no o_comment in the
+    fixture, so the exclusion predicate is on o_orderpriority).  Orders
+    are aggregated DOWN to one row per customer before any join — the
+    join input is |customers|, not |orders| — and that count table
+    broadcasts onto customer, preserving customers with zero qualifying
+    orders via the outer side.  Two aggregates, each partial+final."""
+    o = T(spark, d, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    cnt = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    c = T(spark, d, "customer").select("c_custkey")
+    return (c.join(F.broadcast(cnt), c.c_custkey == cnt.o_custkey, "left")
+            .select(F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint")
+                    .alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+@register(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum({_REV_SQL}) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(rv.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue rv ON rv.supplier_no = s.s_suppkey
+    WHERE rv.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15(spark, d):
+    """Q15 top-supplier shape: quarterly revenue per supplier, keep the
+    max.  The per-supplier aggregate is computed once and reused for both
+    the ranking and the scalar max (Spark reuses the exchange); the max
+    is a 1-row broadcast, and the equality comparison is on EXACT decimal
+    sums, so cross-engine float ties cannot split the answer."""
+    li = T(spark, d, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1996-04-01 00:00:00"))
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.sum(_rev_col()).alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = T(spark, d, "supplier")
+    return (rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+            .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    F.col("total_revenue").cast("double")
+                    .alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+@register(
+    "tpch_q17",
+    oracle="""
+    WITH thresh AS (
+        SELECT l_partkey,
+               0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+                           AS DOUBLE) / count(*)) AS max_qty
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                 AS DOUBLE) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN thresh t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND l.l_quantity < t.max_qty
+    """,
+)
+def tpch_q17(spark, d):
+    """Q17 small-quantity-order shape (adapted: no p_container, brand
+    filter only).  The correlated per-part average is decorrelated into
+    one aggregate over lineitem grouped by partkey, broadcast back onto
+    the brand-restricted fact rows.  The threshold is derived from an
+    EXACT decimal sum divided by an exact count with the identical
+    expression tree on both engines, so the boundary comparison is
+    bit-deterministic."""
+    li = T(spark, d, "lineitem")
+    thresh = (li.groupBy("l_partkey")
+              .agg((F.lit(0.2)
+                    * (F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+                       .cast("double") / F.count("*"))).alias("max_qty"))
+              .withColumnRenamed("l_partkey", "t_partkey"))
+    p = T(spark, d, "part").filter(F.col("p_brand") == "Brand#12") \
+        .select("p_partkey")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(thresh), li.l_partkey == F.col("t_partkey"))
+            .filter(F.col("l_quantity") < F.col("max_qty"))
+            .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                         .cast("double") / 7.0, 2).alias("avg_yearly")))
+
+
+@register(
+    "tpch_q22",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS a
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def tpch_q22(spark, d):
+    """Q22 global-sales-opportunity shape (adapted: the fixture has no
+    c_phone, so grouping is by nation and "inactive" means no orders
+    since 2000 — every customer has SOME order in this data).  The
+    scalar average is an exact-decimal-sum-over-count 1-row broadcast;
+    the NOT EXISTS is a left-anti join against the date-restricted
+    orders projection, which at 100 TB is the only shuffle in the plan
+    (anti-join on o_custkey); the average itself never shuffles
+    customer twice thanks to exchange reuse."""
+    c = T(spark, d, "customer")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
+               .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                     .cast("double") / F.count("*")).alias("a")))
+    recent = T(spark, d, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01 00:00:00") \
+        .select("o_custkey")
+    return (c.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("a"))
+            .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("numcust"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                 .cast("double").alias("totacctbal"))
+            .orderBy("c_nationkey"))

@@ -147,3 +147,35 @@ def test_dpp_fact_scan_prunes_at_runtime(spark, sf_dir):
     p = plan_of(spark, sf_dir, "join_dpp_partitioned")
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
     assert m and "dynamicpruning" in m.group(1)
+
+
+@pytest.mark.parametrize("name,joins", [("tpch_q7", 3), ("tpch_q8", 4),
+                                        ("tpch_q17", 2)])
+def test_tpch_star_joins_all_broadcast(spark, sf_dir, name, joins):
+    """Q7/Q8/Q17: every dimension (and decorrelated-threshold) side
+    broadcasts — the fact table never shuffles for a join."""
+    p = plan_of(spark, sf_dir, name)
+    assert node_count(p, "BroadcastHashJoin") >= joins
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_tpch_q13_aggregates_orders_before_join(spark, sf_dir):
+    """Q13: orders must be reduced to one row per customer BEFORE the
+    outer join — the join input is |customers|, not |orders| — and the
+    count table broadcasts onto customer."""
+    p = plan_of(spark, sf_dir, "tpch_q13")
+    assert node_count(p, "BroadcastHashJoin") == 1
+    # two group-bys, each partial+final
+    assert node_count(p, "HashAggregate") >= 4
+    assert "SortMergeJoin" not in p
+
+
+def test_tpch_q22_anti_join_on_reduced_projection(spark, sf_dir):
+    """Q22: the NOT EXISTS is a broadcast anti join against the
+    date-filtered 1-column orders projection; the date predicate is
+    pushed to the orders scan."""
+    p = plan_of(spark, sf_dir, "tpch_q22")
+    assert "LeftAnti" in p
+    pushed = [l for l in p.splitlines()
+              if "PushedFilters" in l and "o_orderdate" in l]
+    assert pushed, "o_orderdate filter not pushed to the orders scan"
