@@ -458,3 +458,46 @@ def scan_binary_files(spark, d):
         .alias("doc_id"),
         F.length("content").cast("bigint").alias("n_bytes"),
         F.md5("content").alias("content_md5"))
+
+
+@register(
+    "sink_json_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_totalprice > 1000.0
+    """,
+)
+def sink_json_roundtrip(spark, d):
+    """JSON-lines sink + schema-full scan round trip: the interchange
+    format for systems that can't speak parquet.  The explicit read
+    schema keeps types exact (no inference pass over the data — at
+    100 TB, schema inference would be a full extra scan)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="sink_json_", dir="/tmp")
+    src = (T(spark, d, "orders")
+           .select("o_orderkey", "o_custkey",
+                   F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                   "o_orderpriority")
+           .filter(F.col("o_totalprice") > 1000.0))
+    src.write.mode("overwrite").json(out)
+    return spark.read.schema(src.schema).json(out)
+
+
+@register(
+    "scan_text",
+    oracle="SELECT text AS value FROM documents",
+)
+def scan_text(spark, d):
+    """Whole-line text source (spark.read.text): the raw-corpus ingest
+    path for LLM pipelines — one row per line, no parsing.  Written out
+    from the documents fixture first so the round trip is byte-exact;
+    reading N text files is embarrassingly parallel (one split per
+    128 MB block, no shuffle)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="scan_text_", dir="/tmp")
+    T(spark, d, "documents").select("text").write.mode("overwrite").text(out)
+    return spark.read.text(out)

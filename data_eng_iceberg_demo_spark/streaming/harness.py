@@ -314,3 +314,38 @@ def stream_foreach_batch_merge(spark, d):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return table.read()
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, event_type, round(value, 2) AS value_r
+    FROM events
+    """,
+)
+def stream_dedup_within_watermark(spark, d):
+    """dropDuplicatesWithinWatermark: unlike plain dropDuplicates (which
+    keeps EVERY key's state forever), state for a key is evicted once the
+    watermark passes its event time — the state store stays bounded by
+    the watermark horizon, which is what makes keyed dedup viable on an
+    unbounded 100 TB/day stream.  Input is events ∪ a 100-event replay
+    inside the horizon; output equals the original table."""
+    e = T(spark, d, "events").select(
+        "event_id", "event_type", "value",
+        F.date_trunc("second", "ts").alias("tss"))
+    dupes = e.orderBy("event_id").limit(100)
+
+    tmp = tempfile.mkdtemp(prefix="dedup_wm_", dir="/tmp")
+    e.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(tmp)
+
+    stream = spark.readStream.schema(e.schema).parquet(tmp)
+    deduped = (stream.withWatermark("tss", "1 hour")
+               .dropDuplicatesWithinWatermark(["event_id"])
+               .select("event_id", "event_type",
+                       F.round("value", 2).alias("value_r")))
+    qname = f"dedup_wm_{next(_counter)}"
+    with _state_partitions(spark, 8):
+        q = (deduped.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    return spark.table(qname)
