@@ -805,6 +805,7 @@ def llm_dedup_clusters(spark, d, max_iter: int = 20):
     nodes = bidir.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.select("doc_id", F.col("doc_id").alias("lbl"))
     prev_cached = None
+    prev_sum = None
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     for _ in range(max_iter):
@@ -815,14 +816,16 @@ def llm_dedup_clusters(spark, d, max_iter: int = 20):
                       .select("doc_id",
                               F.least("lbl", F.coalesce("nlbl", "lbl"))
                               .alias("lbl"))).cache()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+        # labels are monotone non-increasing, so the label sum strictly
+        # decreases until the fixpoint — an O(1)-output aggregate detects
+        # convergence without joining old labels against new ones
+        cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         if prev_cached is not None:
             prev_cached.unpersist()
         prev_cached = labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     bidir.unpersist()
     return (docs.join(labels, "doc_id", "left")
