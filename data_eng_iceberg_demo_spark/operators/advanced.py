@@ -14,6 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from ..plans.registry import register
+from ..scratch import scratch_dir
 from ._util import T
 
 
@@ -289,7 +290,7 @@ def join_bucketed_colocated(spark, d):
 
     n_buckets = 8
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
-    wh = tempfile.mkdtemp(prefix="bucketed_wh_", dir="/tmp")
+    wh = scratch_dir("bucketed_wh_")
     o_tbl, c_tbl = "bkt_orders", "bkt_customer"
     for tbl in (o_tbl, c_tbl):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -16,6 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from ..plans.registry import register
+from ..scratch import scratch_dir
 from ._util import T
 
 FIXTURE_DIR = "/root/repo/tests/fixtures"
@@ -101,7 +102,7 @@ def sink_parquet(spark, d):
     warehouse-write analog). Rows-only oracle — verifies the round trip."""
     import tempfile
 
-    out = tempfile.mkdtemp(prefix="sink_parquet_", dir="/tmp")
+    out = scratch_dir("sink_parquet_")
     df = (
         T(spark, d, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
@@ -324,7 +325,7 @@ def sink_orc(spark, d):
     round-tripping."""
     import tempfile
 
-    out = tempfile.mkdtemp(prefix="sink_orc_", dir="/tmp")
+    out = scratch_dir("sink_orc_")
     (T(spark, d, "orders")
      .select("o_orderkey", "o_custkey",
              F.col("o_totalprice").cast("double").alias("o_totalprice"),
@@ -341,7 +342,7 @@ def sink_csv_roundtrip(spark, d):
     explicit read schema, mirroring the tutorial's cast-on-ingest."""
     import tempfile
 
-    out = tempfile.mkdtemp(prefix="sink_csv_", dir="/tmp")
+    out = scratch_dir("sink_csv_")
     src = (T(spark, d, "orders")
            .select("o_orderkey", "o_custkey",
                    F.col("o_totalprice").cast("double").alias("o_totalprice"),
@@ -368,7 +369,7 @@ def sink_partitioned(spark, d):
     makes a 100 TB table cheap to query by its routing key."""
     import tempfile
 
-    out = tempfile.mkdtemp(prefix="sink_part_", dir="/tmp")
+    out = scratch_dir("sink_part_")
     (T(spark, d, "orders")
      .select("o_orderkey", "o_custkey",
              F.col("o_totalprice").cast("double").alias("o_totalprice"),
@@ -408,7 +409,7 @@ def join_dpp_partitioned(spark, d):
     for non-rush priorities are never listed, let alone read."""
     import tempfile
 
-    out = tempfile.mkdtemp(prefix="dpp_fact_", dir="/tmp")
+    out = scratch_dir("dpp_fact_")
     (T(spark, d, "orders")
      .select("o_orderkey",
              F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
@@ -448,7 +449,7 @@ def scan_binary_files(spark, d):
 
     rows = (T(spark, d, "documents").filter(F.col("doc_id") < 20)
             .select("doc_id", "text").collect())
-    out = tempfile.mkdtemp(prefix="binfiles_", dir="/tmp")
+    out = scratch_dir("binfiles_")
     for r in rows:
         with open(os.path.join(out, f"{r['doc_id']:05d}.bin"), "wb") as f:
             f.write(r["text"].encode("utf-8"))
@@ -476,7 +477,7 @@ def sink_json_roundtrip(spark, d):
     100 TB, schema inference would be a full extra scan)."""
     import tempfile
 
-    out = tempfile.mkdtemp(prefix="sink_json_", dir="/tmp")
+    out = scratch_dir("sink_json_")
     src = (T(spark, d, "orders")
            .select("o_orderkey", "o_custkey",
                    F.col("o_totalprice").cast("double").alias("o_totalprice"),
@@ -498,6 +499,6 @@ def scan_text(spark, d):
     128 MB block, no shuffle)."""
     import tempfile
 
-    out = tempfile.mkdtemp(prefix="scan_text_", dir="/tmp")
+    out = scratch_dir("scan_text_")
     T(spark, d, "documents").select("text").write.mode("overwrite").text(out)
     return spark.read.text(out)

@@ -37,15 +37,39 @@ from ._util import T
 )
 def sort_multikey_nulls(spark, d):
     """Multi-key sort, DESC NULLS LAST + ASC, with embedded verification
-    rank (unique tiebreak o_orderkey)."""
+    rank (unique tiebreak o_orderkey).
+
+    The global rank is computed distributed (the zipWithIndex pattern),
+    never with an un-partitioned row_number window: range-partition on
+    the sort key, rank within each partition (the WindowExec partitions
+    by _pid), then offset by the total count of all preceding range
+    partitions.  The partitioned frame is persisted because range
+    boundaries come from sampling and would not be identical across the
+    count job and the output job otherwise.  The driver only ever holds
+    one count per partition — a bounded scalar per the number of range
+    partitions, independent of data volume."""
     o = (T(spark, d, "orders").filter(F.col("o_totalprice") > 350000)
          .select("o_orderkey",
                  F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("pri_or_null"),
                  "o_totalprice"))
     order = [F.col("pri_or_null").desc_nulls_last(), F.col("o_totalprice").asc(),
              F.col("o_orderkey").asc()]
-    return (o.withColumn("rk", F.row_number().over(Window.orderBy(*order)).cast("bigint"))
-            .orderBy(*order))
+    n_parts = 16  # at 100 TB: size so each range partition fits an executor
+    part = (o.repartitionByRange(n_parts, *order)
+             .withColumn("_pid", F.spark_partition_id()))
+    w = Window.partitionBy("_pid").orderBy(*order)
+    local = part.withColumn("_lrn", F.row_number().over(w)).persist()
+    counts = {r["_pid"]: r["cnt"] for r in
+              local.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off bigint")
+    return (local.join(F.broadcast(off), "_pid")
+            .withColumn("rk", (F.col("_lrn") + F.col("_off")).cast("bigint"))
+            .select("o_orderkey", "pri_or_null", "o_totalprice", "rk")
+            .orderBy("rk"))
 
 
 @register(

@@ -30,6 +30,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import pyspark.sql.functions as F
     from pyspark.sql.types import LongType
 
+    # events.parquet carries TIMESTAMP(NANOS); without this runtime conf a
+    # caller-provided session (not built by session.get_spark) fails the scan
+    # outright with PARQUET_TYPE_ILLEGAL before the LongType fallback below
+    # can run.  The conf is runtime-settable, so set it here unconditionally.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -26,8 +26,10 @@ import pyspark.sql.functions as F
 
 from ..operators._util import T
 from ..plans.registry import register
+from ..scratch import scratch_dir
 
 _counter = itertools.count()
+_events_src_cache: dict[str, str] = {}
 
 
 class _state_partitions:
@@ -55,9 +57,17 @@ def _events_stream(spark, d, path=None):
     The file source wants a directory, so the single fixture file is
     symlinked into a scratch dir."""
     if path is None:
-        src_file = f"{d}/events.parquet"
-        path = tempfile.mkdtemp(prefix="events_src_", dir="/tmp")
-        os.symlink(src_file, os.path.join(path, "events.parquet"))
+        # one symlink dir per sf_dir, reused across queries in the process
+        path = _events_src_cache.get(d)
+        if path is None or not os.path.isdir(path):
+            path = scratch_dir("events_src_")
+            os.symlink(f"{d}/events.parquet",
+                       os.path.join(path, "events.parquet"))
+            _events_src_cache[d] = path
+    # ts is TIMESTAMP(NANOS) in the fixture parquet; a session that didn't
+    # set this at build time would otherwise fail the schema peek with
+    # PARQUET_TYPE_ILLEGAL (runtime-settable, safe to set unconditionally).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(raw_schema).parquet(path)
     if dict(stream.dtypes).get("ts") == "bigint":
@@ -92,7 +102,7 @@ def stream_watermark_late(spark, d):
     later = e.filter((F.col("tss") >= "2024-01-05") & (F.col("tss") < "2024-01-08"))
     late_replay = day1.limit(50)
 
-    tmp = tempfile.mkdtemp(prefix="wm_late_", dir="/tmp")
+    tmp = scratch_dir("wm_late_")
     for i, batch in enumerate([day1, later, late_replay]):
         fpath = os.path.join(tmp, f"batch{i}")
         batch.coalesce(1).write.mode("overwrite").parquet(fpath)
@@ -138,7 +148,7 @@ def stream_dedup_keyed(spark, d):
         "event_id", "event_type", "value", F.date_trunc("second", "ts").alias("tss"))
     dupes = e.orderBy("event_id").limit(100)
 
-    tmp = tempfile.mkdtemp(prefix="dedup_keyed_", dir="/tmp")
+    tmp = scratch_dir("dedup_keyed_")
     e.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(tmp)
 
     stream = spark.readStream.schema(e.schema).parquet(tmp)
@@ -222,8 +232,8 @@ def stream_stream_join(spark, d):
     e = T(spark, d, "events").select(
         "event_id", "user_id", "event_type",
         F.date_trunc("second", "ts").alias("tss"))
-    views_dir = _tf.mkdtemp(prefix="ss_views_", dir="/tmp")
-    clicks_dir = _tf.mkdtemp(prefix="ss_clicks_", dir="/tmp")
+    views_dir = scratch_dir("ss_views_")
+    clicks_dir = scratch_dir("ss_clicks_")
     e.filter("event_type = 'view'").coalesce(1) \
         .write.mode("overwrite").parquet(views_dir)
     e.filter("event_type = 'click'").coalesce(1) \
@@ -285,10 +295,10 @@ def stream_foreach_batch_merge(spark, d):
         "event_id", "event_type", F.round("value", 2).alias("value_r"))
     replay = e.orderBy("event_id").limit(100)
 
-    src = _tf.mkdtemp(prefix="fbm_src_", dir="/tmp")
+    src = scratch_dir("fbm_src_")
     t0 = 1_700_000_000
     for i, batch in enumerate([e, replay]):
-        bdir = _tf.mkdtemp(prefix="fbm_b_", dir="/tmp")
+        bdir = scratch_dir("fbm_b_")
         batch.coalesce(1).write.mode("overwrite").parquet(bdir)
         part = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
         dst = os.path.join(src, f"{i:02d}.parquet")
@@ -300,7 +310,7 @@ def stream_foreach_batch_merge(spark, d):
         StructField("event_type", StringType()),
         StructField("value_r", DoubleType()),
     ])
-    cat = IceliteCatalog(spark, _tf.mkdtemp(prefix="fbm_tbl_", dir="/tmp"))
+    cat = IceliteCatalog(spark, scratch_dir("fbm_tbl_"))
     table = cat.create_table("db.events_upsert", schema)
 
     def merge_batch(batch_df, _batch_id):
@@ -335,7 +345,7 @@ def stream_dedup_within_watermark(spark, d):
         F.date_trunc("second", "ts").alias("tss"))
     dupes = e.orderBy("event_id").limit(100)
 
-    tmp = tempfile.mkdtemp(prefix="dedup_wm_", dir="/tmp")
+    tmp = scratch_dir("dedup_wm_")
     e.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(tmp)
 
     stream = spark.readStream.schema(e.schema).parquet(tmp)

@@ -181,6 +181,19 @@ class IceliteTable:
                 f"table advanced to snapshot {on_disk['current_snapshot']} "
                 f"while this commit was based on {meta['current_snapshot']}")
         sid = (max((s["id"] for s in meta["snapshots"]), default=0)) + 1
+        # Atomic arbitration: the parent check above is read-compare-replace
+        # and two same-base writers can both pass it.  Both compute the same
+        # next sid, so an O_CREAT|O_EXCL marker keyed by sid lets exactly one
+        # proceed; the loser gets EEXIST -> CommitConflict before any
+        # metadata is swapped (its data files stay unpublished orphans).
+        markers = os.path.join(self.tdir, ".commits")
+        os.makedirs(markers, exist_ok=True)
+        try:
+            os.close(os.open(os.path.join(markers, f"commit-{sid}"),
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            raise CommitConflict(
+                f"snapshot {sid} already claimed by a concurrent writer") from None
         snap = {
             "id": sid,
             "parent": meta["current_snapshot"],

@@ -16,6 +16,7 @@ from pyspark.sql.types import (DecimalType, IntegerType, LongType, StringType,
                                StructField, StructType, TimestampType)
 
 from ..plans.registry import register
+from ..scratch import scratch_dir
 from .icelite import IceliteCatalog
 
 FIXTURE = "/root/repo/tests/fixtures/pedidos.csv.gz"
@@ -61,7 +62,7 @@ def _typed_pedidos(spark):
 
 
 def _fresh_table(spark, n_batches: int = 1):
-    cat = IceliteCatalog(spark, tempfile.mkdtemp(prefix="icelite_", dir="/tmp"))
+    cat = IceliteCatalog(spark, scratch_dir("icelite_"))
     cat.create_namespace("db")
     t = cat.create_table("db.pedidos", PEDIDOS_SCHEMA)
     df = _typed_pedidos(spark)
@@ -162,7 +163,7 @@ def table_partition_pruning(spark, d):
     """Hidden partitioning by days(data_criacao) (README.md:304-307): the
     query filters on the timestamp; the engine maps it to partition-value
     bounds and reads only qualifying files (pruning asserted in pytest)."""
-    cat = IceliteCatalog(spark, tempfile.mkdtemp(prefix="icelite_", dir="/tmp"))
+    cat = IceliteCatalog(spark, scratch_dir("icelite_"))
     t = cat.create_table("db.pedidos_part", PEDIDOS_SCHEMA)
     t.set_partition_days("data_criacao")
     t.insert(_typed_pedidos(spark))

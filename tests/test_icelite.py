@@ -420,3 +420,39 @@ def test_incremental_topk_similarity_via_read_changes(spark, tmp_path):
     full = topk(qvec, t.read())
     assert [tuple(r) for r in merged.collect()] \
         == [tuple(r) for r in full.collect()]
+
+
+def test_commit_race_two_threads_exactly_one_wins(spark, table):
+    """True concurrent race (not the sequential stale-base simulation
+    above): two writers hold the SAME base metadata and commit at the
+    same instant.  The O_CREAT|O_EXCL marker must let exactly one
+    publish; the loser raises CommitConflict and no snapshot is lost."""
+    import threading
+
+    from data_eng_iceberg_demo_spark.tables.icelite import CommitConflict
+
+    before = table.meta
+    bases = [table.meta, table.meta]  # two independent dict copies
+    barrier = threading.Barrier(2)
+    results = [None, None]
+
+    def commit(i):
+        barrier.wait()
+        try:
+            table._commit_snapshot(bases[i], "append", [])
+            results[i] = "ok"
+        except CommitConflict:
+            results[i] = "conflict"
+
+    threads = [threading.Thread(target=commit, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert sorted(results) == ["conflict", "ok"]
+    after = table.meta
+    # exactly one new snapshot, parented on the shared base
+    assert len(after["snapshots"]) == len(before["snapshots"]) + 1
+    assert after["snapshots"][-1]["parent"] == before["current_snapshot"]
+    assert after["current_snapshot"] == after["snapshots"][-1]["id"]

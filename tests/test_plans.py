@@ -179,3 +179,13 @@ def test_tpch_q22_anti_join_on_reduced_projection(spark, sf_dir):
     pushed = [l for l in p.splitlines()
               if "PushedFilters" in l and "o_orderdate" in l]
     assert pushed, "o_orderdate filter not pushed to the orders scan"
+
+
+def test_sort_multikey_rank_window_is_partitioned(spark, sf_dir):
+    """Global rank must come from the distributed zipWithIndex pattern:
+    every Window in the plan partitions by _pid — an un-partitioned
+    row_number (single-task global sort) is a scale regression."""
+    p = plan_of(spark, sf_dir, "sort_multikey_nulls")
+    windows = re.findall(r"windowspecdefinition\(([^,]+),", p)
+    assert windows, "expected a window computing the per-partition rank"
+    assert all(w.startswith("_pid") for w in windows), windows
