@@ -223,14 +223,32 @@ def agg_string_collect(spark, d):
     )
 
 
-@register("sample_fraction")  # rows-only: sampling is seeded but engine-specific
+@register(
+    "sample_fraction",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(CAST(l_quantity AS DOUBLE), 2) AS l_quantity
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                     || CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
 def sample_fraction(spark, d):
-    """TABLESAMPLE: seeded Bernoulli sample — deterministic within Spark
-    (seed fixed) but not reproducible by another engine, hence rows-only.
-    At scale, sampling at the scan avoids materializing the full table."""
+    """Reproducible ~10% Bernoulli sample by content hashing: a row is in
+    the sample iff the md5 of its primary key falls under the fraction
+    cutoff ('1a'/'100' hex = 26/256 ≈ 10.2%).  Unlike seeded .sample()
+    (whose PRNG is engine-specific, so only rows-only checkable), the
+    hash predicate is engine-independent — the identical sample is
+    replayable in DuckDB, across runs, and across repartitions, which is
+    what a training-data pipeline needs for auditable subsampling.  The
+    predicate evaluates per-row at the scan; nothing materializes."""
+    key = F.md5(F.concat_ws("-", F.col("l_orderkey").cast("string"),
+                            F.col("l_linenumber").cast("string")))
     return (T(spark, d, "lineitem")
-            .sample(fraction=0.1, seed=42)
-            .select("l_orderkey", "l_linenumber", "l_quantity"))
+            .filter(F.substring(key, 1, 2) < "1a")
+            .select("l_orderkey", "l_linenumber",
+                    F.round(F.col("l_quantity").cast("double"), 2)
+                    .alias("l_quantity")))
 
 
 @register(

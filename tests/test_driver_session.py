@@ -58,3 +58,15 @@ def test_stream_query_on_bare_session(bare_spark, sf_dir):
         lambda s: s.groupBy("event_type").count(),
         "bare_session_stream", output_mode="complete")
     assert out.count() > 0
+
+
+def test_timezone_reset_on_bare_session(bare_spark, sf_dir, duck):
+    """A driver session in a non-UTC timezone must still hash-match the
+    timezone-naive DuckDB oracle: the registry wrapper resets
+    spark.sql.session.timeZone before the plan is built."""
+    bare_spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    spec = REGISTRY["events_cohort_retention"]
+    got = sorted(map(tuple, spec.fn(bare_spark, sf_dir).collect()))
+    want = sorted(map(tuple, duck.execute(spec.oracle).fetchall()))
+    assert bare_spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert got == want
