@@ -22,6 +22,18 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def driver_spark(spark):
+    """A driver-like session: same JVM, fresh runtime SQL conf with the
+    legacy nanos conf explicitly reverted — what the correctness driver
+    actually hands to queries().  Parity tests run on THIS session so
+    session-factory-only conf dependencies can't hide locally (the round
+    1/2 nanos bug escaped because every test used get_spark's session)."""
+    ns = spark.newSession()
+    ns.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    return ns
+
+
+@pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
 

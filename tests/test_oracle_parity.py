@@ -51,9 +51,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize("name", HASHED)
-def test_hash_query_matches_oracle(name, spark, duck, sf_dir):
+def test_hash_query_matches_oracle(name, driver_spark, duck, sf_dir):
     spec = REGISTRY[name]
-    got = canon(spec.fn(spark, sf_dir).toPandas())
+    got = canon(spec.fn(driver_spark, sf_dir).toPandas())
     want = canon(duck.execute(spec.oracle).df())
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}")
@@ -67,8 +67,8 @@ def test_hash_query_matches_oracle(name, spark, duck, sf_dir):
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_query_runs(name, spark, sf_dir):
+def test_rows_only_query_runs(name, driver_spark, sf_dir):
     spec = REGISTRY[name]
-    df = spec.fn(spark, sf_dir)
+    df = spec.fn(driver_spark, sf_dir)
     assert len(df.columns) > 0
     assert df.count() >= 0
