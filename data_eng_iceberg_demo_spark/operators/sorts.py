@@ -66,10 +66,12 @@ def sort_multikey_nulls(spark, d):
         offsets.append((pid, acc))
         acc += counts[pid]
     off = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off bigint")
+    # no trailing global orderBy: rk embeds the full ordering (verified by
+    # the oracle's row_number), and re-sorting would add one more range
+    # shuffle for presentation only
     return (local.join(F.broadcast(off), "_pid")
             .withColumn("rk", (F.col("_lrn") + F.col("_off")).cast("bigint"))
-            .select("o_orderkey", "pri_or_null", "o_totalprice", "rk")
-            .orderBy("rk"))
+            .select("o_orderkey", "pri_or_null", "o_totalprice", "rk"))
 
 
 @register(
