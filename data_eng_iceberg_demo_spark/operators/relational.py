@@ -96,12 +96,18 @@ def scan_json_lines(spark, d):
     return spark.read.schema(schema).json(f"{FIXTURE_DIR}/events_sample.jsonl")
 
 
-@register("sink_parquet")  # rows-only: write + read-back round trip
+@register(
+    "sink_parquet",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_totalprice > 1000.0
+    """,
+)
 def sink_parquet(spark, d):
     """Parquet sink: write a derived table, read it back (README.md:199
-    warehouse-write analog). Rows-only oracle — verifies the round trip."""
-    import tempfile
-
+    warehouse-write analog).  Parquet round-trips doubles and strings
+    exactly, so the read-back hash-matches the source-side oracle —
+    verifying the written bytes, not just the row count."""
     out = scratch_dir("sink_parquet_")
     df = (
         T(spark, d, "orders")

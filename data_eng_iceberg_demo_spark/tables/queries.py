@@ -113,15 +113,27 @@ def table_time_travel(spark, d):
     return _as_output(t.read(version=1))
 
 
-@register("table_history")  # rows-only: wall-clock commit times in metadata
+@register(
+    "table_history",
+    oracle="""
+    SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id,
+           CAST(parent_id AS BIGINT) AS parent_id,
+           operation, is_current_ancestor
+    FROM (VALUES (1, NULL, 'append', true), (2, 1, 'delete', true))
+         AS t(snapshot_id, parent_id, operation, is_current_ancestor)
+    """,
+)
 def table_history(spark, d):
     """Snapshot history (README.md:245-248): insert then delete yields two
-    snapshots, both current-ancestors, parent-linked."""
+    snapshots, both current-ancestors, parent-linked.  The expected log of
+    a fresh table is a known constant, so the metadata chain itself is
+    hash-checked; wall-clock commit time and file counts (parallelism-
+    dependent) are projected away."""
     t = _fresh_table(spark)
     t.delete_where("uf = 'SP'")
     return (t.history()
             .select("snapshot_id", "parent_id", "operation",
-                    "n_files", "is_current_ancestor"))
+                    "is_current_ancestor"))
 
 
 @register(
