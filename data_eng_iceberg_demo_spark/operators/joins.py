@@ -233,22 +233,39 @@ def join_range_theta(spark, d):
 def join_asof(spark, d):
     """As-of join: each event matched to the latest order of its user at or
     before the event time.  Spark has no native DataFrame as-of join; this
-    is the join + row_number composition (deterministic tiebreak on
-    o_orderkey).  Scale path: the union/last-value window trick — tag both
-    inputs, union, and take last(order_col, ignorenulls) over
-    (partition by key order by ts) — one shuffle, no pair explosion.
-    DuckDB's native ASOF JOIN leaves timestamp ties ambiguous, so the
-    oracle uses the identical row_number formulation."""
-    e = T(spark, d, "events")
-    o = T(spark, d, "orders")
-    joined = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
-    )
+    uses the union/last-value window trick: tag both inputs, union them,
+    and take last(order_struct, ignorenulls) over (partition by user
+    order by time, with orders sorting before events at equal time so the
+    <= bound is inclusive, and o_orderkey ascending so ties on the date
+    resolve to the max key).  ONE shuffle on the user key and no
+    event x candidate-orders pair explosion — unlike the join+row_number
+    composition, whose intermediate blows up with orders-per-user and
+    which re-shuffles on event_id for the window.  DuckDB's native ASOF
+    JOIN leaves timestamp ties ambiguous, so the oracle uses the
+    equivalent row_number formulation."""
+    e = T(spark, d, "events").select("event_id", "user_id",
+                                     F.col("ts").alias("t"))
+    o = T(spark, d, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        "o_orderkey", "o_totalprice")
+    tagged_o = o.select(
+        "user_id", "t", F.lit(0).alias("tag"),
+        F.lit(None).cast(dict(e.dtypes)["event_id"]).alias("event_id"),
+        F.struct("o_orderkey", "o_totalprice").alias("ord"))
+    ord_type = tagged_o.schema["ord"].dataType.simpleString()
+    tagged_e = e.select(
+        "user_id", "t", F.lit(1).alias("tag"), "event_id",
+        F.lit(None).cast(ord_type).alias("ord"))
+    w = (Window.partitionBy("user_id")
+         .orderBy("t", "tag", F.col("ord.o_orderkey").asc_nulls_first())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (tagged_o.unionByName(tagged_e)
+            .withColumn("last_ord", F.last("ord", ignorenulls=True).over(w))
+            .filter((F.col("tag") == 1) & F.col("last_ord").isNotNull())
+            .select("event_id", "user_id",
+                    F.col("last_ord.o_orderkey").alias("o_orderkey"),
+                    F.col("last_ord.o_totalprice").alias("o_totalprice")))
 
 
 @register(
