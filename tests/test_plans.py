@@ -189,3 +189,24 @@ def test_sort_multikey_rank_window_is_partitioned(spark, sf_dir):
     windows = re.findall(r"windowspecdefinition\(([^,]+),", p)
     assert windows, "expected a window computing the per-partition rank"
     assert all(w.startswith("_pid") for w in windows), windows
+
+
+def test_join_asof_single_shuffle_no_join_node(spark, sf_dir):
+    """The union/last-value as-of join: ONE exchange (the user-key
+    partitioning for the window) and no join operator at all — the
+    matching happens in the window pass, so there is no event x orders
+    intermediate to blow up."""
+    p = plan_of(spark, sf_dir, "join_asof")
+    assert node_count(p, "Exchange") == 1
+    assert node_count(p, "SortMergeJoin") == 0
+    assert node_count(p, "BroadcastHashJoin") == 0
+    assert node_count(p, "Window") == 1
+
+
+def test_events_anomaly_broadcasts_stats_no_fact_shuffle(spark, sf_dir):
+    """Per-type moments (5 rows) must broadcast back onto the event scan;
+    the event log itself never shuffles for the join."""
+    p = plan_of(spark, sf_dir, "events_anomaly")
+    assert node_count(p, "BroadcastHashJoin") == 1
+    assert node_count(p, "SortMergeJoin") == 0
+    assert node_count(p, "Exchange") == 1  # only the stats aggregation
