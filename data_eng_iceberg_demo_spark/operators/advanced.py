@@ -184,11 +184,18 @@ def agg_percentiles(spark, d):
     percentile sorts per group; the approx_percentile sketch is the
     100 TB path (see agg_approx_percentile)."""
     li = T(spark, d, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q1_qty"),
-    )
+    # both l_extendedprice percentiles share ONE buffer/sort via the
+    # array form — two scalar percentile() calls would each keep their
+    # own copy of the column per group
+    return (li.groupBy("l_returnflag")
+            .agg(F.expr("percentile(l_extendedprice, array(0.5D, 0.9D))")
+                 .alias("pp"),
+                 F.round(F.expr("percentile(l_quantity, 0.25)"), 4)
+                 .alias("q1_qty"))
+            .select("l_returnflag",
+                    F.round(F.col("pp")[0], 4).alias("p50"),
+                    F.round(F.col("pp")[1], 4).alias("p90"),
+                    "q1_qty"))
 
 
 @register("agg_approx_percentile")  # rows-only: sketch-based by design
