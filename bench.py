@@ -61,6 +61,9 @@ def main() -> None:
         "n_queries": len(times),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }))
+    # graceful stop lets Spark's shutdown hooks remove its own /tmp
+    # runtime dirs (spark-*, blockmgr-*)
+    spark.stop()
 
 
 if __name__ == "__main__":

@@ -15,6 +15,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from .scratch import scratch_root
+
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -37,5 +39,15 @@ def get_spark(app_name: str = "data-eng-iceberg-demo-spark",
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # route Spark's own runtime dirs (blockmgr-*, spark-*) into the
+        # per-process scratch root so they are removed at exit even when
+        # the JVM's shutdown hooks don't run (static conf: builder-time
+        # only, so this covers sessions WE build; a caller-built session
+        # keeps its own local dir)
+        .config("spark.local.dir", scratch_root())
+        # native-lib extracts (lz4/snappy JNI) and the driver's spark-*
+        # artifact dir go to java.io.tmpdir, not spark.local.dir
+        .config("spark.driver.extraJavaOptions",
+                f"-Djava.io.tmpdir={scratch_root()}")
     )
     return builder.getOrCreate()
