@@ -210,3 +210,36 @@ def test_events_anomaly_broadcasts_stats_no_fact_shuffle(spark, sf_dir):
     assert node_count(p, "BroadcastHashJoin") == 1
     assert node_count(p, "SortMergeJoin") == 0
     assert node_count(p, "Exchange") == 1  # only the stats aggregation
+
+
+# queries whose construction executes work (fixture writes, training,
+# iterative jobs, streaming runs) — plan-linted individually above or
+# inherently not a pure plan build
+_LINT_SKIP_PREFIX = ("stream_", "table_", "sink_", "scan_")
+_LINT_SKIP = {"llm_dedup_clusters", "llm_similarity_ivf", "sort_multikey_nulls",
+              "join_dpp_partitioned", "join_bucketed_colocated",
+              "udf_sql_declared"}
+# BNLJ is legitimate ONLY on deliberately-tiny broadcast sides:
+_BNLJ_OK = {"events_funnel",        # cross of three 1-row stage counts
+            "join_cross_limited",   # the intentional limited cross join
+            "llm_dedup_embedding",  # block-pair theta join (n_blocks rows)
+            "llm_similarity_topk",  # 5-row broadcast query side
+            "llm_tfidf_terms",      # broadcast corpus-size scalar
+            "tpch_q22"}             # broadcast avg-acctbal scalar
+
+
+def test_no_accidental_cartesian_or_nested_loop_join(spark, sf_dir):
+    """Repo-wide plan lint: no query may compile to a CartesianProduct,
+    and BroadcastNestedLoopJoin is allowed only where the broadcast side
+    is provably tiny (whitelist).  A new entry here means a join lost its
+    equi-condition — the classic silent 100 TB killer."""
+    offenders = {}
+    for name in sorted(REGISTRY):
+        if name.startswith(_LINT_SKIP_PREFIX) or name in _LINT_SKIP:
+            continue
+        p = plan_of(spark, sf_dir, name)
+        cp = node_count(p, "CartesianProduct")
+        bnlj = node_count(p, "BroadcastNestedLoopJoin")
+        if cp or (bnlj and name not in _BNLJ_OK):
+            offenders[name] = (cp, bnlj)
+    assert not offenders, offenders
