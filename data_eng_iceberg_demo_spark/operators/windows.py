@@ -123,10 +123,16 @@ def window_range_frame(spark, d):
 
 @register(
     "window_analytic",
+    # ppm integers, not round(x, 6): percent_rank/cume_dist are ratios of
+    # small ints, which terminate in decimal (k/640) or are exactly dyadic
+    # (k/1024) — both land EXACT .5 rounding ties where Spark (half-up)
+    # and DuckDB (half-even) disagree.  floor has no tie rule: identical
+    # doubles floor identically at every scale factor.
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cume,
+           CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT)
+               AS pct_rank_ppm,
+           CAST(floor(cume_dist()    OVER w * 1000000) AS BIGINT) AS cume_ppm,
            first_value(c_name)  OVER w AS richest,
            last_value(c_name)   OVER (PARTITION BY c_nationkey
                                       ORDER BY c_acctbal DESC, c_custkey ASC
@@ -142,8 +148,10 @@ def window_analytic(spark, d):
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return T(spark, d, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.floor(F.percent_rank().over(w) * 1000000).cast("bigint")
+        .alias("pct_rank_ppm"),
+        F.floor(F.cume_dist().over(w) * 1000000).cast("bigint")
+        .alias("cume_ppm"),
         F.first("c_name").over(w).alias("richest"),
         F.last("c_name").over(w_full).alias("poorest"),
     )

@@ -91,9 +91,12 @@ def stream_sliding_window(spark, d):
                    ORDER BY date_trunc('second', ts), event_id) AS prev_ts
         FROM events
     ), flagged AS (
+        -- strictly greater: Spark's session_window MERGES an event landing
+        -- exactly on the session end (end >= nextStart), so a gap of
+        -- exactly 30min continues the session
         SELECT user_id, tss, event_id,
                CASE WHEN prev_ts IS NULL
-                         OR tss >= prev_ts + INTERVAL 30 MINUTE
+                         OR tss > prev_ts + INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM ordered
     ), sessioned AS (
@@ -112,7 +115,8 @@ def stream_sliding_window(spark, d):
 def stream_session_window(spark, d):
     """Session windows with a 30-minute gap per user (F.session_window).
     Oracle reproduces the merge semantics with gaps-and-islands SQL: a new
-    session starts when the gap to the previous event is >= 30 min."""
+    session starts only when the gap to the previous event EXCEEDS 30 min
+    (Spark merges an event landing exactly on the session end)."""
     e = _events_trunc(spark, d)
     return (
         e.groupBy(F.session_window("tss", "30 minutes").alias("w"), "user_id")
