@@ -18,6 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from ..plans.registry import register
+from ..scratch import scratch_dir
 from ._util import T
 
 
@@ -43,11 +44,13 @@ def sort_multikey_nulls(spark, d):
     never with an un-partitioned row_number window: range-partition on
     the sort key, rank within each partition (the WindowExec partitions
     by _pid), then offset by the total count of all preceding range
-    partitions.  The partitioned frame is persisted because range
-    boundaries come from sampling and would not be identical across the
-    count job and the output job otherwise.  The driver only ever holds
-    one count per partition — a bounded scalar per the number of range
-    partitions, independent of data volume."""
+    partitions.  The range-partitioned frame is materialized once to a
+    scratch parquet with its _pid column frozen in the data: range
+    boundaries come from sampling, so the count job and the output job
+    would otherwise see different partition assignments (and a persist()
+    would pin cache for the session's lifetime).  The driver only ever
+    holds one count per partition — a bounded scalar per the number of
+    range partitions, independent of data volume."""
     o = (T(spark, d, "orders").filter(F.col("o_totalprice") > 350000)
          .select("o_orderkey",
                  F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("pri_or_null"),
@@ -55,10 +58,13 @@ def sort_multikey_nulls(spark, d):
     order = [F.col("pri_or_null").desc_nulls_last(), F.col("o_totalprice").asc(),
              F.col("o_orderkey").asc()]
     n_parts = 16  # at 100 TB: size so each range partition fits an executor
-    part = (o.repartitionByRange(n_parts, *order)
-             .withColumn("_pid", F.spark_partition_id()))
+    staged = scratch_dir("sortrank_")
+    (o.repartitionByRange(n_parts, *order)
+      .withColumn("_pid", F.spark_partition_id())
+      .write.mode("overwrite").parquet(staged))
+    part = spark.read.parquet(staged)
     w = Window.partitionBy("_pid").orderBy(*order)
-    local = part.withColumn("_lrn", F.row_number().over(w)).persist()
+    local = part.withColumn("_lrn", F.row_number().over(w))
     counts = {r["_pid"]: r["cnt"] for r in
               local.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = [], 0

@@ -33,32 +33,12 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-# Runtime session defaults every registered query needs regardless of how
-# the caller built its SparkSession (the correctness driver supplies its
-# own).  The nanos conf makes events.parquet readable at all; UTC makes
-# timestamp→string casts match the timezone-naive DuckDB oracle; Arrow
-# keeps the pandas-UDF and toPandas paths on the fast batch transfer.
-# All three are runtime-settable.
-_SESSION_DEFAULTS = (
-    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-    ("spark.sql.session.timeZone", "UTC"),
-    ("spark.sql.execution.arrow.pyspark.enabled", "true"),
-)
-
-
-def _ensure_session_defaults(spark: SparkSession) -> None:
-    for k, v in _SESSION_DEFAULTS:
-        try:
-            spark.conf.set(k, v)
-        except Exception:
-            pass  # a locked/static conf on an exotic session: proceed
-
-
 def register(name: str, oracle: str | None = None):
     """Decorator: add a query to the contract registry.  The registered
-    callable applies :data:`_SESSION_DEFAULTS` to the session it is
-    handed before building the plan, so results are identical under the
+    callable applies :data:`..session.SESSION_DEFAULTS` to the session it
+    is handed before building the plan, so results are identical under the
     package's session factory and under a caller-provided session."""
+    from ..session import ensure_session_defaults
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
@@ -66,7 +46,7 @@ def register(name: str, oracle: str | None = None):
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            _ensure_session_defaults(spark)
+            ensure_session_defaults(spark)
             return fn(spark, sf_dir)
 
         REGISTRY[name] = QuerySpec(name, wrapped, oracle)

@@ -19,6 +19,26 @@ from .scratch import scratch_root
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Runtime-settable confs every reader and registered query needs regardless
+# of how the caller built its SparkSession (the correctness driver supplies
+# its own).  The nanos conf makes events.parquet readable at all; UTC makes
+# timestamp->string casts match the timezone-naive DuckDB oracle; Arrow
+# keeps pandas-UDF and toPandas paths on the fast batch transfer.
+SESSION_DEFAULTS = (
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ("spark.sql.session.timeZone", "UTC"),
+    ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+)
+
+
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Apply SESSION_DEFAULTS to a possibly caller-built session."""
+    for k, v in SESSION_DEFAULTS:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # a locked/static conf on an exotic session: proceed
+
 
 def get_spark(app_name: str = "data-eng-iceberg-demo-spark",
               shuffle_partitions: int | None = None) -> SparkSession:

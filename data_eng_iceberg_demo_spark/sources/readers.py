@@ -30,11 +30,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import pyspark.sql.functions as F
     from pyspark.sql.types import LongType
 
-    # events.parquet carries TIMESTAMP(NANOS); without this runtime conf a
-    # caller-provided session (not built by session.get_spark) fails the scan
-    # outright with PARQUET_TYPE_ILLEGAL before the LongType fallback below
-    # can run.  The conf is runtime-settable, so set it here unconditionally.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # events.parquet carries TIMESTAMP(NANOS); without the nanosAsLong conf
+    # a caller-provided session (not built by session.get_spark) fails the
+    # scan outright with PARQUET_TYPE_ILLEGAL before the LongType fallback
+    # below can run.  load() is also a public entry point outside the
+    # registry wrapper, so it applies the defaults itself.
+    from ..session import ensure_session_defaults
+    ensure_session_defaults(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -65,9 +65,11 @@ def _events_stream(spark, d, path=None):
                        os.path.join(path, "events.parquet"))
             _events_src_cache[d] = path
     # ts is TIMESTAMP(NANOS) in the fixture parquet; a session that didn't
-    # set this at build time would otherwise fail the schema peek with
-    # PARQUET_TYPE_ILLEGAL (runtime-settable, safe to set unconditionally).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # set nanosAsLong at build time would otherwise fail this batch schema
+    # peek with PARQUET_TYPE_ILLEGAL (reachable outside the registry
+    # wrapper via run_stream_to_df, so applied here too).
+    from ..session import ensure_session_defaults
+    ensure_session_defaults(spark)
     raw_schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(raw_schema).parquet(path)
     if dict(stream.dtypes).get("ts") == "bigint":

@@ -188,8 +188,9 @@ class IceliteTable:
         # metadata is swapped (its data files stay unpublished orphans).
         markers = os.path.join(self.tdir, ".commits")
         os.makedirs(markers, exist_ok=True)
+        marker = os.path.join(markers, f"commit-{sid}")
         try:
-            os.close(os.open(os.path.join(markers, f"commit-{sid}"),
+            os.close(os.open(marker,
                              os.O_CREAT | os.O_EXCL | os.O_WRONLY))
         except FileExistsError:
             raise CommitConflict(
@@ -203,7 +204,17 @@ class IceliteTable:
         }
         meta["snapshots"].append(snap)
         meta["current_snapshot"] = sid
-        _write_meta(self.tdir, meta)
+        try:
+            _write_meta(self.tdir, meta)
+        except BaseException:
+            # release the claim: a failed metadata swap must not wedge the
+            # table (every future same-base commit recomputes this sid and
+            # would hit EEXIST forever)
+            try:
+                os.unlink(marker)
+            except OSError:
+                pass
+            raise
         return snap
 
     # ------------------------------------------------------------ write path

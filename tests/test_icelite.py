@@ -456,3 +456,21 @@ def test_commit_race_two_threads_exactly_one_wins(spark, table):
     assert len(after["snapshots"]) == len(before["snapshots"]) + 1
     assert after["snapshots"][-1]["parent"] == before["current_snapshot"]
     assert after["current_snapshot"] == after["snapshots"][-1]["id"]
+
+
+def test_failed_commit_releases_marker(spark, table, monkeypatch):
+    """A commit whose metadata swap fails must release its sid marker —
+    otherwise every future same-base commit recomputes the same sid, hits
+    EEXIST, and the table is wedged forever."""
+    from data_eng_iceberg_demo_spark.tables import icelite
+
+    def boom(tdir, meta):
+        raise OSError("simulated ENOSPC during metadata swap")
+
+    monkeypatch.setattr(icelite, "_write_meta", boom)
+    with pytest.raises(OSError):
+        table._commit_snapshot(table.meta, "append", [])
+    monkeypatch.undo()
+    # the claim was released: a fresh same-base commit succeeds
+    snap = table._commit_snapshot(table.meta, "append", [])
+    assert table.meta["current_snapshot"] == snap["id"]

@@ -25,6 +25,8 @@ def test_scratch_root_removed_at_exit():
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, check=True,
                          cwd=os.path.dirname(os.path.dirname(__file__)))
+    import tempfile
+
     root = out.stdout.strip().splitlines()[-1]
-    assert root.startswith("/tmp") or os.sep in root
+    assert root.startswith(tempfile.gettempdir()), root
     assert not os.path.exists(root), f"{root} survived interpreter exit"
