@@ -140,10 +140,12 @@ def agg_rollup(spark, d):
     """,
 )
 def agg_cube(spark, d):
+    # customer scales with the corpus — no broadcast hint; the custkey
+    # equi-join is AQE's strategy call (policy: tests/test_plans.py).
     o = T(spark, d, "orders")
     c = T(spark, d, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .cube("c_mktsegment", "o_orderstatus")
         .agg(F.count("*").alias("cnt"),
              (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")

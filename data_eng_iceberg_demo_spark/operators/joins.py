@@ -77,14 +77,17 @@ def join_broadcast(spark, d):
 )
 def join_multiway(spark, d):
     """Flagship (t1 smoke, SURVEY.md §7.2): 4-table star join + hash agg +
-    sort.  region/nation/customer are broadcast (each orders-of-magnitude
-    smaller than orders), so the only wide exchange is the final aggregate."""
+    sort.  nation/region broadcast (25 and 5 rows — bounded by SCHEMA,
+    not data volume, so the hint survives any scale-up); customer grows
+    with the corpus, so its join carries no hint — AQE broadcasts it at
+    runtime while it fits and switches to a custkey shuffle when it
+    doesn't."""
     r = T(spark, d, "region")
     n = T(spark, d, "nation")
     c = T(spark, d, "customer")
     o = T(spark, d, "orders")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")

