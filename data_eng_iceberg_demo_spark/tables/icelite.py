@@ -5,7 +5,12 @@ without the Iceberg connector (uninstallable offline, SURVEY.md §0):
 
   * typed CREATE TABLE (README.md:167-177)         -> create_table()
   * INSERT INTO ... SELECT (README.md:199-208)     -> insert()
-  * row-level DELETE WHERE (README.md:231)         -> delete_where() (copy-on-write)
+  * row-level DELETE WHERE (README.md:231)         -> delete_where()
+      copy-on-write (default) or merge-on-read: the reference creates
+      the table with format-version=2 precisely for delete-file support
+      (README.md:177,180), so mode="merge-on-read" writes a position
+      delete file (file_path, pos — the Iceberg v2 delete-file shape)
+      instead of rewriting data files; reads apply it as an anti-join
   * snapshot history table (README.md:245-248)     -> history()
   * time travel VERSION AS OF (README.md:255-258)  -> read(version=snapshot_id)
   * ADD COLUMN, old rows NULL (README.md:269-276)  -> add_column()
@@ -27,7 +32,12 @@ Scale notes: metadata is O(snapshots + files) JSON — at warehouse scale
 this would shard into manifest files, but the commit protocol (write files,
 then atomically swap the metadata pointer) is the same one Iceberg uses.
 Copy-on-write delete rewrites only files containing matching rows (file
-skipping by predicate evaluation), keeping write amplification bounded.
+skipping by predicate evaluation), keeping write amplification bounded;
+merge-on-read delete writes O(matched rows) of (file, pos) pairs and
+defers the subtraction to read time — small frequent deletes on large
+files stop paying a full file rewrite each (the v2 raison d'être).
+rewrite_data_files applies pending deletes and emits a clean file set,
+so read-amplification is reclaimable exactly as in Iceberg.
 """
 
 from __future__ import annotations
@@ -167,7 +177,48 @@ class IceliteTable:
                 return s
         raise ValueError(f"no snapshot {sid} (expired or never existed)")
 
-    def _commit_snapshot(self, meta: dict, operation: str, files: list[dict]) -> dict:
+    # a commit marker older than this with its snapshot still unpublished
+    # is debris from a process that died between marker creation and the
+    # metadata swap — reclaimable (tests shrink this to exercise the path)
+    STALE_MARKER_SECONDS = 300.0
+
+    def _claim_marker(self, marker: str, sid: int) -> None:
+        try:
+            os.close(os.open(marker,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            return
+        except FileExistsError:
+            pass
+        # The marker exists but our parent check passed, so the claimant
+        # never published sid (a publish would have advanced
+        # current_snapshot and failed the parent check first).  Either it
+        # is mid-commit (young marker -> genuine conflict) or it died
+        # before the swap (stale marker -> reclaim, otherwise every
+        # future same-base commit recomputes this sid and hits EEXIST
+        # forever — the hard-kill wedge from the r3 advice).
+        try:
+            age = time.time() - os.path.getmtime(marker)
+        except OSError:
+            age = None  # vanished: owner just released or published
+        if age is not None and age < self.STALE_MARKER_SECONDS:
+            raise CommitConflict(
+                f"snapshot {sid} already claimed by a concurrent writer")
+        try:
+            os.unlink(marker)
+        except OSError:
+            pass
+        # one retry after the reclaim; a racing reclaimer losing here is
+        # a genuine conflict
+        try:
+            os.close(os.open(marker,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            raise CommitConflict(
+                f"snapshot {sid} re-claimed while reclaiming a stale "
+                f"marker") from None
+
+    def _commit_snapshot(self, meta: dict, operation: str, files: list[dict],
+                         delete_files: list[dict] | None = None) -> dict:
         """Commit with optimistic concurrency (the Iceberg protocol):
         the new snapshot's parent must still be the table's current
         snapshot at commit time.  If another writer committed since this
@@ -189,18 +240,14 @@ class IceliteTable:
         markers = os.path.join(self.tdir, ".commits")
         os.makedirs(markers, exist_ok=True)
         marker = os.path.join(markers, f"commit-{sid}")
-        try:
-            os.close(os.open(marker,
-                             os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-        except FileExistsError:
-            raise CommitConflict(
-                f"snapshot {sid} already claimed by a concurrent writer") from None
+        self._claim_marker(marker, sid)
         snap = {
             "id": sid,
             "parent": meta["current_snapshot"],
             "ts": time.time(),
             "operation": operation,
             "files": files,
+            "delete_files": delete_files or [],
         }
         meta["snapshots"].append(snap)
         meta["current_snapshot"] = sid
@@ -255,47 +302,137 @@ class IceliteTable:
         return files
 
     def insert(self, df: DataFrame) -> None:
-        """Append snapshot (INSERT INTO ... SELECT, README.md:199-208)."""
+        """Append snapshot (INSERT INTO ... SELECT, README.md:199-208).
+        Pending delete files carry over untouched — they reference
+        (file, pos) pairs in pre-existing files only."""
         meta = self.meta
         cols = self.current_columns(meta)
         new_files = self._write_files(df.select(*cols), meta)
-        cur = (self._snapshot(meta, None)["files"]
-               if meta["current_snapshot"] is not None else [])
-        self._commit_snapshot(meta, "append", cur + new_files)
+        cur_files, cur_dels = [], []
+        if meta["current_snapshot"] is not None:
+            cur = self._snapshot(meta, None)
+            cur_files = cur["files"]
+            cur_dels = cur.get("delete_files", [])
+        self._commit_snapshot(meta, "append", cur_files + new_files,
+                              delete_files=cur_dels)
 
-    def delete_where(self, predicate: str) -> None:
-        """Copy-on-write row-level DELETE (README.md:231): files containing
-        matching rows are rewritten without them; untouched files carry
-        over to the new snapshot unchanged."""
+    def delete_where(self, predicate: str,
+                     mode: str = "copy-on-write") -> None:
+        """Row-level DELETE (README.md:231) in either Iceberg v2 mode:
+
+        * copy-on-write (default): files containing matching rows are
+          rewritten without them; untouched files carry over unchanged.
+          O(touched file bytes) per delete, zero read-time cost.
+        * merge-on-read: ONE scan finds matching (file, pos) pairs and
+          writes them as a position delete file — the v2 delete-file
+          shape (README.md:177,180) — with zero data-file rewrites;
+          reads subtract via an anti-join until rewrite_data_files
+          compacts the deletes away.  O(matched rows) per delete."""
+        if mode in ("merge-on-read", "mor"):
+            return self._delete_where_mor(predicate)
+        if mode not in ("copy-on-write", "cow"):
+            raise ValueError(f"unknown delete mode: {mode}")
         meta = self.meta
         cur = self._snapshot(meta, None)
+        cur_dels = cur.get("delete_files", [])
         touched, kept = [], []
         for finfo in cur["files"]:
-            df = self._read_one(finfo, meta)
+            df = self._read_one(finfo, meta, delete_files=cur_dels)
             if df.filter(F.expr(predicate)).limit(1).count() > 0:
                 touched.append(finfo)
             else:
                 kept.append(finfo)
         if not touched:
-            self._commit_snapshot(meta, "delete", list(cur["files"]))
+            self._commit_snapshot(meta, "delete", list(cur["files"]),
+                                  delete_files=cur_dels)
             return
         survivors = None
         for finfo in touched:
-            part = self._read_one(finfo, meta).filter(~F.expr(predicate))
+            part = (self._read_one(finfo, meta, delete_files=cur_dels)
+                    .filter(~F.expr(predicate)))
             survivors = part if survivors is None else survivors.unionByName(part)
         new_files = (self._write_files(survivors, meta)
                      if survivors is not None else [])
-        self._commit_snapshot(meta, "delete", kept + new_files)
+        # delete entries keep only targets that still exist; rewritten
+        # files had their pending deletes applied during the rewrite
+        kept_paths = {f["path"] for f in kept}
+        kept_dels = []
+        for d in cur_dels:
+            targets = [t for t in d["targets"] if t in kept_paths]
+            if targets:
+                kept_dels.append({**d, "targets": targets})
+        self._commit_snapshot(meta, "delete", kept + new_files,
+                              delete_files=kept_dels)
+
+    def _delete_where_mor(self, predicate: str) -> None:
+        """Merge-on-read DELETE: one distributed scan computes matching
+        row positions via the parquet reader's `_metadata.row_index`
+        (already-deleted rows are anti-joined out first, so delete files
+        never double-count); the positions land in a position delete
+        file and data files are not touched."""
+        meta = self.meta
+        cur = self._snapshot(meta, None)
+        cur_dels = cur.get("delete_files", [])
+        matches = (self._read_files(cur["files"], meta,
+                                    delete_files=cur_dels, keep_pos=True)
+                   .filter(F.expr(predicate))
+                   .select(F.col("__file").alias("file_path"),
+                           F.col("__pos").alias("pos")))
+        batch = uuid.uuid4().hex[:12]
+        out_rel = os.path.join("deletes", batch)
+        out = os.path.join(self.tdir, out_rel)
+        # delete sets are small relative to data (and bounded by the
+        # matched rows); one file keeps the read-side join input compact
+        matches.coalesce(1).write.mode("overwrite").parquet(out)
+        written = self.spark.read.parquet(out)
+        targets = self._rel_data_paths(
+            [r["file_path"] for r in
+             written.select("file_path").distinct().collect()])
+        if not targets:  # nothing matched: no-op snapshot, drop the file
+            import shutil
+            shutil.rmtree(out, ignore_errors=True)
+            self._commit_snapshot(meta, "delete", list(cur["files"]),
+                                  delete_files=cur_dels)
+            return
+        entry = {"path": out_rel, "targets": sorted(targets)}
+        self._commit_snapshot(meta, "delete", list(cur["files"]),
+                              delete_files=cur_dels + [entry])
+
+    def _rel_data_paths(self, uris: list[str]) -> list[str]:
+        """Normalize `_metadata.file_path` URIs to tdir-relative paths
+        (the form snapshot file lists use)."""
+        root = os.path.abspath(self.tdir)
+        rels = []
+        for u in uris:
+            p = u[5:] if u.startswith("file:") else u
+            while p.startswith("//"):
+                p = p[1:]
+            rels.append(os.path.relpath(p, root))
+        return rels
 
     # ------------------------------------------------------------ read path
-    def _read_one(self, finfo: dict, meta: dict) -> DataFrame:
+    def _apply_deletes(self, df: DataFrame, del_paths: list[str]) -> DataFrame:
+        """Subtract position-delete rows: anti-join on (file URI, row
+        index).  The delete side is O(deleted rows) — tiny next to data —
+        so Spark broadcasts it at runtime; no hint (policy: the delete
+        set grows with delete volume, not boundedly)."""
+        dels = self.spark.read.parquet(
+            *[os.path.join(self.tdir, p) for p in del_paths])
+        cond = (df["__file"] == dels["file_path"]) & (df["__pos"] == dels["pos"])
+        return df.join(dels, cond, "left_anti")
+
+    def _read_one(self, finfo: dict, meta: dict,
+                  delete_files: list[dict] | None = None) -> DataFrame:
         """Read one data file, remapping its write-time schema (by field
         id) to the current schema: renamed fields resolve, later-added
-        fields fill NULL (README.md:276,292 semantics)."""
+        fields fill NULL (README.md:276,292 semantics).  Pending position
+        deletes targeting the file are subtracted."""
         cur_fields = self._schema_fields(meta, meta["current_schema"])
         old_fields = {f["id"]: f for f in
                       self._schema_fields(meta, finfo["schema_version"])}
         df = self.spark.read.parquet(os.path.join(self.tdir, finfo["path"]))
+        del_paths = [d["path"] for d in (delete_files or [])
+                     if finfo["path"] in d["targets"]]
         cols = []
         for f in cur_fields:
             old = old_fields.get(f["id"])
@@ -303,38 +440,82 @@ class IceliteTable:
                 cols.append(F.col(old["name"]).alias(f["name"]))
             else:
                 cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
-        return df.select(*cols)
+        if not del_paths:
+            return df.select(*cols)
+        staged = df.select(*cols,
+                           F.col("_metadata.file_path").alias("__file"),
+                           F.col("_metadata.row_index").alias("__pos"))
+        return self._apply_deletes(staged, del_paths) \
+            .drop("__file", "__pos")
 
-    def _read_files(self, files: list[dict], meta: dict) -> DataFrame:
+    def _read_files(self, files: list[dict], meta: dict,
+                    delete_files: list[dict] | None = None,
+                    keep_pos: bool = False) -> DataFrame:
         """Read a file list grouped by schema version (one Spark scan per
         version — files of the same version read as a single multi-path
-        scan, preserving scan parallelism)."""
+        scan, preserving scan parallelism).  Files targeted by position
+        delete files get the anti-join subtraction; untargeted files take
+        the plain scan, so tables with no pending deletes pay nothing.
+        keep_pos=True keeps (__file, __pos) provenance columns — the
+        merge-on-read delete writer uses them."""
         cur_fields = self._schema_fields(meta, meta["current_schema"])
         if not files:
             schema = ", ".join(f"`{f['name']}` {f['type']}" for f in cur_fields)
-            return self.spark.createDataFrame([], schema)
+            empty = self.spark.createDataFrame([], schema)
+            if keep_pos:
+                empty = empty.select(
+                    "*", F.lit(None).cast("string").alias("__file"),
+                    F.lit(None).cast("bigint").alias("__pos"))
+            return empty
+        targeted: dict[str, list[str]] = {}
+        for d in (delete_files or []):
+            for t in d["targets"]:
+                targeted.setdefault(t, []).append(d["path"])
         by_ver: dict[int, list[dict]] = {}
         for fi in files:
             by_ver.setdefault(fi["schema_version"], []).append(fi)
         out = None
-        for ver, group in sorted(by_ver.items()):
+
+        def scan_group(group, ver, with_pos):
             old_fields = {f["id"]: f for f in self._schema_fields(meta, ver)}
             paths = [os.path.join(self.tdir, fi["path"]) for fi in group]
             df = self.spark.read.parquet(*paths)
             cols = []
             for f in cur_fields:
                 old = old_fields.get(f["id"])
-                cols.append(F.col(old["name"]).alias(f["name"]) if old is not None
+                cols.append(F.col(old["name"]).alias(f["name"])
+                            if old is not None
                             else F.lit(None).cast(f["type"]).alias(f["name"]))
-            part = df.select(*cols)
-            out = part if out is None else out.unionByName(part)
+            if with_pos:
+                cols += [F.col("_metadata.file_path").alias("__file"),
+                         F.col("_metadata.row_index").alias("__pos")]
+            return df.select(*cols)
+
+        for ver, group in sorted(by_ver.items()):
+            plain = [fi for fi in group if fi["path"] not in targeted]
+            dirty = [fi for fi in group if fi["path"] in targeted]
+            parts = []
+            if plain:
+                parts.append(scan_group(plain, ver, keep_pos))
+            if dirty:
+                df = scan_group(dirty, ver, True)
+                del_paths = sorted({p for fi in dirty
+                                    for p in targeted[fi["path"]]})
+                df = self._apply_deletes(df, del_paths)
+                if not keep_pos:
+                    df = df.drop("__file", "__pos")
+                parts.append(df)
+            for part in parts:
+                out = part if out is None else out.unionByName(part)
         return out
 
     def read(self, version: int | None = None,
              ref: str | None = None) -> DataFrame:
         """Current read, time travel when version=snapshot_id (VERSION AS
         OF, README.md:255-258), or a named-ref read when ref=tag/branch
-        name (Iceberg's ``VERSION AS OF 'ref'``)."""
+        name (Iceberg's ``VERSION AS OF 'ref'``).  Each snapshot applies
+        exactly the delete files committed as of that snapshot, so time
+        travel across merge-on-read deletes is position-exact."""
         meta = self.meta
         if ref is not None:
             r = meta.get("refs", {}).get(ref)
@@ -344,7 +525,8 @@ class IceliteTable:
         if meta["current_snapshot"] is None and version is None:
             return self._read_files([], meta)
         snap = self._snapshot(meta, version)
-        return self._read_files(snap["files"], meta)
+        return self._read_files(snap["files"], meta,
+                                delete_files=snap.get("delete_files"))
 
     def plan_files(self, ts_lo: str | None = None,
                    ts_hi: str | None = None) -> list[dict]:
@@ -376,7 +558,10 @@ class IceliteTable:
         """Read with hidden-partition pruning + the residual row filter on
         the source column (user never references the partition column)."""
         meta = self.meta
-        df = self._read_files(self.plan_files(ts_lo, ts_hi), meta)
+        dels = (self._snapshot(meta, None).get("delete_files")
+                if meta["current_snapshot"] is not None else None)
+        df = self._read_files(self.plan_files(ts_lo, ts_hi), meta,
+                              delete_files=dels)
         spec = meta["partition_spec"]
         if spec is not None:
             src = F.col(spec["source"])
@@ -416,7 +601,10 @@ class IceliteTable:
     def scan_range(self, col: str, lo=None, hi=None) -> DataFrame:
         """Stats-pruned read + residual row filter: `lo <= col <= hi`."""
         meta = self.meta
-        df = self._read_files(self.plan_files_range(col, lo, hi), meta)
+        dels = (self._snapshot(meta, None).get("delete_files")
+                if meta["current_snapshot"] is not None else None)
+        df = self._read_files(self.plan_files_range(col, lo, hi), meta,
+                              delete_files=dels)
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
@@ -531,11 +719,19 @@ class IceliteTable:
                    and (older_than_ts is None or s["ts"] < older_than_ts)]
         expired_ids = [s["id"] for s in expired]
         keep = [s for s in snaps if s["id"] not in set(expired_ids)]
-        live_paths = {f["path"] for s in keep for f in s["files"]}
-        dead_paths = {f["path"] for s in expired for f in s["files"]} - live_paths
+
+        def paths_of(snap_list):
+            return ({f["path"] for s in snap_list for f in s["files"]}
+                    | {d["path"] for s in snap_list
+                       for d in s.get("delete_files", [])})
+
+        dead_paths = paths_of(expired) - paths_of(keep)
+        import shutil
         for p in dead_paths:
             full = os.path.join(self.tdir, p)
-            if os.path.exists(full):
+            if os.path.isdir(full):  # position-delete files are dirs
+                shutil.rmtree(full, ignore_errors=True)
+            elif os.path.exists(full):
                 os.remove(full)
         meta["snapshots"] = keep
         _write_meta(self.tdir, meta)
@@ -558,6 +754,18 @@ class IceliteTable:
                 rel = os.path.relpath(os.path.join(root, n), self.tdir)
                 if rel not in referenced:
                     os.remove(os.path.join(root, n))
+                    removed.append(rel)
+        # orphaned position-delete dirs (a failed MoR commit leaves one)
+        del_referenced = {d["path"] for s in meta["snapshots"]
+                          for d in s.get("delete_files", [])}
+        del_root = os.path.join(self.tdir, "deletes")
+        if os.path.isdir(del_root):
+            import shutil
+            for n in os.listdir(del_root):
+                rel = os.path.join("deletes", n)
+                if rel not in del_referenced:
+                    shutil.rmtree(os.path.join(del_root, n),
+                                  ignore_errors=True)
                     removed.append(rel)
         return removed
 
@@ -618,7 +826,8 @@ class IceliteTable:
         time-travelable until expired).  Metadata-only: no data movement."""
         meta = self.meta
         target = self._snapshot(meta, snapshot_id)
-        self._commit_snapshot(meta, "rollback", list(target["files"]))
+        self._commit_snapshot(meta, "rollback", list(target["files"]),
+                              delete_files=list(target.get("delete_files", [])))
 
     def files(self, version: int | None = None) -> DataFrame:
         """Metadata table (Iceberg's ``db.t.files`` analog): one row per
@@ -680,8 +889,11 @@ class IceliteTable:
             raise ValueError(f"no branch: {branch}")
         cols = self.current_columns(meta)
         new_files = self._write_files(df.select(*cols), meta)
-        base_files = (self._snapshot(meta, ref["snapshot_id"])["files"]
-                      if ref["snapshot_id"] is not None else [])
+        base_files, base_dels = [], []
+        if ref["snapshot_id"] is not None:
+            base = self._snapshot(meta, ref["snapshot_id"])
+            base_files = base["files"]
+            base_dels = base.get("delete_files", [])
         on_disk = self.meta.get("refs", {}).get(branch)
         if on_disk is None or on_disk["snapshot_id"] != ref["snapshot_id"]:
             raise CommitConflict(
@@ -689,7 +901,8 @@ class IceliteTable:
         sid = max((s["id"] for s in meta["snapshots"]), default=0) + 1
         meta["snapshots"].append({
             "id": sid, "parent": ref["snapshot_id"], "ts": time.time(),
-            "operation": "append", "files": base_files + new_files})
+            "operation": "append", "files": base_files + new_files,
+            "delete_files": list(base_dels)})
         meta["refs"][branch]["snapshot_id"] = sid
         _write_meta(self.tdir, meta)
 

@@ -1,0 +1,169 @@
+"""Merge-on-read delete semantics (Iceberg format-version=2 delete
+files, the capability the reference's table properties exist for —
+README.md:177,180).  Contract pinned here:
+
+  * MoR delete result == CoW delete result for the same predicate
+  * MoR delete touches ZERO data files (the v2 point: O(matched rows)
+    written, not O(file bytes) rewritten)
+  * time travel across a MoR delete is position-exact in both directions
+  * stacked MoR deletes compose; CoW after MoR applies pending deletes
+  * rewrite_data_files compacts pending deletes away (clean file set,
+    no delete_files, identical rows)
+  * appends after a MoR delete are unaffected by older delete files
+  * expire/orphan maintenance collects dead position-delete files
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_eng_iceberg_demo_spark.tables.icelite import IceliteCatalog
+from data_eng_iceberg_demo_spark.tables.queries import (PEDIDOS_SCHEMA,
+                                                        _typed_pedidos)
+
+
+def _fresh(spark, tmp_path, name):
+    cat = IceliteCatalog(spark, str(tmp_path))
+    t = cat.create_table(name, PEDIDOS_SCHEMA)
+    t.insert(_typed_pedidos(spark))
+    return t
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _data_paths(t, version=None):
+    return sorted(f["path"] for f in t.meta["snapshots"]
+                  [(version or t.meta["current_snapshot"]) - 1]["files"])
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    """Two identical tables: one deletes CoW, the other MoR."""
+    return (_fresh(spark, tmp_path, "db.cow"),
+            _fresh(spark, tmp_path, "db.mor"))
+
+
+def test_mor_equals_cow_and_rewrites_nothing(spark, pair):
+    cow, mor = pair
+    pred = "uf = 'SP'"
+    before_files = _data_paths(mor)
+    cow.delete_where(pred)  # default copy-on-write
+    mor.delete_where(pred, mode="merge-on-read")
+    assert _rows(cow.read()) == _rows(mor.read())
+    assert mor.read().filter(pred).count() == 0
+    # MoR: identical data-file list, one delete file; CoW rewrote
+    assert _data_paths(mor) == before_files
+    snap = mor.meta["snapshots"][-1]
+    assert len(snap["delete_files"]) == 1
+    assert snap["delete_files"][0]["targets"]  # targets recorded
+    assert _data_paths(cow) != before_files
+
+
+def test_mor_time_travel_both_directions(spark, tmp_path):
+    t = _fresh(spark, tmp_path, "db.tt")
+    before = _rows(t.read())
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    after = _rows(t.read())
+    assert _rows(t.read(version=1)) == before   # pre-delete snapshot intact
+    assert _rows(t.read(version=2)) == after
+    assert len(after) < len(before)
+
+
+def test_mor_deletes_stack(spark, tmp_path):
+    t = _fresh(spark, tmp_path, "db.stack")
+    n0 = t.read().count()
+    n_sp = t.read().filter("uf = 'SP'").count()
+    n_rj = t.read().filter("uf = 'RJ'").count()
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    t.delete_where("uf = 'RJ'", mode="merge-on-read")
+    assert t.read().filter("uf IN ('SP','RJ')").count() == 0
+    assert t.read().count() == n0 - n_sp - n_rj
+    assert len(t.meta["snapshots"][-1]["delete_files"]) == 2
+
+
+def test_mor_delete_no_double_count(spark, tmp_path):
+    """Re-deleting an already-deleted predicate writes no new positions
+    (matches are computed on the delete-applied view)."""
+    t = _fresh(spark, tmp_path, "db.idem")
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    # second delete matched nothing: no new delete file
+    assert len(t.meta["snapshots"][-1]["delete_files"]) == 1
+
+
+def test_cow_after_mor_applies_pending_deletes(spark, tmp_path):
+    t = _fresh(spark, tmp_path, "db.mixed")
+    expect = _rows(t.read().filter("uf NOT IN ('SP','RJ')"))
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    t.delete_where("uf = 'RJ'")  # CoW on a table with pending deletes
+    assert _rows(t.read()) == expect
+    # the rewrite applied the SP delete, so no stale targets survive
+    for d in t.meta["snapshots"][-1]["delete_files"]:
+        live = {f["path"] for f in t.meta["snapshots"][-1]["files"]}
+        assert set(d["targets"]) <= live
+
+
+def test_rewrite_data_files_compacts_deletes_away(spark, tmp_path):
+    t = _fresh(spark, tmp_path, "db.compact")
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    expect = _rows(t.read())
+    t.rewrite_data_files(target_files=1)
+    snap = t.meta["snapshots"][-1]
+    assert snap["operation"] == "replace"
+    assert snap["delete_files"] == []
+    assert len(snap["files"]) == 1
+    assert _rows(t.read()) == expect
+
+
+def test_append_after_mor_delete_unaffected(spark, tmp_path):
+    t = _fresh(spark, tmp_path, "db.appended")
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    n = t.read().count()
+    extra = _typed_pedidos(spark).filter("uf = 'SP'")
+    n_extra = extra.count()
+    t.insert(extra)  # new SP rows in NEW files: older delete files
+    assert t.read().filter("uf = 'SP'").count() == n_extra
+    assert t.read().count() == n + n_extra
+
+
+def test_maintenance_collects_dead_delete_files(spark, tmp_path):
+    t = _fresh(spark, tmp_path, "db.gc")
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    del_rel = t.meta["snapshots"][-1]["delete_files"][0]["path"]
+    assert os.path.isdir(os.path.join(t.tdir, del_rel))
+    # compaction drops the reference; expire removes the snapshot that
+    # held it; the file dies with it
+    t.rewrite_data_files(target_files=1)
+    t.expire_snapshots(retain_last=1)
+    assert not os.path.exists(os.path.join(t.tdir, del_rel))
+
+
+def test_stale_commit_marker_is_reclaimed(spark, tmp_path, monkeypatch):
+    """A process that dies between marker creation and the metadata swap
+    must not wedge the table: an old marker whose snapshot was never
+    published is reclaimed by the next committer."""
+    t = _fresh(spark, tmp_path, "db.marker")
+    sid = max(s["id"] for s in t.meta["snapshots"]) + 1
+    markers = os.path.join(t.tdir, ".commits")
+    os.makedirs(markers, exist_ok=True)
+    stale = os.path.join(markers, f"commit-{sid}")
+    open(stale, "w").close()
+    old = (os.path.getmtime(stale) - 10_000)
+    os.utime(stale, (old, old))
+    t.delete_where("uf = 'SP'")  # would raise CommitConflict pre-fix
+    assert t.meta["current_snapshot"] == sid
+
+
+def test_fresh_commit_marker_still_conflicts(spark, tmp_path):
+    from data_eng_iceberg_demo_spark.tables.icelite import CommitConflict
+    t = _fresh(spark, tmp_path, "db.marker2")
+    sid = max(s["id"] for s in t.meta["snapshots"]) + 1
+    markers = os.path.join(t.tdir, ".commits")
+    os.makedirs(markers, exist_ok=True)
+    open(os.path.join(markers, f"commit-{sid}"), "w").close()  # young
+    with pytest.raises(CommitConflict):
+        t.delete_where("uf = 'SP'")
