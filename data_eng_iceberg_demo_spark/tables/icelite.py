@@ -274,7 +274,7 @@ class IceliteTable:
         writer = df
         if spec is not None:
             writer = df.withColumn(spec["name"],
-                                   F.to_date(F.col(spec["source"])).cast("string"))
+                                   self._partition_value_col(spec, meta))
             # cluster rows by partition value before the partitioned write:
             # one task owns each day → one file per partition instead of
             # (tasks × days) small files — the small-file guard at scale
@@ -530,29 +530,64 @@ class IceliteTable:
 
     def plan_files(self, ts_lo: str | None = None,
                    ts_hi: str | None = None) -> list[dict]:
-        """Hidden-partition pruning (README.md:304-307): map a predicate on
-        the partition SOURCE column to partition-value bounds and skip
-        non-qualifying files.  Returns the pruned file list (tests assert
-        len(pruned) < len(all))."""
+        """Hidden-partition pruning (README.md:304-307): map a timestamp
+        predicate on the partition SOURCE column to partition-value
+        bounds and skip non-qualifying files.  Works for every TIME
+        transform (days/months/years/hours) because their partition
+        strings order like their timestamps; boundary partitions are
+        kept and the residual row filter finishes the job.  Returns the
+        pruned file list (tests assert len(pruned) < len(all))."""
         meta = self.meta
         snap = self._snapshot(meta, None)
         spec = meta["partition_spec"]
-        if spec is None or (ts_lo is None and ts_hi is None):
+        if (spec is None or spec["transform"] not in self._TIME_TRANSFORMS
+                or (ts_lo is None and ts_hi is None)):
             return list(snap["files"])
-        lo_day = ts_lo.split(" ")[0] if ts_lo else None
-        hi_day = ts_hi.split(" ")[0] if ts_hi else None
+        t = spec["transform"]
+        lo_p = self._time_part_of(ts_lo, t) if ts_lo else None
+        hi_p = self._time_part_of(ts_hi, t) if ts_hi else None
         out = []
         for fi in snap["files"]:
             p = fi.get("partition")
             if p is None:  # pre-spec file: cannot prune, must read
                 out.append(fi)
                 continue
-            if lo_day is not None and p < lo_day:
+            if lo_p is not None and p < lo_p:
                 continue
-            if hi_day is not None and p > hi_day:
+            if hi_p is not None and p > hi_p:
                 continue
             out.append(fi)
         return out
+
+    def plan_files_value(self, value) -> list[dict]:
+        """Equality pruning for value transforms: a predicate
+        `source == value` maps to exactly one bucket / one truncated
+        prefix, so only files in that partition survive.  (Also valid
+        for time transforms given a timestamp literal.)"""
+        meta = self.meta
+        snap = self._snapshot(meta, None)
+        spec = meta["partition_spec"]
+        if spec is None:
+            return list(snap["files"])
+        want = self._transform_of_value(spec, meta, value)
+        return [fi for fi in snap["files"]
+                if fi.get("partition") is None or fi["partition"] == want]
+
+    def scan_value(self, value) -> DataFrame:
+        """Partition-pruned read for `source == value` + the residual
+        row filter (bucket partitions hold many values; truncate
+        partitions hold a prefix range — the filter finishes)."""
+        meta = self.meta
+        spec = meta["partition_spec"]
+        dels = (self._snapshot(meta, None).get("delete_files")
+                if meta["current_snapshot"] is not None else None)
+        df = self._read_files(self.plan_files_value(value), meta,
+                              delete_files=dels)
+        if spec is not None:
+            fld = self._spec_source(spec, meta)
+            df = df.filter(F.col(fld["name"]) ==
+                           F.lit(value).cast(fld["type"]))
+        return df
 
     def scan(self, ts_lo: str | None = None, ts_hi: str | None = None) -> DataFrame:
         """Read with hidden-partition pruning + the residual row filter on
@@ -564,7 +599,7 @@ class IceliteTable:
                               delete_files=dels)
         spec = meta["partition_spec"]
         if spec is not None:
-            src = F.col(spec["source"])
+            src = F.col(self._spec_source(spec, meta)["name"])
             if ts_lo is not None:
                 df = df.filter(src >= F.lit(ts_lo).cast("timestamp"))
             if ts_hi is not None:
@@ -674,14 +709,106 @@ class IceliteTable:
         meta["current_schema"] += 1
         _write_meta(self.tdir, meta)
 
+    _TIME_TRANSFORMS = ("days", "months", "years", "hours")
+
+    def set_partition(self, transform: str, source_col: str,
+                      partition_name: str | None = None,
+                      param: int | None = None) -> None:
+        """ADD PARTITION FIELD <transform>(source) — the full Iceberg
+        hidden-partitioning transform family the tutorial's days() demo
+        implies (README.md:304-307): days/months/years/hours over a
+        timestamp, bucket(N, col), truncate(W, col).  Future writes
+        partition by the derived value; reads prune via plan_files /
+        plan_files_value.  The source is recorded by FIELD ID, so a
+        later rename_column keeps the spec (and pruning) working."""
+        if transform not in self._TIME_TRANSFORMS + ("bucket", "truncate"):
+            raise ValueError(f"unknown transform: {transform}")
+        if transform in ("bucket", "truncate") and not param:
+            raise ValueError(f"{transform} needs a positive param "
+                             f"(bucket count / truncate width)")
+        meta = self.meta
+        sid = None
+        for f in self._schema_fields(meta, meta["current_schema"]):
+            if f["name"] == source_col:
+                sid = f["id"]
+        if sid is None:
+            raise ValueError(f"no column: {source_col}")
+        meta["partition_spec"] = {
+            "transform": transform, "source": source_col, "source_id": sid,
+            "name": partition_name or f"p_{transform}", "param": param}
+        _write_meta(self.tdir, meta)
+
     def set_partition_days(self, source_col: str,
                            partition_name: str = "p_day") -> None:
-        """ADD PARTITION FIELD days(source) (README.md:304-307): future
-        writes partition by the derived day; reads prune via plan_files."""
-        meta = self.meta
-        meta["partition_spec"] = {"transform": "days", "source": source_col,
-                                  "name": partition_name}
-        _write_meta(self.tdir, meta)
+        """ADD PARTITION FIELD days(source) (README.md:304-307)."""
+        self.set_partition("days", source_col, partition_name)
+
+    def _spec_source(self, spec: dict, meta: dict) -> dict:
+        """Resolve the partition source FIELD (current name + type) by
+        field id — rename-proof; falls back to the recorded name for
+        metadata written before source ids existed."""
+        fields = self._schema_fields(meta, meta["current_schema"])
+        sid = spec.get("source_id")
+        if sid is not None:
+            for f in fields:
+                if f["id"] == sid:
+                    return f
+        for f in fields:
+            if f["name"] == spec["source"]:
+                return f
+        raise ValueError(f"partition source column no longer exists: "
+                         f"{spec['source']}")
+
+    def _partition_value_col(self, spec: dict, meta: dict):
+        """The derived partition value as a STRING Spark column (string
+        keys keep directory names and metadata JSON-safe)."""
+        fld = self._spec_source(spec, meta)
+        src = F.col(fld["name"])
+        t = spec["transform"]
+        if t == "days":
+            return F.to_date(src).cast("string")
+        if t == "months":
+            return F.date_format(src, "yyyy-MM")
+        if t == "years":
+            return F.date_format(src, "yyyy")
+        if t == "hours":
+            return F.date_format(src, "yyyy-MM-dd-HH")
+        if t == "bucket":
+            return F.pmod(F.hash(src), F.lit(spec["param"])).cast("string")
+        if t == "truncate":
+            if fld["type"] in ("string", "varchar"):
+                return F.substring(src, 1, spec["param"])
+            # floor-to-width on integers (pmod is non-negative, so this
+            # is floor semantics for negatives too — Iceberg's contract)
+            return (src - F.pmod(src, F.lit(spec["param"]))).cast("string")
+        raise ValueError(f"unknown transform: {t}")
+
+    @staticmethod
+    def _time_part_of(ts: str, transform: str) -> str:
+        """Map a 'YYYY-MM-DD[ HH:MM:SS]' bound to its partition string."""
+        date, _, clock = ts.partition(" ")
+        if transform == "days":
+            return date
+        if transform == "months":
+            return date[:7]
+        if transform == "years":
+            return date[:4]
+        if transform == "hours":
+            hh = (clock.split(":")[0] if clock else "00")
+            return f"{date}-{int(hh):02d}"
+        raise ValueError(transform)
+
+    def _transform_of_value(self, spec: dict, meta: dict, value) -> str:
+        """Partition string for a literal — used to map an equality
+        predicate on the SOURCE column to a partition value.  Evaluated
+        through the same Spark expressions as the write path, so write
+        and prune can never disagree (e.g. hash seed)."""
+        fld = self._spec_source(spec, meta)
+        row = (self.spark.range(1)
+               .select(F.lit(value).cast(fld["type"]).alias(fld["name"]))
+               .select(self._partition_value_col(spec, meta).alias("p"))
+               .collect())
+        return row[0]["p"]
 
     # ------------------------------------------------------------ maintenance
     def history(self) -> DataFrame:
