@@ -31,13 +31,29 @@ SESSION_DEFAULTS = (
 )
 
 
+_conf_warned: set[str] = set()
+
+
 def ensure_session_defaults(spark: SparkSession) -> None:
-    """Apply SESSION_DEFAULTS to a possibly caller-built session."""
+    """Apply SESSION_DEFAULTS to a possibly caller-built session.
+
+    NOTE this deliberately mutates the caller's runtime conf (session
+    timezone -> UTC, Arrow on, nanos-as-long on): the oracle contract
+    depends on those.  A conf a locked-down session refuses is warned
+    about ONCE — the query still runs, but a later oracle mismatch now
+    has a diagnosable cause instead of a silent one."""
+    import warnings
+
     for k, v in SESSION_DEFAULTS:
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # a locked/static conf on an exotic session: proceed
+        except Exception as ex:
+            if k not in _conf_warned:
+                _conf_warned.add(k)
+                warnings.warn(
+                    f"could not set {k}={v} on the caller session "
+                    f"({type(ex).__name__}: {ex}); results may diverge "
+                    f"from the oracle (timestamp casts / nanos reads)")
 
 
 def get_spark(app_name: str = "data-eng-iceberg-demo-spark",
