@@ -316,8 +316,16 @@ class IceliteTable:
         self._commit_snapshot(meta, "append", cur_files + new_files,
                               delete_files=cur_dels)
 
+    def set_property(self, key: str, value: str) -> None:
+        """ALTER TABLE ... SET TBLPROPERTIES — e.g. Iceberg's
+        ``write.delete.mode`` = merge-on-read, which delete_where honors
+        when no explicit mode is passed."""
+        meta = self.meta
+        meta.setdefault("properties", {})[key] = value
+        _write_meta(self.tdir, meta)
+
     def delete_where(self, predicate: str,
-                     mode: str = "copy-on-write") -> None:
+                     mode: str | None = None) -> None:
         """Row-level DELETE (README.md:231) in either Iceberg v2 mode:
 
         * copy-on-write (default): files containing matching rows are
@@ -327,7 +335,13 @@ class IceliteTable:
           writes them as a position delete file — the v2 delete-file
           shape (README.md:177,180) — with zero data-file rewrites;
           reads subtract via an anti-join until rewrite_data_files
-          compacts the deletes away.  O(matched rows) per delete."""
+          compacts the deletes away.  O(matched rows) per delete.
+
+        mode=None resolves the table property ``write.delete.mode``
+        (Iceberg's own switch), defaulting to copy-on-write."""
+        if mode is None:
+            mode = (self.meta.get("properties") or {}).get(
+                "write.delete.mode", "copy-on-write")
         if mode in ("merge-on-read", "mor"):
             return self._delete_where_mor(predicate)
         if mode not in ("copy-on-write", "cow"):

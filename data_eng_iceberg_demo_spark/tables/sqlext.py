@@ -98,9 +98,28 @@ class IceliteSqlSession:
             return None
 
         m = re.match(r"ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+PARTITION\s+FIELD\s+"
-                     r"days\s*\(\s*(\w+)\s*\)$", s, re.I)
+                     r"(days|months|years|hours)\s*\(\s*(\w+)\s*\)$", s, re.I)
         if m:
-            self._table(m.group(1)).set_partition_days(m.group(2))
+            name, transform, col = m.groups()
+            self._table(name).set_partition(transform.lower(), col)
+            return None
+
+        m = re.match(r"ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+PARTITION\s+FIELD\s+"
+                     r"(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)$",
+                     s, re.I)
+        if m:
+            name, transform, param, col = m.groups()
+            self._table(name).set_partition(transform.lower(), col,
+                                            param=int(param))
+            return None
+
+        m = re.match(r"ALTER\s+TABLE\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*"
+                     r"\((.*)\)$", s, re.I | re.S)
+        if m:
+            name, props_s = m.groups()
+            t = self._table(name)
+            for k, v in re.findall(r"'([^']+)'\s*=\s*'([^']+)'", props_s):
+                t.set_property(k, v)
             return None
 
         m = re.match(r"CALL\s+(?:\w+\.)?system\.expire_snapshots\s*\(\s*'([\w.]+)'"
@@ -123,6 +142,19 @@ class IceliteSqlSession:
                      r"table\s*=>\s*'([\w.]+)'\s*\)$", s, re.I)
         if m:
             self._table(m.group(1)).rewrite_data_files()
+            return None
+
+        m = re.match(r"CALL\s+(?:\w+\.)?system\.remove_orphan_files\s*\(\s*"
+                     r"(?:table\s*=>\s*)?'([\w.]+)'\s*\)$", s, re.I)
+        if m:
+            removed = self._table(m.group(1)).remove_orphan_files()
+            return self.spark.createDataFrame(
+                [(p,) for p in removed], "orphan_file_location string")
+
+        m = re.match(r"CALL\s+(?:\w+\.)?system\.rollback_to_snapshot\s*\(\s*"
+                     r"'([\w.]+)'\s*,\s*(\d+)\s*\)$", s, re.I)
+        if m:
+            self._table(m.group(1)).rollback_to_snapshot(int(m.group(2)))
             return None
 
         m = re.match(r"ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+(TAG|BRANCH)\s+"
