@@ -79,9 +79,10 @@ def test_minhash_matches_exact_pairs_on_fixture(spark, sf_dir):
 
 
 def test_ivf_recall_against_brute_force(spark, sf_dir):
-    """IVF with nprobe=4 of k=16 cells scans ~25% of the corpus per query;
-    on the fixture embeddings that buys >= 0.7 mean recall@10 vs the exact
-    brute-force ranking (each query individually stays above 0.5)."""
+    """IVF with nprobe=6 of k=16 cells scans ~38% of the corpus per query;
+    on the fixture embeddings that buys >= 0.85 mean recall@10 vs the exact
+    brute-force ranking (each query individually stays above 0.7; measured
+    mean is 0.90-0.98 across sf0.001/0.01/0.1)."""
     from collections import defaultdict
 
     from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
@@ -93,8 +94,8 @@ def test_ivf_recall_against_brute_force(spark, sf_dir):
     for r in REGISTRY["llm_similarity_ivf"].fn(spark, sf_dir).collect():
         iv[r["qid"]].add(r["cid"])
     recalls = [len(ex[q] & iv[q]) / len(ex[q]) for q in ex]
-    assert min(recalls) >= 0.5
-    assert sum(recalls) / len(recalls) >= 0.7
+    assert min(recalls) >= 0.7
+    assert sum(recalls) / len(recalls) >= 0.85
 
 
 def test_fixture_has_no_pair_in_lsh_miss_risk_band(spark, sf_dir):
