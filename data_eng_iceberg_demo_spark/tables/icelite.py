@@ -11,6 +11,10 @@ without the Iceberg connector (uninstallable offline, SURVEY.md §0):
       (README.md:177,180), so mode="merge-on-read" writes a position
       delete file (file_path, pos — the Iceberg v2 delete-file shape)
       instead of rewriting data files; reads apply it as an anti-join
+  * row-level UPDATE SET WHERE (README.md:180,325) -> update_where()
+      same two modes: copy-on-write rewrites touched files; merge-on-read
+      masks old versions with a position delete file and appends the
+      updated rows in the same atomic snapshot
   * snapshot history table (README.md:245-248)     -> history()
   * time travel VERSION AS OF (README.md:255-258)  -> read(version=snapshot_id)
   * ADD COLUMN, old rows NULL (README.md:269-276)  -> add_column()
@@ -410,6 +414,123 @@ class IceliteTable:
             return
         entry = {"path": out_rel, "targets": sorted(targets)}
         self._commit_snapshot(meta, "delete", list(cur["files"]),
+                              delete_files=cur_dels + [entry])
+
+    @staticmethod
+    def _assigned(df: DataFrame, assignments: dict[str, str],
+                  when: "F.Column | None" = None) -> DataFrame:
+        """Apply UPDATE assignments in ONE select so every RHS sees the
+        OLD row (SQL UPDATE simultaneity: SET a = b, b = a swaps).  New
+        values cast back to the column's declared type, so the table
+        schema never drifts."""
+        types = {f.name: f.dataType for f in df.schema.fields}
+        unknown = set(assignments) - set(types)
+        if unknown:
+            raise ValueError(f"no such column(s): {sorted(unknown)}")
+        sel = []
+        for c in df.columns:
+            if c in assignments:
+                new = F.expr(assignments[c]).cast(types[c])
+                sel.append((new if when is None
+                            else F.when(when, new).otherwise(F.col(c))).alias(c))
+            else:
+                sel.append(F.col(c))
+        return df.select(*sel)
+
+    def update_where(self, predicate: str, assignments: dict[str, str],
+                     mode: str | None = None) -> None:
+        """Row-level UPDATE ... SET ... WHERE (the second half of the v2
+        "updates e deletes" capability the reference creates the table
+        for, README.md:180; README.md:325 names UPDATE as a small-file
+        source that compaction reclaims):
+
+        * copy-on-write (default): files containing matching rows are
+          rewritten with the assignments applied; untouched files carry
+          over.  O(touched file bytes) per update.
+        * merge-on-read: matched rows land in a position delete file
+          (masking their old versions) AND re-enter as a newly appended
+          data file with the assignments applied — one atomic snapshot,
+          zero data-file rewrites, O(matched rows) write amplification.
+          rewrite_data_files later folds the delete + append pair away.
+
+        mode=None resolves the table property ``write.update.mode``
+        (Iceberg's switch), defaulting to copy-on-write."""
+        if mode is None:
+            mode = (self.meta.get("properties") or {}).get(
+                "write.update.mode", "copy-on-write")
+        if mode in ("merge-on-read", "mor"):
+            return self._update_where_mor(predicate, assignments)
+        if mode not in ("copy-on-write", "cow"):
+            raise ValueError(f"unknown update mode: {mode}")
+        meta = self.meta
+        cur = self._snapshot(meta, None)
+        cur_dels = cur.get("delete_files", [])
+        touched, kept = [], []
+        for finfo in cur["files"]:
+            df = self._read_one(finfo, meta, delete_files=cur_dels)
+            if df.filter(F.expr(predicate)).limit(1).count() > 0:
+                touched.append(finfo)
+            else:
+                kept.append(finfo)
+        if not touched:
+            self._commit_snapshot(meta, "update", list(cur["files"]),
+                                  delete_files=cur_dels)
+            return
+        rewritten = None
+        for finfo in touched:
+            part = self._assigned(
+                self._read_one(finfo, meta, delete_files=cur_dels),
+                assignments, when=F.expr(predicate))
+            rewritten = (part if rewritten is None
+                         else rewritten.unionByName(part))
+        new_files = self._write_files(rewritten, meta)
+        # same delete-entry pruning as copy-on-write DELETE: rewritten
+        # files had their pending deletes applied during the rewrite
+        kept_paths = {f["path"] for f in kept}
+        kept_dels = []
+        for d in cur_dels:
+            targets = [t for t in d["targets"] if t in kept_paths]
+            if targets:
+                kept_dels.append({**d, "targets": targets})
+        self._commit_snapshot(meta, "update", kept + new_files,
+                              delete_files=kept_dels)
+
+    def _update_where_mor(self, predicate: str,
+                          assignments: dict[str, str]) -> None:
+        """Merge-on-read UPDATE: one scan finds matching (file, pos)
+        pairs; their old versions go into a position delete file and the
+        updated rows append as a new data file, in a single commit."""
+        meta = self.meta
+        cur = self._snapshot(meta, None)
+        cur_dels = cur.get("delete_files", [])
+        matches = (self._read_files(cur["files"], meta,
+                                    delete_files=cur_dels, keep_pos=True)
+                   .filter(F.expr(predicate)))
+        batch = uuid.uuid4().hex[:12]
+        out_rel = os.path.join("deletes", batch)
+        out = os.path.join(self.tdir, out_rel)
+        (matches.select(F.col("__file").alias("file_path"),
+                        F.col("__pos").alias("pos"))
+         .coalesce(1).write.mode("overwrite").parquet(out))
+        written = self.spark.read.parquet(out)
+        targets = self._rel_data_paths(
+            [r["file_path"] for r in
+             written.select("file_path").distinct().collect()])
+        if not targets:  # nothing matched: no-op snapshot, drop the file
+            import shutil
+            shutil.rmtree(out, ignore_errors=True)
+            self._commit_snapshot(meta, "update", list(cur["files"]),
+                                  delete_files=cur_dels)
+            return
+        cols = self.current_columns(meta)
+        # matched rows are already filtered, so assignments apply
+        # unconditionally; re-evaluating `matches` is safe because the
+        # scan is a deterministic parquet read of an immutable snapshot
+        updated = self._assigned(matches.select(*cols), assignments)
+        new_files = self._write_files(updated, meta)
+        entry = {"path": out_rel, "targets": sorted(targets)}
+        self._commit_snapshot(meta, "update",
+                              list(cur["files"]) + new_files,
                               delete_files=cur_dels + [entry])
 
     def _rel_data_paths(self, uris: list[str]) -> list[str]:

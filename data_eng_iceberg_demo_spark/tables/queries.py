@@ -103,6 +103,29 @@ def table_delete_where(spark, d):
     return _as_output(t.read())
 
 
+@register(
+    "table_update_where",
+    oracle=f"""
+    SELECT id_pedido, produto, valor_unitario,
+           CAST(quantidade + CASE WHEN uf = 'SP' THEN 10 ELSE 0 END
+                AS BIGINT) AS quantidade,
+           data_criacao_s, uf, id_cliente
+    FROM ({_CSV_ORACLE_BASE})
+    """,
+)
+def table_update_where(spark, d):
+    """Row-level UPDATE ... SET ... WHERE (README.md:180,325) in
+    merge-on-read mode: matched rows are masked by a position delete
+    file and re-appended with the assignment applied — zero data-file
+    rewrites — and the read-back (anti-join + appended file) hash-matches
+    the oracle's CASE projection of the raw CSV.  The CoW path and
+    CoW==MoR equivalence are pinned by tests/test_icelite_update.py."""
+    t = _fresh_table(spark)
+    t.update_where("uf = 'SP'", {"quantidade": "quantidade + 10"},
+                   mode="merge-on-read")
+    return _as_output(t.read())
+
+
 @register("table_time_travel", oracle=_CSV_ORACLE_BASE)
 def table_time_travel(spark, d):
     """Time travel (VERSION AS OF, README.md:255-258): after the DELETE,

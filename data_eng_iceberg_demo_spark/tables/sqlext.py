@@ -28,6 +28,22 @@ from .icelite import IceliteCatalog
 _INTERVAL_S = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
 
 
+def _split_top_commas(s: str) -> list[str]:
+    """Split an assignment list on commas at paren depth 0, so
+    ``SET a = round(x, 2), b = 1`` parses as two assignments."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p for p in (p.strip() for p in parts) if p]
+
+
 class IceliteSqlSession:
     """``sql(text)`` entry point with the Iceberg statement surface the
     reference tutorial uses."""
@@ -76,6 +92,38 @@ class IceliteSqlSession:
         if m:
             name, pred = m.groups()
             self._table(name).delete_where(pred)
+            return None
+
+        m = (re.match(r"UPDATE\s+([\w.]+)\s+SET\s+(.*?)\s+WHERE\s+(.*)$",
+                      s, re.I | re.S)
+             or re.match(r"UPDATE\s+([\w.]+)\s+SET\s+(.*)()$", s, re.I | re.S))
+        if m:
+            name, sets, pred = m.groups()
+            pred = pred or "true"
+            assignments = {}
+            for part in _split_top_commas(sets):
+                col, expr_s = part.split("=", 1)
+                assignments[col.strip()] = expr_s.strip()
+            self._table(name).update_where(pred, assignments)
+            return None
+
+        m = re.match(
+            r"MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+"
+            r"USING\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+"
+            r"ON\s+[\w.]+\.(\w+)\s*=\s*[\w.]+\.(\w+)\s+"
+            r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)\s+"
+            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$",
+            s, re.I | re.S)
+        if m:
+            name, _talias, src, _salias, k1, k2, sets = m.groups()
+            if k1 != k2:
+                raise ValueError(
+                    f"MERGE join keys must match by name: {k1} vs {k2}")
+            update_cols = [part.split("=", 1)[0].strip().split(".")[-1]
+                           for part in _split_top_commas(sets)]
+            source = (self._table(src).read() if src in self._tables
+                      else self.spark.table(src))
+            self._table(name).merge_into(source, k1, update_cols)
             return None
 
         m = re.match(r"ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+(\w+(?:\(.*\))?)$",
