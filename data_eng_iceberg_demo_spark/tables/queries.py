@@ -205,6 +205,25 @@ def table_partition_pruning(spark, d):
     return _as_output(t.scan(ts_lo="2024-02-01 00:00:00", ts_hi="2024-03-01 00:00:00"))
 
 
+@register(
+    "table_partition_bucket",
+    oracle=f"SELECT * FROM ({_CSV_ORACLE_BASE}) WHERE id_cliente = 4544",
+)
+def table_partition_bucket(spark, d):
+    """Hidden partitioning by bucket(8, id_cliente) — the transform
+    family the tutorial's days() demo implies (README.md:304-307): an
+    equality predicate on the source column maps to exactly one bucket,
+    so the scan reads only that bucket's files plus the residual filter
+    (files-read < total asserted in tests/test_icelite_transforms.py).
+    The bucket hash is engine-internal, so the oracle checks the RESULT
+    (predicate rows), which pruning must never change."""
+    cat = IceliteCatalog(spark, scratch_dir("icelite_"))
+    t = cat.create_table("db.pedidos_bucket", PEDIDOS_SCHEMA)
+    t.set_partition("bucket", "id_cliente", param=8)
+    t.insert(_typed_pedidos(spark))
+    return _as_output(t.scan_value(4544))
+
+
 @register("table_compaction", oracle=_CSV_ORACLE_BASE)
 def table_compaction(spark, d):
     """rewrite_data_files (README.md:324-328): many small files → few large
