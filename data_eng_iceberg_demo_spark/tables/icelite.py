@@ -328,6 +328,22 @@ class IceliteTable:
         meta.setdefault("properties", {})[key] = value
         _write_meta(self.tdir, meta)
 
+    def _split_touched(self, files: list[dict], meta: dict,
+                       dels: list[dict], predicate: str):
+        """Partition the file list into (touched, kept) by whether any
+        live row matches `predicate` — ONE provenance scan over all
+        files (not one Spark job per file: a 100k-file table pays one
+        job, the classic copy-on-write planning scan)."""
+        matches = (self._read_files(files, meta, delete_files=dels,
+                                    keep_pos=True)
+                   .filter(F.expr(predicate))
+                   .select("__file").distinct())
+        hit = set(self._rel_data_paths(
+            [r["__file"] for r in matches.collect()]))
+        touched = [fi for fi in files if fi["path"] in hit]
+        kept = [fi for fi in files if fi["path"] not in hit]
+        return touched, kept
+
     def delete_where(self, predicate: str,
                      mode: str | None = None) -> None:
         """Row-level DELETE (README.md:231) in either Iceberg v2 mode:
@@ -353,24 +369,15 @@ class IceliteTable:
         meta = self.meta
         cur = self._snapshot(meta, None)
         cur_dels = cur.get("delete_files", [])
-        touched, kept = [], []
-        for finfo in cur["files"]:
-            df = self._read_one(finfo, meta, delete_files=cur_dels)
-            if df.filter(F.expr(predicate)).limit(1).count() > 0:
-                touched.append(finfo)
-            else:
-                kept.append(finfo)
+        touched, kept = self._split_touched(cur["files"], meta, cur_dels,
+                                            predicate)
         if not touched:
             self._commit_snapshot(meta, "delete", list(cur["files"]),
                                   delete_files=cur_dels)
             return
-        survivors = None
-        for finfo in touched:
-            part = (self._read_one(finfo, meta, delete_files=cur_dels)
-                    .filter(~F.expr(predicate)))
-            survivors = part if survivors is None else survivors.unionByName(part)
-        new_files = (self._write_files(survivors, meta)
-                     if survivors is not None else [])
+        survivors = (self._read_files(touched, meta, delete_files=cur_dels)
+                     .filter(~F.expr(predicate)))
+        new_files = self._write_files(survivors, meta)
         # delete entries keep only targets that still exist; rewritten
         # files had their pending deletes applied during the rewrite
         kept_paths = {f["path"] for f in kept}
@@ -465,24 +472,15 @@ class IceliteTable:
         meta = self.meta
         cur = self._snapshot(meta, None)
         cur_dels = cur.get("delete_files", [])
-        touched, kept = [], []
-        for finfo in cur["files"]:
-            df = self._read_one(finfo, meta, delete_files=cur_dels)
-            if df.filter(F.expr(predicate)).limit(1).count() > 0:
-                touched.append(finfo)
-            else:
-                kept.append(finfo)
+        touched, kept = self._split_touched(cur["files"], meta, cur_dels,
+                                            predicate)
         if not touched:
             self._commit_snapshot(meta, "update", list(cur["files"]),
                                   delete_files=cur_dels)
             return
-        rewritten = None
-        for finfo in touched:
-            part = self._assigned(
-                self._read_one(finfo, meta, delete_files=cur_dels),
-                assignments, when=F.expr(predicate))
-            rewritten = (part if rewritten is None
-                         else rewritten.unionByName(part))
+        rewritten = self._assigned(
+            self._read_files(touched, meta, delete_files=cur_dels),
+            assignments, when=F.expr(predicate))
         new_files = self._write_files(rewritten, meta)
         # same delete-entry pruning as copy-on-write DELETE: rewritten
         # files had their pending deletes applied during the rewrite
