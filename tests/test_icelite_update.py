@@ -100,6 +100,43 @@ def test_update_unknown_column_raises(spark, tmp_path):
         t.update_where("true", {"nope": "1"})
 
 
+def test_update_stacks_with_mor_deletes(spark, tmp_path):
+    """MoR delete -> MoR update -> CoW delete compose: each operation
+    sees the previous one's live rows, and the final state equals the
+    same statements applied to a plain DataFrame."""
+    t = _fresh(spark, tmp_path, "db.t")
+    t.delete_where("uf = 'RJ'", mode="merge-on-read")
+    t.update_where("uf = 'SP'", {"quantidade": "quantidade * 2"},
+                   mode="merge-on-read")
+    t.delete_where("quantidade > 8")  # CoW, applies pending deletes
+    expected = _rows(
+        _typed_pedidos(spark)
+        .filter("uf <> 'RJ'")
+        .withColumn("quantidade",
+                    F.when(F.col("uf") == "SP", F.col("quantidade") * 2)
+                    .otherwise(F.col("quantidade")))
+        .filter("quantidade <= 8"))
+    assert _rows(t.read()) == expected
+
+
+def test_concurrent_update_conflict(spark, tmp_path):
+    """Two writers updating from the same base snapshot: first commit
+    wins, the stale-based second raises CommitConflict, and a re-read
+    re-apply succeeds (optimistic concurrency, as for DELETE)."""
+    from data_eng_iceberg_demo_spark.tables.icelite import (CommitConflict,
+                                                            IceliteTable)
+
+    t = _fresh(spark, tmp_path, "db.t")
+    loser = IceliteTable(spark, t.tdir)
+    stale = loser.meta                   # loser reads its base...
+    t.update_where("uf = 'SP'", {"quantidade": "quantidade + 1"})
+    with pytest.raises(CommitConflict):  # ...winner committed first
+        loser._commit_snapshot(stale, "update", [])
+    # loser re-reads and re-applies cleanly on the new base
+    loser.update_where("uf = 'MG'", {"quantidade": "quantidade + 1"})
+    assert t.meta["current_snapshot"] == 3  # insert + two updates
+
+
 def test_sqlext_update_and_merge(spark, tmp_path):
     from data_eng_iceberg_demo_spark.tables.sqlext import IceliteSqlSession
 
