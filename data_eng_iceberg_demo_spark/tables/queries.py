@@ -224,6 +224,57 @@ def table_partition_bucket(spark, d):
     return _as_output(t.scan_value(4544))
 
 
+@register(
+    "table_merge_upsert",
+    oracle=f"""
+    SELECT id_pedido, produto, valor_unitario,
+           CAST(quantidade + CASE WHEN uf = 'SP' THEN 100 ELSE 0 END
+                AS BIGINT) AS quantidade,
+           data_criacao_s, uf, id_cliente
+    FROM ({_CSV_ORACLE_BASE})
+    UNION ALL
+    SELECT 'NEW-' || id_pedido, produto, valor_unitario, quantidade,
+           data_criacao_s, uf, id_cliente
+    FROM ({_CSV_ORACLE_BASE}) WHERE uf = 'RJ'
+    """,
+)
+def table_merge_upsert(spark, d):
+    """MERGE INTO (upsert) — the Iceberg-v2 write the tutorial's
+    UPDATE/DELETE session implies (README.md:177,180 'format-version'=2):
+    a source of changed SP rows (quantidade+100) and brand-new NEW-* rows
+    merges on id_pedido in ONE full-outer shuffle — matched rows take the
+    source's quantidade, unmatched source rows insert, unmatched target
+    rows carry over — and the read-back hash-matches the oracle's
+    CASE + UNION ALL over the raw CSV."""
+    t = _fresh_table(spark)
+    base = _typed_pedidos(spark)
+    updates = (base.filter(F.col("uf") == "SP")
+               .withColumn("quantidade",
+                           (F.col("quantidade") + F.lit(100)).cast("int")))
+    inserts = (base.filter(F.col("uf") == "RJ")
+               .withColumn("id_pedido", F.concat(F.lit("NEW-"),
+                                                 F.col("id_pedido"))))
+    t.merge_into(updates.unionByName(inserts), key="id_pedido",
+                 update_cols=["quantidade"])
+    return _as_output(t.read())
+
+
+@register(
+    "table_cdc_changes",
+    oracle=f"SELECT * FROM ({_CSV_ORACLE_BASE}) WHERE id_cliente % 2 = 1",
+)
+def table_cdc_changes(spark, d):
+    """Incremental (CDC) append scan — Iceberg's changelog read between
+    snapshots: two INSERT batches create snapshots 1 and 2;
+    read_changes(1) plans ONLY the files snapshot 2 added, so the delta
+    hash-matches batch 2 (the odd-id_cliente half of the CSV) without
+    rescanning the base.  Pure metadata diff: the base corpus is never
+    touched, which is what makes incremental maintenance O(delta) at
+    100 TB (non-append ranges refuse, pinned in tests/test_icelite.py)."""
+    t = _fresh_table(spark, n_batches=2)
+    return _as_output(t.read_changes(from_version=1))
+
+
 @register("table_compaction", oracle=_CSV_ORACLE_BASE)
 def table_compaction(spark, d):
     """rewrite_data_files (README.md:324-328): many small files → few large
