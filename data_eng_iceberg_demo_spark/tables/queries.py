@@ -285,6 +285,57 @@ def table_compaction(spark, d):
     return _as_output(t.read())
 
 
+@register(
+    "table_zorder_scan",
+    oracle=f"""
+    SELECT * FROM ({_CSV_ORACLE_BASE})
+    WHERE id_cliente BETWEEN 2000 AND 3000
+    """,
+)
+def table_zorder_scan(spark, d):
+    """Z-order clustering compaction + stats-pruned range scan —
+    Iceberg's rewrite_data_files(strategy=>'sort',
+    sort_order=>'zorder(...)') (README.md:324-328 generalized): five
+    insert batches are rewritten into four files clustered on the
+    Morton curve over (id_cliente, quantidade), then a range predicate
+    on id_cliente plans only the files whose footer min/max intersect
+    the range.  Clustering must never change results, so the oracle is
+    the plain range filter over the raw CSV; the files-skipped ratio is
+    asserted in tests/test_icelite.py (zorder pruning test) and property-tested in tests/test_icelite_properties.py."""
+    t = _fresh_table(spark, n_batches=5)
+    t.rewrite_data_files(target_files=4,
+                         zorder_by=["id_cliente", "quantidade"])
+    return _as_output(t.scan_range("id_cliente", 2000, 3000))
+
+
+@register(
+    "table_branch_wap",
+    oracle=f"""
+    SELECT * FROM ({_CSV_ORACLE_BASE})
+    UNION ALL
+    SELECT 'WAP-' || id_pedido, produto, valor_unitario, quantidade,
+           data_criacao_s, uf, id_cliente
+    FROM ({_CSV_ORACLE_BASE}) WHERE uf = 'MG'
+    """,
+)
+def table_branch_wap(spark, d):
+    """Write-audit-publish via branches (Iceberg's WAP pattern, the
+    branch surface the tutorial's snapshot session implies,
+    README.md:245-258): staged rows land on an 'audit' branch —
+    invisible to main readers until fast_forward publishes the branch
+    head — after which the read equals base plus the staged batch.
+    Pre-publish isolation (main unchanged while the branch holds the
+    staged snapshot) is pinned in tests/test_icelite.py::test_branch_wap_write_audit_publish."""
+    t = _fresh_table(spark)
+    t.create_branch("audit")
+    staged = (_typed_pedidos(spark).filter(F.col("uf") == "MG")
+              .withColumn("id_pedido", F.concat(F.lit("WAP-"),
+                                                F.col("id_pedido"))))
+    t.write_to_branch("audit", staged)
+    t.fast_forward("audit")
+    return _as_output(t.read())
+
+
 @register("table_expire_snapshots",
           oracle=f"SELECT * FROM ({_CSV_ORACLE_BASE}) WHERE uf <> 'SP'")
 def table_expire_snapshots(spark, d):
