@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 _META = "metadata.json"
+_MANIFEST_DIR = "manifests"
 
 
 class CommitConflict(RuntimeError):
@@ -144,12 +145,74 @@ class IceliteCatalog:
         return IceliteTable(self.spark, os.path.join(self.base_dir, *name.split(".")))
 
 
+def _diff_entries(base: list[dict], cur: list[dict]) -> tuple[list, list]:
+    """(added entries, removed paths) taking `base` file entries to `cur`."""
+    base_by_path = {f["path"]: f for f in base}
+    cur_paths = {f["path"] for f in cur}
+    added = [f for f in cur if f["path"] not in base_by_path]
+    removed = [p for p in base_by_path if p not in cur_paths]
+    return added, removed
+
+
 def _write_meta(tdir: str, meta: dict) -> None:
-    """Atomic metadata swap: write sidecar, then rename over the pointer —
-    the commit point for every table mutation."""
+    """Atomic metadata swap with Iceberg-style manifest separation.
+
+    The pointer file (metadata.json) holds only O(snapshots) headers —
+    schema versions, refs, partition spec, and per-snapshot
+    {id, parent, ts, operation, manifest} — never file lists.  Each
+    snapshot's file set lives in an IMMUTABLE manifest under manifests/:
+    either a delta against its parent ({added, removed} — O(changed
+    files), the common case for appends and row-level ops) or a full
+    list when there is no usable base or the delta would be larger
+    (compaction, overwrite).  So the bytes written per commit are
+    O(files touched by the commit), not O(all files x all snapshots) —
+    the property that keeps a million-file table's commit cost flat.
+    Manifests are content-complete before the pointer swap publishes
+    them; a crash in between leaves an unreferenced manifest that
+    remove_orphan_files collects.
+
+    In-memory, snapshots keep carrying full `files`/`delete_files`
+    lists (every operator reads those); this function is the only
+    place that encodes, `_load_meta` the only place that decodes."""
+    mdir = os.path.join(tdir, _MANIFEST_DIR)
+    snaps = sorted(meta.get("snapshots", []), key=lambda s: s["id"])
+    by_id = {s["id"]: s for s in snaps}
+    headers = []
+    for s in snaps:
+        mf = s.get("_manifest")
+        base_ok = s.get("_manifest_base") is None or \
+            s.get("_manifest_base") in by_id
+        if mf is None or not base_ok:
+            parent = s.get("parent")
+            base = by_id.get(parent) if parent is not None else None
+            body = None
+            if base is not None:
+                added, removed = _diff_entries(base["files"], s["files"])
+                d_added, d_removed = _diff_entries(
+                    base.get("delete_files", []), s.get("delete_files", []))
+                if (len(added) + len(removed) + len(d_added) + len(d_removed)
+                        < len(s["files"]) + len(s.get("delete_files", []))):
+                    body = {"base": parent, "added": added,
+                            "removed": removed, "added_deletes": d_added,
+                            "removed_deletes": d_removed}
+            if body is None:
+                body = {"base": None, "added": s["files"], "removed": [],
+                        "added_deletes": s.get("delete_files", []),
+                        "removed_deletes": []}
+            os.makedirs(mdir, exist_ok=True)
+            mf = f"manifest-{s['id']}-{uuid.uuid4().hex[:8]}.json"
+            with open(os.path.join(mdir, mf), "w") as f:
+                json.dump(body, f)
+            s["_manifest"] = mf
+            s["_manifest_base"] = body["base"]
+        headers.append({"id": s["id"], "parent": s.get("parent"),
+                        "ts": s["ts"], "operation": s["operation"],
+                        "manifest": s["_manifest"]})
+    slim = {k: v for k, v in meta.items() if k != "snapshots"}
+    slim["snapshots"] = headers
     tmp = os.path.join(tdir, f".{_META}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1)
+        json.dump(slim, f, indent=1)
     os.replace(tmp, os.path.join(tdir, _META))
 
 
@@ -157,12 +220,56 @@ class IceliteTable:
     def __init__(self, spark: SparkSession, tdir: str):
         self.spark = spark
         self.tdir = tdir
+        # manifests are immutable once written, so cache by filename —
+        # each is read from disk at most once per table handle
+        self._mcache: dict[str, dict] = {}
 
     # ------------------------------------------------------------ metadata
+    def _manifest(self, name: str) -> dict:
+        body = self._mcache.get(name)
+        if body is None:
+            with open(os.path.join(self.tdir, _MANIFEST_DIR, name)) as f:
+                body = json.load(f)
+            self._mcache[name] = body
+        return body
+
     @property
     def meta(self) -> dict:
+        """Load the pointer file and materialize every snapshot's full
+        file list from its manifest chain (deltas replay onto their
+        base in snapshot-id order — a parent always has a smaller id,
+        so one forward pass resolves every chain).  Operators keep
+        seeing the flat {files, delete_files} shape; only this decoder
+        and _write_meta know the on-disk manifest encoding."""
         with open(os.path.join(self.tdir, _META)) as f:
-            return json.load(f)
+            meta = json.load(f)
+        resolved: dict[int, dict] = {}
+        out = []
+        for h in sorted(meta.get("snapshots", []), key=lambda s: s["id"]):
+            if "files" in h:           # legacy inline encoding
+                s = dict(h)
+                s.setdefault("delete_files", [])
+            else:
+                body = self._manifest(h["manifest"])
+                if body["base"] is None:
+                    files = list(body["added"])
+                    dels = list(body["added_deletes"])
+                else:
+                    base = resolved[body["base"]]
+                    rm = set(body["removed"])
+                    files = [f for f in base["files"]
+                             if f["path"] not in rm] + list(body["added"])
+                    rmd = set(body["removed_deletes"])
+                    dels = [d for d in base["delete_files"]
+                            if d["path"] not in rmd] + list(body["added_deletes"])
+                s = {"id": h["id"], "parent": h.get("parent"), "ts": h["ts"],
+                     "operation": h["operation"], "files": files,
+                     "delete_files": dels, "_manifest": h["manifest"],
+                     "_manifest_base": body["base"]}
+            resolved[s["id"]] = s
+            out.append(s)
+        meta["snapshots"] = out
+        return meta
 
     def _schema_fields(self, meta: dict, version: int) -> list[dict]:
         for sv in meta["schema_versions"]:
@@ -995,7 +1102,26 @@ class IceliteTable:
                 os.remove(full)
         meta["snapshots"] = keep
         _write_meta(self.tdir, meta)
+        self._gc_manifests()
         return expired_ids
+
+    def _gc_manifests(self) -> list[str]:
+        """Delete manifest files referenced by no snapshot header in the
+        CURRENT pointer file — debris from expired snapshots and from
+        survivors that _write_meta re-encoded onto a full manifest when
+        their delta base expired.  Safe any time: the pointer swap is
+        the publish point, so an unreferenced manifest is unreachable."""
+        with open(os.path.join(self.tdir, _META)) as f:
+            live = {h.get("manifest")
+                    for h in json.load(f).get("snapshots", [])}
+        mdir = os.path.join(self.tdir, _MANIFEST_DIR)
+        removed = []
+        if os.path.isdir(mdir):
+            for n in os.listdir(mdir):
+                if n not in live:
+                    os.remove(os.path.join(mdir, n))
+                    removed.append(os.path.join(_MANIFEST_DIR, n))
+        return removed
 
     def remove_orphan_files(self) -> list[str]:
         """Delete data files referenced by NO live snapshot — the debris
@@ -1027,6 +1153,8 @@ class IceliteTable:
                     shutil.rmtree(os.path.join(del_root, n),
                                   ignore_errors=True)
                     removed.append(rel)
+        # manifests a crashed commit wrote but never published
+        removed.extend(self._gc_manifests())
         return removed
 
     def insert_overwrite(self, df: DataFrame) -> None:
