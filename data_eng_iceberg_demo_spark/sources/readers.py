@@ -23,23 +23,31 @@ TABLES = (
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (columnar, pushdown-capable scan).
 
-    events.ts is TIMESTAMP(NANOS) in parquet, which Spark reads only as
-    int64 nanos (spark.sql.legacy.parquet.nanosAsLong) — convert to a µs
-    timestamp here so every consumer sees a normal TimestampType column.
+    events.ts has shipped in two parquet encodings across fixture
+    generations: TIMESTAMP(NANOS), which Spark reads only as int64 nanos
+    (spark.sql.legacy.parquet.nanosAsLong), and naive TIMESTAMP(MICROS),
+    which Spark reads as TIMESTAMP_NTZ.  Normalize both to a plain
+    TimestampType column so every consumer sees one type.  The session
+    timezone is pinned to UTC (ensure_session_defaults), so the NTZ→TZ
+    cast is wall-clock-preserving and matches the naive DuckDB oracle.
     """
     import pyspark.sql.functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    # events.parquet carries TIMESTAMP(NANOS); without the nanosAsLong conf
-    # a caller-provided session (not built by session.get_spark) fails the
-    # scan outright with PARQUET_TYPE_ILLEGAL before the LongType fallback
-    # below can run.  load() is also a public entry point outside the
-    # registry wrapper, so it applies the defaults itself.
+    # Without the nanosAsLong conf a caller-provided session (not built by
+    # session.get_spark) fails a NANOS scan outright with
+    # PARQUET_TYPE_ILLEGAL before the LongType fallback below can run.
+    # load() is also a public entry point outside the registry wrapper, so
+    # it applies the defaults itself.
     from ..session import ensure_session_defaults
     ensure_session_defaults(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

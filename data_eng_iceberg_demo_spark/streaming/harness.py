@@ -64,17 +64,22 @@ def _events_stream(spark, d, path=None):
             os.symlink(f"{d}/events.parquet",
                        os.path.join(path, "events.parquet"))
             _events_src_cache[d] = path
-    # ts is TIMESTAMP(NANOS) in the fixture parquet; a session that didn't
-    # set nanosAsLong at build time would otherwise fail this batch schema
-    # peek with PARQUET_TYPE_ILLEGAL (reachable outside the registry
-    # wrapper via run_stream_to_df, so applied here too).
+    # ts may be TIMESTAMP(NANOS) in the fixture parquet; a session that
+    # didn't set nanosAsLong at build time would otherwise fail this batch
+    # schema peek with PARQUET_TYPE_ILLEGAL (reachable outside the registry
+    # wrapper via run_stream_to_df, so applied here too).  Newer fixtures
+    # carry naive TIMESTAMP(MICROS) → TIMESTAMP_NTZ; normalize both to
+    # TimestampType like sources.readers.load does.
     from ..session import ensure_session_defaults
     ensure_session_defaults(spark)
     raw_schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(raw_schema).parquet(path)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
