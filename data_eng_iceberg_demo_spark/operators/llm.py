@@ -1207,3 +1207,106 @@ def llm_decontaminate(spark, d):
     tr = grams(docs.filter(F.col("doc_id") >= 10))
     return (tr.join(F.broadcast(ev), "sh")
             .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+
+
+@register(
+    "llm_quality_gopher",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, text, string_split(text, ' ') AS w
+        FROM documents
+    ), m AS (
+        SELECT doc_id, lang,
+               len(w) AS n_tokens,
+               len(replace(text, ' ', '')) * 1.0 / len(w) AS mean_wlen,
+               len(list_intersect(w, ['the','a','and','of','to'])) > 0
+                   AS has_stop,
+               list_max(list_transform(list_distinct(w),
+                   x -> len(list_filter(w, y -> y = x)))) * 1.0 / len(w)
+                   AS top_frac
+        FROM t
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(mean_wlen, 4) AS mean_word_len,
+           has_stop AS has_stopword,
+           ROUND(top_frac, 4) AS top_token_frac,
+           CASE WHEN n_tokens BETWEEN 15 AND 90
+                 AND mean_wlen <= 5.0
+                 AND has_stop
+                 AND top_frac <= 0.15
+                THEN 'keep' ELSE 'drop' END AS gopher_route
+    FROM m
+    """,
+)
+def llm_quality_gopher(spark, d):
+    """Gopher-style rule filter (Rae et al. 2021 §A1.1, adapted to the
+    fixture corpus): document word-count bounds, mean word length bound,
+    required stopword presence, and a max single-token dominance cap —
+    the heuristic pre-filter a pretraining pipeline applies before any
+    model-based scoring.  Every rule is a higher-order array function
+    over the token array (arrays_overlap, transform/filter/array_max) —
+    whole-stage codegen, zero shuffle, zero Python: at 100 TB this is a
+    pure map over the corpus scan.  Thresholds chosen to split the
+    fixtures nontrivially on every rule."""
+    docs = T(spark, d, "documents")
+    w = F.split("text", " ")
+    n_tok = F.size(w)
+    mean_wlen = (F.length(F.regexp_replace("text", " ", "")).cast("double")
+                 / n_tok)
+    has_stop = F.arrays_overlap(
+        w, F.array(*[F.lit(s) for s in ("the", "a", "and", "of", "to")]))
+    top_frac = (F.array_max(F.transform(
+        F.array_distinct(w),
+        lambda x: F.size(F.filter(w, lambda y: y == x)))).cast("double")
+        / n_tok)
+    keep = ((n_tok >= 15) & (n_tok <= 90) & (mean_wlen <= 5.0)
+            & has_stop & (top_frac <= 0.15))
+    return docs.select(
+        "doc_id", "lang",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        has_stop.alias("has_stopword"),
+        F.round(top_frac, 4).alias("top_token_frac"),
+        F.when(keep, "keep").otherwise("drop").alias("gopher_route"),
+    )
+
+
+@register(
+    "llm_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT tok, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY tok
+    ), tot AS (
+        SELECT sum(cnt) AS n FROM tf
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           ROUND(avg(ln(cnt / n)), 4) AS avg_logprob
+    FROM tok JOIN tf USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def llm_unigram_logprob(spark, d):
+    """Unigram language-model scoring — the cheap perplexity proxy used
+    to rank corpus quality (CCNet-style): per-document mean log
+    probability of its tokens under the corpus's own unigram
+    distribution.  Two aggregations (term frequencies, then per-doc
+    mean) plus one token-keyed equi-join; NO broadcast hint on the
+    frequency table — token vocabulary grows with the corpus (Heaps'
+    law), so the join must stay shuffle-based and AQE may demote it at
+    runtime.  The corpus-total is a 1-row aggregate and does broadcast.
+    All arithmetic in the JVM."""
+    tok = (T(spark, d, "documents")
+           .select("doc_id", F.explode(F.split("text", " ")).alias("tok")))
+    tf = tok.groupBy("tok").agg(F.count("*").cast("double").alias("cnt"))
+    total = tf.agg(F.sum("cnt").alias("n"))
+    return (tok.join(tf, "tok")
+            .join(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                 F.round(F.avg(F.log(F.col("cnt") / F.col("n"))), 4)
+                  .alias("avg_logprob")))

@@ -107,6 +107,17 @@ def _footer_stats(path: str, name_to_id: dict[str, int]) -> dict:
     return stats
 
 
+def _footer_rows(path: str) -> int | None:
+    """Row count from the parquet footer (no data read) — the
+    per-data-file ``record_count`` Iceberg manifests carry."""
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.read_metadata(path).num_rows
+    except Exception:
+        return None
+
+
 class IceliteCatalog:
     """Filesystem-rooted catalog: namespace dirs holding icelite tables
     (the reference's CREATE SCHEMA analog, README.md:159)."""
@@ -409,6 +420,7 @@ class IceliteTable:
                     files.append({"path": rel,
                                   "schema_version": meta["current_schema"],
                                   "partition": part,
+                                  "record_count": _footer_rows(full),
                                   "stats": _footer_stats(full, name_to_id)})
         return files
 
@@ -1226,11 +1238,32 @@ class IceliteTable:
         meta = self.meta
         snap = self._snapshot(meta, version)
         rows = [(f["path"], f.get("partition"), f["schema_version"],
+                 f.get("record_count"),
                  json.dumps(f.get("stats") or {}, sort_keys=True))
                 for f in snap["files"]]
         return self.spark.createDataFrame(
             rows, "file_path string, partition string, "
-                  "schema_version int, stats string")
+                  "schema_version int, record_count bigint, stats string")
+
+    def partitions(self, version: int | None = None) -> DataFrame:
+        """Metadata table (Iceberg's ``db.t.partitions`` analog): one row
+        per partition value — file count and data-file record count,
+        computed entirely from manifest entries (``record_count`` is read
+        from each parquet footer at WRITE time, so this query touches no
+        data files).  Counts are data-file rows; merge-on-read delete
+        files are not subtracted (Iceberg reports those in separate
+        columns of its partitions table)."""
+        meta = self.meta
+        snap = self._snapshot(meta, version)
+        agg: dict[str | None, list[int]] = {}
+        for f in snap["files"]:
+            ent = agg.setdefault(f.get("partition"), [0, 0])
+            ent[0] += 1
+            ent[1] += f.get("record_count") or 0
+        rows = [(p, n, rc) for p, (n, rc) in sorted(
+            agg.items(), key=lambda kv: (kv[0] is None, kv[0]))]
+        return self.spark.createDataFrame(
+            rows, "partition string, file_count bigint, record_count bigint")
 
     # ------------------------------------------------- refs: tags / branches
     def refs(self) -> dict:

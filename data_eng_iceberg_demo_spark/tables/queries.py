@@ -10,6 +10,7 @@ hash-checked, not just row-counted.
 from __future__ import annotations
 
 import tempfile
+import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql.types import (DecimalType, IntegerType, LongType, StringType,
@@ -346,3 +347,72 @@ def table_expire_snapshots(spark, d):
     t.delete_where("uf = 'SP'")
     t.expire_snapshots(retain_last=1)
     return _as_output(t.read())
+
+
+@register(
+    "table_partitions_meta",
+    oracle=f"""
+    SELECT substr(data_criacao_s, 1, 10) AS part_value,
+           CAST(1 AS BIGINT) AS file_count,
+           COUNT(*) AS record_count
+    FROM ({_CSV_ORACLE_BASE})
+    GROUP BY 1
+    """,
+)
+def table_partitions_meta(spark, d):
+    """Partitions metadata table (Iceberg's ``SELECT * FROM db.t.partitions``,
+    the layout-inspection companion of the tutorial's snapshots/history
+    session, README.md:245-248): a days(data_criacao)-partitioned table's
+    per-partition file and record counts, answered ENTIRELY from manifest
+    entries — record_count comes from each parquet footer at write time,
+    so the query reads zero data files.  file_count is deterministically 1
+    per day: the write path clusters rows by partition value before the
+    partitioned write (icelite._write_files), so each day is owned by one
+    task.  At 100 TB this is the O(#files) metadata scan that lets an
+    operator spot skewed partitions without an O(rows) data pass."""
+    cat = IceliteCatalog(spark, scratch_dir("icelite_"))
+    t = cat.create_table("db.pedidos_pmeta", PEDIDOS_SCHEMA)
+    t.set_partition_days("data_criacao")
+    t.insert(_typed_pedidos(spark))
+    return t.partitions().select(
+        F.col("partition").alias("part_value"), "file_count", "record_count")
+
+
+@register("stream_table_appends", oracle=_CSV_ORACLE_BASE)
+def stream_table_appends(spark, d):
+    """Streaming incremental read of an icelite table (Iceberg's
+    ``spark.readStream.format('iceberg')`` analog, the streaming face of
+    the tutorial's append timeline, README.md:245-258): three INSERT
+    commits create three snapshots; the stream replays each commit's
+    ADDED files as its own micro-batch (maxFilesPerTrigger=1 over
+    snapshot-mtime-ordered symlinks — no data is copied), and the union
+    of all micro-batches must equal the current table read, i.e. the raw
+    CSV.  At scale this is the O(delta)-per-trigger CDC feed a
+    downstream training-data pipeline tails; the base corpus is never
+    rescanned."""
+    import os
+
+    t = _fresh_table(spark, n_batches=3)
+    meta = t.meta
+    # snapshot-ordered file arrival: diff each snapshot against its parent
+    src = scratch_dir("tbl_appends_")
+    seen: set[str] = set()
+    t0 = 1_700_000_000
+    idx = 0
+    for snap in sorted(meta["snapshots"], key=lambda s: s["id"]):
+        for finfo in snap["files"]:
+            if finfo["path"] in seen:
+                continue
+            seen.add(finfo["path"])
+            dst = os.path.join(src, f"{snap['id']:04d}_{idx:04d}.parquet")
+            os.symlink(os.path.join(t.tdir, finfo["path"]), dst)
+            os.utime(dst, (t0 + snap["id"], t0 + snap["id"]),
+                     follow_symlinks=False)
+            idx += 1
+    stream = (spark.readStream.schema(PEDIDOS_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    qname = f"tbl_appends_{uuid.uuid4().hex[:8]}"
+    q = (_as_output(stream).writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(qname)

@@ -474,3 +474,24 @@ def test_failed_commit_releases_marker(spark, table, monkeypatch):
     # the claim was released: a fresh same-base commit succeeds
     snap = table._commit_snapshot(table.meta, "append", [])
     assert table.meta["current_snapshot"] == snap["id"]
+
+
+def test_partitions_metadata_from_manifest_only(spark, tmp_path):
+    """partitions() answers per-partition file/record counts from manifest
+    entries: record_count sums to the table's row count, one file per day
+    (the write path clusters by partition value), counts match a group-by
+    over the data."""
+    cat = IceliteCatalog(spark, str(tmp_path))
+    t = cat.create_table("db.pedidos_pm", PEDIDOS_SCHEMA)
+    t.set_partition_days("data_criacao")
+    df = _typed_pedidos(spark)
+    t.insert(df)
+    parts = {r["partition"]: r for r in t.partitions().collect()}
+    want = {r["p"]: r["n"] for r in
+            df.groupBy(F.to_date("data_criacao").cast("string").alias("p"))
+              .agg(F.count("*").alias("n")).collect()}
+    assert {p: r["record_count"] for p, r in parts.items()} == want
+    assert all(r["file_count"] == 1 for r in parts.values())
+    # files() carries the per-file record_count the aggregate is built from
+    fc = t.files().agg(F.sum("record_count")).collect()[0][0]
+    assert fc == df.count()

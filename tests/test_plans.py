@@ -358,6 +358,7 @@ _BNLJ_OK = {"events_funnel",        # cross of three 1-row stage counts
             "llm_dedup_embedding",  # block-pair theta join (n_blocks rows)
             "llm_similarity_topk",  # 5-row broadcast query side
             "llm_tfidf_terms",      # broadcast corpus-size scalar
+            "llm_unigram_logprob",  # broadcast corpus-total scalar (1 row)
             "tpch_q22"}             # broadcast avg-acctbal scalar
 
 
