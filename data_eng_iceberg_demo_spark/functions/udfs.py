@@ -262,3 +262,71 @@ def udf_map_in_arrow(spark, d):
     e = T(spark, d, "events").select("event_id", "value", "event_type")
     return e.mapInArrow(
         transform, "event_id bigint, doubled double, type_len int")
+
+
+@register(
+    "udf_cogrouped_map",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(count(l.l_orderkey) AS BIGINT) AS n_lines,
+           CAST(coalesce(sum(l.l_quantity), 0) AS DOUBLE) AS sum_qty,
+           CAST(coalesce(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 0)
+                AS DOUBLE) AS revenue
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1995-01-08'
+    GROUP BY 1, 2
+    """,
+)
+def udf_cogrouped_map(spark, d):
+    """Cogrouped applyInPandas (``groupby.cogroup(...).applyInPandas``):
+    both sides hash-partition on the key, and each key's (orders-frame,
+    lineitem-frame) pair reaches ONE pandas function — the Spark-native
+    shape for custom two-sided merge logic (as-of merges, reconciliation,
+    interval alignment) that a plain join can't express row-wise.  Here
+    the merge itself IS join-expressible (that's what makes it
+    hash-checkable); the money arithmetic runs on exact integer cents so
+    it matches the oracle's decimal sum bit-for-bit.  Scale: Python cost
+    is O(groups touched) — ~2-4 ms per cogroup call — so the demo
+    restricts to one week of orders; the production pattern keeps the
+    cogrouped key domain bounded (or batches keys) for the same reason."""
+    o = (T(spark, d, "orders")
+         .filter((F.col("o_orderdate") >= "1995-01-01")
+                 & (F.col("o_orderdate") < "1995-01-08"))
+         .select("o_orderkey", "o_totalprice"))
+    li = T(spark, d, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    # the cogroup still keys BOTH full sides; pre-semi-join the big side
+    # so only the month's line items shuffle (at 100 TB this is the
+    # difference between shuffling the corpus and shuffling the delta)
+    li = li.join(o.select(F.col("o_orderkey").alias("l_orderkey")),
+                 "l_orderkey", "left_semi")
+
+    def merge(odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        if len(odf) == 0:
+            return pd.DataFrame(columns=[
+                "o_orderkey", "o_totalprice", "n_lines", "sum_qty", "revenue"])
+        # exact integer-cents arithmetic: price and discount are 2-decimal
+        # values, so cents*(100-disc_pct) sums exactly in int64 and ONE
+        # final division gives the correctly-rounded double — bit-identical
+        # to the oracle's CAST(sum(DECIMAL*DECIMAL) AS DOUBLE), with no
+        # float accumulation order or round() tie-breaking in play
+        cents = np.rint(ldf["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.rint(ldf["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev = float(int((cents * (100 - disc)).sum())) / 10000.0
+        return pd.DataFrame({
+            "o_orderkey": odf["o_orderkey"].iloc[:1],
+            "o_totalprice": odf["o_totalprice"].iloc[:1].astype("float64"),
+            "n_lines": [len(ldf)],
+            "sum_qty": [float(ldf["l_quantity"].sum()) if len(ldf) else 0.0],
+            "revenue": [rev],
+        })
+
+    return (o.groupby("o_orderkey")
+            .cogroup(li.groupby("l_orderkey"))
+            .applyInPandas(merge, "o_orderkey bigint, o_totalprice double, "
+                                  "n_lines bigint, sum_qty double, "
+                                  "revenue double"))

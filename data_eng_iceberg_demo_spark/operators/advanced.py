@@ -354,3 +354,80 @@ def agg_hll_sketch_merge(spark, d):
             .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
                  .alias("approx_distinct_customers"))
             .orderBy("n_regionkey"))
+
+
+@register(
+    "cte_recursive_spine",
+    oracle="""
+    WITH RECURSIVE years(y) AS (
+        SELECT TIMESTAMP '1995-01-01'
+        UNION ALL
+        SELECT y + INTERVAL 1 YEAR FROM years
+        WHERE y < TIMESTAMP '2001-01-01'
+    )
+    SELECT strftime(years.y, '%Y') AS year,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+                AS DOUBLE) AS year_revenue
+    FROM years LEFT JOIN orders o
+      ON date_trunc('year', o.o_orderdate) = years.y
+    GROUP BY 1
+    """,
+)
+def cte_recursive_spine(spark, d):
+    """Recursive CTE (Spark 4's WITH RECURSIVE): generate the complete
+    year spine covering the orders table, then LEFT JOIN order activity
+    onto it — the calendar-dimension pattern that reports zero-activity
+    periods a plain GROUP BY silently drops.  Each recursion step is a
+    driver-coordinated micro-iteration, so the spine length is kept
+    bounded by the date range (7 rows), never the corpus: at 100 TB the
+    spine is a broadcast-sized dimension and the single real shuffle is
+    the year aggregate of orders."""
+    T(spark, d, "orders").createOrReplaceTempView("orders_rc")
+    return spark.sql("""
+        WITH RECURSIVE years(y) AS (
+            SELECT TIMESTAMP '1995-01-01 00:00:00'
+            UNION ALL
+            SELECT y + INTERVAL '1' YEAR FROM years
+            WHERE y < TIMESTAMP '2001-01-01 00:00:00'
+        )
+        SELECT date_format(years.y, 'yyyy') AS year,
+               count(o.o_orderkey) AS n_orders,
+               CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
+                    AS DOUBLE) AS year_revenue
+        FROM years LEFT JOIN orders_rc o
+          ON date_trunc('YEAR', o.o_orderdate) = years.y
+        GROUP BY 1
+    """)
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2) t
+    """,
+)
+def join_lateral_topn(spark, d):
+    """Correlated LATERAL subquery with ORDER BY ... LIMIT — the SQL
+    spelling of per-group top-k (top-2 customers by balance per nation).
+    Catalyst decorrelates the lateral into a ranked join rather than
+    re-running the inner query per outer row, so the plan scales with
+    one customer shuffle; ties broken by c_custkey for a deterministic
+    hash."""
+    T(spark, d, "nation").createOrReplaceTempView("nation_lat")
+    T(spark, d, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql("""
+        SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+        FROM nation_lat n, LATERAL (
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer_lat c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2) t
+    """)

@@ -19,7 +19,8 @@ independently; retries and speculative execution stay correct at 100 TB.
 from __future__ import annotations
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition)
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
                                StructType)
 
@@ -105,6 +106,39 @@ class SyntheticEventsSource(DataSource):
     def reader(self, schema):
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return SyntheticEventsStreamReader(self.options)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same counter-based generator (Spark 4
+    Python DataSource streaming API): the offset is simply the next row
+    index, each micro-batch covers [start, start+batch_rows), and the
+    source reports end-of-data by returning its start offset unchanged.
+    Offsets are checkpointable dicts, and because row content is a pure
+    function of the index, replaying a batch after failure regenerates
+    identical rows — exactly-once semantics without any source-side
+    state.  SimpleDataSourceStreamReader reads on the driver (fine for a
+    demo-rate source); the partition-planned DataSourceStreamReader is
+    the scale path, same row function."""
+
+    def __init__(self, options):
+        self.n = int(options.get("rows", "300"))
+        self.batch_rows = int(options.get("batch_rows", "100"))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        i = int(start["i"])
+        if i >= self.n:
+            return iter([]), start
+        end = min(i + self.batch_rows, self.n)
+        return iter([_row(j) for j in range(i, end)]), {"i": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_row(j) for j in range(int(start["i"]), int(end["i"]))])
+
 
 def register_source(spark) -> None:
     """Idempotently register the source with a session."""
@@ -141,3 +175,53 @@ def scan_python_datasource(spark, d):
     register_source(spark)
     return (spark.read.format("synthetic_events")
             .option("rows", "1000").option("partitions", "4").load())
+
+
+@register(
+    "stream_python_datasource",
+    oracle="""
+    WITH g AS (SELECT unnest(generate_series(0, 299)) AS i),
+    h AS (
+        SELECT i,
+               CAST((CAST(i AS HUGEINT) * 6364136223846793005
+                     + 1442695040888963407) % 18446744073709551616 AS HUGEINT)
+                   AS hv
+        FROM g
+    )
+    SELECT CAST(i AS BIGINT) AS event_id,
+           CAST(hv % 150 AS BIGINT) AS user_id,
+           (['click','view','purchase','signup','error'])
+               [CAST((hv // 256) % 5 AS INTEGER) + 1] AS event_type,
+           round(CAST((hv // 65536) % 100000 AS DOUBLE) / 100.0, 2) AS value
+    FROM h
+    """,
+)
+def stream_python_datasource(spark, d):
+    """readStream through the custom Python data source (Spark 4
+    streaming DataSource API): 300 rows arrive as index-offset
+    micro-batches of 100 and drain into a memory sink.  The union of all
+    micro-batches must equal the batch scan of the same index range —
+    the oracle replays the counter function in SQL, so the offset
+    bookkeeping (no gap, no overlap, stop at end) is what's actually
+    under test.  The query runs on a tight micro-batch trigger and is
+    stopped once the sink holds every generated row (the source then
+    reports an unchanged offset forever)."""
+    import time
+    import uuid as _uuid
+
+    register_source(spark)
+    stream = (spark.readStream.format("synthetic_events")
+              .option("rows", "300").option("batch_rows", "100").load())
+    qname = f"py_stream_{_uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(processingTime="0 seconds").start())
+    try:
+        deadline = time.monotonic() + 120
+        while spark.table(qname).count() < 300:
+            if time.monotonic() > deadline:
+                raise TimeoutError("stream_python_datasource: sink never "
+                                   "reached 300 rows")
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    return spark.table(qname)
