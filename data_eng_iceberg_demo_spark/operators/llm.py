@@ -1310,3 +1310,38 @@ def llm_unigram_logprob(spark, d):
             .agg(F.count("*").cast("bigint").alias("n_tokens"),
                  F.round(F.avg(F.log(F.col("cnt") / F.col("n"))), 4)
                   .alias("avg_logprob")))
+
+
+@register(
+    "llm_train_test_split",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, lang,
+               (""" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(text),{i},1))-1)"
+        f"*{16 ** (8 - i)}" for i in range(1, 9)) + """) % 1000 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 900 THEN 'train'
+                WHEN bucket < 950 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def llm_train_test_split(spark, d):
+    """Leakage-resistant train/valid/test split (90/5/5): the bucket is a
+    stable hash of the document CONTENT (md5(text)), not the doc id — so
+    exact duplicates always land in the same split and re-ingesting the
+    corpus never moves a document across the boundary (the two
+    properties an id- or rand()-based split silently violates).  A
+    narrow map over the scan: no shuffle, no state, reproducible on any
+    engine or cluster size."""
+    docs = T(spark, d, "documents")
+    bucket = (F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+              .cast("bigint") % 1000)
+    return docs.select(
+        "doc_id", "lang",
+        F.when(bucket < 900, "train")
+         .when(bucket < 950, "valid")
+         .otherwise("test").alias("split"))

@@ -416,3 +416,38 @@ def stream_table_appends(spark, d):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(qname)
+
+
+@register(
+    "table_incremental_agg",
+    oracle=f"""
+    SELECT uf, COUNT(*) AS n_pedidos,
+           CAST(sum(quantidade) AS BIGINT) AS total_qty
+    FROM ({_CSV_ORACLE_BASE})
+    GROUP BY uf
+    """,
+)
+def table_incremental_agg(spark, d):
+    """Incremental materialized-view maintenance from CDC deltas: the
+    per-uf aggregate is computed over snapshot 1, then REFRESHED using
+    only read_changes(1) — the files snapshot 2 appended — and a
+    full-outer merge of partial aggregates.  The refreshed view must
+    equal the from-scratch group-by over the whole table (the oracle).
+    At 100 TB this is the O(delta) maintenance path: the base corpus is
+    never rescanned, and the merge shuffles only |distinct keys| rows."""
+    t = _fresh_table(spark, n_batches=2)
+    agg = lambda df: df.groupBy("uf").agg(  # noqa: E731
+        F.count("*").alias("n_pedidos"),
+        F.sum("quantidade").cast("bigint").alias("total_qty"))
+    base = agg(t.read(version=1))
+    delta = agg(t.read_changes(from_version=1))
+    b, x = base.alias("b"), delta.alias("x")
+    return (b.join(x, "uf", "full_outer")
+            .select(
+                "uf",
+                (F.coalesce(F.col("b.n_pedidos"), F.lit(0))
+                 + F.coalesce(F.col("x.n_pedidos"), F.lit(0)))
+                .alias("n_pedidos"),
+                (F.coalesce(F.col("b.total_qty"), F.lit(0))
+                 + F.coalesce(F.col("x.total_qty"), F.lit(0)))
+                .cast("bigint").alias("total_qty")))

@@ -231,6 +231,13 @@ class IceliteSqlSession:
             if hist.search(s):
                 t.history().createOrReplaceTempView(view + "_history")
                 s = hist.sub(view + "_history", s)
+            # metadata tables: SELECT * FROM db.t.files / db.t.partitions
+            # (Iceberg's inspection surface, same spelling)
+            for mname, mdf in (("files", t.files), ("partitions", t.partitions)):
+                mpat = re.compile(rf"\b{re.escape(name)}\.{mname}\b", re.I)
+                if mpat.search(s):
+                    mdf().createOrReplaceTempView(f"{view}_{mname}")
+                    s = mpat.sub(f"{view}_{mname}", s)
             tt = re.compile(
                 rf"\b{re.escape(name)}\s+VERSION\s+AS\s+OF\s+(\d+)", re.I)
             mv = tt.search(s)

@@ -117,3 +117,41 @@ def test_fixture_has_no_pair_in_lsh_miss_risk_band(spark, sf_dir):
         f"true pairs inside the LSH miss-risk band [0.5, 0.6): {in_band} "
         f"— the exact oracle on llm_dedup_minhash is no longer safe; "
         f"either regenerate fixtures or add bands/hashes")
+
+
+def test_train_test_split_is_content_keyed(spark, sf_dir):
+    """llm_train_test_split invariants: (1) identical text → identical
+    split (exact duplicates can never straddle the train/test boundary);
+    (2) the assignment is a pure function of content — recomputing on a
+    corpus SUBSET keeps every document's split unchanged (re-ingest
+    stability, the property rand()/id-based splits violate)."""
+    from data_eng_iceberg_demo_spark.operators._util import T
+    from data_eng_iceberg_demo_spark.plans.registry import REGISTRY
+
+    fn = REGISTRY["llm_train_test_split"].fn
+    full = fn(spark, sf_dir).toPandas().set_index("doc_id")["split"]
+    docs = T(spark, sf_dir, "documents")
+    # (1) exact duplicates share a split: the fixtures carry no exact
+    # dups, so pin the invariant on a synthetic frame — ten texts, each
+    # under two different doc_ids, must land pairwise identically
+    texts = [r["text"] for r in docs.limit(10).collect()]
+    dup = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)]
+        + [(1000 + i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string").withColumn("lang", F.lit("en"))
+    dup.createOrReplaceTempView("_split_dup_probe")
+    b = (F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+         .cast("bigint") % 1000)
+    got = {r["doc_id"]: r["b"] for r in dup.select("doc_id", b.alias("b")).collect()}
+    for i in range(10):
+        assert got[i] == got[1000 + i]
+    # subset stability: drop half the corpus, recompute, splits unchanged
+    sub = (docs.filter(F.col("doc_id") % 2 == 0)
+           .select("doc_id", "lang",
+                   (F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+                    .cast("bigint") % 1000).alias("b")))
+    sub_split = {r["doc_id"]: ("train" if r["b"] < 900 else
+                               "valid" if r["b"] < 950 else "test")
+                 for r in sub.collect()}
+    for did, sp in sub_split.items():
+        assert full[did] == sp

@@ -104,3 +104,17 @@ def test_version_as_of_branch_after_branch_write(spark, sess):
     sess.sql("CALL system.fast_forward('db.t', 'audit')")
     published = sess.sql("SELECT id FROM db.t ORDER BY id").collect()
     assert [r["id"] for r in published] == [1, 2, 3, 4, 9]
+
+
+def test_select_metadata_tables_files_and_partitions(spark, sess):
+    """SELECT over db.t.files / db.t.partitions (Iceberg's inspection
+    spelling) resolves through the shim to manifest-backed metadata."""
+    files = sess.sql(
+        "SELECT file_path, record_count FROM db.t.files").collect()
+    assert sum(r["record_count"] for r in files) == 4
+    assert all(r["file_path"].startswith("data/") for r in files)
+    parts = sess.sql(
+        "SELECT partition, file_count, record_count FROM db.t.partitions"
+    ).collect()
+    assert sum(r["record_count"] for r in parts) == 4
+    assert all(r["file_count"] >= 1 for r in parts)
