@@ -237,3 +237,34 @@ def agg_boolean_family(spark, d):
             .agg(F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
                  F.bool_or(F.col("l_discount") > 0.09).alias("any_high_disc"),
                  F.count_if(F.col("l_returnflag") == "R").alias("n_returned")))
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_mktsegment, '|' ORDER BY c_mktsegment, c_custkey)
+               AS segments,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_custkey <= 200
+    GROUP BY c_nationkey
+    """,
+)
+def agg_listagg(spark, d):
+    """SQL:2023 LISTAGG ... WITHIN GROUP (ORDER BY ...) — the standard
+    ordered string aggregation Spark 4 added (DuckDB spells it
+    string_agg with an inline ORDER BY).  Ordered-set aggregates sort
+    within each group only; the exchange carries one concatenated string
+    per group, never the rows."""
+    T(spark, d, "customer").createOrReplaceTempView("customer_la")
+    return spark.sql("""
+        SELECT c_nationkey,
+               listagg(c_mktsegment, '|')
+                   WITHIN GROUP (ORDER BY c_mktsegment, c_custkey)
+                   AS segments,
+               count(*) AS n
+        FROM customer_la
+        WHERE c_custkey <= 200
+        GROUP BY c_nationkey
+    """)
