@@ -364,14 +364,16 @@ def agg_hll_sketch_merge(spark, d):
         UNION ALL
         SELECT y + INTERVAL 1 YEAR FROM years
         WHERE y < TIMESTAMP '2001-01-01'
+    ), agg AS (
+        SELECT date_trunc('year', o_orderdate) AS y,
+               count(*) AS n,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
     )
     SELECT strftime(years.y, '%Y') AS year,
-           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
-           CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
-                AS DOUBLE) AS year_revenue
-    FROM years LEFT JOIN orders o
-      ON date_trunc('year', o.o_orderdate) = years.y
-    GROUP BY 1
+           CAST(coalesce(agg.n, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(agg.rev, 0) AS DOUBLE) AS year_revenue
+    FROM years LEFT JOIN agg ON agg.y = years.y
     """,
 )
 def cte_recursive_spine(spark, d):
@@ -380,9 +382,11 @@ def cte_recursive_spine(spark, d):
     onto it — the calendar-dimension pattern that reports zero-activity
     periods a plain GROUP BY silently drops.  Each recursion step is a
     driver-coordinated micro-iteration, so the spine length is kept
-    bounded by the date range (7 rows), never the corpus: at 100 TB the
-    spine is a broadcast-sized dimension and the single real shuffle is
-    the year aggregate of orders."""
+    bounded by the date range (7 rows), never the corpus.  Orders are
+    aggregated BEFORE the join (Catalyst won't push an aggregate through
+    a join itself), so the only corpus-sized work is one partial+final
+    year aggregate; the spine then joins a ≤|years|-row result — at
+    100 TB nothing fact-sized is ever joined or broadcast."""
     T(spark, d, "orders").createOrReplaceTempView("orders_rc")
     return spark.sql("""
         WITH RECURSIVE years(y) AS (
@@ -390,14 +394,16 @@ def cte_recursive_spine(spark, d):
             UNION ALL
             SELECT y + INTERVAL '1' YEAR FROM years
             WHERE y < TIMESTAMP '2001-01-01 00:00:00'
+        ), agg AS (
+            SELECT date_trunc('YEAR', o_orderdate) AS y,
+                   count(*) AS n,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders_rc GROUP BY 1
         )
         SELECT date_format(years.y, 'yyyy') AS year,
-               count(o.o_orderkey) AS n_orders,
-               CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0)
-                    AS DOUBLE) AS year_revenue
-        FROM years LEFT JOIN orders_rc o
-          ON date_trunc('YEAR', o.o_orderdate) = years.y
-        GROUP BY 1
+               coalesce(agg.n, 0) AS n_orders,
+               CAST(coalesce(agg.rev, 0) AS DOUBLE) AS year_revenue
+        FROM years LEFT JOIN agg ON agg.y = years.y
     """)
 
 

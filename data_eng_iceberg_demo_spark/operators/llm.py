@@ -1245,9 +1245,12 @@ def llm_quality_gopher(spark, d):
     required stopword presence, and a max single-token dominance cap —
     the heuristic pre-filter a pretraining pipeline applies before any
     model-based scoring.  Every rule is a higher-order array function
-    over the token array (arrays_overlap, transform/filter/array_max) —
-    whole-stage codegen, zero shuffle, zero Python: at 100 TB this is a
-    pure map over the corpus scan.  Thresholds chosen to split the
+    over the token array — whole-stage codegen, zero shuffle, zero
+    Python: at 100 TB this is a pure map over the corpus scan.  The
+    dominant-token count is computed as the longest equal run of the
+    SORTED token array (one O(n log n) sort + one O(n) aggregate pass
+    per doc — not the O(distinct·n) transform×filter form, which goes
+    quadratic on long documents).  Thresholds chosen to split the
     fixtures nontrivially on every rule."""
     docs = T(spark, d, "documents")
     w = F.split("text", " ")
@@ -1256,10 +1259,18 @@ def llm_quality_gopher(spark, d):
                  / n_tok)
     has_stop = F.arrays_overlap(
         w, F.array(*[F.lit(s) for s in ("the", "a", "and", "of", "to")]))
-    top_frac = (F.array_max(F.transform(
-        F.array_distinct(w),
-        lambda x: F.size(F.filter(w, lambda y: y == x)))).cast("double")
-        / n_tok)
+
+    def _step(a, x):
+        run = F.when(x == a.prev, a.run + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(a.best, run).alias("best"))
+
+    top_cnt = F.aggregate(
+        F.array_sort(w),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        _step, lambda a: a.best)
+    top_frac = top_cnt.cast("double") / n_tok
     keep = ((n_tok >= 15) & (n_tok <= 90) & (mean_wlen <= 5.0)
             & has_stop & (top_frac <= 0.15))
     return docs.select(
