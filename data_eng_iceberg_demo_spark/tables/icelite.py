@@ -1348,10 +1348,21 @@ class IceliteTable:
         _write_meta(self.tdir, meta)
 
     def rewrite_data_files(self, target_files: int = 1,
-                           zorder_by: list[str] | None = None) -> None:
+                           zorder_by: list[str] | None = None,
+                           where_range: tuple | None = None) -> None:
         """Compaction (README.md:324-328): rewrite the current file set
         into `target_files` larger files — same rows, new 'replace'
         snapshot; history and time travel to prior snapshots unaffected.
+
+        With `where_range=(col, lo, hi)`, only the files whose footer
+        min/max intersect the range are rewritten (file-level selection,
+        Iceberg's ``rewrite_data_files(where => ...)``): untouched files
+        carry over byte-identical, so a hot partition compacts without
+        paying for the cold 99% of a 100 TB table.  Pending position
+        deletes are applied to the rewritten rows and folded away;
+        delete files still targeting a carried-over file survive (their
+        references to rewritten paths become no-ops, since those paths
+        leave the snapshot).
 
         With `zorder_by`, rows are clustered on the Z-order (Morton)
         curve over the given columns before the split — Iceberg's
@@ -1364,7 +1375,24 @@ class IceliteTable:
         interleaved JVM-side; the split is a range-partition on z — all
         of it scales as one scan + one exchange at any table size."""
         meta = self.meta
-        df = self.read()
+        kept_files: list[dict] = []
+        kept_dels: list[dict] = []
+        if where_range is not None:
+            col, lo, hi = where_range
+            selected = self.plan_files_range(col, lo, hi)
+            sel_paths = {f["path"] for f in selected}
+            snap = self._snapshot(meta, None)
+            kept_files = [f for f in snap["files"]
+                          if f["path"] not in sel_paths]
+            kept_paths = {f["path"] for f in kept_files}
+            all_dels = snap.get("delete_files", [])
+            kept_dels = [d for d in all_dels
+                         if any(t in kept_paths for t in d["targets"])]
+            if not selected:  # nothing to rewrite: no-op
+                return
+            df = self._read_files(selected, meta, delete_files=all_dels)
+        else:
+            df = self.read()
         if zorder_by:
             bits = 8
             aggs = []
@@ -1392,7 +1420,8 @@ class IceliteTable:
         else:
             compacted = df.repartition(target_files)
         new_files = self._write_files(compacted, meta)
-        self._commit_snapshot(meta, "replace", new_files)
+        self._commit_snapshot(meta, "replace", kept_files + new_files,
+                              delete_files=kept_dels)
 
     def file_count(self, version: int | None = None) -> int:
         meta = self.meta

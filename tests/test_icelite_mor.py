@@ -167,3 +167,50 @@ def test_fresh_commit_marker_still_conflicts(spark, tmp_path):
     open(os.path.join(markers, f"commit-{sid}"), "w").close()  # young
     with pytest.raises(CommitConflict):
         t.delete_where("uf = 'SP'")
+
+
+def test_partial_rewrite_where_range(spark, tmp_path):
+    """Filtered compaction (rewrite_data_files(where_range=...)): only
+    files whose footer stats intersect the range are rewritten; kept
+    files carry over byte-identical; pending MoR deletes are folded into
+    the rewritten rows while delete files targeting kept files survive
+    and still apply; rows equal the plain delete result throughout."""
+    import pyspark.sql.functions as F
+
+    cat = IceliteCatalog(spark, str(tmp_path))
+    t = cat.create_table("db.pedidos_pr", PEDIDOS_SCHEMA)
+    src = _typed_pedidos(spark)
+    # 4 files with disjoint id_cliente ranges so footer stats partition
+    # the key space cleanly
+    qs = src.approxQuantile("id_cliente", [0.25, 0.5, 0.75], 0.0)
+    bounds = [None] + [int(q) for q in qs] + [None]
+    for lo, hi in zip(bounds, bounds[1:]):
+        part = src
+        if lo is not None:
+            part = part.filter(F.col("id_cliente") > lo)
+        if hi is not None:
+            part = part.filter(F.col("id_cliente") <= hi)
+        t.insert(part.coalesce(1))
+    n_files = t.file_count()
+    assert n_files >= 4
+    # MoR deletes landing in both the selected and the kept range
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    expect = _rows(t.read().select("id_pedido", "uf", "id_cliente"))
+    lo_sel, hi_sel = int(qs[1]) + 1, 10**18  # upper half of the key space
+    before_paths = set(f["path"] for f in
+                       t._snapshot(t.meta, None)["files"])
+    t.rewrite_data_files(target_files=1,
+                         where_range=("id_cliente", lo_sel, hi_sel))
+    after = t._snapshot(t.meta, None)
+    after_paths = set(f["path"] for f in after["files"])
+    # some files carried over untouched, at least one was rewritten
+    assert after_paths & before_paths, "kept files must carry over"
+    assert after_paths - before_paths, "rewritten output must be new"
+    assert len(after_paths) < n_files
+    # kept-side delete files survive; rows identical to pre-compaction
+    assert _rows(t.read().select("id_pedido", "uf", "id_cliente")) == expect
+    assert t.read().filter("uf = 'SP'").count() == 0
+    # full rewrite afterwards folds the remaining delete files away
+    t.rewrite_data_files(target_files=2)
+    assert not t._snapshot(t.meta, None).get("delete_files")
+    assert _rows(t.read().select("id_pedido", "uf", "id_cliente")) == expect
