@@ -15,10 +15,12 @@ Two lessons from three rounds of driver-recorded BENCH files (judge r3):
   and the stdout line carries a headline subset ("queries") plus a
   pointer ("queries_file") — small enough to survive the window intact.
 * First-execution costs (Python-worker pool spin-up, streaming
-  state-store init) used to land on whichever queries ran early,
-  producing phantom 3-4x regressions (stream_stateful_running 6.0 s
-  cold vs 1.65 s warm in r3).  An untimed full warm-up pass at sf0.001
-  now initializes every code path before the clock starts.
+  state-store init, whole-stage-codegen compilation) used to land on
+  whichever queries ran early, producing phantom 3-4x regressions
+  (stream_stateful_running 6.0 s cold vs 1.65 s warm in r3).  Each
+  query now gets an untimed sf0.001 warm-up IMMEDIATELY before its
+  timed run — adjacency matters because Spark's generated-class cache
+  holds ~100 entries, fewer than the registry.
 
 Execution is forced through the noop sink (full plan runs, no driver-side
 collect cost).
@@ -61,19 +63,23 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # untimed warm-up: every query once at the smallest scale, so JVM
-    # codegen, the Python worker pool, Arrow paths, and the streaming
-    # state store are all hot before anything is measured
+    # Per-query untimed warm-up IMMEDIATELY before each timed run.  A
+    # single global warm-up pass stopped working once the registry grew
+    # past Spark's bounded generated-class cache (~100 entries): by the
+    # time query #150 was timed, its whole-stage-codegen classes had
+    # been evicted by the 100+ queries in between, so the timed run paid
+    # a multi-second recompile (fn_json read 8.3 s in a suite run vs
+    # 1.2 s warmed adjacently).  Warming at the smallest scale right
+    # before timing keeps codegen, the Python worker pool, Arrow paths
+    # and the streaming state store hot for exactly the plan being
+    # measured.
     warm_dir = WARMUP_SF_DIR if os.path.isdir(WARMUP_SF_DIR) else sf_dir
+    times: dict[str, float] = {}
     for name in sorted(REGISTRY):
         try:
             force(REGISTRY[name].fn(spark, warm_dir))
         except Exception as ex:
             print(f"# warmup FAILED {name}: {ex}", file=sys.stderr)
-
-    times: dict[str, float] = {}
-    t_suite = time.time()
-    for name in sorted(REGISTRY):
         t0 = time.time()
         try:
             force(REGISTRY[name].fn(spark, sf_dir))
@@ -81,7 +87,8 @@ def main() -> None:
         except Exception as ex:  # record failures instead of dying
             times[name] = -1.0
             print(f"# bench FAILED {name}: {ex}", file=sys.stderr)
-    total = round(time.time() - t_suite, 3)
+    # suite value = sum of timed (warmed) runs; warm-up passes excluded
+    total = round(sum(t for t in times.values() if t >= 0), 3)
 
     full = {
         "metric": "declared_query_suite_wall_clock",
@@ -91,7 +98,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(times),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
-        "warmup": "full untimed pass at sf0.001",
+        "warmup": "per-query untimed pass at sf0.001 adjacent to each timed run",
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:

@@ -203,10 +203,9 @@ def stream_python_datasource(spark, d):
     micro-batches must equal the batch scan of the same index range —
     the oracle replays the counter function in SQL, so the offset
     bookkeeping (no gap, no overlap, stop at end) is what's actually
-    under test.  The query runs on a tight micro-batch trigger and is
-    stopped once the sink holds every generated row (the source then
-    reports an unchanged offset forever)."""
-    import time
+    under test.  The query runs on a tight micro-batch trigger;
+    processAllAvailable() returns once the source's offset stops
+    advancing (end-of-data), then the query stops."""
     import uuid as _uuid
 
     register_source(spark)
@@ -216,12 +215,9 @@ def stream_python_datasource(spark, d):
     q = (stream.writeStream.format("memory").queryName(qname)
          .outputMode("append").trigger(processingTime="0 seconds").start())
     try:
-        deadline = time.monotonic() + 120
-        while spark.table(qname).count() < 300:
-            if time.monotonic() > deadline:
-                raise TimeoutError("stream_python_datasource: sink never "
-                                   "reached 300 rows")
-            time.sleep(0.2)
+        # drains every micro-batch; returns once the source's offset
+        # stops advancing (read() reports end-of-data)
+        q.processAllAvailable()
     finally:
         q.stop()
     return spark.table(qname)
