@@ -30,6 +30,24 @@ from ..scratch import scratch_dir
 
 _counter = itertools.count()
 _events_src_cache: dict[str, str] = {}
+_staged_cache: dict[tuple[str, str], str] = {}
+
+
+def _staged_input(tag: str, d: str, build) -> str:
+    """Process-level cache for staged stream-input directories.  Every
+    staged input here is a pure function of the fixture dir (fixed
+    content, fixed file order, fixed mtimes), so re-staging it for each
+    run of the same query only re-pays a parquet write that changes
+    nothing.  Each streaming run still starts from a fresh checkpoint,
+    so caching the INPUT never caches any query state."""
+    key = (tag, d)
+    p = _staged_cache.get(key)
+    if p is not None and os.path.isdir(p):
+        return p
+    p = scratch_dir(tag)
+    build(p)
+    _staged_cache[key] = p
+    return p
 
 
 class _state_partitions:
@@ -109,21 +127,22 @@ def stream_watermark_late(spark, d):
     later = e.filter((F.col("tss") >= "2024-01-05") & (F.col("tss") < "2024-01-08"))
     late_replay = day1.limit(50)
 
-    tmp = scratch_dir("wm_late_")
-    for i, batch in enumerate([day1, later, late_replay]):
-        fpath = os.path.join(tmp, f"batch{i}")
-        batch.coalesce(1).write.mode("overwrite").parquet(fpath)
-    # one file per batch dir; flatten into the source dir with ordered mtimes
-    src = os.path.join(tmp, "src")
-    os.makedirs(src, exist_ok=True)
-    t0 = 1_700_000_000
-    for i in range(3):
-        bdir = os.path.join(tmp, f"batch{i}")
-        part = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"{i:02d}.parquet")
-        os.replace(os.path.join(bdir, part), dst)
-        os.utime(dst, (t0 + i, t0 + i))
+    def _stage(tmp):
+        for i, batch in enumerate([day1, later, late_replay]):
+            fpath = os.path.join(tmp, f"batch{i}")
+            batch.coalesce(1).write.mode("overwrite").parquet(fpath)
+        # one file per batch dir; flatten into src with ordered mtimes
+        s = os.path.join(tmp, "src")
+        os.makedirs(s, exist_ok=True)
+        t0 = 1_700_000_000
+        for i in range(3):
+            bdir = os.path.join(tmp, f"batch{i}")
+            part = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
+            dst = os.path.join(s, f"{i:02d}.parquet")
+            os.replace(os.path.join(bdir, part), dst)
+            os.utime(dst, (t0 + i, t0 + i))
 
+    src = os.path.join(_staged_input("wm_late_", d, _stage), "src")
     schema = day1.schema
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1").parquet(src))
@@ -155,8 +174,8 @@ def stream_dedup_keyed(spark, d):
         "event_id", "event_type", "value", F.date_trunc("second", "ts").alias("tss"))
     dupes = e.orderBy("event_id").limit(100)
 
-    tmp = scratch_dir("dedup_keyed_")
-    e.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(tmp)
+    tmp = _staged_input("dedup_keyed_", d, lambda p: (
+        e.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(p)))
 
     stream = spark.readStream.schema(e.schema).parquet(tmp)
     deduped = (stream.withWatermark("tss", "1 hour")
@@ -302,15 +321,17 @@ def stream_foreach_batch_merge(spark, d):
         "event_id", "event_type", F.round("value", 2).alias("value_r"))
     replay = e.orderBy("event_id").limit(100)
 
-    src = scratch_dir("fbm_src_")
-    t0 = 1_700_000_000
-    for i, batch in enumerate([e, replay]):
-        bdir = scratch_dir("fbm_b_")
-        batch.coalesce(1).write.mode("overwrite").parquet(bdir)
-        part = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"{i:02d}.parquet")
-        os.replace(os.path.join(bdir, part), dst)
-        os.utime(dst, (t0 + i, t0 + i))
+    def _stage(src):
+        t0 = 1_700_000_000
+        for i, batch in enumerate([e, replay]):
+            bdir = scratch_dir("fbm_b_")
+            batch.coalesce(1).write.mode("overwrite").parquet(bdir)
+            part = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
+            dst = os.path.join(src, f"{i:02d}.parquet")
+            os.replace(os.path.join(bdir, part), dst)
+            os.utime(dst, (t0 + i, t0 + i))
+
+    src = _staged_input("fbm_src_", d, _stage)
 
     schema = StructType([
         StructField("event_id", LongType()),
@@ -352,8 +373,8 @@ def stream_dedup_within_watermark(spark, d):
         F.date_trunc("second", "ts").alias("tss"))
     dupes = e.orderBy("event_id").limit(100)
 
-    tmp = scratch_dir("dedup_wm_")
-    e.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(tmp)
+    tmp = _staged_input("dedup_wm_", d, lambda p: (
+        e.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(p)))
 
     stream = spark.readStream.schema(e.schema).parquet(tmp)
     deduped = (stream.withWatermark("tss", "1 hour")

@@ -71,6 +71,15 @@ def _footer_stats(path: str, name_to_id: dict[str, int]) -> dict:
     lexicographic compare is only used for same-typed bounds)."""
     import pyarrow.parquet as pq
 
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return {}
+    return _stats_from_metadata(md, name_to_id)
+
+
+def _stats_from_metadata(md, name_to_id: dict[str, int]) -> dict:
+    """Stats extraction over an already-read parquet FileMetaData."""
     import datetime
 
     def norm(v):
@@ -81,12 +90,8 @@ def _footer_stats(path: str, name_to_id: dict[str, int]) -> dict:
         return None
 
     stats: dict[str, list] = {}
-    try:
-        f = pq.ParquetFile(path)
-    except Exception:
-        return stats
-    for rg in range(f.metadata.num_row_groups):
-        meta_rg = f.metadata.row_group(rg)
+    for rg in range(md.num_row_groups):
+        meta_rg = md.row_group(rg)
         for ci in range(meta_rg.num_columns):
             col = meta_rg.column(ci)
             name = col.path_in_schema
@@ -107,15 +112,19 @@ def _footer_stats(path: str, name_to_id: dict[str, int]) -> dict:
     return stats
 
 
-def _footer_rows(path: str) -> int | None:
-    """Row count from the parquet footer (no data read) — the
-    per-data-file ``record_count`` Iceberg manifests carry."""
+def _footer_entry(path: str, name_to_id: dict[str, int]) -> dict:
+    """One footer open → both manifest facts (min/max stats keyed by
+    field id + record_count).  _write_files calls this once per written
+    file; partitioned writes produce one file per partition value, so
+    keeping this a single open halves the driver-side footer pass."""
     import pyarrow.parquet as pq
 
     try:
-        return pq.read_metadata(path).num_rows
+        md = pq.read_metadata(path)
     except Exception:
-        return None
+        return {"record_count": None, "stats": {}}
+    return {"record_count": md.num_rows,
+            "stats": _stats_from_metadata(md, name_to_id)}
 
 
 class IceliteCatalog:
@@ -420,8 +429,7 @@ class IceliteTable:
                     files.append({"path": rel,
                                   "schema_version": meta["current_schema"],
                                   "partition": part,
-                                  "record_count": _footer_rows(full),
-                                  "stats": _footer_stats(full, name_to_id)})
+                                  **_footer_entry(full, name_to_id)})
         return files
 
     def insert(self, df: DataFrame) -> None:
