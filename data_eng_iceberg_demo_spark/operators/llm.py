@@ -1356,3 +1356,76 @@ def llm_train_test_split(spark, d):
         F.when(bucket < 900, "train")
          .when(bucket < 950, "valid")
          .otherwise("test").alias("split"))
+
+
+# winnowing parameters: k-token grams, window of consecutive gram hashes
+_WINNOW_K = 4
+_WINNOW_WIN = 5
+
+# DuckDB: same 32-bit integer a Spark `conv(substr(md5(g),1,8),16,10)` yields
+_GRAM_HASH_DUCK = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(g),{i},1))-1)*{16 ** (8 - i)}"
+    for i in range(1, 9))
+
+
+@register(
+    "llm_winnow_fingerprint",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+        SELECT doc_id, lang,
+               list_transform(
+                   generate_series(1, len(w) - {_WINNOW_K - 1}),
+                   i -> array_to_string(w[i:i+{_WINNOW_K - 1}], ' ')) AS grams
+        FROM t WHERE len(w) >= {_WINNOW_K + _WINNOW_WIN - 1}
+    ), h AS (
+        SELECT doc_id, lang,
+               list_transform(grams, g -> CAST({_GRAM_HASH_DUCK} AS BIGINT))
+                   AS gh
+        FROM g
+    ), sk AS (
+        SELECT doc_id, lang, len(gh) AS n_grams,
+               list_sort(list_distinct(list_transform(
+                   generate_series(1, len(gh) - {_WINNOW_WIN - 1}),
+                   i -> list_min(gh[i:i+{_WINNOW_WIN - 1}])))) AS sketch
+        FROM h
+    )
+    SELECT doc_id, lang,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(sketch) AS BIGINT) AS sketch_size,
+           md5(array_to_string(sketch, ',')) AS sketch_fp
+    FROM sk
+    """,
+)
+def llm_winnow_fingerprint(spark, d):
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every 4-token gram (rolling-hash family —
+    realized as the first 8 md5 hex digits so both engines agree
+    bit-for-bit), then keep the MINIMUM hash of every 5-hash window.
+    Window minima change only where content changes, so near-identical
+    documents share most selected hashes while the sketch stays a
+    guaranteed-density sample of the gram stream — the local-dedup /
+    plagiarism-detection fingerprint the bag-of-words md5 can't give.
+    Everything is higher-order array functions in codegen: zero shuffle,
+    zero Python, sketch keys are 8-byte ints regardless of document
+    size."""
+    docs = T(spark, d, "documents")
+    w = F.split("text", " ")
+    k, win = _WINNOW_K, _WINNOW_WIN
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+    gh = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+        .cast("bigint"))
+    staged = (docs.filter(F.size(w) >= k + win - 1)
+              .select("doc_id", "lang", gh.alias("gh")))
+    sketch = F.array_sort(F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size("gh") - (win - 1)),
+        lambda i: F.array_min(F.slice("gh", i, win)))))
+    return staged.select(
+        "doc_id", "lang",
+        F.size("gh").cast("bigint").alias("n_grams"),
+        F.size(sketch).cast("bigint").alias("sketch_size"),
+        F.md5(F.concat_ws(",", sketch).cast("binary")).alias("sketch_fp"))
