@@ -268,3 +268,36 @@ def agg_listagg(spark, d):
         WHERE c_custkey <= 200
         GROUP BY c_nationkey
     """)
+
+
+@register(
+    "agg_skew_salted",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_skew_salted(spark, d):
+    """Two-phase salted aggregation for pathologically hot group keys:
+    phase 1 aggregates on (key, salt16) so a hot key's rows spread over
+    16 reducers instead of one, phase 2 merges the 16 partials per key.
+    For count/sum the partials compose exactly (decimal sums stay
+    exact), so the result is bit-identical to the direct group-by the
+    oracle runs.  Spark's own partial aggregation usually makes this
+    unnecessary — the pattern matters when partial aggregation is
+    defeated (high-cardinality intermediate state, collect_list-like
+    aggregates, or extreme single-key skew past AQE's splitting), and
+    this query pins the composable-partials recipe."""
+    li = T(spark, d, "lineitem")
+    salted = li.withColumn("__salt", F.pmod(F.hash("l_orderkey"), F.lit(16)))
+    partial = (salted.groupBy("l_returnflag", "__salt")
+               .agg(F.count("*").alias("pn"),
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                     .alias("ps")))
+    return (partial.groupBy("l_returnflag")
+            .agg(F.sum("pn").cast("bigint").alias("n_rows"),
+                 F.sum("ps").cast("double").alias("sum_price")))

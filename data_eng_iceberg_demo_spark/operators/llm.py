@@ -1429,3 +1429,77 @@ def llm_winnow_fingerprint(spark, d):
         F.size("gh").cast("bigint").alias("n_grams"),
         F.size(sketch).cast("bigint").alias("sketch_size"),
         F.md5(F.concat_ws(",", sketch).cast("binary")).alias("sketch_fp"))
+
+
+@register(
+    "llm_dedup_incremental",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= {_WINNOW_K + _WINNOW_WIN - 1}
+    ), h AS (
+        SELECT doc_id,
+               list_transform(
+                   list_transform(
+                       generate_series(1, len(w) - {_WINNOW_K - 1}),
+                       i -> array_to_string(w[i:i+{_WINNOW_K - 1}], ' ')),
+                   g -> CAST({_GRAM_HASH_DUCK} AS BIGINT)) AS gh
+        FROM t
+    ), sk AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(gh) - {_WINNOW_WIN - 1}),
+                   i -> list_min(gh[i:i+{_WINNOW_WIN - 1}]))) AS sketch
+        FROM h
+    ), pairs AS (
+        SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+               len(list_intersect(n.sketch, o.sketch)) AS n_shared
+        FROM sk n JOIN sk o
+          ON n.doc_id >= 250 AND o.doc_id < 250
+    )
+    SELECT new_id, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(max(n_shared) AS BIGINT) AS max_shared
+    FROM pairs WHERE n_shared >= 2
+    GROUP BY new_id
+    """,
+)
+def llm_dedup_incremental(spark, d):
+    """Incremental-ingest dedup: flag documents of a NEW batch (doc_id
+    ≥ 250) whose winnowing sketch shares ≥2 selected hashes with any
+    document of the established corpus (doc_id < 250) — the pattern a
+    continuously-growing training corpus runs on every ingest, where
+    re-deduplicating the whole corpus would be O(corpus) per batch.
+    Candidates come from an inverted index on sketch hashes (explode →
+    hash-keyed equi-join), so cost scales with shared-hash pairs, never
+    |new|×|old|; the established side's sketch index is exactly what a
+    production pipeline keeps materialized between ingests.  The oracle
+    verifies via exact all-pairs sketch intersection."""
+    docs = T(spark, d, "documents")
+    w = F.split("text", " ")
+    k, win = _WINNOW_K, _WINNOW_WIN
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+    gh = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+        .cast("bigint"))
+    sketch = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size("gh") - (win - 1)),
+        lambda i: F.array_min(F.slice("gh", i, win))))
+    # explode the sketch IN the select that consumes the materialized gh
+    # column: a chained select(sketch)->select(explode) lets project
+    # collapse inline the whole gram-hash pipeline into every window-min
+    # reference (O(n²) md5 evaluations per doc — measured 11 s vs 0.5 s
+    # for this shape at sf0.01)
+    idx = (docs.filter(F.size(w) >= k + win - 1)
+           .select("doc_id", gh.alias("gh"))
+           .select("doc_id", F.explode(sketch).alias("hx")))
+    new = idx.filter(F.col("doc_id") >= 250).withColumnRenamed("doc_id", "new_id")
+    old = idx.filter(F.col("doc_id") < 250).withColumnRenamed("doc_id", "old_id")
+    shared = (new.join(old, "hx")
+              .groupBy("new_id", "old_id")
+              .agg(F.count("*").alias("n_shared"))
+              .filter(F.col("n_shared") >= 2))
+    return (shared.groupBy("new_id")
+            .agg(F.count("*").alias("n_matches"),
+                 F.max("n_shared").alias("max_shared")))
