@@ -1277,6 +1277,18 @@ class IceliteTable:
     def refs(self) -> dict:
         return dict(self.meta.get("refs", {}))
 
+    def refs_df(self) -> DataFrame:
+        """Metadata table (Iceberg's ``db.t.refs`` analog): one row per
+        named ref — main plus every tag/branch — with the snapshot it
+        pins (NULL = tracks current).  Completes the inspection surface
+        beside files()/partitions()/history()."""
+        meta = self.meta
+        rows = [("main", "branch", meta.get("current_snapshot"))]
+        rows += [(n, r["type"], r.get("snapshot_id"))
+                 for n, r in sorted(meta.get("refs", {}).items())]
+        return self.spark.createDataFrame(
+            rows, "name string, type string, snapshot_id bigint")
+
     def _set_ref(self, name: str, kind: str, snapshot_id: int | None) -> None:
         meta = self.meta
         refs = meta.setdefault("refs", {})

@@ -233,7 +233,8 @@ class IceliteSqlSession:
                 s = hist.sub(view + "_history", s)
             # metadata tables: SELECT * FROM db.t.files / db.t.partitions
             # (Iceberg's inspection surface, same spelling)
-            for mname, mdf in (("files", t.files), ("partitions", t.partitions)):
+            for mname, mdf in (("files", t.files), ("partitions", t.partitions),
+                               ("refs", t.refs_df)):
                 mpat = re.compile(rf"\b{re.escape(name)}\.{mname}\b", re.I)
                 if mpat.search(s):
                     mdf().createOrReplaceTempView(f"{view}_{mname}")

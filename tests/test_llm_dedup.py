@@ -155,3 +155,50 @@ def test_train_test_split_is_content_keyed(spark, sf_dir):
                  for r in sub.collect()}
     for did, sp in sub_split.items():
         assert full[did] == sp
+
+
+def test_winnow_sketch_properties(spark):
+    """Winnowing guarantees, property-tested on synthetic docs: the
+    sketch is a non-empty subset of the doc's gram hashes; identical
+    docs yield identical sketches; and a one-token edit leaves sketches
+    overlapping (locality: only windows touching the edit can change)."""
+    from hypothesis import given, settings, strategies as st
+
+    import pyspark.sql.functions as F
+    from data_eng_iceberg_demo_spark.operators.llm import (_WINNOW_K,
+                                                           _WINNOW_WIN)
+
+    k, win = _WINNOW_K, _WINNOW_WIN
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+    def sketch_of(tokens):
+        df = spark.createDataFrame([(" ".join(tokens),)], "text string")
+        w = F.split("text", " ")
+        grams = F.transform(F.sequence(F.lit(1), F.size(w) - (k - 1)),
+                            lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+        gh = F.transform(grams, lambda g: F.conv(
+            F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"))
+        staged = df.select(gh.alias("gh"))
+        sk = F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size("gh") - (win - 1)),
+            lambda i: F.array_min(F.slice("gh", i, win))))
+        row = staged.select(F.col("gh"), sk.alias("sk")).collect()[0]
+        return set(row["gh"]), set(row["sk"])
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.sampled_from(vocab), min_size=k + win - 1 + 5,
+                    max_size=40),
+           st.integers(min_value=0, max_value=39))
+    def check(tokens, edit_pos):
+        hashes, sk = sketch_of(tokens)
+        assert sk, "sketch must be non-empty"
+        assert sk <= hashes, "sketch must be a subset of gram hashes"
+        hashes2, sk2 = sketch_of(tokens)
+        assert sk == sk2, "winnowing must be deterministic"
+        edited = list(tokens)
+        edited[edit_pos % len(edited)] = "edited_token"
+        _, sk3 = sketch_of(edited)
+        if len(tokens) >= 2 * (k + win):
+            assert sk & sk3, "one edit must not replace the whole sketch"
+
+    check()

@@ -118,3 +118,15 @@ def test_select_metadata_tables_files_and_partitions(spark, sess):
     ).collect()
     assert sum(r["record_count"] for r in parts) == 4
     assert all(r["file_count"] >= 1 for r in parts)
+
+
+def test_select_metadata_table_refs(spark, sess):
+    """SELECT over db.t.refs lists main plus every tag/branch with the
+    snapshot each pins."""
+    sess.sql("ALTER TABLE db.t CREATE TAG v1")
+    sess.sql("ALTER TABLE db.t CREATE BRANCH audit")
+    refs = {r["name"]: r for r in
+            sess.sql("SELECT name, type, snapshot_id FROM db.t.refs").collect()}
+    assert refs["main"]["type"] == "branch"
+    assert refs["v1"]["type"] == "tag"
+    assert refs["audit"]["type"] == "branch"
