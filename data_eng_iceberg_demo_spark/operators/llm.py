@@ -1424,11 +1424,18 @@ def llm_winnow_fingerprint(spark, d):
     sketch = F.array_sort(F.array_distinct(F.transform(
         F.sequence(F.lit(1), F.size("gh") - (win - 1)),
         lambda i: F.array_min(F.slice("gh", i, win)))))
-    return staged.select(
+    # materialize the sketch as a column consumed twice downstream:
+    # multi-use references survive project collapse, so the window-min
+    # pass runs once per doc (single-use refs get inlined and recomputed
+    # — the trap documented at llm_dedup_incremental)
+    with_sketch = staged.select(
         "doc_id", "lang",
         F.size("gh").cast("bigint").alias("n_grams"),
-        F.size(sketch).cast("bigint").alias("sketch_size"),
-        F.md5(F.concat_ws(",", sketch).cast("binary")).alias("sketch_fp"))
+        sketch.alias("sketch"))
+    return with_sketch.select(
+        "doc_id", "lang", "n_grams",
+        F.size("sketch").cast("bigint").alias("sketch_size"),
+        F.md5(F.concat_ws(",", "sketch").cast("binary")).alias("sketch_fp"))
 
 
 @register(
