@@ -377,3 +377,45 @@ def test_no_accidental_cartesian_or_nested_loop_join(spark, sf_dir):
         if cp or (bnlj and name not in _BNLJ_OK):
             offenders[name] = (cp, bnlj)
     assert not offenders, offenders
+
+
+def test_runtime_bloom_filter_join_injected(spark, sf_dir):
+    """Optimizer coverage: with the size thresholds scaled to the
+    fixtures, Spark injects a runtime Bloom filter built from the
+    selective (filtered orders) side and pushes might_contain onto the
+    lineitem scan side — the row-level semi-join reduction that saves
+    shuffling never-matching fact rows at 100 TB (where the default
+    10 MB/10 GB thresholds make it kick in by themselves).  Conf is
+    restored so no other test or query sees the lowered thresholds;
+    results must be identical with and without the filter."""
+    from data_eng_iceberg_demo_spark.sources.readers import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders").filter(
+        "o_totalprice > 500000").select("o_orderkey")
+    q = li.join(orders, li.l_orderkey == orders.o_orderkey)
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # force a shuffle join: bloom filters are only injected when the
+        # application side actually shuffles (a broadcast join already
+        # ships the build side everywhere, so there is nothing to save)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        with_bloom = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            with_bloom.explain(True)
+        plan = buf.getvalue()
+        assert "bloom_filter_agg" in plan or "might_contain" in plan, plan
+        n_filtered = with_bloom.count()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert n_filtered == q.count()
