@@ -320,3 +320,87 @@ def fn_hash(spark, d):
         F.sha2(F.col("p_name").cast("binary"), 256).alias("h_sha256"),
         F.length(F.md5(F.col("p_name").cast("binary"))).cast("int")
         .alias("md5_len"))
+
+
+@register(
+    "fn_xml",
+    oracle="""
+    SELECT c_custkey,
+           '<cust><k>' || CAST(c_custkey AS VARCHAR) || '</k><seg>'
+               || c_mktsegment || '</seg><bal>'
+               || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+               || '</bal></cust>' AS xml_doc,
+           CAST(c_custkey AS BIGINT) AS parsed_key,
+           c_mktsegment AS parsed_seg,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS parsed_bal
+    FROM customer
+    WHERE c_custkey <= 100
+    """,
+)
+def fn_xml(spark, d):
+    """XML family (Spark 4 ``from_xml``): serialize fixture columns into
+    an XML document, parse it back with an explicit schema, and emit the
+    round-tripped fields.  The oracle reproduces the serialized string
+    and takes the field values straight from the source columns, so the
+    parse must be an exact inverse of the build — proving real XML
+    parsing without needing XML support in the oracle engine."""
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    c = T(spark, d, "customer").filter(F.col("c_custkey") <= 100)
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    xml = F.concat(
+        F.lit("<cust><k>"), F.col("c_custkey").cast("string"),
+        F.lit("</k><seg>"), F.col("c_mktsegment"),
+        F.lit("</seg><bal>"), bal.cast("string"),
+        F.lit("</bal></cust>"))
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("seg", StringType()),
+        StructField("bal", DoubleType()),
+    ])
+    parsed = F.from_xml(xml, schema)
+    return c.select(
+        "c_custkey",
+        xml.alias("xml_doc"),
+        parsed.getField("k").alias("parsed_key"),
+        parsed.getField("seg").alias("parsed_seg"),
+        parsed.getField("bal").alias("parsed_bal"))
+
+
+@register(
+    "fn_url",
+    oracle="""
+    SELECT o_orderkey,
+           'https://shop.example.com/orders/' || CAST(o_orderkey AS VARCHAR)
+               || '?priority=' || replace(o_orderpriority, ' ', '+')
+               || '&status=' || o_orderstatus AS url,
+           'shop.example.com' AS host,
+           '/orders/' || CAST(o_orderkey AS VARCHAR) AS path,
+           'priority=' || replace(o_orderpriority, ' ', '+')
+               || '&status=' || o_orderstatus AS query,
+           o_orderpriority AS priority_param
+    FROM orders
+    WHERE o_orderkey <= 500
+    """,
+)
+def fn_url(spark, d):
+    """URL family (parse_url + url_encode): build a URL from fixture
+    columns, then extract HOST/PATH/QUERY and a single query parameter
+    back out.  parse_url's parameter extraction must also DECODE the
+    form-encoded ('+' for space) priority — the oracle takes it from the
+    source column, so an encode/decode asymmetry fails the hash."""
+    o = T(spark, d, "orders").filter(F.col("o_orderkey") <= 500)
+    url = F.concat(
+        F.lit("https://shop.example.com/orders/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?priority="), F.url_encode("o_orderpriority"),
+        F.lit("&status="), F.col("o_orderstatus"))
+    return o.select(
+        "o_orderkey",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.url_decode(F.parse_url(url, F.lit("QUERY"), F.lit("priority")))
+         .alias("priority_param"))
