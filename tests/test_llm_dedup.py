@@ -202,3 +202,64 @@ def test_winnow_sketch_properties(spark):
             assert sk & sk3, "one edit must not replace the whole sketch"
 
     check()
+
+
+def test_chunking_invariants_cover_every_token(spark, sf_dir):
+    """llm_docs_to_chunks invariants on the fixture corpus: chunk 0
+    starts at token 1; consecutive chunks advance by stride 25; no chunk
+    exceeds 50 tokens; the union of [start, start+len) intervals covers
+    every token position exactly (no gap, no tail loss)."""
+    from data_eng_iceberg_demo_spark.operators._util import T
+    from data_eng_iceberg_demo_spark.plans.registry import REGISTRY
+
+    import pyspark.sql.functions as F
+
+    chunks = (REGISTRY["llm_docs_to_chunks"].fn(spark, sf_dir)
+              .toPandas().sort_values(["doc_id", "chunk_idx"]))
+    ntok = {r["doc_id"]: r["n"] for r in
+            T(spark, sf_dir, "documents")
+            .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+            .collect()}
+    for doc_id, grp in chunks.groupby("doc_id"):
+        grp = grp.reset_index(drop=True)
+        assert list(grp["chunk_idx"]) == list(range(len(grp)))
+        assert (grp["n_tokens"] <= 50).all()
+        covered = 0  # chunks overlap; coverage frontier must never gap
+        for i, row in grp.iterrows():
+            start = i * 25  # 0-based
+            assert start <= covered, f"gap before chunk {i} of doc {doc_id}"
+            covered = max(covered, start + row["n_tokens"])
+        assert covered == ntok[doc_id], f"tail lost in doc {doc_id}"
+
+
+def test_packing_invariants_contiguous_and_complete(spark, sf_dir):
+    """llm_pack_sequences invariants: every document is packed exactly
+    once (token totals per source match the corpus); sequence ids per
+    source are contiguous from 0; each window holds the docs whose start
+    offset falls in its 512-token span, so seq_tokens can exceed 512
+    only via its LAST (straddling) doc — i.e. tokens-before-last < 512."""
+    from data_eng_iceberg_demo_spark.operators._util import T
+    from data_eng_iceberg_demo_spark.plans.registry import REGISTRY
+
+    import pyspark.sql.functions as F
+
+    packs = REGISTRY["llm_pack_sequences"].fn(spark, sf_dir).toPandas()
+    docs = (T(spark, sf_dir, "documents")
+            .select("doc_id", "source",
+                    F.size(F.split("text", " ")).alias("ntok")).toPandas())
+    per_source_tokens = docs.groupby("source")["ntok"].sum().to_dict()
+    for source, grp in packs.groupby("source"):
+        assert sorted(grp["seq_id"]) == list(range(len(grp)))
+        assert grp["seq_tokens"].sum() == per_source_tokens[source]
+        # replay the packing to check the straddle-only overflow rule
+        sdocs = docs[docs["source"] == source].sort_values("doc_id")
+        offset = 0
+        win = {}
+        for _, r in sdocs.iterrows():
+            win.setdefault(offset // 512, []).append(int(r["ntok"]))
+            offset += int(r["ntok"])
+        for sid, toks in win.items():
+            row = grp[grp["seq_id"] == sid].iloc[0]
+            assert row["n_docs"] == len(toks)
+            assert row["seq_tokens"] == sum(toks)
+            assert sum(toks[:-1]) < 512  # only the last doc may straddle
