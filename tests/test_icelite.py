@@ -495,3 +495,44 @@ def test_partitions_metadata_from_manifest_only(spark, tmp_path):
     # files() carries the per-file record_count the aggregate is built from
     fc = t.files().agg(F.sum("record_count")).collect()[0][0]
     assert fc == df.count()
+
+
+def test_wap_audit_with_observation_metrics(spark, table):
+    """Write-audit-publish with Spark's Observation API as the audit:
+    metrics (row count, null-key count) are collected ON the staged
+    write's own plan — no second scan — and publication is gated on
+    them.  A failing audit leaves main untouched; a passing one
+    fast-forwards."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    from data_eng_iceberg_demo_spark.tables.queries import _typed_pedidos
+
+    main_before = table.read().count()
+
+    # failing audit: stage rows whose key is NULL, observe, refuse
+    table.create_branch("audit_bad")
+    bad = (_typed_pedidos(spark).limit(5)
+           .withColumn("id_pedido", F.lit(None).cast("string")))
+    obs_bad = Observation("audit_bad")
+    table.write_to_branch("audit_bad",
+                          bad.observe(obs_bad,
+                                      F.count("*").alias("rows"),
+                                      F.count_if(F.col("id_pedido").isNull())
+                                       .alias("null_keys")))
+    assert obs_bad.get["null_keys"] > 0      # audit fails
+    assert table.read().count() == main_before  # not published
+
+    # passing audit: clean rows observed on the same write, then publish
+    table.create_branch("audit_ok")
+    good = _typed_pedidos(spark).limit(7).withColumn(
+        "id_pedido", F.concat(F.lit("OBS-"), F.col("id_pedido")))
+    obs_ok = Observation("audit_ok")
+    table.write_to_branch("audit_ok",
+                          good.observe(obs_ok,
+                                       F.count("*").alias("rows"),
+                                       F.count_if(F.col("id_pedido").isNull())
+                                        .alias("null_keys")))
+    assert obs_ok.get["null_keys"] == 0 and obs_ok.get["rows"] == 7
+    table.fast_forward("audit_ok")
+    assert table.read().count() == main_before + 7
