@@ -404,3 +404,40 @@ def fn_url(spark, d):
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.url_decode(F.parse_url(url, F.lit("QUERY"), F.lit("priority")))
          .alias("priority_param"))
+
+
+@register(
+    "fn_collation",
+    oracle="""
+    WITH variants AS (
+        SELECT c_mktsegment AS s FROM customer
+        UNION ALL SELECT lower(c_mktsegment) FROM customer
+        UNION ALL SELECT upper(substr(c_mktsegment, 1, 1))
+                  || lower(substr(c_mktsegment, 2)) FROM customer
+    )
+    SELECT lower(s) AS segment_ci,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT s) AS BIGINT) AS n_spellings
+    FROM variants
+    GROUP BY 1
+    """,
+)
+def fn_collation(spark, d):
+    """String collations (Spark 4): grouping under the UTF8_LCASE
+    collation merges case-variant spellings without rewriting the data
+    to a canonical case.  Three case variants of every segment are
+    generated (original / lower / initcap); the collated group-by must
+    count all of them together, while the binary-collation DISTINCT
+    inside still sees each spelling.  The emitted label is lowercased
+    because a collated group's representative value is
+    first-seen-nondeterministic — the label must not leak it."""
+    c = T(spark, d, "customer")
+    variants = (c.select(F.col("c_mktsegment").alias("s"))
+                .unionAll(c.select(F.lower("c_mktsegment").alias("s")))
+                .unionAll(c.select(F.initcap(F.lower("c_mktsegment"))
+                                   .alias("s"))))
+    return (variants
+            .groupBy(F.collate("s", "UTF8_LCASE").alias("sc"))
+            .agg(F.count("*").alias("n"),
+                 F.count_distinct("s").alias("n_spellings"))
+            .select(F.lower("sc").alias("segment_ci"), "n", "n_spellings"))

@@ -437,3 +437,54 @@ def join_lateral_topn(spark, d):
             ORDER BY c_acctbal DESC, c_custkey
             LIMIT 2) t
     """)
+
+
+@register(
+    "project_transpose",
+    oracle="""
+    WITH m AS (
+        SELECT r.r_name,
+               round(avg(c.c_acctbal), 2) AS avg_bal,
+               CAST(count(*) AS DOUBLE) AS n_cust
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    )
+    SELECT 'avg_bal' AS key,
+           max(CASE WHEN r_name = 'AFRICA' THEN avg_bal END) AS "AFRICA",
+           max(CASE WHEN r_name = 'AMERICA' THEN avg_bal END) AS "AMERICA",
+           max(CASE WHEN r_name = 'ASIA' THEN avg_bal END) AS "ASIA",
+           max(CASE WHEN r_name = 'EUROPE' THEN avg_bal END) AS "EUROPE",
+           max(CASE WHEN r_name = 'MIDDLE EAST' THEN avg_bal END)
+               AS "MIDDLE EAST"
+    FROM m
+    UNION ALL
+    SELECT 'n_cust',
+           max(CASE WHEN r_name = 'AFRICA' THEN n_cust END),
+           max(CASE WHEN r_name = 'AMERICA' THEN n_cust END),
+           max(CASE WHEN r_name = 'ASIA' THEN n_cust END),
+           max(CASE WHEN r_name = 'EUROPE' THEN n_cust END),
+           max(CASE WHEN r_name = 'MIDDLE EAST' THEN n_cust END)
+    FROM m
+    """,
+)
+def project_transpose(spark, d):
+    """DataFrame transpose (Spark 4 ``df.transpose``): a per-region
+    metrics table flips so metrics become rows and regions become
+    columns — the report-shaping step that previously needed a manual
+    unpivot+pivot round trip.  The frame is sorted on the header column
+    first (transpose takes column names from the first column in ROW
+    order, so an unsorted frame would have nondeterministic column
+    order).  Transpose collects the frame to the driver by design —
+    valid only because the input is an already-aggregated bounded
+    metrics table (5 regions), never a fact table."""
+    c = T(spark, d, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    n = T(spark, d, "nation").select("n_nationkey", "n_regionkey")
+    r = T(spark, d, "region").select("r_regionkey", "r_name")
+    m = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+         .groupBy("r_name")
+         .agg(F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+              F.count("*").cast("double").alias("n_cust")))
+    return m.orderBy("r_name").transpose()
