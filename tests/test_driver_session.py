@@ -70,3 +70,17 @@ def test_timezone_reset_on_bare_session(bare_spark, sf_dir, duck):
     want = sorted(map(tuple, duck.execute(spec.oracle).fetchall()))
     assert bare_spark.conf.get("spark.sql.session.timeZone") == "UTC"
     assert got == want
+
+
+@pytest.mark.parametrize("name", [
+    "table_partitions_meta", "stream_table_appends", "table_incremental_agg",
+    "llm_winnow_fingerprint", "llm_dedup_incremental", "cte_recursive_spine",
+    "join_lateral_topn", "udf_cogrouped_map", "stream_python_datasource",
+    "fn_xml", "fn_url", "fn_collation", "project_transpose",
+])
+def test_round5_queries_on_bare_session(bare_spark, sf_dir, name):
+    """Every round-5 query must build and execute on a driver-like
+    session (no package-session confs pre-applied) — the conf-dependence
+    failure class of rounds 1-2, replayed for the new surface."""
+    df = REGISTRY[name].fn(bare_spark, sf_dir)
+    assert df.count() >= 0
