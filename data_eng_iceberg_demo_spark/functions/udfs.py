@@ -15,8 +15,38 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql.functions import pandas_udf
 
+from pyspark.sql.types import DoubleType, LongType
+
 from ..operators._util import T
 from ..plans.registry import register
+
+
+# Both scalar UDFs are defined ONCE at module scope.  Re-decorating inside
+# the query function built a fresh UDF object per call, which (a) meant the
+# bench's adjacent warm-up run warmed a *different* UDF than the timed run
+# (r04 recorded udf_pandas_scalar at 8.8x its r01 figure purely from that
+# cold path), and (b) for the row UDF triggered pyspark's
+# "Cannot infer the eval type from type hints" fallback on every call.
+# The row UDF's function carries NO type hints: hints on a plain F.udf
+# send udf.py:134 down the hint-inference path, which cannot resolve a
+# non-pandas signature and warns before falling back.
+def _tier(price):
+    if price >= 300000:
+        return 3
+    if price >= 100000:
+        return 2
+    return 1
+
+
+_tier_udf = F.udf(_tier, returnType=LongType(), useArrow=False)
+
+
+# return type as a DataType object, not a DDL string: the string form is
+# parsed eagerly through the active SparkContext, which does not exist yet
+# at module import time
+@pandas_udf(DoubleType())
+def _adj_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+    return (price * (1.0 - disc) * 1.1).round(6)
 
 
 @register(
@@ -30,19 +60,10 @@ from ..plans.registry import register
     """,
 )
 def udf_python_scalar(spark, d):
-    """Row-at-a-time Python UDF (coverage of the slow path)."""
-    from pyspark.sql.types import LongType
-
-    @F.udf(returnType=LongType())
-    def tier(price: float) -> int:
-        if price >= 300000:
-            return 3
-        if price >= 100000:
-            return 2
-        return 1
-
+    """Row-at-a-time Python UDF (deliberate coverage of the slow path;
+    ``useArrow=False`` pins pickled-batch BatchEvalPython semantics)."""
     o = T(spark, d, "orders")
-    return o.select("o_orderkey", tier("o_totalprice").alias("tier"))
+    return o.select("o_orderkey", _tier_udf("o_totalprice").alias("tier"))
 
 
 @register(
@@ -54,16 +75,12 @@ def udf_python_scalar(spark, d):
     """,
 )
 def udf_pandas_scalar(spark, d):
-    """Vectorized Series→Series pandas UDF over Arrow batches."""
-
-    @pandas_udf("double")
-    def adj_price(price: pd.Series, disc: pd.Series) -> pd.Series:
-        return (price * (1.0 - disc) * 1.1).round(6)
-
+    """Vectorized Series→Series pandas UDF over Arrow batches
+    (ArrowEvalPython in the plan — asserted in tests/test_plans.py)."""
     li = T(spark, d, "lineitem")
     return li.select(
         "l_orderkey", "l_linenumber",
-        adj_price("l_extendedprice", "l_discount").alias("adj_price"),
+        _adj_price("l_extendedprice", "l_discount").alias("adj_price"),
     )
 
 

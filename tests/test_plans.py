@@ -419,3 +419,29 @@ def test_runtime_bloom_filter_join_injected(spark, sf_dir):
         for k, v in old.items():
             spark.conf.set(k, v)
     assert n_filtered == q.count()
+
+
+def test_pandas_udf_is_arrow_eval_python(spark, sf_dir):
+    """The vectorized pandas UDF must run through ArrowEvalPython (Arrow
+    record batches across the JVM/Python boundary).  BatchEvalPython here
+    means the UDF lost its eval type and fell back to pickled rows — the
+    r04 bench regression (8.8x) was exactly that cold path."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)  # eval-type fallback warns
+        p = plan_of(spark, sf_dir, "udf_pandas_scalar")
+    assert node_count(p, "ArrowEvalPython") == 1, p
+    assert node_count(p, "BatchEvalPython") == 0, p
+
+
+def test_python_udf_stays_on_declared_slow_path_without_warning(spark, sf_dir):
+    """udf_python_scalar deliberately covers the row-at-a-time contract:
+    BatchEvalPython, pinned via useArrow=False, and built without the
+    'Cannot infer the eval type' hint-inference fallback firing."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        p = plan_of(spark, sf_dir, "udf_python_scalar")
+    assert node_count(p, "BatchEvalPython") == 1, p
