@@ -199,12 +199,18 @@ def test_tpch_q22_anti_join_on_reduced_projection(spark, sf_dir):
 
 def test_sort_multikey_rank_window_is_partitioned(spark, sf_dir):
     """Global rank must come from the distributed zipWithIndex pattern:
-    every Window in the plan partitions by _pid — an un-partitioned
-    row_number (single-task global sort) is a scale regression."""
+    every Window in the plan keys on _pid — either partitioned BY _pid
+    (the per-partition rank over the data) or ordered by _pid over the
+    n_parts-row counts aggregate (the in-plan cumulative offsets).  An
+    un-partitioned row_number over the DATA (single-task global sort)
+    is a scale regression; the offsets window is bounded by n_parts."""
     p = plan_of(spark, sf_dir, "sort_multikey_nulls")
     windows = re.findall(r"windowspecdefinition\(([^,]+),", p)
     assert windows, "expected a window computing the per-partition rank"
     assert all(w.startswith("_pid") for w in windows), windows
+    # the data-sized rank window is the partitioned one; it must exist
+    assert any(re.match(r"_pid#\d+,", w) or "," not in w for w in
+               re.findall(r"windowspecdefinition\((_pid#\d+),", p)), p
 
 
 def test_join_asof_single_shuffle_no_join_node(spark, sf_dir):
