@@ -19,9 +19,22 @@ Scale notes (the 100 TB design point, SURVEY.md §7.4):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Observation
 
 from ..plans.registry import register
 from ._util import T
+
+# Hot-key guard for the dedup family (CCNet / The-Stack practice): a
+# shingle shared by df documents expands to df^2 candidate pairs, so one
+# ubiquitous trigram (stopword run, boilerplate header) with df=10^6 would
+# put 10^12 pair expansions in a single task at 100 TB.  Posting lists and
+# LSH band buckets above this cap are dropped BEFORE pair expansion; a
+# shingle that common carries no near-dup signal anyway (every pair it
+# suggests is re-verified against the full shingle sets).  The drop count
+# is surfaced through a named Observation per query (DEDUP_OBSERVATIONS)
+# so pipelines can alert on corpora where the cap actually bites.
+DEDUP_DF_CAP = 64
+DEDUP_OBSERVATIONS: dict[str, Observation] = {}
 
 
 @register(
@@ -58,9 +71,12 @@ def llm_dedup_exact(spark, d):
         FROM pos
     ), cnt AS (
         SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), ok AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 64
     ), inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN ok ON ok.shingle = a.shingle
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -74,7 +90,11 @@ def llm_dedup_exact(spark, d):
 def llm_dedup_near(spark, d):
     """Near-duplicate pairs by exact 3-gram-shingle Jaccard >= 0.5.
     Candidate generation via the shingle inverted index (explode + self-join
-    on shingle) — never all-pairs.  Scale path: llm_dedup_minhash."""
+    on shingle) — never all-pairs, and posting lists longer than
+    DEDUP_DF_CAP are dropped before pair expansion (mirrored in the
+    oracle's `ok` CTE) so one ubiquitous shingle cannot expand
+    quadratically; the drop count is observable via
+    DEDUP_OBSERVATIONS['llm_dedup_near'].  Scale path: llm_dedup_minhash."""
     docs = T(spark, d, "documents").select("doc_id", F.split("text", " ").alias("w"))
     docs = docs.filter(F.size("w") >= 3)
     sh = docs.select(
@@ -91,8 +111,16 @@ def llm_dedup_near(spark, d):
     # pair exists), then a narrow in-place expansion of each list's
     # ordered pairs.  The shingle strings are never shuffled twice and
     # never joined; output is identical to the postings self-join.
+    # Lists longer than DEDUP_DF_CAP are dropped too (hot-key guard);
+    # the Observation surfaces how often the cap fired.
+    obs = Observation()
+    DEDUP_OBSERVATIONS["llm_dedup_near"] = obs
     posts = (sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ids"))
-             .filter(F.size("ids") >= 2))
+             .observe(obs,
+                      F.count(F.when(F.size("ids") > DEDUP_DF_CAP, 1))
+                       .alias("dropped_hot_shingles"),
+                      F.count("*").alias("distinct_shingles"))
+             .filter(F.size("ids").between(2, DEDUP_DF_CAP)))
     inter = (posts
              .select(F.explode("ids").alias("doc_a"), "ids")
              .select("doc_a", F.explode("ids").alias("doc_b"))
@@ -150,7 +178,11 @@ def llm_dedup_minhash(spark, d, n_hashes: int = 6):
     vectors, no per-table explode) and candidates are verified with an
     equi-join on (doc, shingle).  At 100 TB: cost ~ sum of band-bucket
     sizes squared for candidates + candidate-pair shingle joins — never
-    all-pairs; every step is a shuffle on a fixed-width key."""
+    all-pairs; every step is a shuffle on a fixed-width key.  Band
+    buckets larger than DEDUP_DF_CAP are dropped before pair expansion
+    (hot-bucket guard; a pair lost to one hot band usually resurfaces
+    through its other 5 bands) with the drop count observable via
+    DEDUP_OBSERVATIONS['llm_dedup_minhash']."""
     docs = T(spark, d, "documents").select(
         "doc_id", F.split("text", " ").alias("w"))
     docs = docs.filter(F.size("w") >= 3)
@@ -170,10 +202,22 @@ def llm_dedup_minhash(spark, d, n_hashes: int = 6):
         "doc_id", "n",
         F.posexplode(F.array(*[F.col(f"h{i}") for i in range(n_hashes)]))
         .alias("band", "hv"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.hv") == F.col("b.hv"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+    # bucket posting lists (ONE shuffle on the fixed-width (band, hv)
+    # key), capped at DEDUP_DF_CAP members before the in-place pair
+    # expansion — the same hot-key guard as the inverted index above
+    obs = Observation()
+    DEDUP_OBSERVATIONS["llm_dedup_minhash"] = obs
+    buckets = (bands.groupBy("band", "hv")
+               .agg(F.collect_list(F.struct("doc_id", "n")).alias("ids"))
+               .observe(obs,
+                        F.count(F.when(F.size("ids") > DEDUP_DF_CAP, 1))
+                         .alias("dropped_hot_buckets"),
+                        F.count("*").alias("distinct_buckets"))
+               .filter(F.size("ids").between(2, DEDUP_DF_CAP)))
+    cand = (buckets
+            .select(F.explode("ids").alias("a"), "ids")
+            .select("a", F.explode("ids").alias("b"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),
                     F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
@@ -772,9 +816,12 @@ _CLUSTER_EDGE_CTE = """
         FROM pos
     ), cnt AS (
         SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), ok AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 64
     ), inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN ok ON ok.shingle = a.shingle
         GROUP BY 1, 2
     ), edge AS (
         SELECT doc_a, doc_b FROM inter

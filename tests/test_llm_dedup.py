@@ -263,3 +263,56 @@ def test_packing_invariants_contiguous_and_complete(spark, sf_dir):
             assert row["n_docs"] == len(toks)
             assert row["seq_tokens"] == sum(toks)
             assert sum(toks[:-1]) < 512  # only the last doc may straddle
+
+
+def _hot_key_corpus(spark, tmp_path):
+    """203 docs engineered so the hot-key guard must fire: one true
+    near-dup pair (1, 2); 70 byte-identical boilerplate docs (every
+    shingle df=70, every LSH band bucket size 70 — both over the cap);
+    131 distinct docs sharing a single ubiquitous trailing trigram
+    (df=131 — which, uncapped, would expand ~131^2/2 candidate pairs
+    carrying no dup signal)."""
+    rows = [(1, BASE), (2, BASE.replace("lazy", "sleepy"))]
+    boiler = ("terms of service apply to all user content see the website "
+              "for full details and contact support with any question")
+    rows += [(100 + i, boiler) for i in range(70)]
+    rows += [(300 + i,
+              f"unique document number {i} discussing topic {i * 7} in its "
+              f"own words plainly put shared end marker")
+             for i in range(131)]
+    d = str(tmp_path / "hotcorpus")
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_near_dedup_hot_posting_lists_capped_but_pair_survives(spark, tmp_path):
+    """A ubiquitous shingle must NOT expand quadratically: posting lists
+    over DEDUP_DF_CAP are dropped before pair expansion (the Observation
+    records how many), while the genuine near-dup pair still surfaces."""
+    from data_eng_iceberg_demo_spark.operators import llm
+
+    d = _hot_key_corpus(spark, tmp_path)
+    rows = llm.llm_dedup_near(spark, d).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert (1, 2) in got, rows
+    # no pair may come from the capped shingles: neither the boilerplate
+    # clique (every shared shingle df=70) nor the marker-only docs
+    assert got == {(1, 2)}, sorted(got)[:10]
+    metrics = llm.DEDUP_OBSERVATIONS["llm_dedup_near"].get
+    assert metrics["dropped_hot_shingles"] >= 1, metrics
+
+
+def test_minhash_hot_band_buckets_capped_but_pair_survives(spark, tmp_path):
+    """LSH band buckets over DEDUP_DF_CAP are dropped before the in-place
+    pair expansion; the 70-identical-doc bucket (which exact dedup, not
+    near-dedup, is responsible for) is dropped in all 6 bands while the
+    true near-dup pair keeps surfacing through its own small buckets."""
+    from data_eng_iceberg_demo_spark.operators import llm
+
+    d = _hot_key_corpus(spark, tmp_path)
+    rows = llm.llm_dedup_minhash(spark, d).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert got == {(1, 2)}, sorted(got)[:10]
+    metrics = llm.DEDUP_OBSERVATIONS["llm_dedup_minhash"].get
+    assert metrics["dropped_hot_buckets"] >= 1, metrics
