@@ -717,3 +717,367 @@ def tpch_q22(spark, d):
                  F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
                  .cast("double").alias("totacctbal"))
             .orderBy("c_nationkey"))
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the fixture set has no partsupp.parquet, so the table is
+# DERIVED deterministically from part x supplier with a dbgen-style supplier
+# assignment (4 suppliers per part, spread across the supplier keyspace) and
+# integer-arithmetic availqty/supplycost — identical formulas on both
+# engines, so the driver's hash comparison covers the derivation itself.
+# All cost math stays in integer CENTS until the final output cast: integer
+# (and decimal) arithmetic is exact and order-insensitive on both engines.
+# ---------------------------------------------------------------------------
+
+_PS_CTE = """
+    s_cnt AS (SELECT count(*) AS sc FROM supplier),
+    partsupp AS (
+        SELECT p_partkey AS ps_partkey,
+               (p_partkey + t.i * (sc // 4) + p_partkey // sc) % sc
+                   AS ps_suppkey,
+               CAST((p_partkey * 7 + t.i * 13) % 9999 + 1 AS BIGINT)
+                   AS ps_availqty,
+               10000 + (p_partkey * 31
+                        + ((p_partkey + t.i * (sc // 4) + p_partkey // sc)
+                           % sc) * 17) % 80000 AS ps_cost_cents
+        FROM part, s_cnt, (SELECT unnest([0, 1, 2, 3]) AS i) t
+    )
+"""
+
+# exact decimal supplycost (dollars) from integer cents — same text on both
+# engines; DECIMAL x DECIMAL is exact, cast to DOUBLE only at output
+_PS_COST_DEC = ("CAST(ps_cost_cents AS DECIMAL(18,2)) "
+                "* CAST(0.01 AS DECIMAL(4,2))")
+
+
+def partsupp(spark, d):
+    """The derived partsupp relation (see module comment above).  The
+    1-row supplier count broadcasts onto part; the 4-way explode is a
+    narrow map — the whole derivation adds zero shuffles, so at 100 TB
+    it streams with the part scan."""
+    sc_ = T(spark, d, "supplier").agg(F.count("*").alias("sc"))
+    return (T(spark, d, "part").select("p_partkey")
+            .crossJoin(F.broadcast(sc_))
+            .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(3))))
+            .selectExpr(
+                "p_partkey AS ps_partkey",
+                "(p_partkey + i * (sc DIV 4) + p_partkey DIV sc) % sc"
+                "    AS ps_suppkey",
+                "CAST((p_partkey * 7 + i * 13) % 9999 + 1 AS BIGINT)"
+                "    AS ps_availqty",
+                "10000 + (p_partkey * 31"
+                "         + ((p_partkey + i * (sc DIV 4) + p_partkey DIV sc)"
+                "            % sc) * 17) % 80000 AS ps_cost_cents"))
+
+
+@register(
+    "tpch_q2",
+    oracle=f"""
+    WITH {_PS_CTE},
+    eu AS (
+        SELECT ps_partkey, ps_cost_cents, s_name, s_acctbal, n_name
+        FROM partsupp
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+    ),
+    mincost AS (
+        SELECT ps_partkey, min(ps_cost_cents) AS mc FROM eu GROUP BY ps_partkey
+    )
+    SELECT CAST(eu.s_acctbal AS DOUBLE) AS s_acctbal, eu.s_name, eu.n_name,
+           p.p_partkey, CAST(eu.ps_cost_cents AS DOUBLE) / 100 AS ps_supplycost
+    FROM part p
+    JOIN eu ON eu.ps_partkey = p.p_partkey
+    JOIN mincost m ON m.ps_partkey = p.p_partkey
+                  AND eu.ps_cost_cents = m.mc
+    WHERE p.p_size <= 15 AND p.p_type = 'ECONOMY'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark, d):
+    """Q2 minimum-cost-supplier shape (adapted: no p_mfgr/s_address/
+    s_phone in the fixture, so the output carries acctbal/name/nation/
+    part/cost).  The correlated MIN subquery is decorrelated into a
+    per-part minimum over the region-restricted partsupp, joined back on
+    (partkey, exact integer cost) — the classic decorrelation, and the
+    min compare is on integer cents so no float tie can split engines.
+    nation x region are schema-bounded broadcasts; partsupp and supplier
+    scale with the corpus and stay unhinted."""
+    ps = partsupp(spark, d)
+    s = T(spark, d, "supplier")
+    n = T(spark, d, "nation")
+    r = T(spark, d, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (ps.join(s, ps.ps_suppkey == s.s_suppkey)
+          .join(F.broadcast(n.join(F.broadcast(r),
+                                   n.n_regionkey == r.r_regionkey)),
+                s.s_nationkey == n.n_nationkey)
+          .select("ps_partkey", "ps_cost_cents", "s_name", "s_acctbal",
+                  "n_name"))
+    mincost = (eu.groupBy(F.col("ps_partkey").alias("mc_partkey"))
+               .agg(F.min("ps_cost_cents").alias("mc")))
+    p = (T(spark, d, "part")
+         .filter((F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY"))
+         .select("p_partkey"))
+    return (p.join(eu, eu.ps_partkey == p.p_partkey)
+            .join(mincost, (F.col("mc_partkey") == p.p_partkey)
+                  & (eu.ps_cost_cents == F.col("mc")))
+            .select(F.col("s_acctbal").cast("double").alias("s_acctbal"),
+                    "s_name", "n_name", "p_partkey",
+                    (F.col("ps_cost_cents").cast("double") / 100)
+                    .alias("ps_supplycost"))
+            .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                     "p_partkey")
+            .limit(100))
+
+
+@register(
+    "tpch_q9",
+    oracle=f"""
+    WITH {_PS_CTE}
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    - {_PS_COST_DEC}
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_name LIKE 'red%'
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9(spark, d):
+    """Q9 product-type-profit shape: profit = revenue - supplycost x qty
+    per line, aggregated by supplier nation and order year.  Every money
+    term is exact decimal per row before the sum (order-insensitive);
+    nation is the only hinted broadcast.  The partsupp join keys are
+    (partkey, suppkey) — both fixed-width; the derived partsupp streams
+    with the part scan, so the join adds one shuffle at most (AQE
+    broadcasts it at fixture scale)."""
+    li = T(spark, d, "lineitem")
+    p = (T(spark, d, "part").filter(F.col("p_name").like("red%"))
+         .select("p_partkey"))
+    ps = partsupp(spark, d)
+    s = T(spark, d, "supplier").select("s_suppkey", "s_nationkey")
+    n = T(spark, d, "nation")
+    o = T(spark, d, "orders").select("o_orderkey", "o_orderdate")
+    amount = (F.col("l_extendedprice").cast("decimal(18,2)")
+              * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+              - F.expr(_PS_COST_DEC)
+              * F.col("l_quantity").cast("decimal(12,2)"))
+    return (li.join(p, li.l_partkey == p.p_partkey)
+            .join(ps, (li.l_partkey == ps.ps_partkey)
+                  & (li.l_suppkey == ps.ps_suppkey))
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(F.sum(amount).cast("double").alias("sum_profit"))
+            .orderBy("nation", F.col("o_year").desc()))
+
+
+@register(
+    "tpch_q11",
+    oracle=f"""
+    WITH {_PS_CTE},
+    de AS (
+        SELECT ps_partkey, ps_availqty * ps_cost_cents AS val_cents
+        FROM partsupp
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_7'
+    ),
+    tot AS (SELECT sum(val_cents) AS t FROM de)
+    SELECT ps_partkey,
+           CAST(sum(val_cents) AS DOUBLE) / 100 AS part_value
+    FROM de, tot
+    GROUP BY ps_partkey, t
+    HAVING sum(val_cents) * 1000 > t
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def tpch_q11(spark, d):
+    """Q11 important-stock shape: per-part inventory value for one
+    nation's suppliers, kept when above 0.1% of that nation's total.
+    The threshold compare is integer-exact (sum_cents * 1000 > total
+    cents — no float fraction), the grand total is a 1-row broadcast,
+    and exchange reuse computes the per-part aggregate once for both
+    branches."""
+    ps = partsupp(spark, d)
+    s = T(spark, d, "supplier").select("s_suppkey", "s_nationkey")
+    n = T(spark, d, "nation").filter(F.col("n_name") == "NATION_7")
+    de = (ps.join(s, ps.ps_suppkey == s.s_suppkey)
+          .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+          .select("ps_partkey",
+                  (F.col("ps_availqty") * F.col("ps_cost_cents"))
+                  .alias("val_cents")))
+    per_part = de.groupBy("ps_partkey").agg(
+        F.sum("val_cents").alias("v"))
+    tot = de.agg(F.sum("val_cents").alias("t"))
+    return (per_part.join(F.broadcast(tot))
+            .filter(F.col("v") * 1000 > F.col("t"))
+            .select("ps_partkey",
+                    (F.col("v").cast("double") / 100).alias("part_value"))
+            .orderBy(F.col("part_value").desc(), "ps_partkey"))
+
+
+@register(
+    "tpch_q16",
+    oracle=f"""
+    WITH {_PS_CTE}
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+      AND s_acctbal >= 0
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark, d):
+    """Q16 parts/supplier-relationship shape (adapted: the fixture has
+    no s_comment, so the 'complaints' supplier exclusion becomes a
+    negative-acctbal exclusion; same anti-pattern position in the plan).
+    count(DISTINCT supplier) per (brand, type, size) — the distinct
+    dedups inside the aggregate exchange; the supplier filter is a
+    semi-join-shaped equi join on the fixed-width key."""
+    ps = partsupp(spark, d)
+    p = (T(spark, d, "part")
+         .filter((F.col("p_brand") != "Brand#1")
+                 & (F.col("p_type") != "PROMO")
+                 & F.col("p_size").isin(5, 11, 17, 23, 29, 35, 41, 47)))
+    ok = T(spark, d, "supplier").filter(F.col("s_acctbal") >= 0) \
+        .select("s_suppkey")
+    return (ps.join(p, ps.ps_partkey == p.p_partkey)
+            .join(ok, ps.ps_suppkey == ok.s_suppkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                     "p_size"))
+
+
+@register(
+    "tpch_q20",
+    oracle=f"""
+    WITH {_PS_CTE},
+    shipped AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%') rp
+          ON rp.p_partkey = ps_partkey
+        JOIN shipped sh ON sh.l_partkey = ps_partkey
+                       AND sh.l_suppkey = ps_suppkey
+        WHERE CAST(ps_availqty AS DECIMAL(12,2)) * 2 > sh.qty
+    )
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q20(spark, d):
+    """Q20 potential-part-promotion shape (adapted: no nation filter —
+    the fixture's 4-suppliers-per-nation makes a single-nation answer
+    degenerate).  'Has excess stock of a promoted part': availqty more
+    than half the year's shipped quantity for that (part, supplier).
+    The IN becomes a left-semi join; the compare is decimal-exact
+    (availqty * 2 > qty, no 0.5 float factor)."""
+    ps = partsupp(spark, d)
+    rp = (T(spark, d, "part").filter(F.col("p_name").like("red%"))
+          .select("p_partkey"))
+    li = T(spark, d, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-01-01 00:00:00"))
+    shipped = (li.groupBy("l_partkey", "l_suppkey")
+               .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+                    .alias("qty")))
+    excess = (ps.join(rp, ps.ps_partkey == rp.p_partkey)
+              .join(shipped, (shipped.l_partkey == ps.ps_partkey)
+                    & (shipped.l_suppkey == ps.ps_suppkey))
+              .filter(F.col("ps_availqty").cast("decimal(12,2)") * 2
+                      > F.col("qty"))
+              .select("ps_suppkey"))
+    s = T(spark, d, "supplier")
+    return (s.join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
+            .select("s_suppkey", "s_name")
+            .orderBy("s_suppkey"))
+
+
+@register(
+    "tpch_q21",
+    oracle="""
+    WITH fo AS (
+        SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+    ),
+    li AS (
+        SELECT l_orderkey, l_suppkey,
+               CAST(l_shipdate >= o_orderdate + INTERVAL 60 DAY AS INT)
+                   AS is_late
+        FROM lineitem JOIN fo ON o_orderkey = l_orderkey
+    ),
+    per_supp AS (
+        SELECT l_orderkey, l_suppkey, max(is_late) AS supp_late
+        FROM li GROUP BY 1, 2
+    ),
+    per_order AS (
+        SELECT l_orderkey, count(*) AS n_supp, sum(supp_late) AS n_late
+        FROM per_supp GROUP BY 1
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_supp ps
+    JOIN per_order po ON po.l_orderkey = ps.l_orderkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE ps.supp_late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def tpch_q21(spark, d):
+    """Q21 suppliers-who-kept-orders-waiting shape (adapted: 'late' is
+    shipped >= 60 days after order date as in Q4, and waits are counted
+    per (order, supplier) rather than per line — the fixture has no
+    l_commitdate/l_receiptdate).  The EXISTS / NOT EXISTS pair is
+    decorrelated into ONE per-(order, supplier) aggregate followed by a
+    per-order WINDOW rollup (count/sum over the order partition) —
+    windowing instead of a groupBy+self-join keeps the plan a single
+    branch, so lineitem is scanned exactly once (asserted in
+    tests/test_plans.py).  Two shuffles total (both on fixed-width
+    keys), no correlated re-scans — the decorrelation that matters at
+    100 TB."""
+    from pyspark.sql import Window
+    fo = (T(spark, d, "orders").filter(F.col("o_orderstatus") == "F")
+          .select("o_orderkey", "o_orderdate"))
+    li = T(spark, d, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    lines = (li.join(fo, li.l_orderkey == fo.o_orderkey)
+             .select("l_orderkey", "l_suppkey",
+                     (F.col("l_shipdate")
+                      >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+                     .cast("int").alias("is_late")))
+    per_supp = (lines.groupBy("l_orderkey", "l_suppkey")
+                .agg(F.max("is_late").alias("supp_late")))
+    w = Window.partitionBy("l_orderkey")
+    stats = (per_supp
+             .withColumn("n_supp", F.count("*").over(w))
+             .withColumn("n_late", F.sum("supp_late").over(w)))
+    s = T(spark, d, "supplier").select("s_suppkey", "s_name")
+    return (stats.filter((F.col("supp_late") == 1)
+                         & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+            .join(s, stats.l_suppkey == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name"))

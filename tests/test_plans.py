@@ -162,7 +162,8 @@ def test_dpp_fact_scan_prunes_at_runtime(spark, sf_dir):
 
 
 @pytest.mark.parametrize("name,joins", [("tpch_q7", 3), ("tpch_q8", 4),
-                                        ("tpch_q17", 2)])
+                                        ("tpch_q17", 2), ("tpch_q2", 4),
+                                        ("tpch_q9", 5)])
 def test_tpch_star_joins_hash_never_cartesian(spark, sf_dir, name, joins):
     """Q7/Q8/Q17 fact-side hints removed (judge r3): nation/region still
     broadcast by hint inside the dim prep; the corpus-sized sides are
@@ -183,6 +184,18 @@ def test_tpch_q13_aggregates_orders_before_join(spark, sf_dir):
         node_count(p, "SortMergeJoin") == 1
     # two group-bys, each partial+final
     assert node_count(p, "HashAggregate") >= 4
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q21_decorrelated_no_lineitem_rescan(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS pair must be decorrelated into the
+    per-(order, supplier) + per-order aggregates — exactly ONE lineitem
+    scan in the plan; a correlated rewrite re-scans lineitem per
+    subquery (the classic 3x fact-scan blowup at 100 TB)."""
+    p = plan_of(spark, sf_dir, "tpch_q21")
+    scans = [l for l in p.splitlines()
+             if l.startswith("Location") and "lineitem" in l]
+    assert len(scans) == 1, p
     assert "CartesianProduct" not in p
 
 
@@ -365,7 +378,10 @@ _BNLJ_OK = {"events_funnel",        # cross of three 1-row stage counts
             "llm_similarity_topk",  # 5-row broadcast query side
             "llm_tfidf_terms",      # broadcast corpus-size scalar
             "llm_unigram_logprob",  # broadcast corpus-total scalar (1 row)
-            "tpch_q22"}             # broadcast avg-acctbal scalar
+            "tpch_q22",             # broadcast avg-acctbal scalar
+            # derived partsupp: 1-row supplier-count scalar cross-joined
+            # onto part (and q11's 1-row grand-total broadcast)
+            "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20"}
 
 
 def test_no_accidental_cartesian_or_nested_loop_join(spark, sf_dir):
