@@ -377,12 +377,16 @@ def agg_hll_sketch_merge(spark, d):
     """,
 )
 def cte_recursive_spine(spark, d):
-    """Recursive CTE (Spark 4's WITH RECURSIVE): generate the complete
-    year spine covering the orders table, then LEFT JOIN order activity
-    onto it — the calendar-dimension pattern that reports zero-activity
-    periods a plain GROUP BY silently drops.  Each recursion step is a
-    driver-coordinated micro-iteration, so the spine length is kept
-    bounded by the date range (7 rows), never the corpus.  Orders are
+    """Recursive CTE (Spark 4's WITH RECURSIVE): generate the 1995-2001
+    year spine — the fixture orders table's full o_orderdate range at
+    every scale factor, pinned by a fixture guard in
+    tests/test_oracle_parity.py so a regenerated fixture that grows
+    outside the window fails loudly instead of silently dropping years —
+    then LEFT JOIN order activity onto it: the calendar-dimension
+    pattern that reports zero-activity periods a plain GROUP BY drops.
+    Each recursion step is a driver-coordinated micro-iteration, so the
+    spine length is kept bounded by the date range (7 rows), never the
+    corpus.  Orders are
     aggregated BEFORE the join (Catalyst won't push an aggregate through
     a join itself), so the only corpus-sized work is one partial+final
     year aggregate; the spine then joins a ≤|years|-row result — at

@@ -1260,14 +1260,19 @@ class IceliteTable:
         from each parquet footer at WRITE time, so this query touches no
         data files).  Counts are data-file rows; merge-on-read delete
         files are not subtracted (Iceberg reports those in separate
-        columns of its partitions table)."""
+        columns of its partitions table).  A file whose footer stats are
+        missing (pre-stats snapshot, failed footer read) makes its whole
+        partition's ``record_count`` NULL — unknown, matching files() —
+        rather than silently counting it as 0 rows."""
         meta = self.meta
         snap = self._snapshot(meta, version)
-        agg: dict[str | None, list[int]] = {}
+        agg: dict[str | None, list] = {}
         for f in snap["files"]:
             ent = agg.setdefault(f.get("partition"), [0, 0])
             ent[0] += 1
-            ent[1] += f.get("record_count") or 0
+            rc = f.get("record_count")
+            if ent[1] is not None:
+                ent[1] = None if rc is None else ent[1] + rc
         rows = [(p, n, rc) for p, (n, rc) in sorted(
             agg.items(), key=lambda kv: (kv[0] is None, kv[0]))]
         return self.spark.createDataFrame(

@@ -385,11 +385,14 @@ def stream_table_appends(spark, d):
     the tutorial's append timeline, README.md:245-258): three INSERT
     commits create three snapshots; the stream replays each commit's
     ADDED files as its own micro-batch (maxFilesPerTrigger=1 over
-    snapshot-mtime-ordered symlinks — no data is copied), and the union
-    of all micro-batches must equal the current table read, i.e. the raw
-    CSV.  At scale this is the O(delta)-per-trigger CDC feed a
-    downstream training-data pipeline tails; the base corpus is never
-    rescanned."""
+    snapshot-mtime-ordered HARDlinks — no data is copied, and the mtime
+    lands on the real inode: Spark's file source stats THROUGH a
+    symlink, so a symlink's own mtime would be invisible to it; the
+    linked files are this query's fresh scratch table, so re-stamping
+    their inode mtimes is safe), and the union of all micro-batches must
+    equal the current table read, i.e. the raw CSV.  At scale this is
+    the O(delta)-per-trigger CDC feed a downstream training-data
+    pipeline tails; the base corpus is never rescanned."""
     import os
 
     t = _fresh_table(spark, n_batches=3)
@@ -405,9 +408,8 @@ def stream_table_appends(spark, d):
                 continue
             seen.add(finfo["path"])
             dst = os.path.join(src, f"{snap['id']:04d}_{idx:04d}.parquet")
-            os.symlink(os.path.join(t.tdir, finfo["path"]), dst)
-            os.utime(dst, (t0 + snap["id"], t0 + snap["id"]),
-                     follow_symlinks=False)
+            os.link(os.path.join(t.tdir, finfo["path"]), dst)
+            os.utime(dst, (t0 + snap["id"], t0 + snap["id"]))
             idx += 1
     stream = (spark.readStream.schema(PEDIDOS_SCHEMA)
               .option("maxFilesPerTrigger", "1").parquet(src))
