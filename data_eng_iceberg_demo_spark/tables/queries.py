@@ -137,6 +137,46 @@ def table_time_travel(spark, d):
     return _as_output(t.read(version=1))
 
 
+@register("table_rollback", oracle=_CSV_ORACLE_BASE)
+def table_rollback(spark, d):
+    """Rollback to a pre-delete snapshot (Iceberg's
+    ``rollback_to_snapshot`` / CALL rollback analog): after DELETE
+    removes the SP rows, rolling back to snapshot 1 makes the CURRENT
+    read equal the full CSV again — and unlike time travel the
+    restoration is itself a NEW commit ('rollback'), so history stays
+    append-only and the delete snapshot remains time-travelable until
+    expired.  Metadata-only: no data files move."""
+    t = _fresh_table(spark)
+    t.delete_where("uf = 'SP'")
+    t.rollback_to_snapshot(1)
+    return _as_output(t.read())
+
+
+@register("table_orphan_cleanup", oracle=_CSV_ORACLE_BASE)
+def table_orphan_cleanup(spark, d):
+    """remove_orphan_files (Iceberg's CALL remove_orphan_files analog):
+    a stray data file planted in the table's data directory (the debris
+    a failed commit leaves — files land before the metadata swap) is
+    referenced by no snapshot, so cleanup must delete exactly it.  The
+    check is bidirectional: the output re-reads the data directory RAW
+    (bypassing the manifest), so a surviving orphan duplicates rows and
+    an over-aggressive cleanup loses rows — either way the hash against
+    the CSV breaks.  O(#files) directory walk, no data movement."""
+    import os
+    import shutil
+
+    t = _fresh_table(spark)
+    data_dir = os.path.join(t.tdir, "data")
+    victim = next(os.path.join(root, n)
+                  for root, _dirs, names in sorted(os.walk(data_dir))
+                  for n in sorted(names) if n.endswith(".parquet"))
+    shutil.copy(victim, os.path.join(data_dir, "orphan_debris.parquet"))
+    removed = t.remove_orphan_files()
+    assert removed == ["data/orphan_debris.parquet"], removed
+    return _as_output(spark.read.option("recursiveFileLookup", "true")
+                      .parquet(data_dir))
+
+
 @register(
     "table_history",
     oracle="""
