@@ -1575,3 +1575,103 @@ def llm_dedup_incremental(spark, d):
     return (shared.groupBy("new_id")
             .agg(F.count("*").alias("n_matches"),
                  F.max("n_shared").alias("max_shared")))
+
+
+_BM25_QUERY_TERMS = [
+    (0, ("join", "hash", "row")),
+    (1, ("fast", "vector", "scan")),
+    (2, ("customer", "order", "data")),
+]
+
+_BM25_ORACLE = """
+    WITH q(qid, tok) AS (VALUES
+        (0, 'join'), (0, 'hash'), (0, 'row'),
+        (1, 'fast'), (1, 'vector'), (1, 'scan'),
+        (2, 'customer'), (2, 'order'), (2, 'data')),
+    docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    dl AS (SELECT doc_id, len(w) AS dl FROM docs),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tok AS (SELECT doc_id, unnest(w) AS tok FROM docs),
+    tfq AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM tok JOIN (SELECT DISTINCT tok FROM q) USING (tok)
+        GROUP BY 1, 2),
+    dfq AS (SELECT tok, count(*) AS df FROM tfq GROUP BY tok),
+    scored AS (
+        SELECT q.qid, t.doc_id,
+               sum(CAST(round(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * t.tf * 2.2
+                   / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+                   * 1000000) AS BIGINT)) AS sf
+        FROM tfq t
+        JOIN q ON q.tok = t.tok
+        JOIN dfq ON dfq.tok = t.tok
+        JOIN dl ON dl.doc_id = t.doc_id
+        CROSS JOIN stats
+        GROUP BY 1, 2)
+    SELECT qid, doc_id, round(CAST(sf AS DOUBLE) / 1000000, 4) AS bm25
+    FROM (SELECT qid, doc_id, sf,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY sf DESC, doc_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+"""
+
+
+@register("llm_bm25_topk", oracle=_BM25_ORACLE)
+def llm_bm25_topk(spark, d):
+    """BM25 top-10 retrieval (k1=1.2, b=0.75, Lucene idf) for a fixed
+    query set — the lexical-search workhorse of training-data curation
+    (targeted quality filtering, eval-adjacent document hunts, retrieval
+    baselines).  Scale shape: the query-term keep-list broadcasts onto
+    the token stream BEFORE the tf aggregation, so only postings of
+    query terms ever shuffle — corpus-sized tokens never do; document
+    length is a narrow projection; n_docs/avgdl is a 1-row broadcast;
+    df comes from the already-restricted tf aggregate.  Per-term scores
+    are rounded to 1e-6 and summed as BIGINT, so the cross-engine
+    aggregation is integer-exact regardless of partial-aggregation
+    order; ranking ties break on doc_id.  Top-10 per query is a
+    window-rank filter — one shuffle on qid, never a global sort."""
+    from pyspark.sql import Window
+
+    k1, b = 1.2, 0.75
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERY_TERMS for t in terms],
+        "qid int, tok string")
+    docs = T(spark, d, "documents").select(
+        "doc_id", F.split("text", " ").alias("w"))
+    dl = docs.select("doc_id", F.size("w").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    # the term filter runs INSIDE the explode (higher-order filter over
+    # the token array, keeping duplicates for tf), so non-query tokens
+    # are never even generated — for a parameterized query set too large
+    # to inline, this becomes a broadcast join after the explode
+    terms = sorted({t for _qid, ts in _BM25_QUERY_TERMS for t in ts})
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.filter("w", lambda x: x.isin(terms))).alias("tok"))
+    tfq = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfq = tfq.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    term_score = (idf * F.col("tf") * (k1 + 1)
+                  / (F.col("tf") + k1 * ((1 - b) + b * F.col("dl")
+                                         / F.col("avgdl"))))
+    # no hint on dfq: it is bounded by construction (one row per query
+    # term) but its subtree scans the corpus, and the repo's hint policy
+    # only hints relations whose boundedness is provable from the plan —
+    # AQE broadcasts the 9-row aggregate at runtime anyway
+    scored = (tfq.join(F.broadcast(qterms), "tok")
+              .join(dfq, "tok")
+              .join(dl, "doc_id")
+              .join(F.broadcast(stats))
+              .withColumn("sfix",
+                          F.round(term_score * 1000000).cast("bigint"))
+              .groupBy("qid", "doc_id").agg(F.sum("sfix").alias("sf")))
+    w = Window.partitionBy("qid").orderBy(F.col("sf").desc(), F.col("doc_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("qid", "doc_id",
+                    F.round(F.col("sf").cast("double") / 1000000, 4)
+                    .alias("bm25")))
