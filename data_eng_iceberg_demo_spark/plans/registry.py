@@ -97,9 +97,38 @@ _DRIVER_SAMPLED_R01_R04 = frozenset({
     "subquery_in", "subquery_scalar", "unpivot_measures",
 })
 
+def _correctness_name_sets() -> tuple[frozenset, frozenset]:
+    """(names ever sampled by the driver, names in the LATEST round's
+    file) — read from the committed CORRECTNESS_r*.json artifacts, so
+    each new round's recording advances the rotation automatically.
+    Falls back to the static r01-r04 set when no files are readable."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    sampled, latest = set(_DRIVER_SAMPLED_R01_R04), set()
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as f:
+                latest = set(json.load(f))
+        except (OSError, ValueError):
+            continue
+        sampled |= latest
+    return frozenset(sampled), frozenset(latest)
+
+
+# Displaced r03-green LLM queries: pinned into the window until they
+# appear in the LATEST round's CORRECTNESS file again (they already have
+# old green rows, so the ever-sampled set alone would never re-front them).
+_REVERIFY = ("llm_tfidf_terms", "llm_lang_id", "llm_lang_filter_route",
+             "llm_multimodal_join", "llm_embedding_agg")
+
 # Round-5 target window: 45 never-sampled core-closure names (window_*,
 # sort/topk/limit, set_*, fn_*, projections/filters, scan/sink, DPP) +
-# the five r03-green LLM queries displaced out of r04's window.
+# the five _REVERIFY queries.  Entries leave the window automatically
+# once a CORRECTNESS file records them (see _ordered_names).
 _ROUND_WINDOW = [
     "window_ranking", "window_lag_lead", "window_running_frame",
     "window_range_frame", "window_analytic", "window_sessionize_batch",
@@ -121,14 +150,21 @@ _ROUND_WINDOW = [
 
 
 def _ordered_names() -> list[str]:
-    """Registry names with the round's verification window fronted."""
-    window = [n for n in _ROUND_WINDOW if n in REGISTRY]
+    """Registry names with the round's verification window fronted:
+    the explicit window (minus anything a CORRECTNESS file has since
+    recorded), then every other never-sampled name in registration
+    order, then the already-driver-verified names.  Because the sampled
+    set is read from the committed CORRECTNESS artifacts, each round's
+    recording rotates the next round's window forward with no edit."""
+    sampled, latest = _correctness_name_sets()
+    window = [n for n in _ROUND_WINDOW if n in REGISTRY
+              and (n not in sampled
+                   or (n in _REVERIFY and n not in latest))]
     in_window = set(window)
     rest_unsampled = [n for n in REGISTRY
-                      if n not in in_window and n not in _DRIVER_SAMPLED_R01_R04]
-    sampled = [n for n in REGISTRY
-               if n not in in_window and n in _DRIVER_SAMPLED_R01_R04]
-    return window + rest_unsampled + sampled
+                      if n not in in_window and n not in sampled]
+    done = [n for n in REGISTRY if n not in in_window and n in sampled]
+    return window + rest_unsampled + done
 
 
 def query_map() -> dict[str, QueryFn]:
