@@ -492,3 +492,80 @@ def project_transpose(spark, d):
          .agg(F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
               F.count("*").cast("double").alias("n_cust")))
     return m.orderBy("r_name").transpose()
+
+
+_KMV_K = 256
+
+# 8-hex-digit md5 prefix as a BIGINT, same value in both engines: Spark
+# has conv(); DuckDB spells it as a positional hex-digit sum (the proven
+# llm_train_test_split pattern).
+_KMV_HASH_DUCK = ("(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)),"
+    f"{i},1))-1)*{16 ** (8 - i)}" for i in range(1, 9)) + ")")
+
+
+@register(
+    "agg_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT n_regionkey,
+               {_KMV_HASH_DUCK} / 4294967296.0 AS hv
+        FROM customer JOIN nation ON n_nationkey = c_nationkey
+    ), ranked AS (
+        SELECT n_regionkey, hv,
+               row_number() OVER (PARTITION BY n_regionkey ORDER BY hv) AS rn,
+               count(*) OVER (PARTITION BY n_regionkey) AS cnt
+        FROM h
+    )
+    SELECT n_regionkey,
+           CAST(CASE WHEN cnt < {_KMV_K} THEN cnt
+                ELSE round(({_KMV_K} - 1) / hv) END AS BIGINT)
+               AS kmv_distinct_customers
+    FROM ranked
+    WHERE rn = CASE WHEN cnt < {_KMV_K} THEN cnt ELSE {_KMV_K} END
+    ORDER BY n_regionkey
+    """,
+)
+def agg_kmv_distinct(spark, d):
+    """KMV (k-minimum-values) distinct-count sketch, the deterministic
+    sibling of agg_hll_sketch_merge: keep the k smallest normalized
+    hashes per group; the k-th smallest v estimates distinct ≈ (k-1)/v
+    (Bar-Yossef et al.; the theta-sketch building block).  Because the
+    hash is md5 — available in both engines — the whole sketch replays
+    EXACTLY in DuckDB, so unlike the opaque HLL binary this sketch query
+    is hash-oracle-checked, not rows-only.  Scale shape: the k-minimum
+    selection runs in TWO ranking levels — first within (region, salt)
+    sub-buckets (64-way, so no 5-partition parallelism collapse and each
+    window sort is 1/64th of a region), then over the <= 64k surviving
+    rows per region; the global k-min is a subset of the per-bucket
+    k-mins, so the refinement is exact and the single-level oracle
+    matches.  The per-region distinct total (for the small-population
+    exact path) is a plain partial-aggregated count, not a window.
+    Accuracy (rel. err ~ 1/sqrt(k) ≈ 6% at k=256) is pinned by a pytest
+    band test."""
+    from pyspark.sql import Window
+
+    c = T(spark, d, "customer")
+    n = T(spark, d, "nation")
+    h = (c.join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+                c.c_nationkey == F.col("n_nationkey"))
+         .select("n_regionkey",
+                 (F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")),
+                                     1, 8), 16, 10).cast("bigint")
+                  / F.lit(4294967296.0)).alias("hv"))
+         .distinct())
+    cnt = h.groupBy("n_regionkey").agg(F.count("*").alias("cnt"))
+    wb = Window.partitionBy("n_regionkey", "_salt").orderBy("hv")
+    pruned = (h.withColumn("_salt", F.pmod(F.hash("hv"), F.lit(64)))
+              .withColumn("_rb", F.row_number().over(wb))
+              .filter(F.col("_rb") <= _KMV_K).drop("_salt", "_rb"))
+    w = Window.partitionBy("n_regionkey").orderBy("hv")
+    ranked = (pruned.withColumn("rn", F.row_number().over(w))
+              .join(cnt, "n_regionkey"))
+    kth = F.when(F.col("cnt") < _KMV_K, F.col("cnt")).otherwise(_KMV_K)
+    return (ranked.filter(F.col("rn") == kth)
+            .select("n_regionkey",
+                    F.when(F.col("cnt") < _KMV_K, F.col("cnt"))
+                     .otherwise(F.round((_KMV_K - 1) / F.col("hv")))
+                     .cast("bigint").alias("kmv_distinct_customers"))
+            .orderBy("n_regionkey"))

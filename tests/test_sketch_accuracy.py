@@ -42,3 +42,31 @@ def test_approx_count_distinct_within_5pct(spark, sf_dir):
     df = REGISTRY["agg_approx_count_distinct"].fn(spark, sf_dir)
     row = df.collect()
     assert len(row) >= 1  # shape; per-value bands live in the query's test
+
+
+def test_kmv_estimate_within_band(spark, sf_dir):
+    """KMV at k=256: relative error ~ 1/sqrt(k) ≈ 6%; allow 3 sigma.
+    Small regions (< k distinct) must be EXACT (the sketch keeps every
+    hash)."""
+    from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
+                                                            _load_all_modules)
+    _load_all_modules()
+    import pyspark.sql.functions as F
+
+    from data_eng_iceberg_demo_spark.operators.advanced import _KMV_K
+    from data_eng_iceberg_demo_spark.sources import load
+
+    est = {r["n_regionkey"]: r["kmv_distinct_customers"]
+           for r in REGISTRY["agg_kmv_distinct"].fn(spark, sf_dir).collect()}
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    exact = {r["n_regionkey"]: r["ex"] for r in
+             (c.join(n, c.c_nationkey == n.n_nationkey)
+              .groupBy("n_regionkey")
+              .agg(F.count_distinct("c_custkey").alias("ex")).collect())}
+    assert set(est) == set(exact)
+    for region, ex in exact.items():
+        if ex < _KMV_K:
+            assert est[region] == ex, (region, est[region], ex)
+        else:
+            assert abs(est[region] - ex) / ex < 0.18, (region, est[region], ex)
