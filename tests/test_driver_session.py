@@ -84,3 +84,16 @@ def test_round5_queries_on_bare_session(bare_spark, sf_dir, name):
     failure class of rounds 1-2, replayed for the new surface."""
     df = REGISTRY[name].fn(bare_spark, sf_dir)
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", [
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20", "tpch_q21",
+    "table_rollback", "table_orphan_cleanup", "llm_bm25_topk",
+    "agg_kmv_distinct",
+])
+def test_round6_queries_on_bare_session(bare_spark, sf_dir, name):
+    """The round-6 additions (derived-partsupp TPC-H set, table
+    rollback/orphan cleanup, BM25, KMV sketch), replayed on a
+    driver-like session with no package-session confs pre-applied."""
+    df = REGISTRY[name].fn(bare_spark, sf_dir)
+    assert df.count() >= 0
