@@ -468,3 +468,28 @@ def test_python_udf_stays_on_declared_slow_path_without_warning(spark, sf_dir):
         warnings.simplefilter("error", UserWarning)
         p = plan_of(spark, sf_dir, "udf_python_scalar")
     assert node_count(p, "BatchEvalPython") == 1, p
+
+
+def test_bm25_term_filter_runs_inside_the_explode(spark, sf_dir):
+    """llm_bm25_topk must generate ONLY query-term tokens: the term
+    keep-list is a higher-order array filter inside the explode, so the
+    corpus token stream is never materialized.  A Generate over the raw
+    split (no lambda filter) re-introduces the full-token shuffle."""
+    p = plan_of(spark, sf_dir, "llm_bm25_topk")
+    gen = [l for l in p.splitlines() if "Generate explode" in l
+           or l.startswith("Arguments") and "explode" in l]
+    joined = " ".join(gen) or p
+    assert "lambdafunction" in p and "filter(" in p, p[:2000]
+    assert "CartesianProduct" not in p
+
+
+def test_kmv_ranks_in_salted_buckets_before_region(spark, sf_dir):
+    """agg_kmv_distinct's k-min selection must be two-level: a 64-way
+    salted sub-bucket rank, then the final per-region rank over bounded
+    survivors — one region-sized window sort would collapse parallelism
+    to one task per region and buffer every distinct hash."""
+    p = plan_of(spark, sf_dir, "agg_kmv_distinct")
+    specs = set(re.findall(r"windowspecdefinition\(([^)]+?), specified", p))
+    assert len(specs) == 2, specs
+    assert any("_salt" in w for w in specs), specs
+    assert all(w.startswith("n_regionkey") for w in specs), specs
