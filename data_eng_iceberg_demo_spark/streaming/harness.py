@@ -21,6 +21,7 @@ import itertools
 import os
 import tempfile
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 
@@ -112,20 +113,56 @@ def run_stream_to_df(spark, d, build, name, output_mode="append", options=None):
     return spark.table(qname)
 
 
-@register("stream_watermark_late")  # rows-only: depends on micro-batch order
+@register(
+    "stream_watermark_late",
+    oracle="""
+    WITH e AS (SELECT event_type, date_trunc('second', ts) AS tss FROM events),
+    day1 AS (SELECT * FROM e WHERE tss < TIMESTAMP '2024-01-02'),
+    later AS (SELECT * FROM e
+              WHERE tss >= TIMESTAMP '2024-01-05'
+                AND tss < TIMESTAMP '2024-01-08'),
+    wm AS (SELECT max(tss) - INTERVAL 10 MINUTE AS w FROM later),
+    u AS (SELECT * FROM day1 UNION ALL SELECT * FROM later)
+    SELECT CAST(date_trunc('hour', tss) AS VARCHAR) AS window_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM u
+    WHERE date_trunc('hour', tss) + INTERVAL 1 HOUR < (SELECT w FROM wm)
+    GROUP BY 1, 2
+    """,
+)
 def stream_watermark_late(spark, d):
-    """Watermark + late-data drop.  Three micro-batches: (1) events from
-    the first day, (2) much later events that advance the watermark past
-    day one, (3) replayed day-one events — now late beyond the 10-minute
-    watermark and dropped.  Append mode emits only windows finalized by the
-    watermark, so the result excludes both the late rows and still-open
-    windows."""
+    """Watermark + late-data drop.  Three micro-batches in a pinned order
+    (one file each, mtime-sequenced, maxFilesPerTrigger=1): (1) events
+    from the first day, (2) much later events that advance the watermark
+    past day one, (3) replayed day-one MORNING events — late beyond the
+    10-minute watermark and dropped.  Append mode emits only windows
+    finalized by the watermark, so the result excludes both the late rows
+    and still-open windows.
+
+    The oracle is exact because every part of the final output is
+    determined by event time alone under this batch sequencing:
+    day1 ∪ later aggregated per (hour, event_type), keeping windows whose
+    end < max(later.ts) - 10min (the final watermark — later windows
+    still open when the run ends never emit), and the replay contributing
+    NOTHING.  The replay is restricted to morning rows (< 12:00) so each
+    replayed row's window closed long before the replay batch under
+    either of the thresholds Spark's late-row filter may hold (the
+    previous batch's watermark or the current one) — a row replayed into
+    a still-open window would instead be ACCEPTED by the filter, which is
+    why the old unrestricted day1 replay could double-count the last day1
+    window.  If the drop ever regressed, morning window counts would
+    double and the hash would mismatch — the oracle verifies the
+    late-drop semantics, not just the aggregation.
+    ``tests/test_oracle_parity.py`` guards the fixture assumptions
+    (day1 extends past 14:00, so 13:00 window-ends stay below every
+    candidate threshold; the final watermark keeps clear of exact
+    hour boundaries)."""
     e = T(spark, d, "events").select(
         "event_id", "user_id", "event_type", "value",
         F.date_trunc("second", "ts").alias("tss"))
     day1 = e.filter(F.col("tss") < "2024-01-02")
     later = e.filter((F.col("tss") >= "2024-01-05") & (F.col("tss") < "2024-01-08"))
-    late_replay = day1.limit(50)
+    late_replay = day1.filter(F.col("tss") < "2024-01-01 12:00:00")
 
     def _stage(tmp):
         for i, batch in enumerate([day1, later, late_replay]):
@@ -189,12 +226,29 @@ def stream_dedup_keyed(spark, d):
     return spark.table(qname)
 
 
-@register("stream_stateful_running")  # rows-only: custom stateful operator
+@register(
+    "stream_stateful_running",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0
+               AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful_running(spark, d):
     """Custom stateful per-key aggregate via applyInPandasWithState: a
     running (count, sum) of value per user, emitted once per micro-batch.
     State is a per-key tuple in the state store; the watermark-free
-    NoTimeout config keeps keys alive for the whole run."""
+    NoTimeout config keeps keys alive for the whole run.
+
+    The oracle is exact: the single-file source with no read limit makes
+    availableNow one micro-batch, so each key emits exactly once with its
+    final totals — a plain GROUP BY.  The sum is accumulated as integer
+    CENTS (floor(v*100 + 0.5) — the same double arithmetic DuckDB's
+    expression performs), because a double accumulation's value depends
+    on the row order the shuffle hands each pandas batch: int64 addition
+    is order-independent and exact, so the cross-engine hash cannot flip
+    on a summation-order ulp (the llm_unigram_logprob advisory class)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
@@ -206,17 +260,18 @@ def stream_stateful_running(spark, d):
     ])
     state_schema = StructType([
         StructField("cnt", LongType()),
-        StructField("total", DoubleType()),
+        StructField("cents", LongType()),
     ])
 
     def update(key, pdf_iter, state):
-        cnt, total = state.get if state.exists else (0, 0.0)
+        cnt, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             cnt += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((cnt, total))
+            v = pdf["value"].to_numpy()
+            cents += int(np.floor(v * 100.0 + 0.5).astype("int64").sum())
+        state.update((cnt, cents))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt],
-                            "total_value": [round(total, 2)]})
+                            "total_value": [cents / 100.0]})
 
     stream = _events_stream(spark, d).select("user_id", "value")
     result = stream.groupBy("user_id").applyInPandasWithState(

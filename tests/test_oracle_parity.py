@@ -112,3 +112,30 @@ def test_fixture_no_unigram_logprob_mean_near_rounding_boundary(duck):
         frac = abs(m) * 1e4 % 1.0
         dist = abs(frac - 0.5)
         assert dist > 1e-6, (doc_id, m, dist)
+
+
+def test_fixture_watermark_late_replay_and_boundary(duck):
+    """Fixture guards for stream_watermark_late's exact oracle.
+
+    (1) The morning replay (< 12:00) is only guaranteed-dropped if every
+    replayed row's window closed before the replay batch under EITHER
+    late-filter threshold Spark may apply (previous batch's watermark =
+    max(day1)-10min, or the current one).  Replayed window ends reach
+    13:00, so require day1 to extend past 14:00 — a replay into a
+    still-OPEN window would be accepted and double a morning count.
+
+    (2) The append-emission cutoff compares window_end < max(later)-10min
+    strictly; if the final watermark ever landed EXACTLY on an hour
+    boundary, Spark's evict-on <= vs the oracle's < would disagree on
+    that one window.  Require a healthy margin from the boundary."""
+    (d1max,) = duck.execute(
+        "SELECT max(ts) FROM events WHERE ts < TIMESTAMP '2024-01-02'"
+    ).fetchone()
+    assert (d1max.hour, d1max.minute) >= (14, 0), d1max
+
+    (wm,) = duck.execute("""
+        SELECT max(ts) - INTERVAL 10 MINUTE FROM events
+        WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-08'
+    """).fetchone()
+    secs_into_hour = wm.minute * 60 + wm.second + wm.microsecond / 1e6
+    assert min(secs_into_hour, 3600 - secs_into_hour) > 1.0, wm
