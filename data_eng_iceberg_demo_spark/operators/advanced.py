@@ -569,3 +569,100 @@ def agg_kmv_distinct(spark, d):
                      .otherwise(F.round((_KMV_K - 1) / F.col("hv")))
                      .cast("bigint").alias("kmv_distinct_customers"))
             .orderBy("n_regionkey"))
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+    GROUP BY l_returnflag
+    """,
+)
+def join_bloom_prefilter(spark, d):
+    """Runtime bloom-filter semi-join reduction (Catalyst
+    InjectRuntimeFilter): a selective filter on orders builds a
+    bloom_filter_agg over the filtered join keys, and Catalyst pushes
+    might_contain(bloom, xxhash64(l_orderkey)) into the LINEITEM SCAN —
+    the fact side drops ~96% of its rows before the shuffle instead of
+    shuffling everything and discarding it at the join.  This is the
+    100 TB shuffle-join survival pattern: the bloom (a few MB) rides the
+    scalar-subquery broadcast, while the alternative ships the whole
+    fact table through the exchange.  The filter is a superset
+    (false-positive) filter, so the exact hash join afterwards keeps the
+    result identical to the plain join — which is exactly what the
+    oracle checks.
+
+    Two confs are adjusted while the plan is optimized, then restored:
+    applicationSideScanSizeThreshold drops to 0 because the default
+    (10 GiB) assumes cluster-scale scans that local fixtures never
+    reach, and autoBroadcastJoinThreshold is disabled so the join keeps
+    the shuffle form the rule targets (with a broadcastable dim Spark
+    would — correctly — just broadcast).  The physical plan is
+    materialized under those confs before they are restored
+    (QueryExecution caches it), so the returned frame keeps the bloom
+    path without leaking conf state to later queries;
+    tests/test_plans.py pins might_contain over the lineitem scan."""
+    li = T(spark, d, "lineitem")
+    o = (T(spark, d, "orders")
+         .filter(F.col("o_orderdate").between("1995-01-01", "1995-03-31")))
+    keys = ("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold")
+    saved = {k: spark.conf.get(k) for k in keys}
+    spark.conf.set(keys[0], "0")
+    spark.conf.set(keys[1], "-1")
+    try:
+        out = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .groupBy("l_returnflag")
+               .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                     .cast("double").alias("sum_qty"),
+                    F.count("*").alias("n_items")))
+        out._jdf.queryExecution().executedPlan()  # freeze under these confs
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return out
+
+
+@register(
+    "subquery_not_in",
+    oracle="""
+    WITH excl AS (
+        SELECT CASE WHEN o_totalprice > 450000 THEN o_custkey END AS k
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT 'null_poisoned' AS arm, CAST(count(*) AS BIGINT) AS n_rows
+    FROM customer WHERE c_custkey NOT IN (SELECT k FROM excl)
+    UNION ALL
+    SELECT 'null_filtered' AS arm, CAST(count(*) AS BIGINT) AS n_rows
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT k FROM excl WHERE k IS NOT NULL)
+    """,
+)
+def subquery_not_in(spark, d):
+    """NOT IN three-valued-logic semantics, both arms in one result.  The
+    exclusion list carries NULLs (urgent orders at or under the price cut
+    map to NULL), so `NOT IN` over it is never TRUE for any row — the
+    null_poisoned arm counts 0 — while the IS NOT NULL-filtered arm
+    returns the real complement.  Spark plans the null-aware arm as a
+    NullAwareAntiJoin (broadcast, single-column); the filtered arm is a
+    plain left-anti hash join.  Both fixture facts are guarded by the
+    oracle itself: urgent orders exist on both sides of the 450000 cut,
+    so the list is non-empty AND null-bearing."""
+    T(spark, d, "orders").createOrReplaceTempView("orders_nin")
+    T(spark, d, "customer").createOrReplaceTempView("customer_nin")
+    return spark.sql("""
+        WITH excl AS (
+            SELECT CASE WHEN o_totalprice > 450000 THEN o_custkey END AS k
+            FROM orders_nin WHERE o_orderpriority = '1-URGENT'
+        )
+        SELECT 'null_poisoned' AS arm, count(*) AS n_rows
+        FROM customer_nin WHERE c_custkey NOT IN (SELECT k FROM excl)
+        UNION ALL
+        SELECT 'null_filtered' AS arm, count(*) AS n_rows
+        FROM customer_nin
+        WHERE c_custkey NOT IN (SELECT k FROM excl WHERE k IS NOT NULL)
+    """)

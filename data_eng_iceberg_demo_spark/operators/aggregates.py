@@ -301,3 +301,57 @@ def agg_skew_salted(spark, d):
     return (partial.groupBy("l_returnflag")
             .agg(F.sum("pn").cast("bigint").alias("n_rows"),
                  F.sum("ps").cast("double").alias("sum_price")))
+
+
+@register(
+    "agg_mode_median",
+    oracle="""
+    WITH j AS (
+        SELECT n_name, c_mktsegment, c_acctbal, c_custkey
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ), seg_cnt AS (
+        SELECT n_name, c_mktsegment, count(*) AS c
+        FROM j GROUP BY n_name, c_mktsegment
+    ), mo AS (
+        SELECT n_name, c_mktsegment AS mode_segment,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY c DESC, c_mktsegment) AS rn
+        FROM seg_cnt
+    ), med AS (
+        SELECT n_name,
+               round(median(c_acctbal * 100.0), 4) AS median_bal_cents,
+               CAST(median(c_custkey) AS DOUBLE) AS median_custkey,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM j GROUP BY n_name
+    )
+    SELECT n_name, mode_segment, median_bal_cents, median_custkey,
+           n_customers
+    FROM mo JOIN med USING (n_name) WHERE rn = 1
+    """,
+)
+def agg_mode_median(spark, d):
+    """Ordered-set aggregates per nation: deterministic MODE of the
+    market segment (Spark 4's mode(col, deterministic=true) — lowest
+    value on frequency ties, which is what makes a cross-engine oracle
+    possible; DuckDB emulates it with a count + row_number window) and
+    exact MEDIAN of account balance and customer key.
+
+    Both engines interpolate even-count medians as the midpoint of the
+    two middle values, but may associate the float average differently;
+    medians are therefore taken over c_acctbal*100 — cents-scale values
+    within ~1e-9 of integers, so the 4-decimal round has a ~0.00005
+    margin to any boundary regardless of midpoint association order —
+    and over the integer c_custkey (exact .5 halves).  Scale shape:
+    mode is a partial-aggregatable count per (group, value) then a tiny
+    per-group argmax; median sorts within groups only — no global
+    sort."""
+    c = T(spark, d, "customer")
+    n = T(spark, d, "nation")
+    j = (c.join(F.broadcast(n.select("n_nationkey", "n_name")),
+                c.c_nationkey == F.col("n_nationkey")))
+    return (j.groupBy("n_name")
+            .agg(F.mode("c_mktsegment", True).alias("mode_segment"),
+                 F.round(F.median(F.col("c_acctbal") * 100.0), 4)
+                  .alias("median_bal_cents"),
+                 F.median("c_custkey").cast("double").alias("median_custkey"),
+                 F.count("*").alias("n_customers")))

@@ -1675,3 +1675,87 @@ def llm_bm25_topk(spark, d):
             .select("qid", "doc_id",
                     F.round(F.col("sf").cast("double") / 1000000, 4)
                     .alias("bm25")))
+
+
+@register(
+    "llm_repetition_filter",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ), g2 AS (
+        SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+              FROM tok)
+    ), g3 AS (
+        SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+              FROM tok)
+    ), c2 AS (
+        SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2
+    ), c3 AS (
+        SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2
+    ), a2 AS (
+        SELECT doc_id, max(c) AS top2, sum(c) AS tot2 FROM c2 GROUP BY 1
+    ), a3 AS (
+        SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3,
+               sum(c) AS tot3
+        FROM c3 GROUP BY 1
+    )
+    SELECT doc_id,
+           round(top2 * 1.0 / tot2, 4) AS top2_frac,
+           round(dup3 * 1.0 / tot3, 4) AS dup3_frac,
+           CASE WHEN round(top2 * 1.0 / tot2, 4) > 0.05
+                  OR round(dup3 * 1.0 / tot3, 4) > 0.02
+                THEN 'drop' ELSE 'keep' END AS repetition_route
+    FROM a2 JOIN a3 USING (doc_id)
+    """,
+)
+def llm_repetition_filter(spark, d):
+    """Gopher-style repetition rules (Rae et al. 2021 §A1.1, the
+    duplicate-n-gram family): per document, the fraction of word
+    2-grams claimed by the single most frequent 2-gram (boilerplate /
+    template pages repeat one phrase) and the fraction of word 3-gram
+    occurrences whose 3-gram appears more than once (looping generator
+    output).  Docs breaching either cap are routed 'drop' — the
+    repetition pre-filter a pretraining pipeline runs alongside the
+    length/stopword rules in llm_quality_gopher.
+
+    Scale shape: both n-gram sizes ride ONE explode (a union of tagged
+    gram arrays built in-row with higher-order functions), then one
+    shuffle keyed by (doc_id, n, gram) for the occurrence counts and a
+    partial-aggregated rollup to per-doc metrics — cost is O(tokens)
+    per doc with 32-byte-bounded shuffle rows (grams are word triples),
+    never a self-join.  Fractions compare as identically-rounded
+    doubles of small-integer ratios, so the route is engine-stable."""
+    docs = T(spark, d, "documents").select(
+        "doc_id", F.split("text", " ").alias("w"))
+    docs = docs.filter(F.size("w") >= 3)
+
+    def gram_structs(n):
+        return F.transform(
+            F.sequence(F.lit(0), F.size("w") - n),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", *[F.element_at(F.col("w"), i + k)
+                                   for k in range(1, n + 1)]).alias("gram")))
+
+    exploded = docs.select(
+        "doc_id",
+        F.explode(F.concat(gram_structs(2), gram_structs(3))).alias("g"))
+    cnt = (exploded.groupBy("doc_id", "g.n", "g.gram")
+           .agg(F.count("*").alias("c")))
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("c"))).alias("top2"),
+        F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("tot2"),
+        F.sum(F.when((F.col("n") == 3) & (F.col("c") > 1), F.col("c"))
+              .otherwise(F.when(F.col("n") == 3, F.lit(0)))).alias("dup3"),
+        F.sum(F.when(F.col("n") == 3, F.col("c"))).alias("tot3"))
+    top2_frac = F.round(F.col("top2") * 1.0 / F.col("tot2"), 4)
+    dup3_frac = F.round(F.col("dup3") * 1.0 / F.col("tot3"), 4)
+    return per_doc.select(
+        "doc_id",
+        top2_frac.alias("top2_frac"),
+        dup3_frac.alias("dup3_frac"),
+        F.when((top2_frac > 0.05) | (dup3_frac > 0.02), "drop")
+         .otherwise("keep").alias("repetition_route"))

@@ -89,7 +89,8 @@ def test_round5_queries_on_bare_session(bare_spark, sf_dir, name):
 @pytest.mark.parametrize("name", [
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20", "tpch_q21",
     "table_rollback", "table_orphan_cleanup", "llm_bm25_topk",
-    "agg_kmv_distinct",
+    "agg_kmv_distinct", "join_bloom_prefilter", "subquery_not_in",
+    "agg_mode_median", "llm_repetition_filter",
 ])
 def test_round6_queries_on_bare_session(bare_spark, sf_dir, name):
     """The round-6 additions (derived-partsupp TPC-H set, table

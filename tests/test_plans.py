@@ -493,3 +493,59 @@ def test_kmv_ranks_in_salted_buckets_before_region(spark, sf_dir):
     assert len(specs) == 2, specs
     assert any("_salt" in w for w in specs), specs
     assert all(w.startswith("n_regionkey") for w in specs), specs
+
+
+def test_bloom_prefilter_query_pushes_might_contain_and_restores_confs(spark, sf_dir):
+    """join_bloom_prefilter must (a) carry the injected runtime bloom:
+    bloom_filter_agg over the filtered orders keys and might_contain on
+    the lineitem side, and (b) restore the two thresholds it lowers —
+    leaking autoBroadcastJoinThreshold=-1 would silently de-broadcast
+    every later dimension join in the session."""
+    keys = ("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold")
+    before = {k: spark.conf.get(k) for k in keys}
+    df = REGISTRY["join_bloom_prefilter"].fn(spark, sf_dir)
+    after = {k: spark.conf.get(k) for k in keys}
+    assert before == after, (before, after)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan, plan[:2000]
+    assert "bloom_filter_agg" in plan, plan[:2000]
+    # the reduction must land on the FACT side scan's filter
+    fact_filter = [l for l in plan.splitlines()
+                   if "might_contain" in l and "l_orderkey" in l]
+    assert fact_filter, plan[:2000]
+
+
+def test_not_in_arms_are_hash_joins_not_nested_loops(spark, sf_dir):
+    """Both NOT IN arms (null-aware and null-filtered) must compile to
+    single-column broadcast HASH anti joins; a BroadcastNestedLoopJoin
+    here means Spark lost the single-column NAAJ optimization and the
+    anti join went O(n*m)."""
+    p = plan_of(spark, sf_dir, "subquery_not_in")
+    assert node_count(p, "BroadcastHashJoin") == 2, p[:1500]
+    assert node_count(p, "BroadcastNestedLoopJoin") == 0
+    assert node_count(p, "CartesianProduct") == 0
+
+
+def test_repetition_filter_single_explode_two_exchanges(spark, sf_dir):
+    """llm_repetition_filter rides ONE Generate (both n-gram sizes in a
+    single tagged explode) and exactly two partial-aggregated shuffles:
+    (doc_id, n, gram) occurrence counts, then the per-doc rollup.  A
+    second Generate or a third Exchange means the two gram sizes stopped
+    sharing the token pass."""
+    p = plan_of(spark, sf_dir, "llm_repetition_filter")
+    assert node_count(p, "Generate") == 1, p[:1500]
+    assert node_count(p, "Exchange") == 2, p[:1500]
+    assert node_count(p, "HashAggregate") == 4  # partial+final x2
+
+
+def test_mode_median_single_exchange_broadcast_nation(spark, sf_dir):
+    """agg_mode_median: nation broadcasts (bounded dim), and the
+    mode/median aggregate is one exchange keyed by the group — Spark's
+    mode/median are full aggregation functions (ObjectHashAggregate /
+    SortAggregate buffers within groups), never a global sort."""
+    p = plan_of(spark, sf_dir, "agg_mode_median")
+    assert node_count(p, "BroadcastHashJoin") == 1
+    exchanges = [l for l in p.splitlines() if re.match(r"^\(\d+\) Exchange", l)]
+    assert len(exchanges) <= 1, exchanges
+    assert "Sort [n_name" not in p  # no global sort on the output
