@@ -666,3 +666,65 @@ def subquery_not_in(spark, d):
         FROM customer_nin
         WHERE c_custkey NOT IN (SELECT k FROM excl WHERE k IS NOT NULL)
     """)
+
+
+@register(
+    "dq_constraint_check",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(count(o_orderpriority) AS DOUBLE) AS nn_clerk,
+               CAST(count(DISTINCT o_orderkey) AS DOUBLE) AS dist_key,
+               CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+               CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+               CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS bad_status
+        FROM orders
+    )
+    SELECT 'completeness(o_orderpriority)' AS constraint, round(nn_clerk / n, 6) AS metric,
+           nn_clerk = n AS passed FROM m
+    UNION ALL
+    SELECT 'uniqueness(o_orderkey)', round(dist_key / n, 6), dist_key = n FROM m
+    UNION ALL
+    SELECT 'min(o_totalprice) >= 1', round(min_price, 2), min_price >= 1 FROM m
+    UNION ALL
+    SELECT 'max(o_totalprice) <= 400000', round(max_price, 2),
+           max_price <= 400000 FROM m
+    UNION ALL
+    SELECT 'allowed_values(o_orderstatus)', bad_status, bad_status = 0 FROM m
+    """,
+)
+def dq_constraint_check(spark, d):
+    """Deequ-style declarative data-quality report: completeness,
+    key uniqueness, value-range and allowed-values constraints, ALL
+    measured in one aggregation pass over the table and emitted as a
+    (constraint, metric, passed) report — the verification gate a
+    pipeline runs before publishing a table version (pairs with the
+    icelite write-audit-publish flow, table_branch_wap).  The
+    max(o_totalprice) <= 400000 constraint fails by design so the
+    report exercises both verdicts deterministically.
+
+    Scale shape: one partial-aggregated scan computes every metric
+    (count/min/max/conditional-count combine map-side; the exact
+    distinct count is Spark's two-phase expand) — adding constraints
+    adds expressions, not passes.  Metrics are count ratios and exact
+    min/max: no float-summation order anywhere."""
+    o = T(spark, d, "orders")
+    m = o.agg(
+        F.count("*").cast("double").alias("n"),
+        F.count("o_orderpriority").cast("double").alias("nn_clerk"),
+        F.countDistinct("o_orderkey").cast("double").alias("dist_key"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+              .otherwise(0)).cast("double").alias("bad_status"))
+    return m.select(F.expr("""
+        stack(5,
+          'completeness(o_orderpriority)', round(nn_clerk / n, 6), nn_clerk = n,
+          'uniqueness(o_orderkey)', round(dist_key / n, 6), dist_key = n,
+          'min(o_totalprice) >= 1', round(min_price, 2), min_price >= 1,
+          'max(o_totalprice) <= 400000', round(max_price, 2),
+              max_price <= 400000,
+          'allowed_values(o_orderstatus)', bad_status, bad_status = 0
+        ) AS (constraint, metric, passed)
+    """))

@@ -1759,3 +1759,46 @@ def llm_repetition_filter(spark, d):
         dup3_frac.alias("dup3_frac"),
         F.when((top2_frac > 0.05) | (dup3_frac > 0.02), "drop")
          .otherwise("keep").alias("repetition_route"))
+
+
+@register(
+    "llm_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+        SELECT w, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) >= 2
+        GROUP BY w
+    ), pairs AS (
+        SELECT substr(w, i, 2) AS pair, freq
+        FROM (SELECT w, freq, unnest(generate_series(1, len(w) - 1)) AS i
+              FROM words)
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 20
+    """,
+)
+def llm_bpe_pair_counts(spark, d):
+    """One BPE-training iteration (Sennrich et al. 2016): corpus-wide
+    counts of adjacent symbol pairs, the argmax of which becomes the
+    next merge.  The classic two-level shape: aggregate the corpus to a
+    WORD-TYPE frequency table first (vocabulary is orders of magnitude
+    smaller than the token stream), then explode each distinct word
+    into its adjacent character pairs weighted by the word's frequency
+    — so the pair expansion runs over the vocab, not the corpus.  Top
+    pairs come back through TakeOrderedAndProject (distributed top-k,
+    never a global sort) under a total order (count desc, pair) that
+    makes the reported set deterministic across engines."""
+    words = (T(spark, d, "documents")
+             .select(F.explode(F.split("text", " ")).alias("w"))
+             .filter(F.length("w") >= 2)
+             .groupBy("w").agg(F.count("*").alias("freq")))
+    pairs = words.select(
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.substr(F.col("w"), i, F.lit(2)))).alias("pair"),
+        "freq")
+    return (pairs.groupBy("pair").agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "pair").limit(20))

@@ -549,3 +549,30 @@ def test_mode_median_single_exchange_broadcast_nation(spark, sf_dir):
     exchanges = [l for l in p.splitlines() if re.match(r"^\(\d+\) Exchange", l)]
     assert len(exchanges) <= 1, exchanges
     assert "Sort [n_name" not in p  # no global sort on the output
+
+
+def test_dq_constraint_report_single_aggregation_pass(spark, sf_dir):
+    """dq_constraint_check computes every constraint metric in ONE
+    aggregation over one scan — adding constraints must add expressions,
+    not passes.  Two scans here means the report re-reads the table per
+    constraint family (the O(constraints * table) anti-pattern)."""
+    p = plan_of(spark, sf_dir, "dq_constraint_check")
+    assert node_count(p, "Scan parquet") == 1, p[:1500]
+    # exact countDistinct expands to a two-phase aggregate: allow its
+    # exchanges, but no join and no generate
+    assert node_count(p, "BroadcastHashJoin") + node_count(p, "SortMergeJoin") == 0
+
+
+def test_bpe_pair_counts_dedupes_words_before_pair_expansion(spark, sf_dir):
+    """llm_bpe_pair_counts must aggregate to the word-type table BEFORE
+    exploding character pairs (vocab << corpus), and take its top-k via
+    TakeOrderedAndProject — a Generate feeding straight off the scan, or
+    a global Sort, are the two scale regressions."""
+    p = plan_of(spark, sf_dir, "llm_bpe_pair_counts")
+    assert node_count(p, "TakeOrderedAndProject") == 1, p[:1500]
+    # two Generates: the word explode off the scan, and the PAIR explode —
+    # which must consume the aggregated (w, freq) table, not raw text
+    gens = re.findall(r"^\(\d+\) Generate\n((?:.+\n)+?)\n", p, flags=re.M)
+    assert len(gens) == 2, p[:1500]
+    pair_gen = [g for g in gens if "substr" in g]
+    assert pair_gen and "freq" in pair_gen[0], gens
