@@ -299,3 +299,54 @@ def join_interval(spark, d):
     )
     return a.join(b, cond).select(
         F.col("a.event_id").alias("eid_a"), F.col("b.event_id").alias("eid_b"))
+
+
+@register(
+    "join_interval_bucketed",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type, value,
+                      date_trunc('second', ts) AS tss FROM events),
+    inc AS (SELECT event_id AS incident_id, tss AS i_tss
+            FROM e WHERE event_type = 'error' AND value >= 150)
+    SELECT incident_id, CAST(i_tss AS VARCHAR) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM e JOIN inc
+      ON e.tss >= i_tss AND e.tss < i_tss + INTERVAL 2 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def join_interval_bucketed(spark, d):
+    """Point-in-interval join with NO equi key, in its 100 TB-safe
+    bucketized form — the pattern join_range_theta's docstring promises:
+    every incident window ([error ts, +2h)) explodes to the hour buckets
+    it covers, every event maps to its single hour bucket, and the join
+    becomes a plain hash EQUI-join on the bucket with the exact interval
+    predicate as a residual filter.  Each qualifying (event, incident)
+    pair meets in exactly one bucket — the event's own hour — so no
+    post-join dedup is needed.  A naive formulation of the same query is
+    a BroadcastNestedLoopJoin: O(events x incidents) compared
+    everywhere; bucketing makes the cost sum-per-bucket(|points| x
+    |intervals|), tunable by bucket width.  Output aggregates per
+    incident (blast-radius report: events + distinct users inside each
+    window), keeping result size O(incidents)."""
+    e = T(spark, d, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.date_trunc("second", "ts").alias("tss"))
+    inc = (e.filter((F.col("event_type") == "error") & (F.col("value") >= 150))
+           .select(F.col("event_id").alias("incident_id"),
+                   F.col("tss").alias("i_tss")))
+    two_h = F.expr("INTERVAL 2 HOURS")
+    inc_b = inc.withColumn("bkt", F.explode(F.sequence(
+        F.date_trunc("hour", "i_tss"),
+        F.date_trunc("hour", F.col("i_tss") + two_h),
+        F.expr("INTERVAL 1 HOUR"))))
+    pts = e.select("event_id", "user_id", "tss",
+                   F.date_trunc("hour", "tss").alias("bkt"))
+    j = (pts.join(inc_b, "bkt")
+         .filter((F.col("tss") >= F.col("i_tss"))
+                 & (F.col("tss") < F.col("i_tss") + two_h)))
+    return (j.groupBy("incident_id",
+                      F.col("i_tss").cast("string").alias("window_start"))
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users")))

@@ -1802,3 +1802,56 @@ def llm_bpe_pair_counts(spark, d):
         "freq")
     return (pairs.groupBy("pair").agg(F.sum("freq").alias("pair_count"))
             .orderBy(F.desc("pair_count"), "pair").limit(20))
+
+
+@register(
+    "llm_dedup_cross_source",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS h,
+               CAST(substr(source, 4) AS BIGINT) AS prio
+        FROM documents
+    ), r AS (
+        SELECT doc_id, source, h,
+               count(*) OVER (PARTITION BY h) AS n_docs,
+               row_number() OVER (PARTITION BY h
+                                  ORDER BY prio, doc_id) AS rn
+        FROM d
+    ), s AS (SELECT h, count(DISTINCT source) AS ns FROM d GROUP BY h)
+    SELECT r.doc_id AS keep_doc_id, r.source AS keep_source,
+           CAST(n_docs AS BIGINT) AS n_docs, CAST(ns AS BIGINT) AS n_sources
+    FROM r JOIN s USING (h) WHERE rn = 1 AND n_docs > 1
+    """,
+)
+def llm_dedup_cross_source(spark, d):
+    """Cross-source canonical pick (the CCNet/C4 multi-crawl pattern):
+    documents sharing a content fingerprint — here the md5 of the
+    first-5-word prefix, the cheap family key an ingest pipeline dedups
+    on before the expensive near-dup pass — collapse to ONE canonical
+    copy chosen by source priority (lower src-number wins), doc_id as
+    the final tiebreak.  Reports each surviving copy with its family
+    size and how many distinct sources carried it.
+
+    Scale shape: one shuffle on the 32-byte digest; the pick is a
+    row_number window and the family stats ride the same partitioning —
+    never a self-join, and raw text never shuffles (the digest is
+    computed in the scan-side map)."""
+    from pyspark.sql import Window
+
+    docs = T(spark, d, "documents").select(
+        "doc_id", "source",
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5))
+              .cast("binary")).alias("h"),
+        F.substring("source", 4, 10).cast("bigint").alias("prio"))
+    w = Window.partitionBy("h")
+    ranked = (docs
+              .withColumn("n_docs", F.count("*").over(w))
+              .withColumn("n_sources",
+                          F.size(F.collect_set("source").over(w)).cast("bigint"))
+              .withColumn("rn", F.row_number().over(
+                  w.orderBy("prio", "doc_id"))))
+    return (ranked.filter((F.col("rn") == 1) & (F.col("n_docs") > 1))
+            .select(F.col("doc_id").alias("keep_doc_id"),
+                    F.col("source").alias("keep_source"),
+                    "n_docs", "n_sources"))

@@ -576,3 +576,26 @@ def test_bpe_pair_counts_dedupes_words_before_pair_expansion(spark, sf_dir):
     assert len(gens) == 2, p[:1500]
     pair_gen = [g for g in gens if "substr" in g]
     assert pair_gen and "freq" in pair_gen[0], gens
+
+
+def test_interval_bucketed_join_is_hash_equi_never_nested_loop(spark, sf_dir):
+    """join_interval_bucketed exists to prove the no-equi-key interval
+    join can be a HASH join: the hour-bucket equi key must carry the
+    join (BroadcastHashJoin or SortMergeJoin), the exact interval
+    predicate rides as a residual, and no nested-loop/cartesian node
+    may appear anywhere in the plan."""
+    p = plan_of(spark, sf_dir, "join_interval_bucketed")
+    assert node_count(p, "BroadcastNestedLoopJoin") == 0
+    assert node_count(p, "CartesianProduct") == 0
+    assert (node_count(p, "BroadcastHashJoin")
+            + node_count(p, "SortMergeJoin")
+            + node_count(p, "ShuffledHashJoin")) == 1, p[:1500]
+    assert node_count(p, "Generate") == 1  # the window->buckets explode
+
+
+def test_cross_source_pick_shuffles_digest_not_text(spark, sf_dir):
+    """llm_dedup_cross_source partitions its window by the 32-byte
+    prefix digest: no exchange may carry the document body."""
+    p = plan_of(spark, sf_dir, "llm_dedup_cross_source")
+    exchange_sections = re.findall(r"\(\d+\) Exchange\n(?:.+\n)+?", p)
+    assert exchange_sections and all("text#" not in s for s in exchange_sections)
