@@ -728,3 +728,77 @@ def dq_constraint_check(spark, d):
           'allowed_values(o_orderstatus)', bad_status, bad_status = 0
         ) AS (constraint, metric, passed)
     """))
+
+
+@register(
+    "scd2_dimension_merge",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS bal,
+               '2020-01-01' AS valid_from FROM customer
+    ), upd AS (
+        SELECT c_custkey,
+               round(round(c_acctbal, 2)
+                     + CASE WHEN c_custkey % 14 = 0 THEN 100 ELSE 0 END,
+                     2) AS new_bal
+        FROM customer WHERE c_custkey % 7 = 0
+    ), j AS (
+        SELECT d.*, u.new_bal,
+               u.c_custkey IS NOT NULL AND u.new_bal <> d.bal AS changed
+        FROM dim d LEFT JOIN upd u USING (c_custkey)
+    )
+    SELECT c_custkey, c_mktsegment, bal, valid_from,
+           CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+    FROM j WHERE NOT changed
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, bal, valid_from,
+           '2024-01-01' AS valid_to, FALSE AS is_current
+    FROM j WHERE changed
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, new_bal, '2024-01-01',
+           CAST(NULL AS VARCHAR), TRUE
+    FROM j WHERE changed
+    """,
+)
+def scd2_dimension_merge(spark, d):
+    """Slowly-changing-dimension Type 2 merge: an update batch lands on a
+    versioned dimension; rows whose tracked attribute actually changed
+    close their current version (valid_to = effective date) and open a
+    new one, NO-OP updates (the %14==7 half of the batch carries +0)
+    leave the dimension untouched, and unchanged keys pass through —
+    the warehouse-dimension history pattern MERGE alone cannot express
+    (one source row fans out to a close AND an open).
+
+    Scale shape: one key-equi left join of dimension x update batch,
+    then three narrow projections unioned — the changed/unchanged split
+    reuses the join output, so the dimension is scanned once and only
+    the update-key rows ever carry extra columns.  Balances compare as
+    identically-rounded doubles on both engines."""
+    c = T(spark, d, "customer")
+    dim = c.select("c_custkey", "c_mktsegment",
+                   F.round("c_acctbal", 2).alias("bal"),
+                   F.lit("2020-01-01").alias("valid_from"))
+    upd = (c.filter(F.col("c_custkey") % 7 == 0)
+           .select("c_custkey",
+                   F.round(F.round("c_acctbal", 2)
+                           + F.when(F.col("c_custkey") % 14 == 0, 100)
+                              .otherwise(0), 2).alias("new_bal")))
+    j = (dim.join(upd, "c_custkey", "left")
+         .withColumn("changed", F.col("new_bal").isNotNull()
+                     & (F.col("new_bal") != F.col("bal"))))
+    null_str = F.lit(None).cast("string")
+    untouched = (j.filter(~F.col("changed"))
+                 .select("c_custkey", "c_mktsegment", "bal", "valid_from",
+                         null_str.alias("valid_to"),
+                         F.lit(True).alias("is_current")))
+    closed = (j.filter(F.col("changed"))
+              .select("c_custkey", "c_mktsegment", "bal", "valid_from",
+                      F.lit("2024-01-01").alias("valid_to"),
+                      F.lit(False).alias("is_current")))
+    opened = (j.filter(F.col("changed"))
+              .select("c_custkey", "c_mktsegment",
+                      F.col("new_bal").alias("bal"),
+                      F.lit("2024-01-01").alias("valid_from"),
+                      null_str.alias("valid_to"),
+                      F.lit(True).alias("is_current")))
+    return untouched.unionByName(closed).unionByName(opened)
