@@ -1,0 +1,68 @@
+"""Property tests for the pure-stdlib BMP codec and the SCD2 merge —
+invariants that the example-based oracle queries cannot cover (arbitrary
+dimensions for the codec; per-key structural invariants for SCD2)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_eng_iceberg_demo_spark.operators.multimodal import (decode_bmp,
+                                                              encode_bmp)
+
+
+@given(doc_id=st.integers(min_value=0, max_value=2**31 - 1),
+       width=st.integers(min_value=1, max_value=17),
+       height=st.integers(min_value=1, max_value=9))
+@settings(max_examples=200, deadline=None)
+def test_bmp_roundtrip_any_dimensions(doc_id, width, height):
+    """decode(encode(x)) must recover dimensions, bpp and the exact
+    channel sums/top-left pixel for EVERY width (odd widths exercise
+    every stride-padding remainder, 1..3 bytes)."""
+    buf = encode_bmp(doc_id, width, height)
+    w, h, bpp, sum_r, sum_g, sum_b, tl_b = decode_bmp(buf)
+    n = width * height
+    assert (w, h, bpp) == (width, height, 24)
+    assert sum_r == sum((doc_id * 13 + i * 5) % 256 for i in range(n))
+    assert sum_g == sum((doc_id * 17 + i * 11) % 256 for i in range(n))
+    assert sum_b == sum((doc_id * 31 + i * 7) % 256 for i in range(n))
+    assert tl_b == (doc_id * 31) % 256
+    # container size: 54-byte headers + stride*height pixel array
+    stride = (width * 3 + 3) // 4 * 4
+    assert len(buf) == 54 + stride * height
+
+
+def test_bmp_decoder_rejects_non_bmp():
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG not a bmp")
+
+
+def test_scd2_structural_invariants(spark, sf_dir):
+    """Every key keeps exactly ONE current row; closed rows all carry the
+    effective date; row count = keys + changed keys (each changed key
+    contributes a closed AND an opened row); no-op update keys
+    (custkey % 14 == 7) must NOT have gained history."""
+    from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
+                                                            _load_all_modules)
+
+    _load_all_modules()
+    rows = REGISTRY["scd2_dimension_merge"].fn(spark, sf_dir).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.c_custkey, []).append(r)
+    assert by_key
+    n_changed = 0
+    for key, krows in by_key.items():
+        current = [r for r in krows if r.is_current]
+        assert len(current) == 1, (key, krows)
+        closed = [r for r in krows if not r.is_current]
+        assert all(r.valid_to == "2024-01-01" for r in closed)
+        if key % 14 == 0:
+            assert len(krows) == 2, (key, krows)  # closed + opened
+            n_changed += 1
+        else:
+            assert len(krows) == 1, (key, krows)  # untouched or no-op
+    assert n_changed > 0
+    assert len(rows) == len(by_key) + n_changed
