@@ -429,8 +429,21 @@ class IceliteTable:
                     files.append({"path": rel,
                                   "schema_version": meta["current_schema"],
                                   "partition": part,
+                                  "spec_key": self._spec_key(spec),
                                   **_footer_entry(full, name_to_id)})
         return files
+
+    @staticmethod
+    def _spec_key(spec: dict | None) -> str | None:
+        """Identity of a partition spec, recorded with every data file it
+        writes.  Partition VALUES are only comparable within one spec: a
+        bucket file's partition '3' must never be range-compared against
+        a days bound like '2024-01-01' — after ADD PARTITION FIELD
+        replaces the spec, files from older specs are unprunable by the
+        new spec's bounds (Iceberg's per-file spec-id, minimally)."""
+        if spec is None:
+            return None
+        return f"{spec['transform']}:{spec.get('source_id')}:{spec.get('param')}"
 
     def insert(self, df: DataFrame) -> None:
         """Append snapshot (INSERT INTO ... SELECT, README.md:199-208).
@@ -806,10 +819,14 @@ class IceliteTable:
         t = spec["transform"]
         lo_p = self._time_part_of(ts_lo, t) if ts_lo else None
         hi_p = self._time_part_of(ts_hi, t) if ts_hi else None
+        key = self._spec_key(spec)
         out = []
         for fi in snap["files"]:
             p = fi.get("partition")
-            if p is None:  # pre-spec file: cannot prune, must read
+            if p is None or fi.get("spec_key") != key:
+                # pre-spec file, or written under a DIFFERENT spec whose
+                # partition strings are not comparable to these bounds
+                # (e.g. bucket '3' vs days '2024-01-01'): cannot prune
                 out.append(fi)
                 continue
             if lo_p is not None and p < lo_p:
@@ -830,8 +847,11 @@ class IceliteTable:
         if spec is None:
             return list(snap["files"])
         want = self._transform_of_value(spec, meta, value)
+        key = self._spec_key(spec)
         return [fi for fi in snap["files"]
-                if fi.get("partition") is None or fi["partition"] == want]
+                if fi.get("partition") is None
+                or fi.get("spec_key") != key  # other-spec file: unprunable
+                or fi["partition"] == want]
 
     def scan_value(self, value) -> DataFrame:
         """Partition-pruned read for `source == value` + the residual

@@ -493,3 +493,38 @@ def table_incremental_agg(spark, d):
                 (F.coalesce(F.col("b.total_qty"), F.lit(0))
                  + F.coalesce(F.col("x.total_qty"), F.lit(0)))
                 .cast("bigint").alias("total_qty")))
+
+
+@register(
+    "table_partition_spec_evolution",
+    oracle=f"""
+    SELECT * FROM ({_CSV_ORACLE_BASE})
+    WHERE CAST(data_criacao_s AS TIMESTAMP) >= TIMESTAMP '2024-02-01 00:00:00'
+      AND CAST(data_criacao_s AS TIMESTAMP) <  TIMESTAMP '2024-03-01 00:00:00'
+    """,
+)
+def table_partition_spec_evolution(spark, d):
+    """Partition-spec EVOLUTION (Iceberg ADD PARTITION FIELD replacing an
+    earlier spec, README.md:304-307 generalized): batch A lands
+    unpartitioned, the spec becomes bucket(4, id_cliente) for batch B,
+    then days(data_criacao) for batch C — three layouts coexisting in
+    one table, exactly what hidden partitioning promises (the tutorial's
+    days() demo never re-partitions old data).  A timestamp-range scan
+    must then prune ONLY batch-C files (same spec as the bounds): batch
+    A has no partition value, and batch B's bucket strings ('0'..'3')
+    are not comparable to day bounds — range-comparing them silently
+    DROPS every pre-evolution row (the bug icelite's per-file spec_key
+    now prevents; the oracle covers all three batches, so a mis-pruned
+    file fails the hash).  Residual row filters finish the predicate on
+    the unpruned files."""
+    cat = IceliteCatalog(spark, scratch_dir("icelite_"))
+    cat.create_namespace("db")
+    t = cat.create_table("db.pedidos_specevo", PEDIDOS_SCHEMA)
+    df = _typed_pedidos(spark)
+    t.insert(df.filter(F.col("id_cliente") % 3 == 0))          # unpartitioned
+    t.set_partition("bucket", "id_cliente", param=4)
+    t.insert(df.filter(F.col("id_cliente") % 3 == 1))          # bucket spec
+    t.set_partition_days("data_criacao")
+    t.insert(df.filter(F.col("id_cliente") % 3 == 2))          # days spec
+    return _as_output(t.scan(ts_lo="2024-02-01 00:00:00",
+                             ts_hi="2024-03-01 00:00:00"))

@@ -141,3 +141,38 @@ def test_bad_transform_rejected(spark, tmp_path):
         t.set_partition("bucket", "id")  # missing param
     with pytest.raises(ValueError):
         t.set_partition("bucket", "nope", param=4)
+
+
+def test_spec_evolution_prunes_only_same_spec_files(spark, sf_dir):
+    """After the spec evolves unpartitioned -> bucket -> days, a ts-range
+    plan must keep every unpartitioned and bucket-spec file (their
+    partition strings are not comparable to day bounds) and prune only
+    out-of-range DAYS files.  Before the per-file spec_key, bucket
+    strings like '1' range-compared below '2024-02-01' and the planner
+    silently dropped every pre-evolution row."""
+    from pyspark.sql import functions as F
+    from data_eng_iceberg_demo_spark.scratch import scratch_dir
+    from data_eng_iceberg_demo_spark.tables.icelite import IceliteCatalog
+    from data_eng_iceberg_demo_spark.tables.queries import (PEDIDOS_SCHEMA,
+                                                            _typed_pedidos)
+
+    cat = IceliteCatalog(spark, scratch_dir("icelite_specevo_"))
+    t = cat.create_table("t", PEDIDOS_SCHEMA)
+    df = _typed_pedidos(spark)
+    t.insert(df.filter(F.col("id_cliente") % 3 == 0))
+    t.set_partition("bucket", "id_cliente", param=4)
+    t.insert(df.filter(F.col("id_cliente") % 3 == 1))
+    t.set_partition_days("data_criacao")
+    t.insert(df.filter(F.col("id_cliente") % 3 == 2))
+
+    all_files = t.plan_files()
+    planned = t.plan_files("2024-02-01 00:00:00", "2024-03-01 00:00:00")
+    keys = lambda fs: {f.get("spec_key") for f in fs}
+    by_key = lambda fs, k: [f for f in fs if f.get("spec_key") == k]
+    day_key = [k for k in keys(all_files) if k and k.startswith("days")][0]
+    bucket_key = [k for k in keys(all_files) if k and k.startswith("bucket")][0]
+    # days files actually pruned by the range...
+    assert len(by_key(planned, day_key)) < len(by_key(all_files, day_key))
+    # ...while unpartitioned and bucket files all survive
+    assert len(by_key(planned, None)) == len(by_key(all_files, None)) > 0
+    assert len(by_key(planned, bucket_key)) == len(by_key(all_files, bucket_key)) > 0
