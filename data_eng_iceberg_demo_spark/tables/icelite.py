@@ -930,9 +930,13 @@ class IceliteTable:
                      ) -> DataFrame:
         """Incremental (CDC) read: rows APPENDED between two snapshots =
         the files present in `to` but not in `from` (Iceberg's
-        incremental append scan).  Raises if the range contains a
-        delete/overwrite/replace — row-level diffs need those snapshots'
-        remove sets, which copy-on-write folds away."""
+        incremental append scan).  Raises if the range contains ANY
+        non-append snapshot: delete/update/merge/overwrite/replace/
+        rollback all rewrite or drop files under copy-on-write, so the
+        file-set diff would misreport rewritten rows as fresh appends
+        (and silently skip removals).  The guard is an allow-list —
+        an operation name this code has never seen must fail loudly,
+        not fall through."""
         meta = self.meta
         to_snap = self._snapshot(meta, to_version)
         from_snap = self._snapshot(meta, from_version)
@@ -944,13 +948,10 @@ class IceliteTable:
                 raise ValueError(
                     f"snapshot {from_snap['id']} is not an ancestor of "
                     f"{to_snap['id']}")
-            if sid != from_snap["id"] and s["operation"] not in (
-                    "append", "merge"):
-                if s["operation"] in ("delete", "overwrite", "replace",
-                                      "rollback"):
-                    raise ValueError(
-                        f"incremental read crosses non-append snapshot "
-                        f"{sid} ({s['operation']})")
+            if s["operation"] != "append":
+                raise ValueError(
+                    f"incremental read crosses non-append snapshot "
+                    f"{sid} ({s['operation']})")
             sid = s["parent"]
         old_paths = {f["path"] for f in from_snap["files"]}
         new_files = [f for f in to_snap["files"] if f["path"] not in old_paths]

@@ -559,3 +559,32 @@ def test_wap_audit_with_observation_metrics(spark, table):
     assert obs_ok.get["null_keys"] == 0 and obs_ok.get["rows"] == 7
     table.fast_forward("audit_ok")
     assert table.read().count() == main_before + 7
+
+
+def test_read_changes_rejects_update_and_merge_ranges(spark):
+    """CDC file-set diffs are only sound across pure appends: UPDATE and
+    MERGE rewrite files under copy-on-write, so a range crossing either
+    must raise — before the exhaustive guard, 'update' fell through
+    silently and 'merge' was allow-listed, and read_changes reported
+    every rewritten file as a fresh append."""
+    import pytest
+    from pyspark.sql import functions as F
+    from data_eng_iceberg_demo_spark.scratch import scratch_dir
+    from data_eng_iceberg_demo_spark.tables.icelite import IceliteCatalog
+    from data_eng_iceberg_demo_spark.tables.queries import (PEDIDOS_SCHEMA,
+                                                            _typed_pedidos)
+
+    cat = IceliteCatalog(spark, scratch_dir("icelite_cdcguard_"))
+    t = cat.create_table("t", PEDIDOS_SCHEMA)
+    df = _typed_pedidos(spark)
+    t.insert(df.filter(F.col("uf") == "SP"))          # v1 append
+    t.update_where("quantidade > 2",                  # v2 update (CoW/MoR)
+                   {"quantidade": "quantidade + 1"})
+    with pytest.raises(ValueError, match="non-append.*update"):
+        t.read_changes(from_version=1)
+
+    t2 = cat.create_table("t2", PEDIDOS_SCHEMA)
+    t2.insert(df.filter(F.col("uf") == "SP"))
+    t2.merge_into(df.filter(F.col("uf") == "RJ"), "id_pedido", ["quantidade"])
+    with pytest.raises(ValueError, match="non-append.*merge"):
+        t2.read_changes(from_version=1)
