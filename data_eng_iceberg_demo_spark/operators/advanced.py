@@ -681,17 +681,22 @@ def subquery_not_in(spark, d):
                              THEN 1 ELSE 0 END) AS DOUBLE) AS bad_status
         FROM orders
     )
-    SELECT 'completeness(o_orderpriority)' AS constraint, round(nn_clerk / n, 6) AS metric,
+    SELECT 'completeness(o_orderpriority)' AS constraint,
+           CASE WHEN n = 0 THEN 1.0 ELSE round(nn_clerk / n, 6) END AS metric,
            nn_clerk = n AS passed FROM m
     UNION ALL
-    SELECT 'uniqueness(o_orderkey)', round(dist_key / n, 6), dist_key = n FROM m
+    SELECT 'uniqueness(o_orderkey)',
+           CASE WHEN n = 0 THEN 1.0 ELSE round(dist_key / n, 6) END,
+           dist_key = n FROM m
     UNION ALL
-    SELECT 'min(o_totalprice) >= 1', round(min_price, 2), min_price >= 1 FROM m
+    SELECT 'min(o_totalprice) >= 1', round(min_price, 2),
+           coalesce(min_price >= 1, TRUE) FROM m
     UNION ALL
     SELECT 'max(o_totalprice) <= 400000', round(max_price, 2),
-           max_price <= 400000 FROM m
+           coalesce(max_price <= 400000, TRUE) FROM m
     UNION ALL
-    SELECT 'allowed_values(o_orderstatus)', bad_status, bad_status = 0 FROM m
+    SELECT 'allowed_values(o_orderstatus)', coalesce(bad_status, 0),
+           coalesce(bad_status, 0) = 0 FROM m
     """,
 )
 def dq_constraint_check(spark, d):
@@ -708,7 +713,10 @@ def dq_constraint_check(spark, d):
     (count/min/max/conditional-count combine map-side; the exact
     distinct count is Spark's two-phase expand) — adding constraints
     adds expressions, not passes.  Metrics are count ratios and exact
-    min/max: no float-summation order anywhere."""
+    min/max: no float-summation order anywhere.  Empty-table semantics
+    are vacuous-pass (completeness/uniqueness 1.0, range constraints
+    TRUE on a NULL min/max) — an empty partition must not crash the
+    quality gate with a division by zero under ANSI mode."""
     o = T(spark, d, "orders")
     m = o.agg(
         F.count("*").cast("double").alias("n"),
@@ -720,12 +728,18 @@ def dq_constraint_check(spark, d):
               .otherwise(0)).cast("double").alias("bad_status"))
     return m.select(F.expr("""
         stack(5,
-          'completeness(o_orderpriority)', round(nn_clerk / n, 6), nn_clerk = n,
-          'uniqueness(o_orderkey)', round(dist_key / n, 6), dist_key = n,
-          'min(o_totalprice) >= 1', round(min_price, 2), min_price >= 1,
+          'completeness(o_orderpriority)',
+              CASE WHEN n = 0 THEN 1.0D ELSE round(nn_clerk / n, 6) END,
+              nn_clerk = n,
+          'uniqueness(o_orderkey)',
+              CASE WHEN n = 0 THEN 1.0D ELSE round(dist_key / n, 6) END,
+              dist_key = n,
+          'min(o_totalprice) >= 1', round(min_price, 2),
+              coalesce(min_price >= 1, true),
           'max(o_totalprice) <= 400000', round(max_price, 2),
-              max_price <= 400000,
-          'allowed_values(o_orderstatus)', bad_status, bad_status = 0
+              coalesce(max_price <= 400000, true),
+          'allowed_values(o_orderstatus)', coalesce(bad_status, 0.0D),
+              coalesce(bad_status, 0.0D) = 0
         ) AS (constraint, metric, passed)
     """))
 

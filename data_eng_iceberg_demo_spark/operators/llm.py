@@ -303,6 +303,10 @@ def llm_similarity_lsh(spark, d):
 
     emb = T(spark, d, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v"))
+    if not emb.head(1):  # MLlib LSH cannot fit on zero rows; empty result
+        return emb.select(F.col("vec_id").alias("qid"),
+                          F.col("vec_id").alias("cid"),
+                          F.lit(0.0).alias("l2_dist")).limit(0)
     lsh = BucketedRandomProjectionLSH(inputCol="v", outputCol="hashes",
                                       bucketLength=2.0, numHashTables=4, seed=42)
     model = lsh.fit(emb)
@@ -1087,6 +1091,8 @@ def ivf_centroids(emb_df, k=16, iters=5, sample_n=2048):
     import numpy as np
 
     sample = emb_df.orderBy("vec_id").limit(sample_n).select("e").collect()
+    if not sample:
+        return None  # empty corpus: nothing to quantize
     X = np.array([r["e"] for r in sample], dtype=np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     C = X[:k].copy()
@@ -1119,6 +1125,10 @@ def llm_similarity_ivf(spark, d):
     emb = T(spark, d, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"))
     C = ivf_centroids(emb)
+    if C is None:  # empty corpus: empty result, same schema, no crash
+        return emb.select(F.col("vec_id").alias("qid"),
+                          F.col("vec_id").alias("cid"),
+                          F.lit(0.0).alias("cosine")).limit(0)
     # nprobe=6 of 16 cells: measured mean recall@10 >= 0.90 (min 0.8)
     # across all three fixture scale factors; nprobe=4 bottomed at 0.68
     nprobe = 6

@@ -1,0 +1,64 @@
+"""Empty-input robustness: at 100 TB, empty partitions, empty table
+slices and zero-row sources are routine — a query must return an empty
+(or vacuous) result, never crash.  This replays a cross-family sample of
+the declared queries against a zero-row mirror of the fixture schemas;
+it caught three real crashes when introduced (ANSI divide-by-zero in the
+dq report, a numpy axis error in the IVF quantizer's empty sample, and
+MLlib LSH fit on zero rows)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
+                                                        _load_all_modules)
+
+_load_all_modules()
+
+_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings")
+
+SAMPLE = [
+    "llm_dedup_exact", "llm_dedup_near", "llm_dedup_minhash",
+    "llm_dedup_simhash", "llm_dedup_embedding", "llm_dedup_clusters",
+    "llm_similarity_topk", "llm_similarity_lsh", "llm_similarity_ivf",
+    "llm_text_stats", "llm_tfidf_terms", "llm_bm25_topk",
+    "llm_repetition_filter", "llm_bpe_pair_counts", "llm_dedup_cross_source",
+    "llm_quality_gopher", "llm_token_count", "agg_groupby_basic",
+    "agg_mode_median", "agg_kmv_distinct", "window_ranking", "topk_per_group",
+    "join_inner_equi", "join_asof", "join_interval_bucketed",
+    "subquery_not_in", "dq_constraint_check", "events_funnel",
+    "events_anomaly", "scd2_dimension_merge", "llm_multimodal_decode_bmp",
+    "llm_train_test_split", "llm_dataset_mixture", "llm_decontaminate",
+    "llm_pack_sequences", "llm_docs_to_chunks", "llm_winnow_fingerprint",
+    "llm_dedup_incremental", "llm_unigram_logprob", "sort_multikey_nulls",
+]
+
+
+@pytest.fixture(scope="session")
+def empty_sf_dir(tmp_path_factory, sf_dir):
+    """Zero-row mirror of the fixture dir: same schemas, no data."""
+    dst = tmp_path_factory.mktemp("sf_empty")
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.sql(f"COPY (SELECT * FROM read_parquet('{sf_dir}/{t}.parquet') "
+                f"LIMIT 0) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_survives_empty_input(spark, empty_sf_dir, name):
+    df = REGISTRY[name].fn(spark, empty_sf_dir)
+    assert df.count() >= 0  # no crash; empty or vacuous output both fine
+
+
+def test_dq_report_is_vacuous_pass_on_empty(spark, empty_sf_dir):
+    """The quality gate's empty-table convention: every constraint
+    reports vacuous PASS (completeness/uniqueness 1.0, range and
+    allowed-values TRUE) — an empty partition must not fail a publish."""
+    rows = REGISTRY["dq_constraint_check"].fn(spark, empty_sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r.passed for r in rows)
