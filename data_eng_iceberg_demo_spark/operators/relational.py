@@ -376,12 +376,16 @@ def sink_partitioned(spark, d):
     import tempfile
 
     out = scratch_dir("sink_part_")
-    (T(spark, d, "orders")
-     .select("o_orderkey", "o_custkey",
-             F.col("o_totalprice").cast("double").alias("o_totalprice"),
-             "o_orderpriority")
-     .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out))
-    read = spark.read.parquet(out)
+    staged = (T(spark, d, "orders")
+              .select("o_orderkey", "o_custkey",
+                      F.col("o_totalprice").cast("double")
+                       .alias("o_totalprice"),
+                      "o_orderpriority"))
+    staged.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    # explicit schema: an EMPTY source writes no partition directories,
+    # and schema inference over zero files fails — an empty layout must
+    # read back as an empty frame, not an AnalysisException
+    read = spark.read.schema(staged.schema).parquet(out)
     return (read
             .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
             .select("o_orderkey", "o_custkey", "o_totalprice",
@@ -416,12 +420,14 @@ def join_dpp_partitioned(spark, d):
     import tempfile
 
     out = scratch_dir("dpp_fact_")
-    (T(spark, d, "orders")
-     .select("o_orderkey",
-             F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
-             "o_orderpriority")
-     .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out))
-    fact = spark.read.parquet(out)
+    staged = (T(spark, d, "orders")
+              .select("o_orderkey",
+                      F.col("o_totalprice").cast("decimal(18,2)")
+                       .alias("o_totalprice"),
+                      "o_orderpriority"))
+    staged.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    # explicit schema (see sink_partitioned): empty layouts must read back
+    fact = spark.read.schema(staged.schema).parquet(out)
     dim = spark.createDataFrame(
         [("1-URGENT", "rush"), ("2-HIGH", "rush"), ("3-MEDIUM", "std"),
          ("4-NOT SPECIFIED", "std"), ("5-LOW", "slow")],

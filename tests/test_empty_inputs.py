@@ -35,6 +35,7 @@ SAMPLE = [
     "llm_train_test_split", "llm_dataset_mixture", "llm_decontaminate",
     "llm_pack_sequences", "llm_docs_to_chunks", "llm_winnow_fingerprint",
     "llm_dedup_incremental", "llm_unigram_logprob", "sort_multikey_nulls",
+    "sink_partitioned", "join_dpp_partitioned",
 ]
 
 
