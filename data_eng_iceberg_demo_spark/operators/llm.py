@@ -236,8 +236,13 @@ def llm_dedup_minhash(spark, d, n_hashes: int = 6):
 
 
 _COSINE_ORACLE = """
-    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    WITH nz AS (  -- NULL and zero-norm vectors excluded: cosine undefined
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x <> 0)) > 0
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM nz WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM nz),
     pos AS (
         SELECT qid, cid, qe, ce, unnest(generate_series(1, 64)) AS i
         FROM q, c WHERE qid <> cid
@@ -269,11 +274,14 @@ def llm_similarity_topk(spark, d):
     pruned by LSH buckets before any dot product."""
     from pyspark.sql import Window
 
-    emb = T(spark, d, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    emb = (T(spark, d, "embeddings")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("e"))
+           .filter(F.col("e").isNotNull()))
     with_norm = emb.withColumn(
         "norm", F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
-                                   F.lit(0.0), lambda a, x: a + x)))
+                                   F.lit(0.0), lambda a, x: a + x))
+    ).filter(F.col("norm") > 0)  # cosine undefined for the zero vector
     q = (with_norm.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
                  F.col("norm").alias("qnorm")))
@@ -301,8 +309,10 @@ def llm_similarity_lsh(spark, d):
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
-    emb = T(spark, d, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v"))
+    emb = (T(spark, d, "embeddings")
+           .filter(F.col("embedding").isNotNull())  # MLlib needs dense rows
+           .select("vec_id", array_to_vector(
+               F.col("embedding").cast("array<double>")).alias("v")))
     if not emb.head(1):  # MLlib LSH cannot fit on zero rows; empty result
         return emb.select(F.col("vec_id").alias("qid"),
                           F.col("vec_id").alias("cid"),
@@ -731,8 +741,10 @@ def llm_dedup_embedding(spark, d, n_blocks: int = 8, threshold: float = 0.45):
     import numpy as np
     import pandas as pd
 
-    emb = T(spark, d, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    emb = (T(spark, d, "embeddings")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("e"))
+           .filter(F.col("e").isNotNull()))  # numpy kernel needs dense rows
     blocked = (emb.groupBy(F.pmod("vec_id", F.lit(n_blocks)).alias("blk"))
                .agg(F.collect_list(F.struct("vec_id", "e")).alias("vecs")))
     a = blocked.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("va"))
@@ -1122,8 +1134,10 @@ def llm_similarity_ivf(spark, d):
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
-    emb = T(spark, d, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    emb = (T(spark, d, "embeddings")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("e"))
+           .filter(F.col("e").isNotNull()))  # quantizer needs dense rows
     C = ivf_centroids(emb)
     if C is None:  # empty corpus: empty result, same schema, no crash
         return emb.select(F.col("vec_id").alias("qid"),
@@ -1820,13 +1834,13 @@ def llm_bpe_pair_counts(spark, d):
     WITH d AS (
         SELECT doc_id, source,
                md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS h,
-               CAST(substr(source, 4) AS BIGINT) AS prio
+               TRY_CAST(substr(source, 4) AS BIGINT) AS prio
         FROM documents
     ), r AS (
         SELECT doc_id, source, h,
                count(*) OVER (PARTITION BY h) AS n_docs,
                row_number() OVER (PARTITION BY h
-                                  ORDER BY prio, doc_id) AS rn
+                                  ORDER BY prio ASC NULLS LAST, doc_id) AS rn
         FROM d
     ), s AS (SELECT h, count(DISTINCT source) AS ns FROM d GROUP BY h)
     SELECT r.doc_id AS keep_doc_id, r.source AS keep_source,
@@ -1853,14 +1867,16 @@ def llm_dedup_cross_source(spark, d):
         "doc_id", "source",
         F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5))
               .cast("binary")).alias("h"),
-        F.substring("source", 4, 10).cast("bigint").alias("prio"))
+        # try_cast: a source id that is not numeric (or NULL) must rank
+        # LAST, not crash the ANSI cast
+        F.expr("try_cast(substring(source, 4, 10) AS BIGINT)").alias("prio"))
     w = Window.partitionBy("h")
     ranked = (docs
               .withColumn("n_docs", F.count("*").over(w))
               .withColumn("n_sources",
                           F.size(F.collect_set("source").over(w)).cast("bigint"))
               .withColumn("rn", F.row_number().over(
-                  w.orderBy("prio", "doc_id"))))
+                  w.orderBy(F.col("prio").asc_nulls_last(), "doc_id"))))
     return (ranked.filter((F.col("rn") == 1) & (F.col("n_docs") > 1))
             .select(F.col("doc_id").alias("keep_doc_id"),
                     F.col("source").alias("keep_source"),

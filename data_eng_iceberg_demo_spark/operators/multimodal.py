@@ -39,7 +39,10 @@ def decode_image(payload: bytes):
 def _media(spark, d):
     """Synthesize the multimodal table: documents with the text payload as
     an opaque binary 'media' column + typed metadata struct."""
-    docs = T(spark, d, "documents")
+    docs = T(spark, d, "documents").filter(F.col("text").isNotNull())
+    # NULL payloads are dropped at the boundary: every downstream decode
+    # / frame / resize kernel indexes into the byte buffer, and a navy
+    # of None checks in each kernel is worse than one typed contract
     return docs.select(
         "doc_id",
         F.col("text").cast("binary").alias("payload"),
@@ -59,7 +62,7 @@ def _media(spark, d):
            lang AS meta_lang,
            'text/plain' AS mime,
            upper(substring(md5(text), 1, 8)) AS payload_sig
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def llm_multimodal_meta(spark, d):
@@ -82,7 +85,7 @@ def llm_multimodal_meta(spark, d):
     WITH b AS (
         SELECT doc_id, encode(text) AS payload,
                octet_length(encode(text)) AS n
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id,
            CAST(n AS BIGINT) AS n_bytes,
@@ -106,7 +109,10 @@ def llm_multimodal_decode(spark, d):
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "n_bytes": payloads.map(len).astype("int64"),
-                "first_byte": payloads.map(lambda b: b[0]).astype("int64"),
+                # b[0] of an EMPTY payload is an IndexError; 0 matches
+                # the oracle's ascii('') convention
+                "first_byte": payloads.map(
+                    lambda b: b[0] if len(b) else 0).astype("int64"),
                 "header_sum": payloads.map(
                     lambda b: int(sum(b[:16]))).astype("int64"),
                 "n_frames": payloads.map(lambda b: len(b) // 64).astype("int64"),
@@ -128,7 +134,7 @@ def llm_multimodal_decode(spark, d):
            count(*) AS n_docs,
            CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     GROUP BY 1
     """,
 )
@@ -155,7 +161,7 @@ def llm_multimodal_route(spark, d):
     oracle="""
     WITH b AS (
         SELECT doc_id, text, octet_length(encode(text)) // 64 AS n_frames
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ), e AS (
         SELECT doc_id, text,
                unnest(generate_series(0, n_frames - 1)) AS i
@@ -200,7 +206,7 @@ def llm_multimodal_frames(spark, d):
     SELECT doc_id,
            CAST(128 AS BIGINT) AS resized_bytes,
            md5(rpad(substring(text, 1, 128), 128, ' ')) AS resized_sig
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def llm_multimodal_resize(spark, d):

@@ -63,3 +63,60 @@ def test_dq_report_is_vacuous_pass_on_empty(spark, empty_sf_dir):
     rows = REGISTRY["dq_constraint_check"].fn(spark, empty_sf_dir).collect()
     assert len(rows) == 5
     assert all(r.passed for r in rows)
+
+
+@pytest.fixture(scope="session")
+def nulls_sf_dir(tmp_path_factory, sf_dir):
+    """Fixture mirror with adversarial rows injected: NULL text/lang/
+    source and empty-string documents, NULL and all-zero embedding
+    vectors, an all-NULL-attribute event."""
+    dst = tmp_path_factory.mktemp("sf_nulls")
+    con = duckdb.connect()
+    con.sql(f"""COPY (
+      SELECT * FROM read_parquet('{sf_dir}/documents.parquet')
+      UNION ALL SELECT 90001, NULL, 'en', 'src0', NULL
+      UNION ALL SELECT 90002, '', NULL, NULL, 0
+      UNION ALL SELECT 90003, 'one', 'xx', 'srcX', 3
+    ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""COPY (
+      SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')
+      UNION ALL SELECT 90001, NULL, 1
+      UNION ALL SELECT 90002,
+        (SELECT list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+         FROM read_parquet('{sf_dir}/embeddings.parquet') LIMIT 1), 2
+    ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""COPY (
+      SELECT * FROM read_parquet('{sf_dir}/events.parquet')
+      UNION ALL SELECT 900001,
+        (SELECT max(ts) FROM read_parquet('{sf_dir}/events.parquet')),
+        NULL, NULL, NULL, NULL
+    ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem"):
+        con.sql(f"COPY (SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')) "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+    return str(dst)
+
+
+NULL_SAMPLE = [
+    "llm_dedup_exact", "llm_dedup_near", "llm_dedup_minhash",
+    "llm_dedup_simhash", "llm_dedup_embedding", "llm_dedup_cross_source",
+    "llm_similarity_topk", "llm_similarity_lsh", "llm_similarity_ivf",
+    "llm_multimodal_meta", "llm_multimodal_decode", "llm_multimodal_frames",
+    "llm_multimodal_resize", "llm_multimodal_route", "llm_quality_gopher",
+    "llm_repetition_filter", "llm_bpe_pair_counts", "llm_token_count",
+    "llm_text_stats", "llm_embedding_agg", "llm_embedding_quantize",
+    "events_funnel", "events_anomaly", "events_top_paths",
+    "stream_tumbling_window", "stream_dedup_keyed",
+]
+
+
+@pytest.mark.parametrize("name", NULL_SAMPLE)
+def test_query_survives_null_rows(spark, nulls_sf_dir, name):
+    """NULL text/vector/event-attribute rows (and empty strings / zero
+    vectors) must not crash any operator — this sweep caught an ANSI
+    cast crash, an ANSI zero-norm division, NULL rows reaching numpy /
+    MLlib kernels, and an IndexError on an empty payload when it was
+    introduced."""
+    df = REGISTRY[name].fn(spark, nulls_sf_dir)
+    assert df.count() >= 0
