@@ -38,6 +38,38 @@ import os
 import sys
 import time
 
+
+def host_effective_cores(n: int = 32) -> float:
+    """Measure how many cores this box ACTUALLY delivers right now: n
+    single-threaded numpy matmul units in parallel vs one serially.
+    This suite runs on a shared host whose capacity swings (observed
+    ~15-32 effective cores across one session, uniformly scaling every
+    per-query time by up to ~1.8x) — recording it with each run lets a
+    reader separate host noise from code regressions."""
+    try:
+        from concurrent.futures import ProcessPoolExecutor
+
+        # PROCESSES, not threads: numpy's element-wise ops hold the GIL
+        # (threads measured ~1.4x regardless of cores), and BLAS matmul
+        # fans out its own thread pool sized at library load — so each
+        # probe unit is a fresh process running a GIL-free ~0.4 s kernel
+        t0 = time.time(); _probe_unit(0); base = time.time() - t0
+        t0 = time.time()
+        with ProcessPoolExecutor(n) as ex:
+            list(ex.map(_probe_unit, range(n)))
+        return round(n * base / (time.time() - t0), 1)
+    except Exception:
+        return -1.0
+
+
+def _probe_unit(_):
+    import numpy as np
+
+    b = np.random.default_rng(1).standard_normal(160_000)
+    for _ in range(1200):
+        b = b * 1.0000001 + 0.5
+    return float(b[0])
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
@@ -140,6 +172,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(times),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "host_effective_cores": host_effective_cores(),
         "warmup": "per-query untimed pass at sf0.001 adjacent to each timed run",
     }
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
@@ -156,6 +189,7 @@ def main() -> None:
         "wall_clock_sec": wall,
         "queries": {**headline, **slowest},
         "regressions_vs_r01": regressions,
+        "host_effective_cores": full["host_effective_cores"],
         "queries_file": "BENCH_LOCAL.json",
         "sf": sf,
         "n_queries": len(times),
