@@ -98,17 +98,10 @@ def nulls_sf_dir(tmp_path_factory, sf_dir):
     return str(dst)
 
 
-NULL_SAMPLE = [
-    "llm_dedup_exact", "llm_dedup_near", "llm_dedup_minhash",
-    "llm_dedup_simhash", "llm_dedup_embedding", "llm_dedup_cross_source",
-    "llm_similarity_topk", "llm_similarity_lsh", "llm_similarity_ivf",
-    "llm_multimodal_meta", "llm_multimodal_decode", "llm_multimodal_frames",
-    "llm_multimodal_resize", "llm_multimodal_route", "llm_quality_gopher",
-    "llm_repetition_filter", "llm_bpe_pair_counts", "llm_token_count",
-    "llm_text_stats", "llm_embedding_agg", "llm_embedding_quantize",
-    "events_funnel", "events_anomaly", "events_top_paths",
-    "stream_tumbling_window", "stream_dedup_keyed",
-]
+# every query over the three null-injected tables (documents /
+# embeddings / events) — the full set the introducing sweep ran
+NULL_SAMPLE = sorted(n for n in REGISTRY
+                     if n.startswith(("llm_", "events_", "stream_")))
 
 
 @pytest.mark.parametrize("name", NULL_SAMPLE)
