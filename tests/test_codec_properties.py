@@ -66,3 +66,16 @@ def test_scd2_structural_invariants(spark, sf_dir):
             assert len(krows) == 1, (key, krows)  # untouched or no-op
     assert n_changed > 0
     assert len(rows) == len(by_key) + n_changed
+
+
+def test_mode_deterministic_tie_break_lowest(spark):
+    """agg_mode_median leans on Spark 4's mode(col, deterministic=true)
+    returning the LOWEST value on frequency ties — the property that
+    makes its cross-engine oracle possible.  The fixture may not contain
+    a tie, so pin the contract directly on a constructed one."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "b"), (1, "a"), (1, "a"), (1, "c")], "k int, v string")
+    out = df.groupBy("k").agg(F.mode("v", True).alias("m")).collect()
+    assert out[0].m == "a"  # 'a' and 'b' tie at 2; lowest wins
