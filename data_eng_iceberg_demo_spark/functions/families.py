@@ -441,3 +441,35 @@ def fn_collation(spark, d):
             .agg(F.count("*").alias("n"),
                  F.count_distinct("s").alias("n_spellings"))
             .select(F.lower("sc").alias("segment_ci"), "n", "n_spellings"))
+
+
+@register(
+    "fn_try_family",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(o_custkey % 3, 0) AS safe_div,
+           TRY_CAST(o_orderpriority AS BIGINT) AS bad_cast,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_digit,
+           string_split(o_orderpriority, '-')[9] AS oob_element
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def fn_try_family(spark, d):
+    """ANSI-safe try_* family (Spark 3.4+): under ANSI mode a bad cast,
+    a division by zero or an out-of-bounds index ABORTS the query — the
+    try_ variants return NULL instead, which is what a pipeline over
+    dirty data at 100 TB needs (fail the ROW, not the job; see the
+    null-injection sweep, which caught exactly these crash classes).
+    try_divide(x, 0) -> NULL, try_cast('1-URGENT' as bigint) -> NULL,
+    a leading-digit try_cast that succeeds, try_element_at past the end
+    -> NULL.  DuckDB mirrors with TRY_CAST / NULLIF division / its
+    NULL-on-out-of-range list indexing."""
+    o = T(spark, d, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.try_divide("o_totalprice", F.col("o_custkey") % 3).alias("safe_div"),
+        F.expr("try_cast(o_orderpriority AS BIGINT)").alias("bad_cast"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)")
+         .alias("prio_digit"),
+        F.try_element_at(F.split("o_orderpriority", "-"), F.lit(9))
+         .alias("oob_element"))

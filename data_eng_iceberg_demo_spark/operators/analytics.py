@@ -178,3 +178,49 @@ def events_anomaly(spark, d):
                     F.round(F.col("value").cast("double"), 2).alias("value"),
                     F.round((F.col("value") - F.col("mu")) / F.col("sd"), 2)
                     .alias("zscore")))
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY date_trunc('second', ts),
+                                              event_id) AS prev_type
+        FROM events
+    ), cnt AS (
+        SELECT prev_type, event_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ), tot AS (
+        SELECT prev_type, sum(n) AS t FROM cnt GROUP BY prev_type
+    )
+    SELECT cnt.prev_type, cnt.event_type, CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / t, 4) AS p
+    FROM cnt JOIN tot USING (prev_type)
+    """,
+)
+def events_transition_matrix(spark, d):
+    """First-order Markov transition matrix over per-user event
+    timelines: P(next event type | current) with observation counts —
+    the journey model behind next-action prediction and anomaly scoring
+    on clickstreams.  One user_id shuffle for the lag window (event_id
+    tiebreak keeps same-second orderings deterministic), one tiny
+    (prev, next) aggregate, and the per-row totals join runs over at
+    most |event_types|^2 rows — nothing downstream of the window scales
+    with the corpus.  Probabilities are identically-rounded ratios of
+    small integers on both engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.date_trunc("second", "ts"), "event_id")
+    seq = (T(spark, d, "events")
+           .select("user_id", "event_type",
+                   F.lag("event_type").over(w).alias("prev_type"))
+           .filter(F.col("prev_type").isNotNull()))
+    cnt = seq.groupBy("prev_type", "event_type").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return (cnt.join(tot, "prev_type")
+            .select("prev_type", "event_type", "n",
+                    F.round(F.col("n") * 1.0 / F.col("t"), 4).alias("p")))
