@@ -599,3 +599,23 @@ def test_cross_source_pick_shuffles_digest_not_text(spark, sf_dir):
     p = plan_of(spark, sf_dir, "llm_dedup_cross_source")
     exchange_sections = re.findall(r"\(\d+\) Exchange\n(?:.+\n)+?", p)
     assert exchange_sections and all("text#" not in s for s in exchange_sections)
+
+
+def test_transition_matrix_single_user_shuffle_bounded_join(spark, sf_dir):
+    """events_transition_matrix: the lag window shuffles on user_id once;
+    everything after it (pair counts, totals, the probabilities join)
+    operates on at most |event_types|^2 rows — the plan must stay all
+    hash/broadcast joins with no extra corpus-wide exchange."""
+    p = plan_of(spark, sf_dir, "events_transition_matrix")
+    assert node_count(p, "CartesianProduct") == 0
+    assert node_count(p, "BroadcastNestedLoopJoin") == 0
+    specs = re.findall(r"windowspecdefinition\(user_id", p)
+    assert specs, p[:1200]
+
+
+def test_try_family_is_pure_projection_zero_exchange(spark, sf_dir):
+    """fn_try_family is a narrow map over the scan: any Exchange means a
+    try_ function broke whole-stage projection."""
+    p = plan_of(spark, sf_dir, "fn_try_family")
+    assert node_count(p, "Exchange") == 0, p[:1200]
+    assert node_count(p, "Scan parquet") == 1
