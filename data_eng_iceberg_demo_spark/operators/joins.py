@@ -301,6 +301,28 @@ def join_interval(spark, d):
         F.col("a.event_id").alias("eid_a"), F.col("b.event_id").alias("eid_b"))
 
 
+def bucketed_interval_join(points, intervals, p_ts="tss", i_lo="i_tss",
+                           i_len_expr="INTERVAL 2 HOURS",
+                           bucket="hour"):
+    """Generic no-equi-key point-in-interval join as a hash EQUI-join:
+    intervals explode to every `bucket`-granularity bucket they cover,
+    points map to their single bucket, equi-join on the bucket, exact
+    residual filter.  Each qualifying pair meets in exactly one bucket
+    (the point's), so the result needs no dedup.  Returns the joined
+    frame with all point and interval columns."""
+    ilen = F.expr(i_len_expr)
+    iv = intervals.withColumn("bkt", F.explode(F.sequence(
+        F.date_trunc(bucket, F.col(i_lo)),
+        F.date_trunc(bucket, F.col(i_lo) + ilen),
+        F.expr(f"INTERVAL 1 {bucket.upper()}"))))
+    pt = points.withColumn("bkt", F.date_trunc(bucket, F.col(p_ts)))
+    return (pt.join(iv, "bkt")
+            .filter((F.col(p_ts) >= F.col(i_lo))
+                    & (F.col(p_ts) < F.col(i_lo) + ilen))
+            .drop("bkt"))
+
+
+
 @register(
     "join_interval_bucketed",
     oracle="""
@@ -336,16 +358,7 @@ def join_interval_bucketed(spark, d):
     inc = (e.filter((F.col("event_type") == "error") & (F.col("value") >= 150))
            .select(F.col("event_id").alias("incident_id"),
                    F.col("tss").alias("i_tss")))
-    two_h = F.expr("INTERVAL 2 HOURS")
-    inc_b = inc.withColumn("bkt", F.explode(F.sequence(
-        F.date_trunc("hour", "i_tss"),
-        F.date_trunc("hour", F.col("i_tss") + two_h),
-        F.expr("INTERVAL 1 HOUR"))))
-    pts = e.select("event_id", "user_id", "tss",
-                   F.date_trunc("hour", "tss").alias("bkt"))
-    j = (pts.join(inc_b, "bkt")
-         .filter((F.col("tss") >= F.col("i_tss"))
-                 & (F.col("tss") < F.col("i_tss") + two_h)))
+    j = bucketed_interval_join(e.select("event_id", "user_id", "tss"), inc)
     return (j.groupBy("incident_id",
                       F.col("i_tss").cast("string").alias("window_start"))
             .agg(F.count("*").alias("n_events"),

@@ -79,3 +79,39 @@ def test_mode_deterministic_tie_break_lowest(spark):
         [(1, "b"), (1, "b"), (1, "a"), (1, "a"), (1, "c")], "k int, v string")
     out = df.groupBy("k").agg(F.mode("v", True).alias("m")).collect()
     assert out[0].m == "a"  # 'a' and 'b' tie at 2; lowest wins
+
+
+def test_bucketed_interval_join_equals_brute_force_on_boundaries(spark):
+    """The bucketized interval join must equal the brute-force range
+    join EXACTLY, including on adversarial inputs: points sitting
+    precisely on bucket edges and interval starts/ends, intervals
+    starting exactly on the hour, and duplicate timestamps.  The classic
+    bucketing bugs (off-by-one bucket coverage, >= vs > at either end,
+    double-counting a pair that meets in two buckets) all surface
+    here."""
+    import pyspark.sql.functions as F
+
+    from data_eng_iceberg_demo_spark.operators.joins import (
+        bucketed_interval_join)
+
+    base = "2024-03-01 00:00:00"
+    # points at exact hour boundaries, interval ends, and interior
+    point_offsets_s = [0, 1, 3599, 3600, 7199, 7200, 7201, 10800,
+                       3600, 5400, 0]  # includes duplicates
+    interval_offsets_s = [0, 1, 3599, 3600, 5400]  # starts ON boundaries too
+    pts = spark.createDataFrame(
+        [(i, o) for i, o in enumerate(point_offsets_s)], "pid int, off int"
+    ).select("pid", F.expr(f"timestamp'{base}' + make_interval(0,0,0,0,0,0,off)").alias("tss"))
+    ivs = spark.createDataFrame(
+        [(i, o) for i, o in enumerate(interval_offsets_s)], "iid int, off int"
+    ).select("iid", F.expr(f"timestamp'{base}' + make_interval(0,0,0,0,0,0,off)").alias("i_tss"))
+
+    got = (bucketed_interval_join(pts, ivs)
+           .select("pid", "iid").orderBy("pid", "iid").collect())
+    brute = (pts.crossJoin(ivs)
+             .filter((F.col("tss") >= F.col("i_tss"))
+                     & (F.col("tss") < F.col("i_tss")
+                        + F.expr("INTERVAL 2 HOURS")))
+             .select("pid", "iid").orderBy("pid", "iid").collect())
+    assert got == brute
+    assert len(got) > 0  # the grid genuinely produces matches
