@@ -224,3 +224,63 @@ def events_transition_matrix(spark, d):
     return (cnt.join(tot, "prev_type")
             .select("prev_type", "event_type", "n",
                     F.round(F.col("n") * 1.0 / F.col("t"), 4).alias("p")))
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      date_trunc('second', ts) AS tss FROM events),
+    p AS (SELECT event_id AS pe, user_id, tss AS pts
+          FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS ce, user_id, tss AS cts
+          FROM e WHERE event_type = 'click'),
+    pairs AS (
+        SELECT pe, ce, cts,
+               row_number() OVER (PARTITION BY pe
+                                  ORDER BY cts, ce) AS rn_first,
+               row_number() OVER (PARTITION BY pe
+                                  ORDER BY cts DESC, ce DESC) AS rn_last,
+               count(*) OVER (PARTITION BY pe) AS n_clicks
+        FROM p JOIN c USING (user_id)
+        WHERE cts <= pts AND cts > pts - INTERVAL 3 DAY
+    )
+    SELECT f.pe AS purchase_id,
+           f.ce AS first_touch_click, l.ce AS last_touch_click,
+           CAST(f.n_clicks AS BIGINT) AS n_clicks_3d
+    FROM (SELECT * FROM pairs WHERE rn_first = 1) f
+    JOIN (SELECT * FROM pairs WHERE rn_last = 1) l USING (pe)
+    """,
+)
+def events_attribution(spark, d):
+    """Marketing attribution: each purchase credited to the user's FIRST
+    and LAST click inside a 3-day lookback, plus the click count — the
+    first-touch/last-touch pair every attribution model starts from.
+
+    Scale shape: clicks and purchases co-partition on user_id, the
+    lookback is an equi-join with a range residual (at 100 TB the
+    residual join would ride bucketed_interval_join's hour buckets),
+    and first/last resolve as min/max over (tss, event_id) STRUCTS in
+    one aggregation — no row_number re-shuffle, and the struct ordering
+    gives both engines the same tiebreak on same-second clicks."""
+    e = T(spark, d, "events").select(
+        "event_id", "user_id", "event_type",
+        F.date_trunc("second", "ts").alias("tss"))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("pe"), "user_id",
+                 F.col("tss").alias("pts")))
+    c = (e.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("ce"), "user_id",
+                 F.col("tss").alias("cts")))
+    pairs = (p.join(c, "user_id")
+             .filter((F.col("cts") <= F.col("pts"))
+                     & (F.col("cts") > F.col("pts")
+                        - F.expr("INTERVAL 3 DAYS"))))
+    touch = F.struct("cts", "ce")
+    return (pairs.groupBy("pe")
+            .agg(F.min(touch).alias("ft"), F.max(touch).alias("lt"),
+                 F.count("*").alias("n_clicks_3d"))
+            .select(F.col("pe").alias("purchase_id"),
+                    F.col("ft.ce").alias("first_touch_click"),
+                    F.col("lt.ce").alias("last_touch_click"),
+                    "n_clicks_3d"))

@@ -203,3 +203,39 @@ def window_sessionize_batch(spark, d):
             .agg(F.count("*").alias("n_events"),
                  (F.unix_timestamp(F.max("tss"))
                   - F.unix_timestamp(F.min("tss"))).alias("duration_s")))
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, CAST(o_orderdate AS VARCHAR) AS od,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing_30d,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS sum_trailing_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range_frame(spark, d):
+    """TIME-based RANGE frame: a trailing 30-day count and sum per
+    priority class ordered by order date — the moving-window-over-time
+    shape (rolling revenue, trailing error rates) that a numeric
+    rangeBetween cannot express directly.  RANGE frames are value-based,
+    so same-date peers share a frame and no tiebreak is needed for
+    determinism; the windowed sum aggregates EXACT decimals and casts to
+    double at the edge (the float-summation-order rule).  One shuffle on
+    the partition key; the frame scan is the window sort both engines
+    share."""
+    T(spark, d, "orders").createOrReplaceTempView("orders_trf")
+    return spark.sql("""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(o_orderdate AS STRING) AS od,
+               count(*) OVER w AS n_trailing_30d,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                    AS DOUBLE) AS sum_trailing_30d
+        FROM orders_trf
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
+                               AND CURRENT ROW)
+    """)
