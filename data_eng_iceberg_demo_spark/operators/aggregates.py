@@ -355,3 +355,34 @@ def agg_mode_median(spark, d):
                   .alias("median_bal_cents"),
                  F.median("c_custkey").cast("double").alias("median_custkey"),
                  F.count("*").alias("n_customers")))
+
+
+@register(
+    "agg_regression_family",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4)
+               AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression_family(spark, d):
+    """SQL:2016 linear-regression aggregates: per-group OLS slope,
+    intercept, R² and pair count of extendedprice on quantity — the
+    one-pass moment computation (sums of x, y, xy, x², y²) that scales
+    as a plain partial-aggregated scan; both engines define regr_* on
+    identical moment formulas, and the inputs are whole-dollar-ish
+    doubles whose moments associate stably enough that a 4-to-6-decimal
+    round holds across partial-aggregation orders (same class as
+    agg_stats_family, green since r01)."""
+    li = T(spark, d, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"))
