@@ -284,3 +284,43 @@ def events_attribution(spark, d):
                     F.col("ft.ce").alias("first_touch_click"),
                     F.col("lt.ce").alias("last_touch_click"),
                     "n_clicks_3d"))
+
+
+@register(
+    "events_rolling_dau",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ), days AS (SELECT DISTINCT day FROM du)
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS rolling_7d_users
+    FROM days d JOIN du u
+      ON u.day <= d.day AND u.day > d.day - 7
+    GROUP BY d.day
+    """,
+)
+def events_rolling_dau(spark, d):
+    """Rolling 7-day distinct active users per day — the windowed
+    DISTINCT aggregation that does NOT decompose into a running frame
+    (yesterday's window shares users with today's).  The scalable form:
+    reduce to distinct (day, user) pairs first (one shuffle, corpus
+    collapses to activity pairs), EXPLODE each pair onto the <=7 report
+    days it contributes to (a bounded fan-out map, day+0..day+6), and
+    count distinct users per report day — cost is O(pairs x 7), never a
+    per-day rescan, and no state grows with history.  Report days are
+    restricted to observed activity days (join semantics in both
+    engines)."""
+    du = (T(spark, d, "events")
+          .select(F.to_date(F.date_trunc("day", "ts")).alias("day"),
+                  "user_id")
+          .distinct())
+    # rename before the derived self-join so lineage stays unambiguous
+    days = du.select(F.col("day").alias("report_day")).distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"),
+                             F.date_add(F.col("day"), 6))).alias("rday"))
+    return (contrib.join(days, contrib.rday == days.report_day)
+            .groupBy(F.col("report_day").cast("string").alias("day"))
+            .agg(F.countDistinct("user_id").alias("rolling_7d_users")))

@@ -239,3 +239,34 @@ def window_time_range_frame(spark, d):
                      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
                                AND CURRENT ROW)
     """)
+
+
+@register(
+    "window_count_distinct",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(count(DISTINCT o_orderpriority) OVER
+                (PARTITION BY o_custkey) AS BIGINT) AS n_distinct_prios
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def window_count_distinct(spark, d):
+    """COUNT(DISTINCT) OVER a window — Spark refuses it natively
+    (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED), so this is the canonical
+    composition: dense_rank the value within the partition and take the
+    per-partition MAX of the rank, which equals the distinct count.
+    DuckDB DOES support the native form, making it an exact oracle for
+    the workaround.  Costs one extra window pass over the same
+    partitioning (both windows share the shuffle); at 100 TB this is
+    the difference between a supported plan and no plan at all."""
+    from pyspark.sql import Window
+
+    o = T(spark, d, "orders").filter(F.col("o_orderkey") <= 2000)
+    w_rank = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    w_all = (Window.partitionBy("o_custkey")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    return (o.withColumn("_dr", F.dense_rank().over(w_rank))
+            .withColumn("n_distinct_prios",
+                        F.max("_dr").over(w_all))
+            .select("o_custkey", "o_orderkey", "n_distinct_prios"))

@@ -95,7 +95,7 @@ def test_round5_queries_on_bare_session(bare_spark, sf_dir, name):
     "scd2_dimension_merge", "llm_multimodal_decode_bmp",
     "table_partition_spec_evolution", "events_transition_matrix",
     "fn_try_family", "events_attribution", "window_time_range_frame",
-    "agg_regression_family",
+    "agg_regression_family", "window_count_distinct", "events_rolling_dau",
 ])
 def test_round6_queries_on_bare_session(bare_spark, sf_dir, name):
     """The round-6 additions (derived-partsupp TPC-H set, table
