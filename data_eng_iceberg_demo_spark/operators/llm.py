@@ -1881,3 +1881,60 @@ def llm_dedup_cross_source(spark, d):
             .select(F.col("doc_id").alias("keep_doc_id"),
                     F.col("source").alias("keep_source"),
                     "n_docs", "n_sources"))
+
+
+@register(
+    "llm_bigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, w, i, w[i] AS cur, w[i+1] AS nxt
+        FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                     unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 2)
+    ), big AS (
+        SELECT cur, nxt, count(*) AS c2 FROM tok GROUP BY cur, nxt
+    ), uni AS (
+        SELECT cur, sum(c2) AS c1 FROM big GROUP BY cur
+    ), v AS (SELECT count(DISTINCT nxt) AS vs FROM big)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CAST(round(ln((c2 + 1.0) / (c1 + vs)) * 1000000)
+                         AS BIGINT)) AS BIGINT) AS logprob_fp6
+    FROM tok JOIN big USING (cur, nxt) JOIN uni USING (cur)
+    CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def llm_bigram_logprob(spark, d):
+    """Bigram language-model scoring with add-one smoothing — the next
+    step up from llm_unigram_logprob's perplexity proxy: per document,
+    the total log P(w_i | w_{i-1}) of its adjacent pairs under the
+    corpus's own bigram counts.  The per-pair log-probs are doubles both
+    engines compute identically (same counts, same ln), so the per-doc
+    total is accumulated as FIXED-POINT micro-nats (round(lp*1e6) summed
+    as BIGINT) — order-independent and exact across engines, the
+    discipline llm_bm25_topk introduced, strictly stronger than
+    unigram's rounded-average + fixture-guard approach.  Shapes: bigram
+    counts shuffle on the pair, the conditional join shuffles on the
+    predecessor token; neither side broadcasts (vocabulary scales with
+    the corpus); the smoothing vocab size is a 1-row broadcast."""
+    docs = (T(spark, d, "documents")
+            .select("doc_id", F.split("text", " ").alias("w"))
+            .filter(F.size("w") >= 2))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("w"), i).alias("cur"),
+                F.element_at(F.col("w"), i + 1).alias("nxt")))).alias("p")
+    ).select("doc_id", "p.cur", "p.nxt")
+    big = tok.groupBy("cur", "nxt").agg(F.count("*").alias("c2"))
+    uni = big.groupBy("cur").agg(F.sum("c2").alias("c1"))
+    v = big.agg(F.countDistinct("nxt").alias("vs"))
+    lp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vs")))
+    return (tok.join(big, ["cur", "nxt"]).join(uni, "cur")
+            .join(F.broadcast(v))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum(F.round(lp * 1e6).cast("bigint")).alias("logprob_fp6")))

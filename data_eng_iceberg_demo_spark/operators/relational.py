@@ -514,3 +514,55 @@ def scan_text(spark, d):
     out = scratch_dir("scan_text_")
     T(spark, d, "documents").select("text").write.mode("overwrite").text(out)
     return spark.read.text(out)
+
+
+@register(
+    "scan_csv_malformed",
+    oracle="""
+    WITH r AS (
+        SELECT * FROM (VALUES
+            (1, 'alpha', 10.5, FALSE),
+            (3, 'gamma', 2.25, FALSE),
+            (6, 'zeta', 0.75, FALSE),
+            (NULL, NULL, NULL, TRUE),
+            (NULL, NULL, NULL, TRUE),
+            (NULL, NULL, NULL, TRUE)
+        ) t(id, name, score, is_corrupt)
+    )
+    SELECT id, name, score, is_corrupt FROM r
+    """,
+)
+def scan_csv_malformed(spark, d):
+    """Malformed-input handling on a CSV scan: PERMISSIVE mode routes
+    rows that fail the schema (non-numeric id, bad float, truncated
+    line) into the columnNameOfCorruptRecord side-channel instead of
+    failing the job or silently dropping data — the quarantine pattern
+    a production ingest needs (count the bad rows, load the good ones;
+    the fail-the-row discipline of fn_try_family at file-format level).
+    The fixture file is written deterministically with three good and
+    three malformed lines; the oracle pins exactly which rows parse and
+    that every malformed line is captured, not dropped.  Projection
+    keeps (typed columns, is_corrupt flag) so the hash verifies the
+    ROUTING, independent of raw-line formatting."""
+    import os
+
+    path = os.path.join(scratch_dir("csv_malformed_"), "in.csv")
+    with open(path, "w") as f:
+        f.write("id,name,score\n"
+                "1,alpha,10.5\n"
+                "oops,beta,1.5\n"          # non-numeric id
+                "3,gamma,2.25\n"
+                "4,delta,not_a_float\n"    # bad float
+                "6,zeta,0.75\n"
+                "7,eta\n")                 # truncated line
+    df = (spark.read
+          .option("header", "true")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .schema("id INT, name STRING, score DOUBLE, _bad STRING")
+          .csv(path))
+    return df.select(
+        F.when(F.col("_bad").isNull(), F.col("id")).alias("id"),
+        F.when(F.col("_bad").isNull(), F.col("name")).alias("name"),
+        F.when(F.col("_bad").isNull(), F.col("score")).alias("score"),
+        F.col("_bad").isNotNull().alias("is_corrupt"))

@@ -96,6 +96,7 @@ def test_round5_queries_on_bare_session(bare_spark, sf_dir, name):
     "table_partition_spec_evolution", "events_transition_matrix",
     "fn_try_family", "events_attribution", "window_time_range_frame",
     "agg_regression_family", "window_count_distinct", "events_rolling_dau",
+    "llm_bigram_logprob", "scan_csv_malformed",
 ])
 def test_round6_queries_on_bare_session(bare_spark, sf_dir, name):
     """The round-6 additions (derived-partsupp TPC-H set, table
