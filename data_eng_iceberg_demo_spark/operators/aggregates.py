@@ -386,3 +386,36 @@ def agg_regression_family(spark, d):
         F.round(F.regr_intercept(y, x), 4).alias("intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
         F.regr_count(y, x).alias("n"))
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT)
+               AS n_bulk,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+               AS qty_discounted,
+           CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04)
+                AS BIGINT) AS n_taxed_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_filter_clause(spark, d):
+    """SQL:2003 FILTER clause on aggregates — per-aggregate predicates
+    in ONE pass over one grouping (including a filtered DISTINCT),
+    where the alternative is N self-joined subqueries.  Identical
+    syntax both engines; decimal-exact sums cast to double at the
+    edge."""
+    T(spark, d, "lineitem").createOrReplaceTempView("lineitem_fc")
+    return spark.sql("""
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                    FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+                   AS qty_discounted,
+               count(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04)
+                   AS n_taxed_suppliers
+        FROM lineitem_fc GROUP BY l_returnflag
+    """)

@@ -1938,3 +1938,34 @@ def llm_bigram_logprob(spark, d):
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_bigrams"),
                  F.sum(F.round(lp * 1e6).cast("bigint")).alias("logprob_fp6")))
+
+
+@register(
+    "llm_dedup_exact_normalized",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+                   AS h
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM norm GROUP BY h
+    """,
+)
+def llm_dedup_exact_normalized(spark, d):
+    """Exact dedup AFTER canonicalization (the C4 recipe): lowercase,
+    strip everything but [a-z0-9 ], trim — so case and punctuation
+    variants of the same content collapse into one group.  Same
+    32-byte-digest shuffle discipline as llm_dedup_exact; the normalize
+    step is a codegen string map at the scan.  regexp semantics pinned
+    cross-engine by the oracle (DuckDB needs the 'g' flag for
+    replace-all; Spark's regexp_replace is always global)."""
+    docs = T(spark, d, "documents").filter(F.col("text").isNotNull())
+    h = F.md5(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""))
+              .cast("binary"))
+    return (docs.groupBy(h.alias("h"))
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count("*").alias("n_copies"))
+            .drop("h"))
