@@ -1106,7 +1106,12 @@ def ivf_centroids(emb_df, k=16, iters=5, sample_n=2048):
     if not sample:
         return None  # empty corpus: nothing to quantize
     X = np.array([r["e"] for r in sample], dtype=np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    # zero-norm vectors carry no direction: drop them from training
+    # rather than dividing by 0 (NaN centroids / RuntimeWarning)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
+    if not len(X):
+        return None
     C = X[:k].copy()
     for _ in range(iters):
         assign = (X @ C.T).argmax(axis=1)
@@ -1147,17 +1152,22 @@ def llm_similarity_ivf(spark, d):
     # across all three fixture scale factors; nprobe=4 bottomed at 0.68
     nprobe = 6
 
+    def _unit_rows(es):
+        # zero-norm vectors have no direction; dividing by a clamped
+        # norm leaves them as zero rows (cell assignment arbitrary,
+        # cosine 0 downstream) instead of NaN + RuntimeWarning
+        X = np.array(es.tolist(), dtype=np.float64)
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        return X / np.maximum(n, 1e-300)
+
     @pandas_udf("int", "SCALAR")
     def cell_of(es):
-        X = np.array(es.tolist(), dtype=np.float64)
-        X /= np.linalg.norm(X, axis=1, keepdims=True)
-        return pd.Series((X @ C.T).argmax(axis=1).astype("int32"))
+        return pd.Series((_unit_rows(es) @ C.T).argmax(axis=1).astype("int32"))
 
     @pandas_udf("array<int>", "SCALAR")
     def probes_of(es):
-        X = np.array(es.tolist(), dtype=np.float64)
-        X /= np.linalg.norm(X, axis=1, keepdims=True)
-        order = np.argsort(-(X @ C.T), axis=1)[:, :nprobe].astype("int32")
+        order = np.argsort(-(_unit_rows(es) @ C.T),
+                           axis=1)[:, :nprobe].astype("int32")
         return pd.Series(list(order))
 
     with_norm = emb.withColumn(
@@ -1836,6 +1846,7 @@ def llm_bpe_pair_counts(spark, d):
                md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS h,
                TRY_CAST(substr(source, 4) AS BIGINT) AS prio
         FROM documents
+        WHERE text IS NOT NULL
     ), r AS (
         SELECT doc_id, source, h,
                count(*) OVER (PARTITION BY h) AS n_docs,
@@ -1860,10 +1871,15 @@ def llm_dedup_cross_source(spark, d):
     Scale shape: one shuffle on the 32-byte digest; the pick is a
     row_number window and the family stats ride the same partitioning —
     never a self-join, and raw text never shuffles (the digest is
-    computed in the scan-side map)."""
+    computed in the scan-side map).
+
+    NULL text is filtered on BOTH sides before hashing: Spark's
+    concat_ws over a NULL split array yields '' (hashing every NULL-text
+    doc into the md5('') family) while DuckDB's array_to_string returns
+    NULL — dedup families must come from real content only."""
     from pyspark.sql import Window
 
-    docs = T(spark, d, "documents").select(
+    docs = T(spark, d, "documents").filter(F.col("text").isNotNull()).select(
         "doc_id", "source",
         F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5))
               .cast("binary")).alias("h"),

@@ -126,27 +126,28 @@ def _correctness_name_sets() -> tuple[frozenset, frozenset]:
 _REVERIFY = ("llm_tfidf_terms", "llm_lang_id", "llm_lang_filter_route",
              "llm_multimodal_join", "llm_embedding_agg")
 
-# Round-5 target window: 45 never-sampled core-closure names (window_*,
-# sort/topk/limit, set_*, fn_*, projections/filters, scan/sink, DPP) +
-# the five _REVERIFY queries.  Entries leave the window automatically
-# once a CORRECTNESS file records them (see _ordered_names).
+# Round-6 target window: the 50 most load-bearing never-sampled names
+# (VERDICT r5 task 1) — all 22 TPC-H shapes, the 19 table_* lakehouse
+# queries (the reference's distinctive surface: time travel, schema /
+# partition-spec evolution, pruning, maintenance), and the 9 udf_*
+# Python-execution queries.  Entries leave the window automatically
+# once a CORRECTNESS file records them (see _ordered_names); the
+# streams/llm remainder fronts itself right behind via rest_unsampled.
 _ROUND_WINDOW = [
-    "window_ranking", "window_lag_lead", "window_running_frame",
-    "window_range_frame", "window_analytic", "window_sessionize_batch",
-    "sort_multikey_nulls", "limit_k", "topk_global", "topk_per_group",
-    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
-    "fn_string", "fn_datetime", "fn_math", "fn_array", "fn_map", "fn_json",
-    "fn_struct", "fn_hash", "fn_bitwise", "fn_url", "fn_variant", "fn_xml",
-    "fn_collation",
-    "project_select_alias", "filter_comparison", "filter_in_between_like",
-    "filter_null_and_or_not", "project_case_when", "project_cast_types",
-    "distinct_rows",
-    "scan_parquet", "scan_csv", "scan_json_lines", "sink_parquet",
-    "sink_csv_roundtrip", "sink_json_roundtrip", "sink_orc",
-    "sink_partitioned", "scan_text", "scan_binary_files",
-    "join_dpp_partitioned",
-    "llm_tfidf_terms", "llm_lang_id", "llm_lang_filter_route",
-    "llm_multimodal_join", "llm_embedding_agg",
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "table_insert_select", "table_delete_where", "table_update_where",
+    "table_time_travel", "table_rollback", "table_orphan_cleanup",
+    "table_history", "table_schema_evolution", "table_partition_pruning",
+    "table_partition_bucket", "table_merge_upsert", "table_cdc_changes",
+    "table_compaction", "table_zorder_scan", "table_branch_wap",
+    "table_expire_snapshots", "table_partitions_meta",
+    "table_incremental_agg", "table_partition_spec_evolution",
+    "udf_python_scalar", "udf_pandas_scalar", "udf_pandas_grouped_agg",
+    "udf_grouped_map", "udf_cogrouped_map", "udf_map_in_pandas",
+    "udf_map_in_arrow", "udf_sql_declared", "udtf_python",
 ]
 
 

@@ -266,8 +266,10 @@ def stream_stateful_running(spark, d):
     def update(key, pdf_iter, state):
         cnt, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
-            cnt += len(pdf)
-            v = pdf["value"].to_numpy()
+            cnt += len(pdf)  # COUNT(*) semantics: NULL rows still count
+            # SUM skips NULLs; a NaN reaching the int64 cast is
+            # platform-defined garbage, so drop them first
+            v = pdf["value"].dropna().to_numpy()
             cents += int(np.floor(v * 100.0 + 0.5).astype("int64").sum())
         state.update((cnt, cents))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt],

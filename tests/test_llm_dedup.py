@@ -316,3 +316,19 @@ def test_minhash_hot_band_buckets_capped_but_pair_survives(spark, tmp_path):
     assert got == {(1, 2)}, sorted(got)[:10]
     metrics = llm.DEDUP_OBSERVATIONS["llm_dedup_minhash"].get
     assert metrics["dropped_hot_buckets"] >= 1, metrics
+
+
+def test_fixture_corpus_fires_zero_hot_key_drops(spark, sf_dir):
+    """The DEDUP_DF_CAP hot-key guard must be a no-op on the real fixture
+    corpus: if a fixture regen (or a cap change) starts dropping posting
+    lists / band buckets on the driver's own test data, recall silently
+    shrinks — fail loudly here instead (VERDICT r5 task 5)."""
+    from data_eng_iceberg_demo_spark.operators import llm
+
+    llm.llm_dedup_near(spark, sf_dir).collect()
+    near = llm.DEDUP_OBSERVATIONS["llm_dedup_near"].get
+    assert near["dropped_hot_shingles"] == 0, near
+
+    llm.llm_dedup_minhash(spark, sf_dir).collect()
+    mh = llm.DEDUP_OBSERVATIONS["llm_dedup_minhash"].get
+    assert mh["dropped_hot_buckets"] == 0, mh
