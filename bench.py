@@ -90,6 +90,85 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def skew_demo(spark, sf_dir: str) -> dict:
+    """Recorded salted-vs-plain skew delta (VERDICT r5 task 4): build a
+    hot-key mirror of orders at bench scale (every order duplicated 15x
+    onto ONE customer key -> that key owns 94% of a 2.4M-row table),
+    then time the same join+aggregate three ways with auto-broadcast off
+    (so the custkey join actually shuffles, as a fact-fact join would):
+
+      * plain_noaqe_sec — unsalted, AQE skew-join splitting disabled:
+        the hot key's entire row set lands on one reducer (the stall the
+        salt exists to prevent);
+      * plain_aqe_sec   — unsalted, AQE skew handling on (runtime split,
+        the first line of defense);
+      * salted_sec      — join_skew_salted's deterministic 8-way salt.
+
+    Each variant runs twice, min kept (single-run flicker).  Skippable
+    with SPARK_GRAFT_SKEW_DEMO=0."""
+    import shutil
+    import tempfile
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from data_eng_iceberg_demo_spark.operators._util import T
+    from data_eng_iceberg_demo_spark.operators.advanced import join_skew_salted
+
+    dst = tempfile.mkdtemp(prefix="bench_skew_")
+    con = duckdb.connect()
+    con.sql(f"""COPY (
+        SELECT * FROM read_parquet('{sf_dir}/orders.parquet')
+        UNION ALL
+        SELECT o_orderkey + 10000000 * (r + 1), CAST(1 AS BIGINT),
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM read_parquet('{sf_dir}/orders.parquet'), range(0, 15) t(r)
+    ) TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
+    con.close()
+    for t in ("customer", "nation"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{dst}/{t}.parquet")
+
+    def plain(spark, d):
+        # join_skew_salted minus the salt: same build side (customer x
+        # broadcast nation), same probe, same aggregate
+        o = T(spark, d, "orders")
+        c = T(spark, d, "customer")
+        n = T(spark, d, "nation")
+        build = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+                 .select("c_custkey", "n_name"))
+        return (o.join(build, o.o_custkey == build.c_custkey)
+                .groupBy("n_name")
+                .agg(F.count("*").alias("n_orders"),
+                     F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                     .cast("double").alias("total_price")))
+
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in
+             ("spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.skewJoin.enabled")}
+    out: dict[str, float] = {"hot_key_share": 0.9375, "orders_rows": 2_400_000}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for label, fn, skew_aqe in (
+                ("plain_noaqe_sec", plain, "false"),
+                ("plain_aqe_sec", plain, "true"),
+                ("salted_sec", join_skew_salted, "true")):
+            conf.set("spark.sql.adaptive.skewJoin.enabled", skew_aqe)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                force(fn(spark, dst))
+                best = min(best, time.time() - t0)
+            out[label] = round(best, 3)
+    except Exception as ex:
+        out["error"] = str(ex)[:200]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+        shutil.rmtree(dst, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -162,6 +241,9 @@ def main() -> None:
     # keep the headline equal to the sum of the reported per-query times
     total = round(sum(t for t in times.values() if t >= 0), 3)
 
+    demo = (skew_demo(spark, sf_dir)
+            if os.environ.get("SPARK_GRAFT_SKEW_DEMO", "1") != "0" else None)
+
     full = {
         "metric": "sum_of_warmed_query_times",
         "value": total,
@@ -174,6 +256,7 @@ def main() -> None:
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
         "host_effective_cores": host_effective_cores(),
         "warmup": "per-query untimed pass at sf0.001 adjacent to each timed run",
+        "skew_demo": demo,
     }
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
         json.dump(full, f, separators=(",", ":"))
@@ -190,6 +273,7 @@ def main() -> None:
         "queries": {**headline, **slowest},
         "regressions_vs_r01": regressions,
         "host_effective_cores": full["host_effective_cores"],
+        "skew_demo": demo,
         "queries_file": "BENCH_LOCAL.json",
         "sf": sf,
         "n_queries": len(times),
