@@ -1472,3 +1472,68 @@ class IceliteTable:
     def file_count(self, version: int | None = None) -> int:
         meta = self.meta
         return len(self._snapshot(meta, version)["files"])
+
+    def to_iceberg_ddl(self, full_name: str | None = None) -> dict:
+        """Migration/export path from icelite to real Apache Iceberg
+        (VERDICT r5 task 7): emit everything a connector-equipped Spark
+        needs to recreate this table the day an iceberg-spark-runtime
+        jar is available — without rewriting a byte of data.
+
+        Returns a dict with:
+          * ``create_table`` — ``CREATE TABLE ... USING iceberg`` DDL:
+            current-schema columns (Spark DDL types, which Iceberg's
+            Spark DDL accepts verbatim), ``PARTITIONED BY`` carrying the
+            spec's hidden-partitioning transform (days/months/years/
+            hours/bucket/truncate), and table properties as
+            TBLPROPERTIES;
+          * ``add_files`` — the ``CALL <catalog>.system.add_files``
+            invocation that adopts the existing parquet files in place
+            (Iceberg's documented parquet-import procedure);
+          * ``files`` — the current snapshot's data-file manifest
+            (absolute path, record count, partition value) for an
+            auditor or a metadata-only importer.
+
+        Tables whose current snapshot carries merge-on-read delete
+        files cannot be adopted file-by-file (add_files knows nothing
+        of positional deletes); call ``rewrite_data_files()`` first —
+        enforced here with a clear error instead of a silent wrong
+        export."""
+        meta = self.meta
+        name = full_name or meta["table"]
+        snap = (self._snapshot(meta, None)
+                if meta["current_snapshot"] is not None
+                else {"files": [], "delete_files": []})
+        if snap.get("delete_files"):
+            raise ValueError(
+                "current snapshot has merge-on-read delete files; run "
+                "rewrite_data_files() to compact them before exporting "
+                "(add_files cannot represent positional deletes)")
+
+        cols = ",\n  ".join(
+            f"{f['name']} {f['type'].upper()}"
+            for f in self._schema_fields(meta, meta["current_schema"]))
+        spec = meta.get("partition_spec")
+        part_clause = ""
+        if spec is not None:
+            src = self._spec_source(spec, meta)["name"]
+            if spec["transform"] in self._TIME_TRANSFORMS:
+                expr = f"{spec['transform']}({src})"
+            else:  # bucket / truncate carry their parameter first
+                expr = f"{spec['transform']}({spec['param']}, {src})"
+            part_clause = f"\nPARTITIONED BY ({expr})"
+        props = dict(meta.get("properties") or {})
+        props.setdefault("format-version", "2")
+        props_sql = ", ".join(f"'{k}' = '{v}'"
+                              for k, v in sorted(props.items()))
+        create = (f"CREATE TABLE {name} (\n  {cols}\n) USING iceberg"
+                  f"{part_clause}\nTBLPROPERTIES ({props_sql})")
+
+        files = [{"path": os.path.join(self.tdir, f["path"]),
+                  "record_count": f.get("record_count"),
+                  "partition": f.get("partition")}
+                 for f in snap["files"]]
+        add_files = (
+            f"CALL system.add_files(table => '{name}', "
+            f"source_table => '`parquet`.`{os.path.join(self.tdir, 'data')}`')")
+        return {"create_table": create, "add_files": add_files,
+                "files": files}

@@ -588,3 +588,52 @@ def test_read_changes_rejects_update_and_merge_ranges(spark):
     t2.merge_into(df.filter(F.col("uf") == "RJ"), "id_pedido", ["quantidade"])
     with pytest.raises(ValueError, match="non-append.*merge"):
         t2.read_changes(from_version=1)
+
+
+def test_to_iceberg_ddl_round_trips_schema_and_manifest(spark, table):
+    """The migration emitter (to_iceberg_ddl) must produce DDL whose
+    column block parses back (StructType.fromDDL) to exactly the
+    table's CURRENT schema — after evolution — plus the partition
+    transform and an existing-on-disk file manifest covering every
+    current-snapshot row."""
+    from pyspark.sql.types import StructType
+
+    table.add_column("obs", "string")
+    table.rename_column("uf", "estado")
+    table.set_partition_days("data_criacao")
+    table.insert(_typed_pedidos(spark)
+                 .withColumnRenamed("uf", "estado")
+                 .withColumn("obs", F.lit("x")))
+
+    out = table.to_iceberg_ddl("lake.db.pedidos")
+    ddl = out["create_table"]
+    assert ddl.startswith("CREATE TABLE lake.db.pedidos (")
+    assert "USING iceberg" in ddl
+    assert "PARTITIONED BY (days(data_criacao))" in ddl
+    assert "'format-version' = '2'" in ddl
+
+    cols = ddl.split("(", 1)[1].rsplit(") USING iceberg", 1)[0]
+    parsed = StructType.fromDDL(cols)
+    assert parsed == spark.createDataFrame([], table.read().schema).schema
+
+    # manifest: every file exists; record counts sum to the row count
+    assert out["files"], "non-empty table must export files"
+    assert all(os.path.exists(f["path"]) for f in out["files"])
+    assert (sum(f["record_count"] for f in out["files"])
+            == table.read().count())
+    # the second batch was written under the days spec -> partition value
+    assert any(f["partition"] is not None for f in out["files"])
+    assert "system.add_files" in out["add_files"]
+
+
+def test_to_iceberg_ddl_refuses_mor_deletes_until_compacted(spark, table):
+    """add_files cannot represent positional deletes, so a table whose
+    current snapshot carries MOR delete files must refuse to export —
+    and export fine after rewrite_data_files applies them."""
+    table.delete_where("uf = 'SP'", mode="merge-on-read")
+    with pytest.raises(ValueError, match="rewrite_data_files"):
+        table.to_iceberg_ddl()
+    before = table.read().count()
+    table.rewrite_data_files()
+    out = table.to_iceberg_ddl()
+    assert sum(f["record_count"] for f in out["files"]) == before
