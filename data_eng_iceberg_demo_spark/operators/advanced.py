@@ -596,35 +596,37 @@ def join_bloom_prefilter(spark, d):
     result identical to the plain join — which is exactly what the
     oracle checks.
 
-    Two confs are adjusted while the plan is optimized, then restored:
+    Two confs are adjusted for this plan only:
     applicationSideScanSizeThreshold drops to 0 because the default
     (10 GiB) assumes cluster-scale scans that local fixtures never
     reach, and autoBroadcastJoinThreshold is disabled so the join keeps
     the shuffle form the rule targets (with a broadcastable dim Spark
-    would — correctly — just broadcast).  The physical plan is
-    materialized under those confs before they are restored
-    (QueryExecution caches it), so the returned frame keeps the bloom
-    path without leaking conf state to later queries;
+    would — correctly — just broadcast).  The whole query is built in a
+    DEDICATED child session (``spark.newSession()``: same SparkContext
+    and cached data, own SQLConf), so the overrides never exist in the
+    caller's session — a query another thread plans concurrently can
+    no longer compile under them (the r5 ADVICE race);
     tests/test_plans.py pins might_contain over the lineitem scan."""
-    li = T(spark, d, "lineitem")
-    o = (T(spark, d, "orders")
+    from ..session import ensure_session_defaults
+
+    iso = spark.newSession()
+    ensure_session_defaults(iso)
+    # carry the caller's parallelism profile into the child (runtime
+    # confs don't cross newSession; builder-time ones do)
+    for k in ("spark.sql.shuffle.partitions",
+              "spark.sql.adaptive.enabled"):
+        iso.conf.set(k, spark.conf.get(k))
+    iso.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                 "applicationSideScanSizeThreshold", "0")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = T(iso, d, "lineitem")
+    o = (T(iso, d, "orders")
          .filter(F.col("o_orderdate").between("1995-01-01", "1995-03-31")))
-    keys = ("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-            "spark.sql.autoBroadcastJoinThreshold")
-    saved = {k: spark.conf.get(k) for k in keys}
-    spark.conf.set(keys[0], "0")
-    spark.conf.set(keys[1], "-1")
-    try:
-        out = (li.join(o, li.l_orderkey == o.o_orderkey)
-               .groupBy("l_returnflag")
-               .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                     .cast("double").alias("sum_qty"),
-                    F.count("*").alias("n_items")))
-        out._jdf.queryExecution().executedPlan()  # freeze under these confs
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
-    return out
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                  .cast("double").alias("sum_qty"),
+                 F.count("*").alias("n_items")))
 
 
 @register(

@@ -499,7 +499,8 @@ def test_kmv_ranks_in_salted_buckets_before_region(spark, sf_dir):
 def test_bloom_prefilter_query_pushes_might_contain_and_restores_confs(spark, sf_dir):
     """join_bloom_prefilter must (a) carry the injected runtime bloom:
     bloom_filter_agg over the filtered orders keys and might_contain on
-    the lineitem side, and (b) restore the two thresholds it lowers —
+    the lineitem side, and (b) leave the caller session's thresholds
+    untouched (the overrides live in a dedicated child session) —
     leaking autoBroadcastJoinThreshold=-1 would silently de-broadcast
     every later dimension join in the session."""
     keys = ("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
