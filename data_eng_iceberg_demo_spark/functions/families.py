@@ -473,3 +473,39 @@ def fn_try_family(spark, d):
          .alias("prio_digit"),
         F.try_element_at(F.split("o_orderpriority", "-"), F.lit(9))
          .alias("oob_element"))
+
+
+@register(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name AS plain,
+           TRUE AS rt_ok, TRUE AS wrong_key_null,
+           CAST(length(c_name) - length(c_name) % 16 + 16 AS BIGINT)
+               AS ct_len
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def fn_aes_roundtrip(spark, d):
+    """Column-level encryption family (Spark 3.3+ aes_encrypt /
+    aes_decrypt / try_aes_decrypt): encrypt a column, decrypt it back,
+    and prove the invariants the oracle can state without doing crypto —
+    the decrypt is an exact inverse (rt_ok), a WRONG key yields NULL via
+    try_aes_decrypt instead of aborting the job (the try_* dirty-data
+    discipline), and the ECB/PKCS ciphertext length is the closed-form
+    len - len%16 + 16.  ECB is used because it is DETERMINISTIC — GCM's
+    random IV would make every run's ciphertext differ (fine for real
+    pipelines, fatal for a replayable oracle); this is a determinism
+    choice, not crypto advice.  All JVM codegen, narrow map, no
+    shuffle."""
+    c = T(spark, d, "customer").filter(F.col("c_custkey") <= 200)
+    ct = F.expr("aes_encrypt(c_name, '0123456789abcdef', 'ECB')")
+    return c.select(
+        "c_custkey",
+        F.col("c_name").alias("plain"),
+        (F.expr("cast(aes_decrypt(aes_encrypt(c_name, '0123456789abcdef', "
+                "'ECB'), '0123456789abcdef', 'ECB') AS STRING)")
+         == F.col("c_name")).alias("rt_ok"),
+        F.expr("try_aes_decrypt(aes_encrypt(c_name, '0123456789abcdef', "
+               "'ECB'), 'fedcba9876543210', 'ECB')").isNull()
+         .alias("wrong_key_null"),
+        F.length(ct).cast("bigint").alias("ct_len"))

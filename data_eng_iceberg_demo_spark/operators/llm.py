@@ -1173,6 +1173,10 @@ def llm_similarity_ivf(spark, d):
     with_norm = emb.withColumn(
         "norm", F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
                                    F.lit(0.0), lambda a, x: a + x)))
+    # a zero-norm vector has no direction: it can neither query nor be
+    # a neighbor (cosine undefined; under ANSI the division would abort
+    # the job) — drop it from both sides before any pairing
+    with_norm = with_norm.filter(F.col("norm") > 0)
     cand = with_norm.withColumn("cell", cell_of("e")).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
         F.col("norm").alias("cnorm"), "cell")
@@ -1985,3 +1989,82 @@ def llm_dedup_exact_normalized(spark, d):
             .agg(F.min("doc_id").alias("keep_doc_id"),
                  F.count("*").alias("n_copies"))
             .drop("h"))
+
+
+@register(
+    "llm_line_dedup",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n
+        FROM documents WHERE text IS NOT NULL
+    ), l AS (
+        SELECT doc_id,
+               array_to_string(list_slice(w, s, least(s + 2, n)), ' ')
+                   AS line,
+               least(s + 2, n) - s + 1 AS line_tokens
+        FROM (SELECT doc_id, w, n,
+                     unnest(generate_series(1, n, 3)) AS s FROM d)
+    ), b AS (
+        SELECT line FROM l GROUP BY line
+        HAVING count(DISTINCT doc_id) >= 3
+    )
+    SELECT l.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(b.line) AS BIGINT) AS n_boiler_lines,
+           CAST(coalesce(sum(CASE WHEN b.line IS NULL
+                                  THEN l.line_tokens END), 0) AS BIGINT)
+               AS n_kept_tokens,
+           round(CAST(coalesce(sum(CASE WHEN b.line IS NULL
+                                        THEN l.line_tokens END), 0)
+                      AS DOUBLE) / sum(l.line_tokens), 4) AS kept_ratio
+    FROM l LEFT JOIN b USING (line)
+    GROUP BY l.doc_id
+    """,
+)
+def llm_line_dedup(spark, d):
+    """Cross-document LINE removal — the C4/CCNet cleaning rule that is
+    NOT document dedup: any line occurring verbatim in >= 3 distinct
+    documents is boilerplate (headers, navigation, license banners) and
+    is dropped from every document that carries it, while the documents
+    themselves survive.  Output is the per-document cleansing report
+    (line count, boilerplate count, kept tokens, kept ratio) a pipeline
+    thresholds on.  The fixture corpus has no newlines, so "lines" are
+    non-overlapping 3-token windows — the windowing is the fixture
+    adaptation; the cross-doc frequency rule is the real semantics.
+
+    Scale shape: lines shuffle once on their 32-byte md5 (raw line text
+    never shuffles past the first aggregate), the boilerplate set is
+    corpus-sized so it joins hash-to-hash with NO broadcast hint, and
+    the per-doc report is one more partial-aggregated shuffle.  NULL
+    text is excluded on both sides (concat_ws vs array_to_string NULL
+    divergence, the llm_dedup_cross_source lesson)."""
+    docs = (T(spark, d, "documents").filter(F.col("text").isNotNull())
+            .select("doc_id", F.split("text", " ").alias("w")))
+    docs = docs.withColumn("n", F.size("w"))
+    lines = docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.col("n"), F.lit(3)),
+            lambda s: F.struct(
+                F.md5(F.concat_ws(" ", F.slice("w", s, F.lit(3)))
+                      .cast("binary")).alias("lh"),
+                (F.least(s + 2, F.col("n")) - s + F.lit(1))
+                 .cast("bigint").alias("line_tokens")))).alias("ln")) \
+        .select("doc_id", "ln.lh", "ln.line_tokens")
+    boiler = (lines.groupBy("lh")
+              .agg(F.countDistinct("doc_id").alias("nd"))
+              .filter(F.col("nd") >= 3)
+              .select("lh", F.lit(True).alias("is_boiler")))
+    return (lines.join(boiler, "lh", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_lines"),
+                 F.count("is_boiler").alias("n_boiler_lines"),
+                 F.coalesce(F.sum(F.when(F.col("is_boiler").isNull(),
+                                         F.col("line_tokens"))), F.lit(0))
+                  .cast("bigint").alias("n_kept_tokens"),
+                 F.round(
+                     F.coalesce(F.sum(F.when(F.col("is_boiler").isNull(),
+                                             F.col("line_tokens"))),
+                                F.lit(0)).cast("double")
+                     / F.sum("line_tokens"), 4).alias("kept_ratio")))

@@ -161,7 +161,8 @@ def skew_sf_dir(tmp_path_factory, sf_dir):
 SKEW_SAMPLE = [
     "llm_dedup_exact", "llm_dedup_near", "llm_dedup_minhash",
     "llm_dedup_simhash", "llm_dedup_embedding", "llm_dedup_clusters",
-    "llm_dedup_cross_source", "llm_similarity_lsh", "llm_similarity_ivf",
+    "llm_dedup_cross_source", "llm_line_dedup", "llm_similarity_lsh",
+    "llm_similarity_ivf",
     "llm_bm25_topk", "events_funnel", "events_top_paths",
     "events_transition_matrix", "events_attribution",
     "window_sessionize_batch",
