@@ -324,3 +324,77 @@ def events_rolling_dau(spark, d):
     return (contrib.join(days, contrib.rday == days.report_day)
             .groupBy(F.col("report_day").cast("string").alias("day"))
             .agg(F.countDistinct("user_id").alias("rolling_7d_users")))
+
+
+@register(
+    "events_streaks",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               date_trunc('second', ts) AS tss
+        FROM events
+    ), marked AS (
+        SELECT user_id, event_id, event_type, tss,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)
+    ), ids AS (
+        SELECT user_id, event_type,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY tss, event_id
+                              ROWS UNBOUNDED PRECEDING) AS streak_id
+        FROM marked
+    ), streaks AS (
+        SELECT user_id, event_type, streak_id,
+               count(*) AS len
+        FROM ids GROUP BY user_id, event_type, streak_id
+    ), ranked AS (
+        SELECT user_id, event_type, len,
+               count(*) OVER (PARTITION BY user_id) AS n_streaks,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY len DESC, streak_id ASC,
+                                           event_type ASC) AS rn
+        FROM streaks
+    )
+    SELECT user_id, CAST(n_streaks AS BIGINT) AS n_streaks,
+           CAST(len AS BIGINT) AS max_streak_len,
+           event_type AS top_streak_type
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_streaks(spark, d):
+    """Gaps-and-islands: per user, maximal runs ("streaks") of
+    consecutive same-type events in timeline order, reporting streak
+    count, longest streak and its type (ties: earliest streak, then
+    type).  The island id is a running SUM of type-change indicators
+    over ONE user_id window — not the classic rn-minus-rn trick, which
+    needs a second (user, type) partitioning and therefore a second
+    shuffle; this form keeps the whole detection on a single user_id
+    exchange, with the streak rollup and the per-user pick riding the
+    same partitioning.  Timeline order is (tss, event_id) — the
+    truncated-second tiebreak discipline of SURVEY.md §5.3."""
+    from pyspark.sql import Window
+
+    e = T(spark, d, "events").select(
+        "user_id", "event_id", "event_type",
+        F.date_trunc("second", "ts").alias("tss"))
+    w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+    marked = e.withColumn(
+        "chg", F.when(F.lag("event_type").over(w).isNull()
+                      | (F.lag("event_type").over(w) != F.col("event_type")),
+                      1).otherwise(0))
+    ids = marked.withColumn(
+        "streak_id", F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    streaks = (ids.groupBy("user_id", "event_type", "streak_id")
+               .agg(F.count("*").alias("len")))
+    wu = Window.partitionBy("user_id")
+    ranked = (streaks
+              .withColumn("n_streaks", F.count("*").over(wu))
+              .withColumn("rn", F.row_number().over(
+                  wu.orderBy(F.col("len").desc(), F.col("streak_id").asc(),
+                             F.col("event_type").asc()))))
+    return (ranked.filter(F.col("rn") == 1)
+            .select("user_id", "n_streaks",
+                    F.col("len").alias("max_streak_len"),
+                    F.col("event_type").alias("top_streak_type")))

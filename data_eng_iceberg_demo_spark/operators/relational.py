@@ -566,3 +566,37 @@ def scan_csv_malformed(spark, d):
         F.when(F.col("_bad").isNull(), F.col("name")).alias("name"),
         F.when(F.col("_bad").isNull(), F.col("score")).alias("score"),
         F.col("_bad").isNotNull().alias("is_corrupt"))
+
+
+@register(
+    "scan_parquet_schema_merge",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey >= 12
+                THEN CAST(n_regionkey AS BIGINT) END AS n_regionkey
+    FROM nation
+    """,
+)
+def scan_parquet_schema_merge(spark, d):
+    """Schema-merge scan over a parquet directory written in two
+    generations — the on-disk face of schema evolution (the reference's
+    ADD COLUMN, README.md:269-276, seen from the READER's side): batch 1
+    lacks n_regionkey, batch 2 carries it, and mergeSchema=true
+    reconciles the footers so old files read NULL for the new column.
+    Spark leaves mergeSchema off by default because the footer
+    reconciliation is a per-file planning cost — turning it on is a
+    deliberate choice for evolving layouts; a production lakehouse
+    records the schema in table metadata instead (icelite does exactly
+    that), which is why this is a scan-family query, not a table_*
+    one."""
+    out = scratch_dir("scan_merge_")
+    n = T(spark, d, "nation")
+    (n.filter(F.col("n_nationkey") < 12)
+     .select("n_nationkey", "n_name")
+     .write.mode("overwrite").parquet(f"{out}/b1"))
+    (n.filter(F.col("n_nationkey") >= 12)
+     .select("n_nationkey", "n_name",
+             F.col("n_regionkey").cast("bigint").alias("n_regionkey"))
+     .write.mode("overwrite").parquet(f"{out}/b2"))
+    return (spark.read.option("mergeSchema", "true")
+            .option("recursiveFileLookup", "true").parquet(out))
