@@ -347,3 +347,40 @@ def udf_cogrouped_map(spark, d):
             .applyInPandas(merge, "o_orderkey bigint, o_totalprice double, "
                                   "n_lines bigint, sum_qty double, "
                                   "revenue double"))
+
+
+def _margin(price, disc):
+    # no type hints on purpose (see _tier).  Round at 6, not 2: the true
+    # product of two 2-decimal values has <= 4 decimals, so a 1e-6
+    # rounding step can never sit on a tie — rounding at 2 DID, and
+    # Python's banker's rounding split from the oracle's half-away on
+    # exactly-.005 margins (observed on the fixture)
+    return round(price * (1.0 - disc), 6)
+
+
+_margin_arrow_udf = F.udf(_margin, returnType=DoubleType(), useArrow=True)
+
+
+@register(
+    "udf_python_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 6) AS margin
+    FROM lineitem WHERE l_linenumber <= 2
+    """,
+)
+def udf_python_arrow(spark, d):
+    """Arrow-OPTIMIZED Python UDF (Spark 3.5 ``useArrow=True``): the
+    third execution mode of the scalar-UDF surface, between
+    udf_python_scalar (pickled rows, BatchEvalPython) and
+    udf_pandas_scalar (pandas Series, ArrowEvalPython).  The function
+    body stays plain per-row Python — no pandas signature to rewrite —
+    but inputs/outputs cross the boundary as Arrow record batches, so
+    the serialization tax drops toward pandas-UDF levels while keeping
+    row-function ergonomics.  The plan carries ArrowEvalPython (pinned
+    in tests/test_plans.py), proving the Arrow path actually engaged
+    rather than silently falling back to pickle."""
+    li = T(spark, d, "lineitem").filter(F.col("l_linenumber") <= 2)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        _margin_arrow_udf("l_extendedprice", "l_discount").alias("margin"))

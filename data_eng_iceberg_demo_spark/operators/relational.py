@@ -600,3 +600,48 @@ def scan_parquet_schema_merge(spark, d):
      .write.mode("overwrite").parquet(f"{out}/b2"))
     return (spark.read.option("mergeSchema", "true")
             .option("recursiveFileLookup", "true").parquet(out))
+
+
+@register(
+    "scan_jdbc_partitioned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey <= 2000 AND o_totalprice > 50000.0
+    """,
+)
+def scan_jdbc_partitioned(spark, d):
+    """JDBC source with PARTITIONED parallel reads — the classic
+    database-ingest scale path: partitionColumn/lowerBound/upperBound/
+    numPartitions splits the table into 4 stride ranges so 4 tasks read
+    concurrently (a single-connection JDBC read is the canonical
+    ingest bottleneck), and the totalprice filter is PUSHED to the
+    database (PushedFilters on the JDBC relation) instead of filtering
+    post-transfer.  The database here is the in-JVM embedded Derby that
+    ships with Spark (the only DB this offline container has); embedded
+    Derby is single-JVM, so the seed write coalesces to one connection —
+    on a real cluster the url points at a networked DB and the same
+    read options fan out across executors unchanged.  Derby uppercases
+    identifiers, so the read aliases columns back to the fixture's
+    lowercase names."""
+    base = scratch_dir("jdbc_db_")
+    db = f"{base}/db"
+    url = f"jdbc:derby:{db};create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    # derby.log lands in derby.system.home (default: the process cwd —
+    # which would pollute the repo); point it at scratch BEFORE the
+    # engine boots.  No-op once derby is already booted in this JVM.
+    spark.sparkContext._jvm.System.setProperty("derby.system.home", base)
+    src = (T(spark, d, "orders").filter(F.col("o_orderkey") <= 2000)
+           .select("o_orderkey", "o_custkey", "o_totalprice"))
+    (src.coalesce(1).write.format("jdbc").option("url", url)
+     .option("driver", drv).option("dbtable", "ORDERS_SRC")
+     .mode("overwrite").save())
+    out = (spark.read.format("jdbc").option("url", url)
+           .option("driver", drv).option("dbtable", "ORDERS_SRC")
+           .option("partitionColumn", "O_ORDERKEY")
+           .option("lowerBound", "1").option("upperBound", "2000")
+           .option("numPartitions", "4").load())
+    return (out.filter(F.col("O_TOTALPRICE") > 50000.0)
+            .select(F.col("O_ORDERKEY").alias("o_orderkey"),
+                    F.col("O_CUSTKEY").alias("o_custkey"),
+                    F.col("O_TOTALPRICE").alias("o_totalprice")))

@@ -99,7 +99,8 @@ def test_round5_queries_on_bare_session(bare_spark, sf_dir, name):
     "llm_bigram_logprob", "scan_csv_malformed",
     "llm_dedup_exact_normalized", "agg_filter_clause",
     "fn_aes_roundtrip", "llm_line_dedup", "events_streaks",
-    "scan_parquet_schema_merge",
+    "scan_parquet_schema_merge", "scan_jdbc_partitioned",
+    "udf_python_arrow",
 ])
 def test_round6_queries_on_bare_session(bare_spark, sf_dir, name):
     """The round-6 additions (derived-partsupp TPC-H set, table

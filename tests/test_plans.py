@@ -621,3 +621,22 @@ def test_try_family_is_pure_projection_zero_exchange(spark, sf_dir):
     p = plan_of(spark, sf_dir, "fn_try_family")
     assert node_count(p, "Exchange") == 0, p[:1200]
     assert node_count(p, "Scan parquet") == 1
+
+
+def test_arrow_python_udf_engages_arrow_path(spark, sf_dir):
+    """udf_python_arrow (useArrow=True) must evaluate through
+    ArrowEvalPython — BatchEvalPython means the Arrow optimization
+    silently fell back to pickled rows and the query is just a slower
+    udf_python_scalar."""
+    p = plan_of(spark, sf_dir, "udf_python_arrow")
+    assert node_count(p, "ArrowEvalPython") == 1, p
+    assert node_count(p, "BatchEvalPython") == 0, p
+
+
+def test_jdbc_scan_partitions_and_pushes_filter(spark, sf_dir):
+    """scan_jdbc_partitioned must read through 4 stride partitions
+    (parallel JDBC ingest) with the totalprice predicate pushed into
+    the database query, not applied post-transfer."""
+    p = plan_of(spark, sf_dir, "scan_jdbc_partitioned")
+    assert "numPartitions=4" in p, p
+    assert "PushedFilters" in p and "GreaterThan(o_totalprice" in p, p
