@@ -108,3 +108,19 @@ def test_round6_queries_on_bare_session(bare_spark, sf_dir, name):
     driver-like session with no package-session confs pre-applied."""
     df = REGISTRY[name].fn(bare_spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_streaks_reconcile_with_event_counts(spark, sf_dir):
+    """events_streaks invariants vs the raw log: one row per active
+    user, max streak <= user's event count, and streak count <= events
+    (each streak holds >= 1 event)."""
+    from data_eng_iceberg_demo_spark.operators._util import T
+
+    rep = REGISTRY["events_streaks"].fn(spark, sf_dir).toPandas()
+    per_user = (T(spark, sf_dir, "events").groupBy("user_id").count()
+                .toPandas().set_index("user_id")["count"])
+    assert sorted(rep.user_id) == sorted(per_user.index)
+    j = rep.set_index("user_id").join(per_user)
+    assert (j.max_streak_len <= j["count"]).all()
+    assert (j.n_streaks <= j["count"]).all()
+    assert (j.max_streak_len >= 1).all() and (j.n_streaks >= 1).all()

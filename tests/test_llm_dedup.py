@@ -332,3 +332,30 @@ def test_fixture_corpus_fires_zero_hot_key_drops(spark, sf_dir):
     llm.llm_dedup_minhash(spark, sf_dir).collect()
     mh = llm.DEDUP_OBSERVATIONS["llm_dedup_minhash"].get
     assert mh["dropped_hot_buckets"] == 0, mh
+
+
+def test_line_dedup_report_is_internally_consistent(spark, sf_dir):
+    """llm_line_dedup's per-doc report must reconcile with the raw
+    corpus: every doc appears once, token totals add up (kept tokens ==
+    total tokens exactly when no line was boilerplate), and the kept
+    ratio is the kept/total quotient."""
+    import pandas as pd
+
+    from data_eng_iceberg_demo_spark.operators import llm
+    from data_eng_iceberg_demo_spark.operators._util import T
+
+    rep = llm.llm_line_dedup(spark, sf_dir).toPandas()
+    docs = (T(spark, sf_dir, "documents")
+            .filter("text IS NOT NULL")
+            .selectExpr("doc_id", "size(split(text, ' ')) AS n_tokens")
+            .toPandas())
+    assert sorted(rep.doc_id) == sorted(docs.doc_id)
+    j = rep.merge(docs, on="doc_id")
+    # lines tile the token stream: ceil(n/3) lines per doc
+    assert (j.n_lines == -(-j.n_tokens // 3)).all()
+    assert (j.n_kept_tokens <= j.n_tokens).all()
+    full = j[j.n_boiler_lines == 0]
+    assert (full.n_kept_tokens == full.n_tokens).all()
+    assert (full.kept_ratio == 1.0).all()
+    # the fixture corpus genuinely exercises both branches
+    assert (j.n_boiler_lines > 0).any()
