@@ -384,3 +384,50 @@ def udf_python_arrow(spark, d):
     return li.select(
         "l_orderkey", "l_linenumber",
         _margin_arrow_udf("l_extendedprice", "l_discount").alias("margin"))
+
+
+@register(
+    "udtf_python_analyze",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS tok_0,
+           string_split(text, ' ')[2] AS tok_1,
+           string_split(text, ' ')[3] AS tok_2
+    FROM documents
+    """,
+)
+def udtf_python_analyze(spark, d):
+    """POLYMORPHIC Python UDTF (Spark 3.5+ static ``analyze``): the
+    output schema is computed AT PLAN TIME from the call's constant
+    argument — split_k(text, 3) declares columns tok_0..tok_2, a
+    different k would declare a different width.  This is the
+    table-function analog of generics: one registration serves every
+    arity, and Catalyst sees the concrete schema (so downstream pruning
+    and codegen work normally).  eval stays a plain generator; NULL text
+    yields NULL tokens to match SQL split semantics."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class SplitK:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            st = StructType()
+            for i in range(k.value):
+                st = st.add(f"tok_{i}", StringType())
+            return AnalyzeResult(st)
+
+        def eval(self, text: str, k: int):
+            if text is None:
+                yield tuple(None for _ in range(k))
+                return
+            parts = text.split(" ")
+            yield tuple(parts[i] if i < len(parts) else None
+                        for i in range(k))
+
+    spark.udtf.register("split_k_udtf", udtf(SplitK))
+    T(spark, d, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql("""
+        SELECT d.doc_id, f.tok_0, f.tok_1, f.tok_2
+        FROM docs_udtf d, LATERAL split_k_udtf(d.text, 3) f
+    """)
