@@ -2035,7 +2035,9 @@ def llm_line_dedup(spark, d):
 
     Scale shape: lines shuffle once on their 32-byte md5 (raw line text
     never shuffles past the first aggregate), the boilerplate set is
-    corpus-sized so it joins hash-to-hash with NO broadcast hint, and
+    corpus-sized so it carries NO broadcast hint (at fixture scale the
+    planner's size-based call still broadcasts it; at 100 TB its stats
+    exceed the threshold and the join reverts to shuffle-hash), and
     the per-doc report is one more partial-aggregated shuffle.  NULL
     text is excluded on both sides (concat_ws vs array_to_string NULL
     divergence, the llm_dedup_cross_source lesson)."""
