@@ -124,3 +124,65 @@ def test_streaks_reconcile_with_event_counts(spark, sf_dir):
     assert (j.max_streak_len <= j["count"]).all()
     assert (j.n_streaks <= j["count"]).all()
     assert (j.max_streak_len >= 1).all() and (j.n_streaks >= 1).all()
+
+
+def test_streaks_match_brute_force_on_random_logs(spark, tmp_path_factory):
+    """events_streaks vs a pure-Python brute force on randomized small
+    event logs (hypothesis): heavy tie density (2 distinct timestamps,
+    3 types, many users) exercises exactly the (tss, event_id) tiebreak
+    and the deterministic longest-streak pick."""
+    import datetime
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_eng_iceberg_demo_spark.plans.registry import REGISTRY
+
+    base = datetime.datetime(2024, 1, 1)
+    row = st.tuples(st.integers(0, 3),          # user
+                    st.integers(0, 1),          # ts bucket (dense ties)
+                    st.sampled_from(["view", "click", "buy"]))
+    root = tmp_path_factory.mktemp("streaks_prop")
+    case_n = [0]
+
+    def brute(rows):
+        out = {}
+        by_user = {}
+        for eid, (u, tb, ty) in enumerate(rows):
+            by_user.setdefault(u, []).append((tb, eid, ty))
+        for u, evs in by_user.items():
+            evs.sort()
+            streaks = []  # (len, streak_id, type)
+            sid = 0
+            for i, (tb, eid, ty) in enumerate(evs):
+                if i == 0 or ty != evs[i - 1][2]:
+                    sid += 1
+                    streaks.append([0, sid, ty])
+                streaks[-1][0] += 1
+            best = sorted(streaks, key=lambda s: (-s[0], s[1], s[2]))[0]
+            out[u] = (len(streaks), best[0], best[2])
+        return out
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(row, min_size=1, max_size=30))
+    def check(rows):
+        case_n[0] += 1
+        d = str(root / f"c{case_n[0]}")
+        import duckdb
+        con = duckdb.connect()
+        con.execute("CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, "
+                    "user_id BIGINT, event_type VARCHAR, value DOUBLE, "
+                    "props VARCHAR)")
+        for eid, (u, tb, ty) in enumerate(rows):
+            con.execute("INSERT INTO e VALUES (?, ?, ?, ?, 1.0, '{}')",
+                        [eid, base + datetime.timedelta(seconds=tb), u, ty])
+        import os
+        os.makedirs(d, exist_ok=True)
+        con.execute(f"COPY e TO '{d}/events.parquet' (FORMAT PARQUET)")
+        con.close()
+        got = {r.user_id: (r.n_streaks, r.max_streak_len, r.top_streak_type)
+               for r in REGISTRY["events_streaks"].fn(spark, d).collect()}
+        assert got == brute(rows)
+
+    check()
