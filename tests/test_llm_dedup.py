@@ -359,3 +359,64 @@ def test_line_dedup_report_is_internally_consistent(spark, sf_dir):
     assert (full.kept_ratio == 1.0).all()
     # the fixture corpus genuinely exercises both branches
     assert (j.n_boiler_lines > 0).any()
+
+
+def test_line_dedup_matches_brute_force_on_random_corpora(spark, tmp_path_factory):
+    """llm_line_dedup vs a pure-Python brute force on randomized tiny
+    corpora (hypothesis): a 4-word vocabulary forces heavy cross-doc
+    line collisions, exercising the >=3-distinct-docs rule, within-doc
+    repeated lines (count once for the rule, drop every occurrence),
+    and ragged trailing lines."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_eng_iceberg_demo_spark.plans.registry import REGISTRY
+
+    root = tmp_path_factory.mktemp("linededup_prop")
+    case_n = [0]
+    doc = st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                   min_size=1, max_size=14).map(" ".join)
+
+    def brute(texts):
+        def lines_of(t):
+            w = t.split(" ")
+            return [(" ".join(w[i:i + 3]), min(3, len(w) - i))
+                    for i in range(0, len(w), 3)]
+        from collections import defaultdict
+        carriers = defaultdict(set)
+        for i, t in enumerate(texts):
+            for ln, _ in lines_of(t):
+                carriers[ln].add(i)
+        boiler = {ln for ln, ds in carriers.items() if len(ds) >= 3}
+        out = {}
+        for i, t in enumerate(texts):
+            ls = lines_of(t)
+            kept = [n for ln, n in ls if ln not in boiler]
+            total = sum(n for _, n in ls)
+            out[i] = (len(ls), sum(1 for ln, _ in ls if ln in boiler),
+                      sum(kept), round(sum(kept) / total, 4))
+        return out
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(doc, min_size=1, max_size=12))
+    def check(texts):
+        case_n[0] += 1
+        d = str(root / f"c{case_n[0]}")
+        import duckdb
+        import os
+        os.makedirs(d, exist_ok=True)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR, "
+                    "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+        for i, t in enumerate(texts):
+            con.execute("INSERT INTO docs VALUES (?, ?, 'en', 'src0', ?)",
+                        [i, t, len(t)])
+        con.execute(f"COPY docs TO '{d}/documents.parquet' (FORMAT PARQUET)")
+        con.close()
+        got = {r.doc_id: (r.n_lines, r.n_boiler_lines, r.n_kept_tokens,
+                          r.kept_ratio)
+               for r in REGISTRY["llm_line_dedup"].fn(spark, d).collect()}
+        assert got == brute(texts)
+
+    check()
