@@ -1,0 +1,93 @@
+"""Unicode adversarial parity: the driver fixtures are pure ASCII, so a
+Spark-vs-DuckDB divergence on non-ASCII text (UTF-8 byte hashing,
+codepoint vs grapheme lengths, locale case folding, CJK tokenization)
+would never flip a driver hash — but a real corpus is not ASCII.  This
+sweep replays the text-family oracle comparison over a mirror corpus
+carrying accents, CJK, emoji, combining marks and locale-sensitive
+case (ß/İ), cell-by-cell like tests/test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
+                                                        _load_all_modules)
+
+import importlib.util as _ilu
+import os as _os
+
+_spec = _ilu.spec_from_file_location(
+    "oracle_parity_helpers",
+    _os.path.join(_os.path.dirname(__file__), "test_oracle_parity.py"))
+_mod = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_mod)
+canon = _mod.canon
+
+_load_all_modules()
+
+UNICODE_DOCS = [
+    (90101, "café résumé naïve déjà vu café"),
+    (90102, "你好 世界 数据 引擎 你好 世界"),
+    (90103, "🚀 data 🔥 rocket 🚀 data"),
+    (90104, "straße gross ß MASSE İstanbul ĳs"),
+    (90105, "éclair éclair combining marks"),  # é as e+U+0301
+    (90106, "mixed ascii und tëxt mixed ascii und tëxt"),
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_sf_dir(tmp_path_factory, sf_dir):
+    dst = tmp_path_factory.mktemp("sf_unicode")
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, '{t}', 'xx', 'src0', {len(t)})" for i, t in UNICODE_DOCS)
+    con.sql(f"""COPY (
+      SELECT * FROM read_parquet('{sf_dir}/documents.parquet')
+      UNION ALL
+      SELECT * FROM (VALUES {vals})
+          t(doc_id, text, lang, source, n_chars)
+    ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        con.sql(f"COPY (SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')) "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def unicode_duck(unicode_sf_dir):
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{unicode_sf_dir}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+# text-family queries whose oracles must survive non-ASCII content:
+# hashing (md5 over UTF-8), tokenization (split on ' '), lengths,
+# normalization (lower + strip), chunking, line dedup, splits
+UNICODE_SAMPLE = [
+    "llm_dedup_exact", "llm_dedup_exact_normalized", "llm_token_count",
+    "llm_text_stats", "llm_fingerprint", "llm_docs_to_chunks",
+    "llm_line_dedup", "llm_train_test_split", "llm_dedup_cross_source",
+]
+
+
+@pytest.mark.parametrize("name", UNICODE_SAMPLE)
+def test_text_query_parity_on_unicode_corpus(spark, unicode_sf_dir,
+                                             unicode_duck, name):
+    spec = REGISTRY[name]
+    got = canon(spec.fn(spark, unicode_sf_dir).toPandas())
+    want = canon(unicode_duck.execute(spec.oracle).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    if not got.equals(want):
+        diff = (got != want).any(axis=1)
+        import pandas as pd
+        sample = pd.concat([got[diff].head(4).assign(side="spark"),
+                            want[diff].head(4).assign(side="oracle")])
+        raise AssertionError(f"{name}: unicode divergence\n{sample.to_string()}")
