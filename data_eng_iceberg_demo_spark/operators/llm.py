@@ -878,7 +878,20 @@ def llm_dedup_clusters(spark, d, max_iter: int = 20):
     distributed, and each round is one shuffle on node id.  This is the
     standard large-graph CC pattern (GraphX/GraphFrames use the same
     shape) and is the piece that turns O(pairs) near-dup output into an
-    O(docs) keep-list at 100 TB."""
+    O(docs) keep-list at 100 TB.
+
+    The iteration runs in a DEDICATED child session (``newSession``:
+    shared SparkContext, own SQLConf) sized to 8 shuffle partitions —
+    per-round task overhead, not data volume, bounds iterative CC on
+    the tiny label frames — so the caller's session conf is never
+    touched (the join_bloom_prefilter concurrency discipline)."""
+    from ..session import ensure_session_defaults
+
+    caller_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    iso = spark.newSession()
+    ensure_session_defaults(iso)
+    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = iso
     docs = T(spark, d, "documents").select("doc_id")
     edges = llm_dedup_near(spark, d).select("doc_a", "doc_b")
     bidir = (edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -889,16 +902,11 @@ def llm_dedup_clusters(spark, d, max_iter: int = 20):
     # only nodes with at least one dup edge can ever change label — the
     # loop runs on the dup SUBGRAPH (a sliver of the corpus at 100 TB);
     # every isolated doc is its own canonical id, attached at the end
-    # with one left join, outside the iteration entirely.  The label
-    # frames are tiny relative to the corpus, so the rounds run with
-    # few shuffle partitions (restored after) — per-round task overhead,
-    # not data volume, is what bounds iterative CC.
+    # with one left join, outside the iteration entirely.
     nodes = bidir.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.select("doc_id", F.col("doc_id").alias("lbl"))
     prev_cached = None
     prev_sum = None
-    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     for _ in range(max_iter):
         neigh = (bidir.join(labels, bidir.src == labels.doc_id)
                  .groupBy(F.col("dst").alias("doc_id"))
@@ -917,8 +925,11 @@ def llm_dedup_clusters(spark, d, max_iter: int = 20):
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     bidir.unpersist()
+    # the closing attach join is corpus-sized — give it the caller's
+    # full parallelism, not the loop's 8 label partitions (iso is
+    # private, so this set races with nothing)
+    iso.conf.set("spark.sql.shuffle.partitions", caller_parts)
     return (docs.join(labels, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("lbl", "doc_id").alias("canonical_id"),
