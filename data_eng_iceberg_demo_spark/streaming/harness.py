@@ -51,23 +51,21 @@ def _staged_input(tag: str, d: str, build) -> str:
     return p
 
 
-class _state_partitions:
-    """Temporarily size spark.sql.shuffle.partitions for a stateful
-    streaming query: each shuffle partition owns one state-store
-    instance, so partition count should track key cardinality, not CPU
-    count (the fixture streams have ~150 keys; a 100 TB stream sizes
-    this up with its key space).  Restores the session conf on exit."""
+def _state_session(spark, n: int = 8):
+    """Child session sized for a stateful streaming query: each shuffle
+    partition owns one state-store instance, so partition count should
+    track key cardinality, not CPU count (the fixture streams have ~150
+    keys; a 100 TB stream sizes this up with its key space).  A
+    dedicated ``newSession`` (shared SparkContext, own SQLConf) keeps
+    the override invisible to the caller — the set/restore form left a
+    window where a concurrently planned query compiled under 8
+    partitions (the join_bloom_prefilter concurrency discipline)."""
+    from ..session import ensure_session_defaults
 
-    def __init__(self, spark, n: int):
-        self.spark, self.n = spark, n
-
-    def __enter__(self):
-        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
-
-    def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
-        return False
+    iso = spark.newSession()
+    ensure_session_defaults(iso)
+    iso.conf.set("spark.sql.shuffle.partitions", str(n))
+    return iso
 
 
 def _events_stream(spark, d, path=None):
@@ -181,7 +179,8 @@ def stream_watermark_late(spark, d):
 
     src = os.path.join(_staged_input("wm_late_", d, _stage), "src")
     schema = day1.schema
-    stream = (spark.readStream.schema(schema)
+    iso = _state_session(spark, 8)
+    stream = (iso.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1").parquet(src))
     agg = (stream.withWatermark("tss", "10 minutes")
            .groupBy(F.window("tss", "1 hour").alias("w"), "event_type")
@@ -189,11 +188,10 @@ def stream_watermark_late(spark, d):
     out = agg.select(F.col("w.start").cast("string").alias("window_start"),
                      "event_type", "cnt")
     qname = f"wm_late_{next(_counter)}"
-    with _state_partitions(spark, 8):
-        q = (out.writeStream.format("memory").queryName(qname)
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination()
-    return spark.table(qname)
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return iso.table(qname)
 
 
 @register(
@@ -214,16 +212,16 @@ def stream_dedup_keyed(spark, d):
     tmp = _staged_input("dedup_keyed_", d, lambda p: (
         e.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(p)))
 
-    stream = spark.readStream.schema(e.schema).parquet(tmp)
+    iso = _state_session(spark, 8)
+    stream = iso.readStream.schema(e.schema).parquet(tmp)
     deduped = (stream.withWatermark("tss", "1 hour")
                .dropDuplicates(["event_id"])
                .select("event_id", "event_type", F.round("value", 2).alias("value_r")))
     qname = f"dedup_keyed_{next(_counter)}"
-    with _state_partitions(spark, 8):
-        q = (deduped.writeStream.format("memory").queryName(qname)
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination()
-    return spark.table(qname)
+    q = (deduped.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return iso.table(qname)
 
 
 @register(
@@ -275,15 +273,15 @@ def stream_stateful_running(spark, d):
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt],
                             "total_value": [cents / 100.0]})
 
-    stream = _events_stream(spark, d).select("user_id", "value")
+    iso = _state_session(spark, 8)
+    stream = _events_stream(iso, d).select("user_id", "value")
     result = stream.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
     qname = f"stateful_running_{next(_counter)}"
-    with _state_partitions(spark, 8):
-        q = (result.writeStream.format("memory").queryName(qname)
-             .outputMode("update").trigger(availableNow=True).start())
-        q.awaitTermination()
-    return spark.table(qname)
+    q = (result.writeStream.format("memory").queryName(qname)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return iso.table(qname)
 
 
 @register(
@@ -323,12 +321,13 @@ def stream_stream_join(spark, d):
         .write.mode("overwrite").parquet(clicks_dir)
 
     schema = e.schema
-    views = (spark.readStream.schema(schema).parquet(views_dir)
+    iso = _state_session(spark, 8)
+    views = (iso.readStream.schema(schema).parquet(views_dir)
              .withWatermark("tss", "1 hour")
              .select(F.col("event_id").alias("view_id"),
                      F.col("user_id").alias("v_user"),
                      F.col("tss").alias("v_tss")))
-    clicks = (spark.readStream.schema(schema).parquet(clicks_dir)
+    clicks = (iso.readStream.schema(schema).parquet(clicks_dir)
               .withWatermark("tss", "1 hour")
               .select(F.col("event_id").alias("click_id"),
                       F.col("user_id").alias("c_user"),
@@ -344,11 +343,10 @@ def stream_stream_join(spark, d):
         (F.unix_timestamp("c_tss") - F.unix_timestamp("v_tss"))
         .cast("bigint").alias("gap_s"))
     qname = f"ss_join_{next(_counter)}"
-    with _state_partitions(spark, 8):
-        q = (out.writeStream.format("memory").queryName(qname)
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination()
-    return spark.table(qname)
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return iso.table(qname)
 
 
 @register(
@@ -433,14 +431,14 @@ def stream_dedup_within_watermark(spark, d):
     tmp = _staged_input("dedup_wm_", d, lambda p: (
         e.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(p)))
 
-    stream = spark.readStream.schema(e.schema).parquet(tmp)
+    iso = _state_session(spark, 8)
+    stream = iso.readStream.schema(e.schema).parquet(tmp)
     deduped = (stream.withWatermark("tss", "1 hour")
                .dropDuplicatesWithinWatermark(["event_id"])
                .select("event_id", "event_type",
                        F.round("value", 2).alias("value_r")))
     qname = f"dedup_wm_{next(_counter)}"
-    with _state_partitions(spark, 8):
-        q = (deduped.writeStream.format("memory").queryName(qname)
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination()
-    return spark.table(qname)
+    q = (deduped.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return iso.table(qname)
