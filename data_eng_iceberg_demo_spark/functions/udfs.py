@@ -431,3 +431,42 @@ def udtf_python_analyze(spark, d):
         SELECT d.doc_id, f.tok_0, f.tok_1, f.tok_2
         FROM docs_udtf d, LATERAL split_k_udtf(d.text, 3) f
     """)
+
+
+@register(
+    "udf_grouped_map_arrow",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def udf_grouped_map_arrow(spark, d):
+    """Grouped map over RAW Arrow tables (Spark 4 ``applyInArrow``) —
+    the zero-copy sibling of applyInPandas: each nation's customers
+    arrive as one pyarrow.Table and the kernel runs pyarrow.compute
+    (no pandas materialization, no index bookkeeping), the right shape
+    when the per-group logic is itself columnar.  Money accumulates as
+    integer cents (pc.round then sum over int64) so the total is
+    order-independent and exact against the oracle — the
+    udf_pandas_grouped_agg discipline carried to the Arrow API."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_nation(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("c_acctbal"), 100.0)),
+                        pa.int64())
+        return pa.table({
+            "c_nationkey": pa.array([t.column("c_nationkey")[0].as_py()],
+                                    pa.int32()),
+            "n_customers": pa.array([t.num_rows], pa.int64()),
+            "total_bal": pa.array([pc.sum(cents).as_py() / 100.0],
+                                  pa.float64()),
+        })
+
+    c = T(spark, d, "customer").select("c_nationkey", "c_acctbal")
+    return c.groupBy("c_nationkey").applyInArrow(
+        per_nation, schema="c_nationkey int, n_customers bigint, "
+                           "total_bal double")
