@@ -640,3 +640,12 @@ def test_jdbc_scan_partitions_and_pushes_filter(spark, sf_dir):
     p = plan_of(spark, sf_dir, "scan_jdbc_partitioned")
     assert "numPartitions=4" in p, p
     assert "PushedFilters" in p and "GreaterThan(o_totalprice" in p, p
+
+
+def test_arrow_grouped_map_uses_flat_map_groups_in_arrow(spark, sf_dir):
+    """udf_grouped_map_arrow must evaluate through FlatMapGroupsInArrow
+    (raw Arrow tables per group) — FlatMapGroupsInPandas here means the
+    API silently degraded to the pandas materialization path."""
+    p = plan_of(spark, sf_dir, "udf_grouped_map_arrow")
+    assert "FlatMapGroupsInArrow" in p, p[:1500]
+    assert "FlatMapGroupsInPandas" not in p, p[:1500]
