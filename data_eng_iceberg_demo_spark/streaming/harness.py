@@ -233,20 +233,11 @@ def stream_dedup_keyed(spark, d):
     FROM events GROUP BY user_id
     """,
 )
-def stream_stateful_running(spark, d):
-    """Custom stateful per-key aggregate via applyInPandasWithState: a
-    running (count, sum) of value per user, emitted once per micro-batch.
-    State is a per-key tuple in the state store; the watermark-free
-    NoTimeout config keeps keys alive for the whole run.
-
-    The oracle is exact: the single-file source with no read limit makes
-    availableNow one micro-batch, so each key emits exactly once with its
-    final totals — a plain GROUP BY.  The sum is accumulated as integer
-    CENTS (floor(v*100 + 0.5) — the same double arithmetic DuckDB's
-    expression performs), because a double accumulation's value depends
-    on the row order the shuffle hands each pandas batch: int64 addition
-    is order-independent and exact, so the cross-engine hash cannot flip
-    on a summation-order ulp (the llm_unigram_logprob advisory class)."""
+def _stateful_running(spark, d, provider=None, tag="stateful_running"):
+    """Shared body for the two stateful-running variants: a running
+    (count, sum) of value per user via applyInPandasWithState, state
+    held by the given state-store provider (None = Spark's default
+    HDFS-backed provider)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
@@ -274,14 +265,58 @@ def stream_stateful_running(spark, d):
                             "total_value": [cents / 100.0]})
 
     iso = _state_session(spark, 8)
+    if provider is not None:
+        iso.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     stream = _events_stream(iso, d).select("user_id", "value")
     result = stream.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
-    qname = f"stateful_running_{next(_counter)}"
+    qname = f"{tag}_{next(_counter)}"
     q = (result.writeStream.format("memory").queryName(qname)
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
     return iso.table(qname)
+
+
+def stream_stateful_running(spark, d):
+    """Custom stateful per-key aggregate via applyInPandasWithState: a
+    running (count, sum) of value per user, emitted once per micro-batch.
+    State is a per-key tuple in the state store; the watermark-free
+    NoTimeout config keeps keys alive for the whole run.
+
+    The oracle is exact: the single-file source with no read limit makes
+    availableNow one micro-batch, so each key emits exactly once with its
+    final totals — a plain GROUP BY.  The sum is accumulated as integer
+    CENTS (floor(v*100 + 0.5) — the same double arithmetic DuckDB's
+    expression performs), because a double accumulation's value depends
+    on the row order the shuffle hands each pandas batch: int64 addition
+    is order-independent and exact, so the cross-engine hash cannot flip
+    on a summation-order ulp (the llm_unigram_logprob advisory class)."""
+    return _stateful_running(spark, d)
+
+
+@register(
+    "stream_stateful_rocksdb",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0
+               AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_rocksdb(spark, d):
+    """The same stateful per-key running aggregate executed on the
+    ROCKSDB state-store provider (rocksdbjni ships in Spark's jars) —
+    the provider SURVEY.md §8.1 prescribes for cluster scale: per-key
+    state lives off-heap and spills to local disk, so a 10^9-key stream
+    no longer has to fit its state in executor heap the way the default
+    HDFS-backed in-memory map does.  Results are provider-independent —
+    the identical exact oracle pins that swapping the state backend
+    changes WHERE state lives, never what it contains."""
+    return _stateful_running(
+        spark, d,
+        provider="org.apache.spark.sql.execution.streaming.state."
+                 "RocksDBStateStoreProvider",
+        tag="stateful_rocksdb")
 
 
 @register(

@@ -101,6 +101,7 @@ def test_round5_queries_on_bare_session(bare_spark, sf_dir, name):
     "fn_aes_roundtrip", "llm_line_dedup", "events_streaks",
     "scan_parquet_schema_merge", "scan_jdbc_partitioned",
     "udf_python_arrow", "udtf_python_analyze", "udf_grouped_map_arrow",
+    "stream_stateful_rocksdb",
 ])
 def test_round6_queries_on_bare_session(bare_spark, sf_dir, name):
     """The round-6 additions (derived-partsupp TPC-H set, table
@@ -186,3 +187,19 @@ def test_streaks_match_brute_force_on_random_logs(spark, tmp_path_factory):
         assert got == brute(rows)
 
     check()
+
+
+def test_stateful_provider_conf_is_live(spark, sf_dir):
+    """stream_stateful_rocksdb's provider conf must actually reach the
+    state store: a bogus provider class must fail the stream (proving
+    the conf is honored, so the green RocksDB run really ran RocksDB)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from data_eng_iceberg_demo_spark.streaming.harness import \
+        _stateful_running
+
+    with pytest.raises((StreamingQueryException, Py4JJavaError, Exception)):
+        _stateful_running(spark, sf_dir,
+                          provider="no.such.StateStoreProvider",
+                          tag="bogus_provider")
