@@ -477,3 +477,51 @@ def stream_dedup_within_watermark(spark, d):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return iso.table(qname)
+
+
+@register(
+    "stream_file_sink_exactly_once",
+    oracle="""
+    SELECT event_id, event_type, round(value, 2) AS value_r
+    FROM events
+    """,
+)
+def stream_file_sink_exactly_once(spark, d):
+    """Checkpointed FILE sink with a restart — the exactly-once ingest
+    contract the memory-sink queries can't show: run 1 (availableNow)
+    consumes the first input file and commits its offsets to the
+    checkpoint; MORE input arrives; run 2 starts from the SAME
+    checkpoint and a fresh query object, reads only the delta (the
+    offset log skips everything committed), and the parquet sink's
+    commit protocol admits each micro-batch's files exactly once.  The
+    final sink directory read back equals the full events table with no
+    duplicates and no gaps — even though run 2's source directory
+    contained every file.  This is the restart-safety every production
+    pipeline leans on; checkpoint + sink live in scratch per call, so
+    repeated runs in one process stay independent."""
+    e = T(spark, d, "events").select(
+        "event_id", "event_type", F.round("value", 2).alias("value_r"),
+        F.date_trunc("second", "ts").alias("tss"))
+    half = e.filter(F.col("event_id") % 2 == 0)
+    rest = e.filter(F.col("event_id") % 2 == 1)
+
+    src = scratch_dir("eo_src_")
+    sink = scratch_dir("eo_sink_")
+    ckpt = scratch_dir("eo_ckpt_")
+    half.coalesce(1).write.mode("append").parquet(src)
+
+    iso = _state_session(spark, 8)
+    schema = e.schema
+
+    def run_once():
+        q = (iso.readStream.schema(schema).parquet(src)
+             .select("event_id", "event_type", "value_r")
+             .writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()                                   # consumes the even half
+    rest.coalesce(1).write.mode("append").parquet(src)
+    run_once()                                   # same checkpoint: delta only
+    return iso.read.parquet(sink)
