@@ -18,9 +18,11 @@ independently; retries and speculative execution stay correct at 100 TB.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition,
-                                    SimpleDataSourceStreamReader)
+                                    DataSourceWriter, InputPartition,
+                                    SimpleDataSourceStreamReader,
+                                    WriterCommitMessage)
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
                                StructType)
 
@@ -140,12 +142,40 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
         return iter([_row(j) for j in range(int(start["i"]), int(end["i"]))])
 
 
+# Per-name cache of THE session a Python data source is registered on.
+# Spark 4.1 behavior (observed): the name check is process-shared, so a
+# second session's register raises ALREADY_EXISTS *without* populating
+# that session's own manager — whose lookups then fall through to the
+# Java classpath and fail.  Only the first-registering session resolves
+# the source reliably, so every use routes through it (results are
+# session-independent; defaults are re-ensured per call).
+_REGISTERED: dict = {}
+
+
+def _registered_session(spark, cls):
+    from ..session import ensure_session_defaults
+
+    name = cls.name()
+    sess = _REGISTERED.get(name)
+    if sess is None:
+        spark.dataSource.register(cls)
+        _REGISTERED[name] = sess = spark
+    ensure_session_defaults(sess)
+    # resolution can consult the JVM ACTIVE session (a prior read may
+    # have flipped it elsewhere) — pin it to the registered session
+    sess._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+        sess._jsparkSession)
+    return sess
+
+
 def register_source(spark) -> None:
-    """Idempotently register the source with a session."""
-    spark.dataSource.register(SyntheticEventsSource)
+    """Backward-compatible wrapper: register (or adopt) the synthetic
+    events source for this process."""
+    _registered_session(spark, SyntheticEventsSource)
 
 
 from ..plans.registry import register  # noqa: E402
+from ..scratch import scratch_dir  # noqa: E402
 
 
 @register(
@@ -172,7 +202,7 @@ def scan_python_datasource(spark, d):
     rows over 4 partitions (4 Spark tasks).  The oracle replays the
     same counter-based row function in SQL, proving the source is a
     pure, splittable function of the row index."""
-    register_source(spark)
+    spark = _registered_session(spark, SyntheticEventsSource)
     return (spark.read.format("synthetic_events")
             .option("rows", "1000").option("partitions", "4").load())
 
@@ -208,7 +238,7 @@ def stream_python_datasource(spark, d):
     advancing (end-of-data), then the query stops."""
     import uuid as _uuid
 
-    register_source(spark)
+    spark = _registered_session(spark, SyntheticEventsSource)
     stream = (spark.readStream.format("synthetic_events")
               .option("rows", "300").option("batch_rows", "100").load())
     qname = f"py_stream_{_uuid.uuid4().hex[:8]}"
@@ -221,3 +251,98 @@ def stream_python_datasource(spark, d):
     finally:
         q.stop()
     return spark.table(qname)
+
+
+class _CsvCommit(WriterCommitMessage):
+    def __init__(self, path, rows):
+        self.path, self.rows = path, rows
+
+
+class CsvLinesWriter(DataSourceWriter):
+    """Per-partition executor-side writer: each partition streams its
+    rows as CSV lines into one uniquely-named file under the target
+    dir, then hands the driver a commit message naming the file and its
+    row count.  commit() runs once on the driver with every partition's
+    message — the two-phase protocol that lets a sink publish
+    atomically (here: write the _SUCCESS manifest listing exactly the
+    committed files, so readers can ignore orphans from failed
+    attempts)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fp = os.path.join(self.path, f"part-{uuid.uuid4().hex}.csv")
+        n = 0
+        with open(fp, "w") as f:
+            for row in iterator:
+                f.write(f"{row.event_id},{row.event_type},{row.value_r}\n")
+                n += 1
+        return _CsvCommit(fp, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {m.path: m.rows for m in messages if m is not None}
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class CsvLinesSink(DataSource):
+    @classmethod
+    def name(cls):
+        return "csv_lines_sink"
+
+    def writer(self, schema, overwrite):
+        return CsvLinesWriter(self.options)
+
+
+@register(
+    "sink_python_datasource",
+    oracle="""
+    SELECT event_id, event_type, round(value, 2) AS value_r
+    FROM events
+    """,
+)
+def sink_python_datasource(spark, d):
+    """WRITE path of the Python data-source API (Spark 4
+    ``DataSourceWriter``) — the other half of scan_python_datasource's
+    custom-connector story: each partition's executor streams rows
+    through pure-Python ``write()`` into its own file, and the driver's
+    ``commit()`` publishes a manifest of exactly the committed files
+    (two-phase, abort removes partials).  The sink's files are read
+    back through Spark's CSV reader and must hash-equal the frame that
+    went in — verifying the bytes the custom writer produced, not just
+    that it ran.
+
+    Registration quirk (observed, Spark 4.1): Python data-source WRITE
+    registration is reliable only for the FIRST session that registers
+    a given name in the process — a later child session's register call
+    trips the shared ALREADY_EXISTS check before populating its own
+    per-session manager, after which its lookups fall through to the
+    Java classpath and fail.  So the first session to register is
+    cached at module level and every sink write routes through it;
+    results are session-independent (same fixture path, defaults
+    re-ensured)."""
+    from ..operators._util import T
+
+    spark = _registered_session(spark, CsvLinesSink)
+    out = scratch_dir("pysink_")
+    frame = T(spark, d, "events").select(
+        "event_id", "event_type", F.round("value", 2).alias("value_r"))
+    (frame.write.format("csv_lines_sink")
+     .option("path", out).mode("append").save())
+    schema = ("event_id bigint, event_type string, value_r double")
+    return spark.read.schema(schema).csv(f"{out}/part-*.csv")

@@ -32,3 +32,23 @@ def test_pysource_batch_schema_and_bounds():
     assert set(batch.column("event_type").to_pylist()) <= set(EVENT_TYPES)
     # empty range must yield an empty batch, not raise
     assert _batch(5, 5).num_rows == 0
+
+
+def test_python_sink_commit_manifest_covers_every_file(spark, sf_dir):
+    """The sink's two-phase commit must publish a _SUCCESS manifest on
+    the driver naming every partition file with its row count — the
+    atomic-publish half of the writer protocol."""
+    import glob
+    import json
+    import os
+
+    from data_eng_iceberg_demo_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["sink_python_datasource"].fn(spark, sf_dir)
+    total = df.count()
+    out = os.path.dirname(df.inputFiles()[0].removeprefix("file://"))
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        manifest = json.load(f)
+    files = sorted(glob.glob(os.path.join(out, "part-*.csv")))
+    assert sorted(manifest) == files
+    assert sum(manifest.values()) == total
