@@ -470,3 +470,54 @@ def udf_grouped_map_arrow(spark, d):
     return c.groupBy("c_nationkey").applyInArrow(
         per_nation, schema="c_nationkey int, n_customers bigint, "
                            "total_bal double")
+
+
+@register(
+    "udf_cogrouped_map_arrow",
+    oracle="""
+    WITH cc AS (SELECT c_nationkey AS k, count(*) AS nc
+                FROM customer GROUP BY 1),
+         sc AS (SELECT s_nationkey AS k, count(*) AS ns
+                FROM supplier GROUP BY 1),
+         keys AS (SELECT k FROM cc UNION SELECT k FROM sc)
+    SELECT CAST(k AS INTEGER) AS n_nationkey,
+           CAST(coalesce(nc, 0) AS BIGINT) AS n_customers,
+           CAST(coalesce(ns, 0) AS BIGINT) AS n_suppliers
+    FROM keys LEFT JOIN cc USING (k) LEFT JOIN sc USING (k)
+    """,
+)
+def udf_cogrouped_map_arrow(spark, d):
+    """Cogrouped map over RAW Arrow tables (Spark 4
+    ``cogroup(...).applyInArrow``) — the last cell of the
+    Python-execution matrix: both sides hash-partition on nationkey and
+    each key's (customer-table, supplier-table) PAIR reaches one
+    pyarrow function with no pandas materialization.  The kernel here
+    counts each side (join-expressible on purpose: that is what makes
+    it hash-checkable); the production shape is two-sided columnar
+    reconciliation.  Count semantics mirror the oracle's LEFT-JOIN
+    cross-count: a nation with customers but no suppliers (or vice
+    versa) reports the present side's count and 0 for the other, and
+    the cross-product inflation of a plain double LEFT JOIN is avoided
+    on the oracle side by pre-deduping — the cogroup sees each side
+    once, so its counts are the plain per-side cardinalities (the
+    oracle pre-aggregates each side before joining — a naive double
+    LEFT JOIN would cross-inflate customers by suppliers)."""
+    import pyarrow as pa
+
+    c = T(spark, d, "customer").select(
+        F.col("c_nationkey").cast("int").alias("k"), "c_custkey")
+    s = T(spark, d, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("k"), "s_suppkey")
+
+    def both(left: pa.Table, right: pa.Table) -> pa.Table:
+        key = (left.column("k")[0].as_py() if left.num_rows
+               else right.column("k")[0].as_py())
+        return pa.table({
+            "n_nationkey": pa.array([key], pa.int32()),
+            "n_customers": pa.array([left.num_rows], pa.int64()),
+            "n_suppliers": pa.array([right.num_rows], pa.int64()),
+        })
+
+    return c.groupBy("k").cogroup(s.groupBy("k")).applyInArrow(
+        both, schema="n_nationkey int, n_customers bigint, "
+                     "n_suppliers bigint")

@@ -102,7 +102,7 @@ def test_round5_queries_on_bare_session(bare_spark, sf_dir, name):
     "scan_parquet_schema_merge", "scan_jdbc_partitioned",
     "udf_python_arrow", "udtf_python_analyze", "udf_grouped_map_arrow",
     "stream_stateful_rocksdb", "stream_file_sink_exactly_once",
-    "sink_python_datasource",
+    "sink_python_datasource", "udf_cogrouped_map_arrow",
 ])
 def test_round6_queries_on_bare_session(bare_spark, sf_dir, name):
     """The round-6 additions (derived-partsupp TPC-H set, table
