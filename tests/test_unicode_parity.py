@@ -91,3 +91,48 @@ def test_text_query_parity_on_unicode_corpus(spark, unicode_sf_dir,
         sample = pd.concat([got[diff].head(4).assign(side="spark"),
                             want[diff].head(4).assign(side="oracle")])
         raise AssertionError(f"{name}: unicode divergence\n{sample.to_string()}")
+
+
+def test_case_folding_divergence_classes_are_known(spark, unicode_duck):
+    """Spark (Java/ICU semantics) and DuckDB genuinely DISAGREE on four
+    Unicode case-folding classes (probed 2026-08-14, round 6):
+
+      * U+00DF sharp s:   upper('straße')  Spark 'STRASSE', DuckDB 'STRAẞE'
+      * U+0130 dotted I:  lower('İ')       Spark keeps the combining dot
+        ('i' + U+0307), DuckDB folds to plain 'i'
+      * U+FB01 ligature:  upper('ﬁle')     Spark expands to 'FILE',
+        DuckDB leaves the ligature ('ﬁLE')
+      * final sigma:      lower('ΣΙΣΥΦΟΣ') Spark contextual 'σισυφος',
+        DuckDB positionless 'σισυφοσ'
+
+    This is an ENGINE policy difference, not a bug in either — but it
+    means any hash-checked query that case-folds free text is only
+    oracle-stable on inputs outside these classes (the fixtures are
+    ASCII, and llm_dedup_exact_normalized's lower() is safe there).
+    This test pins the divergence: if an upgrade makes the engines
+    agree, it fails and the restriction note can be dropped."""
+    import pyspark.sql.functions as F
+
+    cases = ["straße", "İstanbul", "ﬁle", "ΣΙΣΥΦΟΣ"]
+    sdf = spark.createDataFrame([(v,) for v in cases], "t string").select(
+        "t", F.upper("t").alias("u"), F.lower("t").alias("l"))
+    got = {r["t"]: (r["u"], r["l"]) for r in sdf.collect()}
+    diverged = 0
+    for v in cases:
+        du, dl = unicode_duck.execute(
+            "SELECT upper(?), lower(?)", [v, v]).fetchone()
+        if got[v] != (du, dl):
+            diverged += 1
+    assert diverged == len(cases), (
+        f"only {diverged}/{len(cases)} classes diverge now — engines "
+        "converged; revisit the case-folding restriction note")
+
+    # and the AGREEING classes the text family leans on stay agreeing
+    safe = ["café", "MASSE", "ısparta", "ĳs", "σίσυφος", "ǅungla"]
+    sdf2 = spark.createDataFrame([(v,) for v in safe], "t string").select(
+        "t", F.upper("t").alias("u"), F.lower("t").alias("l"))
+    got2 = {r["t"]: (r["u"], r["l"]) for r in sdf2.collect()}
+    for v in safe:
+        du, dl = unicode_duck.execute(
+            "SELECT upper(?), lower(?)", [v, v]).fetchone()
+        assert got2[v] == (du, dl), f"agreeing class broke: {v!r}"
