@@ -2081,3 +2081,73 @@ def llm_line_dedup(spark, d):
                                              F.col("line_tokens"))),
                                 F.lit(0)).cast("double")
                      / F.sum("line_tokens"), 4).alias("kept_ratio")))
+
+
+@register(
+    "llm_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_EDGE_CTE},
+    walk(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT b.dst, w.lbl FROM walk w JOIN bidir b ON b.src = w.node
+        WHERE w.lbl < b.dst
+    ),
+    clusters AS (
+        SELECT node AS doc_id, min(lbl) AS canonical_id
+        FROM walk GROUP BY node
+    ),
+    q AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS ttr,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT c.canonical_id, c.doc_id, q.ttr, q.n_tokens,
+               count(*) OVER (PARTITION BY c.canonical_id) AS n_members,
+               row_number() OVER (PARTITION BY c.canonical_id
+                                  ORDER BY q.ttr DESC, q.n_tokens DESC,
+                                           c.doc_id ASC) AS rn
+        FROM clusters c JOIN q USING (doc_id)
+    )
+    SELECT canonical_id, doc_id AS keep_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           round(ttr, 4) AS best_ttr
+    FROM ranked WHERE rn = 1 AND n_members > 1
+    """,
+)
+def llm_dedup_keep_best(spark, d):
+    """Canonical selection by QUALITY, not by id — the CCNet refinement
+    of cluster dedup: within each near-dup cluster, keep the member with
+    the best lexical diversity (type/token ratio; ties: more tokens,
+    then lowest doc_id) instead of blindly keeping the minimum id.  A
+    composition of two declared operators — llm_dedup_clusters' label
+    frame joined to the quality features — demonstrating that the
+    engine's pipeline steps compose into the actual production decision.
+
+    The pick orders by an UNROUNDED double both engines derive from the
+    same exact integers (distinct-count / count), so the argmax is
+    engine-stable; only the REPORTED ttr is rounded.  Scale shape: the
+    cluster labels are O(docs), the quality features are a narrow map,
+    and the pick is one window over the cluster partitioning."""
+    from pyspark.sql import Window
+
+    clusters = llm_dedup_clusters(spark, d).select("doc_id", "canonical_id")
+    docs = T(spark, d, "documents").select(
+        "doc_id", F.split("text", " ").alias("w"))
+    q = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct("w")).cast("double") / F.size("w"))
+        .alias("ttr"),
+        F.size("w").cast("bigint").alias("n_tokens"))
+    w = Window.partitionBy("canonical_id")
+    ranked = (clusters.join(q, "doc_id")
+              .withColumn("n_members", F.count("*").over(w))
+              .withColumn("rn", F.row_number().over(
+                  w.orderBy(F.col("ttr").desc(), F.col("n_tokens").desc(),
+                            F.col("doc_id").asc()))))
+    return (ranked.filter((F.col("rn") == 1) & (F.col("n_members") > 1))
+            .select("canonical_id", F.col("doc_id").alias("keep_doc_id"),
+                    "n_members", F.round("ttr", 4).alias("best_ttr")))

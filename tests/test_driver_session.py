@@ -103,6 +103,7 @@ def test_round5_queries_on_bare_session(bare_spark, sf_dir, name):
     "udf_python_arrow", "udtf_python_analyze", "udf_grouped_map_arrow",
     "stream_stateful_rocksdb", "stream_file_sink_exactly_once",
     "sink_python_datasource", "udf_cogrouped_map_arrow",
+    "llm_dedup_keep_best",
 ])
 def test_round6_queries_on_bare_session(bare_spark, sf_dir, name):
     """The round-6 additions (derived-partsupp TPC-H set, table
