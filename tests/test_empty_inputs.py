@@ -24,6 +24,7 @@ _TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 SAMPLE = [
     "llm_dedup_exact", "llm_dedup_near", "llm_dedup_minhash",
     "llm_dedup_simhash", "llm_dedup_embedding", "llm_dedup_clusters",
+    "llm_dedup_keep_best",
     "llm_similarity_topk", "llm_similarity_lsh", "llm_similarity_ivf",
     "llm_text_stats", "llm_tfidf_terms", "llm_bm25_topk",
     "llm_repetition_filter", "llm_bpe_pair_counts", "llm_dedup_cross_source",
@@ -161,6 +162,7 @@ def skew_sf_dir(tmp_path_factory, sf_dir):
 SKEW_SAMPLE = [
     "llm_dedup_exact", "llm_dedup_near", "llm_dedup_minhash",
     "llm_dedup_simhash", "llm_dedup_embedding", "llm_dedup_clusters",
+    "llm_dedup_keep_best",
     "llm_dedup_cross_source", "llm_line_dedup", "llm_similarity_lsh",
     "llm_similarity_ivf",
     "llm_bm25_topk", "events_funnel", "events_top_paths",
@@ -187,3 +189,18 @@ def test_exact_dedup_counts_the_duplicated_family(spark, skew_sf_dir):
     fam = [r for r in rows if r.n_copies > 1]
     assert len(fam) == 1 and fam[0].n_copies == 201, fam
     assert fam[0].keep_doc_id == 0
+
+
+def test_keep_best_excludes_the_capped_identical_family(spark, skew_sf_dir):
+    """Division of labor under the 201-copy hot family: IDENTICAL copies
+    are exact-dedup's job — the near-dup posting-list caps drop the
+    family's ubiquitous shingles before pair expansion, so the family
+    forms NO cluster here (every member a singleton, excluded by
+    n_members > 1), while the genuine near-dup pair (docs 1, 2) still
+    surfaces as a 2-member cluster with a deterministic quality pick."""
+    rows = REGISTRY["llm_dedup_keep_best"].fn(spark, skew_sf_dir).collect()
+    assert rows, "the corpus's natural near-dup clusters must survive"
+    assert all(2 <= r.n_members < 200 for r in rows), \
+        sorted({r.n_members for r in rows})
+    hot_ids = {0} | set(range(80000, 80200))
+    assert not any(r.canonical_id in hot_ids for r in rows)
