@@ -162,6 +162,12 @@ def _ordered_names() -> list[str]:
     window = [n for n in _ROUND_WINDOW if n in REGISTRY
               and (n not in sampled
                    or (n in _REVERIFY and n not in latest))]
+    # _REVERIFY pins front themselves even when outside _ROUND_WINDOW —
+    # the moment a new CORRECTNESS file lands whose latest set lacks
+    # them, they must re-enter the window (r6 judge: this arm was
+    # missing, so the pins went inert once r06 became "latest").
+    window += [n for n in _REVERIFY if n in REGISTRY
+               and n not in latest and n not in window]
     in_window = set(window)
     rest_unsampled = [n for n in REGISTRY
                       if n not in in_window and n not in sampled]
