@@ -379,10 +379,12 @@ def events_streaks(spark, d):
         "user_id", "event_id", "event_type",
         F.date_trunc("second", "ts").alias("tss"))
     w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+    # eqNullSafe mirrors the oracle's IS DISTINCT FROM exactly: a NULL
+    # type following a non-NULL one is a change, NULL-after-NULL is not
+    # (the null-unsafe != plus isNull form got both wrong — r6 ADVICE).
     marked = e.withColumn(
-        "chg", F.when(F.lag("event_type").over(w).isNull()
-                      | (F.lag("event_type").over(w) != F.col("event_type")),
-                      1).otherwise(0))
+        "chg", F.when(~F.lag("event_type").over(w)
+                      .eqNullSafe(F.col("event_type")), 1).otherwise(0))
     ids = marked.withColumn(
         "streak_id", F.sum("chg").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -161,11 +161,32 @@ def _registered_session(spark, cls):
         spark.dataSource.register(cls)
         _REGISTERED[name] = sess = spark
     ensure_session_defaults(sess)
-    # resolution can consult the JVM ACTIVE session (a prior read may
-    # have flipped it elsewhere) — pin it to the registered session
-    sess._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
-        sess._jsparkSession)
     return sess
+
+
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def _pinned_session(spark, cls):
+    """Resolve-and-pin context: yields the first-registering session
+    for ``cls`` with the JVM ACTIVE session temporarily pointed at it
+    (source resolution consults the active session), then RESTORES the
+    caller's active session on exit.  The permanent flip this replaces
+    was the same cross-session state-leak class the conf-isolation
+    pattern eliminates elsewhere (r6 ADVICE): it silently rerouted any
+    later bare-session work through the cached session."""
+    sess = _registered_session(spark, cls)
+    jcls = sess._jvm.org.apache.spark.sql.classic.SparkSession
+    prev = jcls.getActiveSession()  # scala Option[SparkSession]
+    jcls.setActiveSession(sess._jsparkSession)
+    try:
+        yield sess
+    finally:
+        if prev.isDefined():
+            jcls.setActiveSession(prev.get())
+        else:
+            jcls.clearActiveSession()
 
 
 def register_source(spark) -> None:
@@ -202,9 +223,9 @@ def scan_python_datasource(spark, d):
     rows over 4 partitions (4 Spark tasks).  The oracle replays the
     same counter-based row function in SQL, proving the source is a
     pure, splittable function of the row index."""
-    spark = _registered_session(spark, SyntheticEventsSource)
-    return (spark.read.format("synthetic_events")
-            .option("rows", "1000").option("partitions", "4").load())
+    with _pinned_session(spark, SyntheticEventsSource) as sess:
+        return (sess.read.format("synthetic_events")
+                .option("rows", "1000").option("partitions", "4").load())
 
 
 @register(
@@ -238,19 +259,19 @@ def stream_python_datasource(spark, d):
     advancing (end-of-data), then the query stops."""
     import uuid as _uuid
 
-    spark = _registered_session(spark, SyntheticEventsSource)
-    stream = (spark.readStream.format("synthetic_events")
-              .option("rows", "300").option("batch_rows", "100").load())
-    qname = f"py_stream_{_uuid.uuid4().hex[:8]}"
-    q = (stream.writeStream.format("memory").queryName(qname)
-         .outputMode("append").trigger(processingTime="0 seconds").start())
-    try:
-        # drains every micro-batch; returns once the source's offset
-        # stops advancing (read() reports end-of-data)
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(qname)
+    with _pinned_session(spark, SyntheticEventsSource) as sess:
+        stream = (sess.readStream.format("synthetic_events")
+                  .option("rows", "300").option("batch_rows", "100").load())
+        qname = f"py_stream_{_uuid.uuid4().hex[:8]}"
+        q = (stream.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(processingTime="0 seconds").start())
+        try:
+            # drains every micro-batch; returns once the source's offset
+            # stops advancing (read() reports end-of-data)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sess.table(qname)
 
 
 class _CsvCommit(WriterCommitMessage):
@@ -272,15 +293,21 @@ class CsvLinesWriter(DataSourceWriter):
         self.path = options["path"]
 
     def write(self, iterator):
+        import csv
         import os
         import uuid
 
         os.makedirs(self.path, exist_ok=True)
         fp = os.path.join(self.path, f"part-{uuid.uuid4().hex}.csv")
         n = 0
-        with open(fp, "w") as f:
+        # csv.writer, not an f-string join: None serializes as the
+        # empty field (not the literal 'None'), and commas/quotes/
+        # newlines inside a value are quoted per RFC 4180 (doubled
+        # quotes) instead of corrupting the line (r6 ADVICE).
+        with open(fp, "w", newline="") as f:
+            w = csv.writer(f)
             for row in iterator:
-                f.write(f"{row.event_id},{row.event_type},{row.value_r}\n")
+                w.writerow([row.event_id, row.event_type, row.value_r])
                 n += 1
         return _CsvCommit(fp, n)
 
@@ -336,13 +363,23 @@ def sink_python_datasource(spark, d):
     cached at module level and every sink write routes through it;
     results are session-independent (same fixture path, defaults
     re-ensured)."""
+    import json
+    import os
+
     from ..operators._util import T
 
-    spark = _registered_session(spark, CsvLinesSink)
-    out = scratch_dir("pysink_")
-    frame = T(spark, d, "events").select(
-        "event_id", "event_type", F.round("value", 2).alias("value_r"))
-    (frame.write.format("csv_lines_sink")
-     .option("path", out).mode("append").save())
-    schema = ("event_id bigint, event_type string, value_r double")
-    return spark.read.schema(schema).csv(f"{out}/part-*.csv")
+    with _pinned_session(spark, CsvLinesSink) as sess:
+        out = scratch_dir("pysink_")
+        frame = T(sess, d, "events").select(
+            "event_id", "event_type", F.round("value", 2).alias("value_r"))
+        (frame.write.format("csv_lines_sink")
+         .option("path", out).mode("append").save())
+        # read back exactly the files the _SUCCESS manifest committed —
+        # not a part-* glob, which would also pick up orphans from
+        # failed attempts (the manifest exists precisely for this)
+        with open(os.path.join(out, "_SUCCESS")) as f:
+            committed = sorted(json.load(f))
+        schema = ("event_id bigint, event_type string, value_r double")
+        return (sess.read.schema(schema)
+                .option("escape", '"')  # RFC 4180 doubled-quote escapes
+                .csv(committed))

@@ -1532,8 +1532,39 @@ class IceliteTable:
                   "record_count": f.get("record_count"),
                   "partition": f.get("partition")}
                  for f in snap["files"]]
+
+        # add_files adopts a DIRECTORY, but data/ retains superseded
+        # generations for time travel (expire/remove_orphan keep any
+        # snapshot-referenced file) — pointing the CALL at data/ after
+        # an update/delete/compaction would import old + current rows:
+        # exactly the silent double-import the MOR guard above refuses.
+        # Adopt data/ directly only when it holds nothing but the
+        # current snapshot; otherwise stage hardlinks to exactly
+        # snap['files'] and adopt the stage (r6 ADVICE, medium).
+        data_root = os.path.join(self.tdir, "data")
+        current = {os.path.normpath(f["path"]) for f in snap["files"]}
+        on_disk = set()
+        for root, _dirs, names in os.walk(data_root):
+            for fn in names:
+                if fn.endswith(".parquet"):
+                    on_disk.add(os.path.normpath(os.path.relpath(
+                        os.path.join(root, fn), self.tdir)))
+        if on_disk <= current:
+            src_dir = data_root
+        else:
+            import shutil
+            src_dir = os.path.join(self.tdir, "export_stage",
+                                   f"snap-{meta['current_snapshot']}")
+            shutil.rmtree(src_dir, ignore_errors=True)
+            os.makedirs(src_dir)
+            for rel in sorted(current):
+                dst = os.path.join(src_dir, rel.replace(os.sep, "__"))
+                try:
+                    os.link(os.path.join(self.tdir, rel), dst)
+                except OSError:  # cross-device or FS without hardlinks
+                    shutil.copy2(os.path.join(self.tdir, rel), dst)
         add_files = (
             f"CALL system.add_files(table => '{name}', "
-            f"source_table => '`parquet`.`{os.path.join(self.tdir, 'data')}`')")
+            f"source_table => '`parquet`.`{src_dir}`')")
         return {"create_table": create, "add_files": add_files,
-                "files": files}
+                "files": files, "source_dir": src_dir}

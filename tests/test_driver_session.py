@@ -108,9 +108,29 @@ def test_round5_queries_on_bare_session(bare_spark, sf_dir, name):
 def test_round6_queries_on_bare_session(bare_spark, sf_dir, name):
     """The round-6 additions (derived-partsupp TPC-H set, table
     rollback/orphan cleanup, BM25, KMV sketch), replayed on a
-    driver-like session with no package-session confs pre-applied."""
+    driver-like session with no package-session confs pre-applied.
+
+    Note: the pysource cases (sink_python_datasource here) pin their
+    OWN first-registering session for the duration of the read/write
+    and restore the caller's active session afterwards — so this test
+    proves they are callable from a bare session, not that they
+    execute on it (sources/pysource.py:_pinned_session)."""
     df = REGISTRY[name].fn(bare_spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_pysource_restores_callers_active_session(spark, sf_dir):
+    """_pinned_session must put the JVM active session back: a pysource
+    query issued from a child session may not leave the process's
+    active session flipped to the registered one (r6 ADVICE — the
+    permanent setActiveSession was a cross-session state leak)."""
+    child = spark.newSession()
+    jcls = child._jvm.org.apache.spark.sql.classic.SparkSession
+    jcls.setActiveSession(child._jsparkSession)
+    REGISTRY["scan_python_datasource"].fn(child, sf_dir).count()
+    active = jcls.getActiveSession()
+    assert active.isDefined()
+    assert active.get().equals(child._jsparkSession)
 
 
 def test_streaks_reconcile_with_event_counts(spark, sf_dir):
@@ -201,7 +221,12 @@ def test_stateful_provider_conf_is_live(spark, sf_dir):
     from data_eng_iceberg_demo_spark.streaming.harness import \
         _stateful_running
 
-    with pytest.raises((StreamingQueryException, Py4JJavaError, Exception)):
+    # no bare Exception in the tuple (it would pass on any failure —
+    # r6 ADVICE): the error must be a streaming/JVM failure whose
+    # message names the bogus provider class, proving the conf reached
+    # the state store rather than e.g. a fixture-path typo.
+    with pytest.raises((StreamingQueryException, Py4JJavaError),
+                       match="no\\.such\\.StateStoreProvider"):
         _stateful_running(spark, sf_dir,
                           provider="no.such.StateStoreProvider",
                           tag="bogus_provider")

@@ -626,6 +626,28 @@ def test_to_iceberg_ddl_round_trips_schema_and_manifest(spark, table):
     assert "system.add_files" in out["add_files"]
 
 
+def test_to_iceberg_ddl_source_reads_back_exactly_current_rows(spark, table):
+    """data/ retains superseded generations for time travel, so after a
+    copy-on-write delete the add_files source must NOT be the raw data/
+    dir (that would double-import); executing a read over the emitted
+    source_dir must yield exactly the current snapshot's rows."""
+    before = table.read().count()
+    n_sp = table.read().filter("uf = 'SP'").count()
+    table.delete_where("uf = 'SP'")  # CoW rewrite: old generation stays on disk
+    out = table.to_iceberg_ddl()
+    assert out["source_dir"] in out["add_files"]
+    assert out["source_dir"] != os.path.join(table.tdir, "data")
+    got = spark.read.parquet(out["source_dir"])  # staged dir is flat
+    assert got.count() == before - n_sp == table.read().count()
+    assert got.filter("uf = 'SP'").count() == 0
+    assert sum(f["record_count"] for f in out["files"]) == before - n_sp
+
+
+def test_to_iceberg_ddl_fresh_table_adopts_data_dir_directly(spark, table):
+    out = table.to_iceberg_ddl()
+    assert out["source_dir"] == os.path.join(table.tdir, "data")
+
+
 def test_to_iceberg_ddl_refuses_mor_deletes_until_compacted(spark, table):
     """add_files cannot represent positional deletes, so a table whose
     current snapshot carries MOR delete files must refuse to export —
