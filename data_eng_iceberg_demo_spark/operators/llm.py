@@ -366,6 +366,7 @@ def llm_text_stats(spark, d):
     oracle="""
     WITH tokens AS (
         SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+        WHERE source IS NOT NULL
     ), tf AS (
         SELECT source, term, count(*) AS tf FROM tokens GROUP BY source, term
     ), df AS (
@@ -391,7 +392,13 @@ def llm_tfidf_terms(spark, d):
     Scale path: ml.feature.HashingTF/IDF for fixed-width features."""
     from pyspark.sql import Window
 
+    # NULL-source docs are excluded on BOTH sides: Spark's df below
+    # counts tf ROWS per term (a NULL source would form a group and
+    # inflate df by one), while the oracle's count(DISTINCT source)
+    # ignores NULLs — the one NULL-discipline asymmetry in this query
+    # (caught by the null-mirror parity sweep).
     tokens = (T(spark, d, "documents")
+              .filter(F.col("source").isNotNull())
               .select("source", F.explode(F.split("text", " ")).alias("term")))
     tf = tokens.groupBy("source", "term").agg(F.count("*").alias("tf"))
     # df/n_sources derive from tf, not raw tokens: one row per (source,
@@ -598,8 +605,14 @@ def llm_fingerprint(spark, d):
     from pyspark.sql import Window
 
     docs = T(spark, d, "documents")
-    content_fp = F.md5(F.concat_ws(
-        " ", F.sort_array(F.array_distinct(F.split("text", " ")))).cast("binary"))
+    # NULL text must fingerprint as NULL, matching the oracle's
+    # md5(NULL): without the guard concat_ws SKIPS the NULL and yields
+    # md5('') — silently merging NULL-text docs with empty-string docs
+    # into one fp group (caught by the null-mirror parity sweep).
+    content_fp = F.when(F.col("text").isNull(), F.lit(None)).otherwise(
+        F.md5(F.concat_ws(
+            " ", F.sort_array(F.array_distinct(F.split("text", " "))))
+            .cast("binary")))
     fp = docs.select(
         "doc_id", "lang",
         F.md5(F.col("text").cast("binary")).alias("exact_fp"),
@@ -1030,6 +1043,7 @@ def llm_pii_scrub(spark, d):
         SELECT vec_id, label, embedding AS e,
                unnest(generate_series(1, 64)) AS i
         FROM embeddings
+        WHERE embedding IS NOT NULL
     ), comp AS (
         SELECT vec_id, label, CAST(e[i] AS DOUBLE) AS x,
                max(abs(CAST(e[i] AS DOUBLE)))
@@ -1037,7 +1051,8 @@ def llm_pii_scrub(spark, d):
         FROM pos
     ), q AS (
         SELECT vec_id, label, x, scale,
-               round(x * 127.0 / scale) AS qv
+               CASE WHEN scale = 0 THEN 0
+                    ELSE round(x * 127.0 / scale) END AS qv
         FROM comp
     )
     SELECT label,
@@ -1056,13 +1071,20 @@ def llm_embedding_quantize(spark, d):
     ANN serving.  All arithmetic stays in JVM higher-order functions;
     the oracle replays it per-component.  max_q == 127 proves the full
     int8 range is used; mse quantifies the fidelity loss."""
-    emb = T(spark, d, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    emb = (T(spark, d, "embeddings")
+           .filter(F.col("embedding").isNotNull())  # mirrored in the oracle
+           .select("vec_id", "label",
+                   F.col("embedding").cast("array<double>").alias("e")))
     comp = emb.select(
         "vec_id", "label",
         F.posexplode("e").alias("i", "x"),
         F.array_max(F.transform("e", lambda v: F.abs(v))).alias("scale"))
-    q = comp.withColumn("qv", F.round(F.col("x") * 127.0 / F.col("scale")))
+    # the all-zero vector has scale 0: it quantizes to all-zero qv with
+    # zero reconstruction error — not an ANSI divide-by-zero (null-mirror
+    # parity sweep; the oracle carries the same CASE)
+    q = comp.withColumn(
+        "qv", F.when(F.col("scale") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("x") * 127.0 / F.col("scale"))))
     return q.groupBy("label").agg(
         F.countDistinct("vec_id").alias("n_vecs"),
         F.round(F.avg(F.pow(F.col("x") - F.col("qv") * F.col("scale") / 127.0,

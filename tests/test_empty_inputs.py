@@ -105,6 +105,77 @@ NULL_SAMPLE = sorted(n for n in REGISTRY
                      if n.startswith(("llm_", "events_", "stream_")))
 
 
+# --- parity on the adversarial mirrors (VERDICT r6 task 3) -----------
+# The dedup/text family's NULL-discipline (filter NULL text on BOTH
+# engines before hashing, concat_ws vs NULL, empty-string docs) was
+# fixed point-by-point in rounds 5-6; running the ORACLE COMPARISON —
+# not just execution — over the zero-row and null-injected mirrors pins
+# those fixes against regression.  Every hash-oracled llm_* query
+# participates (the approx/sketch ones have no oracle by design).
+
+PARITY_FAMILY = sorted(
+    n for n in REGISTRY
+    if n.startswith("llm_") and REGISTRY[n].oracle is not None)
+
+
+def _mirror_duck(d):
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{d}/{t}.parquet')")
+    return con
+
+
+@pytest.fixture(scope="session")
+def empty_duck(empty_sf_dir):
+    con = _mirror_duck(empty_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="session")
+def nulls_duck(nulls_sf_dir):
+    con = _mirror_duck(nulls_sf_dir)
+    yield con
+    con.close()
+
+
+def _assert_parity(name, spark, d, con):
+    import pandas as pd
+    from test_oracle_parity import canon
+
+    spec = REGISTRY[name]
+    got = canon(spec.fn(spark, d).toPandas())
+    want = canon(con.execute(spec.oracle).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}")
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    if not got.equals(want):
+        diff_mask = (got != want).any(axis=1)
+        sample = pd.concat(
+            [got[diff_mask].head(5).assign(side="spark"),
+             want[diff_mask].head(5).assign(side="oracle")])
+        raise AssertionError(f"{name}: value mismatch\n{sample.to_string()}")
+
+
+@pytest.mark.parametrize("name", PARITY_FAMILY)
+def test_empty_input_matches_oracle(driver_spark, empty_sf_dir, empty_duck,
+                                    name):
+    """Zero-row input: both engines must agree exactly (usually on an
+    empty result — but e.g. train/test split ratios and mixture weights
+    must degrade identically, not just not-crash)."""
+    _assert_parity(name, driver_spark, empty_sf_dir, empty_duck)
+
+
+@pytest.mark.parametrize("name", PARITY_FAMILY)
+def test_null_rows_match_oracle(driver_spark, nulls_sf_dir, nulls_duck, name):
+    """NULL text/lang/source, empty-string docs, NULL and zero vectors:
+    the full oracle comparison, so a NULL-handling divergence (Spark
+    concat_ws('') vs DuckDB NULL, null-unsafe comparisons) fails here
+    instead of surfacing as a driver hash flake."""
+    _assert_parity(name, driver_spark, nulls_sf_dir, nulls_duck)
+
+
 @pytest.mark.parametrize("name", NULL_SAMPLE)
 def test_query_survives_null_rows(spark, nulls_sf_dir, name):
     """NULL text/vector/event-attribute rows (and empty strings / zero
