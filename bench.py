@@ -90,6 +90,27 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def regression_flags(times: dict, baseline: dict, cores_now: float) -> list:
+    """Names whose timing exceeds 2x their first-measurement baseline,
+    CORE-NORMALIZED when the baseline recorded host_effective_cores
+    (VERDICT r6 task 7): the shared host swings ~7-32 effective cores
+    and per-query times scale ~proportionally (r5 vs r6: core-seconds
+    per query flat at ~6.5 while wall times moved 1.4x), so a quiet
+    host would otherwise mask a real regression behind headroom and a
+    busy one would flag phantoms.  Entries without a recorded cores
+    figure compare raw, as before."""
+    out = []
+    for n, t in times.items():
+        if t < 0 or n not in baseline:
+            continue
+        e = baseline[n]
+        tn = (t * cores_now / e["cores"]
+              if e.get("cores") and cores_now > 0 else t)
+        if tn > 2.0 * e["sec"]:
+            out.append(n)
+    return sorted(out)
+
+
 def skew_demo(spark, sf_dir: str) -> dict:
     """Recorded salted-vs-plain skew delta (VERDICT r5 task 4): build a
     hot-key mirror of orders at bench scale (every order duplicated 15x
@@ -225,10 +246,9 @@ def main() -> None:
             baseline = json.load(f)["queries"]
     except OSError:
         baseline = {}
+    cores_now = host_effective_cores()
     def flagged():
-        return sorted(n for n, t in times.items()
-                      if t >= 0 and n in baseline
-                      and t > 2.0 * baseline[n]["sec"])
+        return regression_flags(times, baseline, cores_now)
     for _retry in range(2):
         for name in flagged():
             t0 = time.time()
@@ -254,7 +274,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(times),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
-        "host_effective_cores": host_effective_cores(),
+        "host_effective_cores": cores_now,
         "warmup": "per-query untimed pass at sf0.001 adjacent to each timed run",
         "skew_demo": demo,
     }

@@ -18,6 +18,7 @@ Scale notes (the 100 TB design point, SURVEY.md §7.4):
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Observation
 
@@ -299,38 +300,173 @@ def llm_similarity_topk(spark, d):
             .filter(F.col("rn") <= 10).select("qid", "cid", "cosine"))
 
 
-@register("llm_similarity_lsh")  # rows-only: ANN recall is approximate
+# --- sign-projection LSH ANN ----------------------------------------------
+# The projection weights are a pure counter-based function of
+# (table, bit, dim) — the same splittable-LCG discipline as the Python
+# data source — so BOTH engines regenerate them independently and the
+# whole bucketing pass is oracle-replayable (the r6 verdict's task 4:
+# MLlib's seeded Scala RNG was the only thing keeping this rows-only).
+_LSH_TABLES = 8             # more tables -> higher recall, linear cost
+_LSH_BITS = 8               # 2^8 buckets/table; grows with log(corpus)
+_LSH_A = 6364136223846793005
+_LSH_C = 1442695040888963407
+
+
+def _lsh_weights() -> list[list[list[float]]]:
+    """weights[t][b][i] in [-1, 1), identical to the oracle's SQL."""
+    return [[[((((t * _LSH_BITS + b) * 64 + i) * _LSH_A + _LSH_C)
+               % 2**64) % 2000001 / 1e6 - 1.0
+              for i in range(64)]
+             for b in range(_LSH_BITS)]
+            for t in range(_LSH_TABLES)]
+
+
+_LSH_W_SQL = f"""
+    SELECT t, b, i,
+           CAST(((CAST((t*{_LSH_BITS}+b)*64+i AS HUGEINT)
+                  * {_LSH_A} + {_LSH_C}) % 18446744073709551616)
+                % 2000001 AS DOUBLE)/1000000.0 - 1.0 AS wv
+    FROM (SELECT unnest(generate_series(0, {_LSH_TABLES - 1})) AS t),
+         (SELECT unnest(generate_series(0, {_LSH_BITS - 1})) AS b),
+         (SELECT unnest(generate_series(0, 63)) AS i)
+"""
+
+_LSH_ORACLE = f"""
+    WITH nz AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x <> 0)) > 0
+    ), w AS ({_LSH_W_SQL}
+    ), proj AS (
+        SELECT n.vec_id, w.t, w.b,
+               sum(w.wv * CAST(n.embedding[w.i + 1] AS DOUBLE)) AS s
+        FROM nz n, w
+        GROUP BY n.vec_id, w.t, w.b
+    ), sig AS (
+        SELECT vec_id, t,
+               CAST(sum(CASE WHEN s >= 0
+                             THEN (CAST(1 AS BIGINT) << b)
+                             ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id, t
+    ), qp AS (
+        SELECT vec_id AS qid, t,
+               CASE WHEN j < 0 THEN bucket
+                    ELSE xor(bucket, (CAST(1 AS BIGINT) << j)) END AS bucket
+        FROM sig,
+             (SELECT unnest(generate_series(-1, {_LSH_BITS - 1})) AS j)
+        WHERE vec_id < 5
+    ), cand AS (
+        SELECT DISTINCT q.qid, c.vec_id AS cid
+        FROM qp q JOIN sig c ON q.t = c.t AND q.bucket = c.bucket
+        WHERE q.qid <> c.vec_id
+    ), pos AS (
+        SELECT cand.qid, cand.cid, q.embedding AS qe, c.embedding AS ce,
+               unnest(generate_series(1, 64)) AS i
+        FROM cand JOIN nz q ON q.vec_id = cand.qid
+                  JOIN nz c ON c.vec_id = cand.cid
+    ), dots AS (
+        SELECT qid, cid,
+               sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+               sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS qq,
+               sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS cc
+        FROM pos GROUP BY qid, cid
+    ), sims AS (
+        SELECT qid, cid, round(dot / (sqrt(qq) * sqrt(cc)), 4) + 0 AS cosine
+        FROM dots
+    )
+    SELECT qid, cid, cosine FROM (
+        SELECT qid, cid, cosine,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, cid ASC) AS rn
+        FROM sims
+    ) WHERE rn <= 10
+"""
+
+
+@register("llm_similarity_lsh", oracle=_LSH_ORACLE)
 def llm_similarity_lsh(spark, d):
-    """ANN scale path: random-projection (sign) LSH over the embeddings —
-    candidates share a bucket with the query, then exact cosine re-rank
-    within the bucket.  Deterministic (fixed seed) but approximate recall,
-    hence rows-only."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    """ANN scale path: sign-projection (SimHash-for-vectors) LSH with
+    Hamming-1 multi-probe — 8 tables x 8 hyperplane bits, candidates
+    share a probed bucket with the query in any table, then exact
+    cosine re-rank of candidates only, top-10 per query.
+
+    The bucketing is DETERMINISTIC and replayed verbatim by the oracle
+    (counter-based projection weights), so the hash comparison pins the
+    whole pipeline — bucket assignment, multi-probe expansion, candidate
+    dedup, re-rank — not just "some rows came back".  Recall vs the
+    brute-force baseline is a property of the corpus (the fixture
+    embeddings are near-random; tests/test_sketch_accuracy.py records
+    the band); at scale recall is tuned with more tables / probes,
+    never by widening to all-pairs.
+
+    100 TB shape: signatures are computed in the scan projection by a
+    vectorized Arrow gemm (one (batch x 64) @ (64 x 64) matmul per
+    Arrow batch — the 64 interpreted zip_with dot products this
+    replaces were ~10x slower; same sanctioned kernel path as
+    llm_dedup_embedding), with no fit step, no shuffle, no driver
+    state.  The only shuffles are the (t, bucket) equi-join of the
+    tiny probed query side against the corpus signatures, the
+    candidate distinct, and the per-query top-k.  Buckets ~
+    corpus/2^bits members; the query side carries bits+1 = 9 probes
+    per table.  Engine-agnostic signs: numpy's pairwise summation may
+    associate differently than DuckDB's — safe because every fixture
+    projection clears zero by >= 4 orders of magnitude over
+    reassociation error (margin guard in tests/test_oracle_parity)."""
     from pyspark.sql import Window
 
+    @F.pandas_udf("array<bigint>")
+    def lsh_buckets(e: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(e) == 0:
+            return pd.Series([], dtype=object)
+        W = np.array(_lsh_weights(), dtype=np.float64)  # (T, B, 64)
+        X = np.stack(e.to_numpy())                       # (n, 64)
+        proj = X @ W.reshape(-1, 64).T                   # (n, T*B)
+        bits = (proj >= 0).astype(np.int64).reshape(
+            len(e), _LSH_TABLES, _LSH_BITS)
+        buckets = (bits << np.arange(_LSH_BITS)).sum(axis=2)  # (n, T)
+        return pd.Series(list(buckets))
+
     emb = (T(spark, d, "embeddings")
-           .filter(F.col("embedding").isNotNull())  # MLlib needs dense rows
-           .select("vec_id", array_to_vector(
-               F.col("embedding").cast("array<double>")).alias("v")))
-    if not emb.head(1):  # MLlib LSH cannot fit on zero rows; empty result
-        return emb.select(F.col("vec_id").alias("qid"),
-                          F.col("vec_id").alias("cid"),
-                          F.lit(0.0).alias("l2_dist")).limit(0)
-    lsh = BucketedRandomProjectionLSH(inputCol="v", outputCol="hashes",
-                                      bucketLength=2.0, numHashTables=4, seed=42)
-    model = lsh.fit(emb)
-    q = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "qid")
-    joined = model.approxSimilarityJoin(
-        q.withColumnRenamed("qid", "vec_id"), emb, threshold=float("inf"),
-        distCol="l2")
-    pairs = (joined.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
-             .select(F.col("datasetA.vec_id").alias("qid"),
-                     F.col("datasetB.vec_id").alias("cid"),
-                     F.round("l2", 4).alias("l2_dist")))
-    w = Window.partitionBy("qid").orderBy(F.col("l2_dist").asc(), F.col("cid").asc())
-    return (pairs.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 10).drop("rn"))
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("e"))
+           .filter(F.col("e").isNotNull()))
+    nz = emb.withColumn(
+        "norm", F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                                   F.lit(0.0), lambda a, x: a + x))
+    ).filter(F.col("norm") > 0)  # cosine undefined for the zero vector
+
+    sigl = (nz.select("vec_id", lsh_buckets("e").alias("bk"))
+            .select("vec_id", F.posexplode("bk").alias("t", "bucket")))
+    # query side: exact bucket + every Hamming-1 neighbor (multi-probe)
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
+          for j in range(_LSH_BITS)])
+    qp = (sigl.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("qid"), "t",
+                  F.explode(probes).alias("bucket")))
+    cand = (F.broadcast(qp).join(sigl, ["t", "bucket"])
+            .filter(F.col("qid") != F.col("vec_id"))
+            .select("qid", F.col("vec_id").alias("cid"))
+            .distinct())
+    q = nz.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                  F.col("norm").alias("qnorm"))
+    c = nz.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+                  F.col("norm").alias("cnorm"))
+    pairs = cand.join(F.broadcast(q), "qid").join(c, "cid")
+    dotted = pairs.withColumn(
+        "dot", F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y),
+                           F.lit(0.0), lambda a, x: a + x))
+    sims = dotted.select(
+        "qid", "cid",
+        (F.round(F.col("dot") / (F.col("qnorm") * F.col("cnorm")), 4)
+         + F.lit(0.0)).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("cid").asc())
+    return (sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10).select("qid", "cid", "cosine"))
 
 
 @register(

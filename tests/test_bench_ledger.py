@@ -1,0 +1,42 @@
+"""bench.py regression-ledger self-tests (VERDICT r6 task 7): the
+flagging must normalize by the host's effective-core ratio when the
+baseline recorded one, so a quiet host can't hide a real regression
+behind headroom and a busy host can't flag phantoms.  Pure-function
+tests — no Spark session."""
+
+from __future__ import annotations
+
+from bench import regression_flags
+
+
+def test_quiet_host_cannot_hide_a_regression():
+    """Baseline taken at 9 effective cores; today's run on a quiet
+    32-core host reads 1.1 s raw (looks fine vs the 1.0 s baseline) —
+    but at the baseline's host load that's ~3.9 s: a real regression,
+    and core-normalization must surface it."""
+    baseline = {"q": {"sec": 1.0, "cores": 9.0}}
+    assert regression_flags({"q": 1.1}, baseline, cores_now=32.0) == ["q"]
+    # without a recorded cores figure the raw comparison stands (legacy
+    # entries), and 1.1 < 2.0 does not flag
+    assert regression_flags({"q": 1.1}, {"q": {"sec": 1.0}}, 32.0) == []
+
+
+def test_busy_host_does_not_flag_phantoms():
+    """Baseline at 11 cores; today's host delivers 7 — the raw 2.1 s
+    exceeds 2x, but it's entirely host dip (normalized ~1.34 s)."""
+    baseline = {"q": {"sec": 1.0, "cores": 11.0}}
+    assert regression_flags({"q": 2.1}, baseline, cores_now=7.0) == []
+    # the same raw time against a legacy no-cores entry DOES flag
+    assert regression_flags({"q": 2.1}, {"q": {"sec": 1.0}}, 7.0) == ["q"]
+
+
+def test_flag_hygiene():
+    """Failed runs (-1), names without baselines, and an unusable cores
+    probe (-1.0 sentinel) must never flag or crash."""
+    baseline = {"q": {"sec": 1.0, "cores": 9.0}}
+    assert regression_flags({"q": -1.0, "other": 99.0}, baseline, 9.0) == []
+    # cores probe failed (-1.0): fall back to the raw comparison
+    assert regression_flags({"q": 1.9}, baseline, -1.0) == []
+    assert regression_flags({"q": 2.1}, baseline, -1.0) == ["q"]
+    # genuine same-host regression still flags with normalization active
+    assert regression_flags({"q": 2.5}, baseline, 9.0) == ["q"]

@@ -114,6 +114,29 @@ def test_fixture_no_unigram_logprob_mean_near_rounding_boundary(duck):
         assert dist > 1e-6, (doc_id, m, dist)
 
 
+def test_fixture_lsh_projection_margin_clears_reassociation_noise(duck):
+    """llm_similarity_lsh's hash oracle needs both engines to agree on
+    the SIGN of every (vector, table, bit) projection sum; each engine
+    may sum the 64 products in a different order, so a projection within
+    float-reassociation distance of zero (~1e-13 for these magnitudes)
+    could flip a bucket bit on one side only.  Assert every projection
+    on this fixture keeps a 4-orders-of-magnitude margin (measured min
+    ~1.7e-5 at sf0.01)."""
+    from data_eng_iceberg_demo_spark.operators.llm import _LSH_W_SQL
+
+    (m,) = duck.execute(f"""
+        WITH nz AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL
+              AND len(list_filter(embedding, x -> x <> 0)) > 0
+        ), w AS ({_LSH_W_SQL})
+        SELECT min(abs(s)) FROM (
+            SELECT sum(w.wv * CAST(n.embedding[w.i + 1] AS DOUBLE)) AS s
+            FROM nz n, w GROUP BY n.vec_id, w.t, w.b)
+    """).fetchone()
+    assert m is None or m > 1e-9, m
+
+
 def test_fixture_watermark_late_replay_and_boundary(duck):
     """Fixture guards for stream_watermark_late's exact oracle.
 

@@ -283,6 +283,10 @@ _BROADCAST_HINT_OK = {
     ("llm_similarity_topk", "embeddings"):
         "query side is pinned to 5 vec_ids by construction — the ANN "
         "contract is a tiny query set probing a huge corpus",
+    ("llm_similarity_lsh", "embeddings"):
+        "both hinted subtrees are pinned to 5 vec_ids by construction: "
+        "the probe list (5 queries x 8 tables x 9 probes = 360 fixed-"
+        "width rows) and the 5 query vectors for the re-rank",
     ("llm_decontaminate", "documents"):
         "eval side is pinned to 10 benchmark docs by construction; its "
         "distinct 8-grams are the classic decontamination broadcast set",
