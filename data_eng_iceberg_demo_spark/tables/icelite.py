@@ -1207,12 +1207,38 @@ class IceliteTable:
         self._commit_snapshot(meta, "overwrite", new_files)
 
     def merge_into(self, source: DataFrame, key: str,
-                   update_cols: list[str]) -> None:
-        """MERGE INTO (upsert): rows matched on `key` take the source's
-        values for `update_cols`; unmatched source rows are inserted;
-        unmatched target rows carry over.  Copy-on-write: one new snapshot
-        with the merged file set.  At scale both sides co-partition on the
-        key — a single shuffle, no row-by-row RPCs."""
+                   update_cols: list[str],
+                   not_matched_by_source: str = "keep",
+                   mode: str = "copy-on-write") -> None:
+        """MERGE INTO: rows matched on `key` take the source's values
+        for `update_cols` (WHEN MATCHED UPDATE); unmatched source rows
+        are inserted (WHEN NOT MATCHED INSERT); target rows absent from
+        the source either carry over (``not_matched_by_source='keep'``,
+        the classic upsert) or are removed
+        (``not_matched_by_source='delete'`` — Spark 4 / Iceberg's WHEN
+        NOT MATCHED BY SOURCE THEN DELETE, the full-sync arm; VERDICT r6
+        task 6).
+
+        * copy-on-write (default): one new snapshot with the merged
+          file set.
+        * merge-on-read: matched (and, under the delete arm, unmatched)
+          target rows are masked by ONE position delete file; updated
+          matched rows and inserts append as new data files — a single
+          atomic snapshot with zero data-file rewrites (the same v2
+          delete-file shape as update_where/delete_where MoR; CoW==MoR
+          equivalence pinned in tests/test_icelite_mor.py).
+
+        At scale both sides co-partition on the key — a single shuffle,
+        no row-by-row RPCs."""
+        if not_matched_by_source not in ("keep", "delete"):
+            raise ValueError(
+                f"not_matched_by_source must be 'keep' or 'delete', "
+                f"got {not_matched_by_source!r}")
+        if mode in ("merge-on-read", "mor"):
+            return self._merge_into_mor(source, key, update_cols,
+                                        not_matched_by_source)
+        if mode not in ("copy-on-write", "cow"):
+            raise ValueError(f"unknown merge mode: {mode}")
         meta = self.meta
         cols = self.current_columns(meta)
         target = self.read()
@@ -1220,8 +1246,12 @@ class IceliteTable:
         s_pref = src.select([F.col(c).alias(f"__s_{c}") for c in cols])
         joined = target.join(
             s_pref, target[key] == s_pref[f"__s_{key}"], "full_outer")
+        if not_matched_by_source == "delete":
+            # target-only rows drop; the null-rejecting filter lets the
+            # optimizer narrow the full outer to a right outer join
+            joined = joined.filter(F.col(f"__s_{key}").isNotNull())
         # matched rows: update_cols from source, others from target;
-        # insert rows: all from source; delete never happens here
+        # insert rows: all from source
         sel = []
         for c in cols:
             if c == key:
@@ -1233,6 +1263,54 @@ class IceliteTable:
         merged = joined.select(*sel)
         new_files = self._write_files(merged, meta)
         self._commit_snapshot(meta, "merge", new_files)
+
+    def _merge_into_mor(self, source: DataFrame, key: str,
+                        update_cols: list[str],
+                        not_matched_by_source: str) -> None:
+        """Merge-on-read MERGE: one provenance scan joins the target
+        (with row positions) against the source; masked old versions go
+        into a position delete file, updated + inserted rows append."""
+        meta = self.meta
+        cur = self._snapshot(meta, None)
+        cur_dels = cur.get("delete_files", [])
+        cols = self.current_columns(meta)
+        src = source.select(*cols)
+        s_pref = src.select([F.col(c).alias(f"__s_{c}") for c in cols])
+        tgt = self._read_files(cur["files"], meta, delete_files=cur_dels,
+                               keep_pos=True)
+        joined = tgt.join(
+            s_pref, tgt[key] == s_pref[f"__s_{key}"], "full_outer")
+        is_target = F.col("__file").isNotNull()
+        is_matched = is_target & F.col(f"__s_{key}").isNotNull()
+        masked = joined.filter(
+            is_target if not_matched_by_source == "delete" else is_matched)
+        batch = uuid.uuid4().hex[:12]
+        out_rel = os.path.join("deletes", batch)
+        out = os.path.join(self.tdir, out_rel)
+        (masked.select(F.col("__file").alias("file_path"),
+                       F.col("__pos").alias("pos"))
+         .coalesce(1).write.mode("overwrite").parquet(out))
+        written = self.spark.read.parquet(out)
+        targets = self._rel_data_paths(
+            [r["file_path"] for r in
+             written.select("file_path").distinct().collect()])
+        # updated matched rows + source-only inserts re-enter as appends
+        updated = joined.filter(is_matched).select(*[
+            (F.col(f"__s_{c}") if c in update_cols else F.col(c)).alias(c)
+            for c in cols])
+        inserts = (joined.filter(~is_target)
+                   .select(*[F.col(f"__s_{c}").alias(c) for c in cols]))
+        new_files = self._write_files(updated.unionByName(inserts), meta)
+        files = list(cur["files"]) + new_files
+        if targets:
+            entry = {"path": out_rel, "targets": sorted(targets)}
+            self._commit_snapshot(meta, "merge", files,
+                                  delete_files=cur_dels + [entry])
+        else:
+            import shutil
+            shutil.rmtree(out, ignore_errors=True)
+            self._commit_snapshot(meta, "merge", files,
+                                  delete_files=cur_dels)
 
     def drop_column(self, name: str) -> None:
         """Metadata-only DROP COLUMN: the field leaves the current schema;
@@ -1298,6 +1376,43 @@ class IceliteTable:
             agg.items(), key=lambda kv: (kv[0] is None, kv[0]))]
         return self.spark.createDataFrame(
             rows, "partition string, file_count bigint, record_count bigint")
+
+    def manifests(self, version: int | None = None) -> DataFrame:
+        """Metadata table (Iceberg's ``db.t.manifests`` analog): one row
+        per manifest file in the DELTA CHAIN that materializes the
+        snapshot — path, on-disk length, owning snapshot, its base, and
+        added/removed data-file and delete-file counts.  The chain
+        invariant sum(added) - sum(removed) == len(files()) is pinned in
+        pytest.  Pure metadata: no data file is touched.  Completes the
+        inspection family beside files()/partitions()/history()/refs_df()
+        (VERDICT r6 task 5)."""
+        meta = self.meta
+        snap = self._snapshot(meta, version)
+        by_id = {s["id"]: s for s in meta["snapshots"]}
+        rows = []
+        sid = snap["id"]
+        while sid is not None:
+            s = by_id[sid]
+            mf = s.get("_manifest")
+            if mf is None:  # legacy inline snapshot: no manifest file
+                rows.append((None, None, s["id"], None,
+                             len(s["files"]), 0,
+                             len(s.get("delete_files", [])), 0))
+                break
+            body = self._manifest(mf)
+            rel = os.path.join(_MANIFEST_DIR, mf)
+            rows.append((rel,
+                         os.path.getsize(os.path.join(self.tdir, rel)),
+                         s["id"], body["base"],
+                         len(body["added"]), len(body["removed"]),
+                         len(body["added_deletes"]),
+                         len(body["removed_deletes"])))
+            sid = body["base"]
+        return self.spark.createDataFrame(
+            rows, "manifest_path string, length bigint, "
+                  "snapshot_id bigint, base_snapshot_id bigint, "
+                  "added_data_files bigint, removed_data_files bigint, "
+                  "added_delete_files bigint, removed_delete_files bigint")
 
     # ------------------------------------------------- refs: tags / branches
     def refs(self) -> dict:

@@ -528,3 +528,83 @@ def table_partition_spec_evolution(spark, d):
     t.insert(df.filter(F.col("id_cliente") % 3 == 2))          # days spec
     return _as_output(t.scan(ts_lo="2024-02-01 00:00:00",
                              ts_hi="2024-03-01 00:00:00"))
+
+
+@register(
+    "table_merge_full_sync",
+    oracle=f"""
+    SELECT id_pedido, produto, valor_unitario,
+           CAST(quantidade + 100 AS BIGINT) AS quantidade,
+           data_criacao_s, uf, id_cliente
+    FROM ({_CSV_ORACLE_BASE}) WHERE uf = 'SP'
+    UNION ALL
+    SELECT 'NEW-' || id_pedido, produto, valor_unitario, quantidade,
+           data_criacao_s, uf, id_cliente
+    FROM ({_CSV_ORACLE_BASE}) WHERE uf = 'RJ'
+    """,
+)
+def table_merge_full_sync(spark, d):
+    """MERGE with all three arms — WHEN MATCHED UPDATE, WHEN NOT MATCHED
+    INSERT, and WHEN NOT MATCHED BY SOURCE DELETE (Spark 4 / Iceberg's
+    full-sync MERGE; VERDICT r6 task 6): the same upsert source as
+    table_merge_upsert but with not_matched_by_source='delete', so every
+    target row absent from the source (everything but SP) is removed.
+    The source's produto is poisoned to 'IGNORADO' on the update arm —
+    matched rows must keep the TARGET's produto (only quantidade is an
+    update column), so a provenance mix-up fails the hash, not just a
+    row count.  CoW==MoR equivalence for this arm is pinned in
+    tests/test_icelite_mor.py."""
+    t = _fresh_table(spark)
+    base = _typed_pedidos(spark)
+    updates = (base.filter(F.col("uf") == "SP")
+               .withColumn("quantidade",
+                           (F.col("quantidade") + F.lit(100)).cast("int"))
+               .withColumn("produto", F.lit("IGNORADO")))
+    inserts = (base.filter(F.col("uf") == "RJ")
+               .withColumn("id_pedido", F.concat(F.lit("NEW-"),
+                                                 F.col("id_pedido"))))
+    t.merge_into(updates.unionByName(inserts), key="id_pedido",
+                 update_cols=["quantidade"], not_matched_by_source="delete")
+    return _as_output(t.read())
+
+
+@register(
+    "table_manifests_meta",
+    oracle=f"""
+    WITH d AS (
+        SELECT substr(data_criacao_s, 1, 10) AS day,
+               max(CASE WHEN uf = 'SP' THEN 1 ELSE 0 END) AS has_sp,
+               max(CASE WHEN uf <> 'SP' THEN 1 ELSE 0 END) AS has_other
+        FROM ({_CSV_ORACLE_BASE})
+        GROUP BY 1
+    ), touched AS (SELECT * FROM d WHERE day < '2024-01-16')
+    SELECT CAST(2 AS BIGINT) AS snapshot_id,
+           CAST(1 AS BIGINT) AS base_snapshot_id,
+           CAST((SELECT sum(has_sp * has_other) FROM touched) AS BIGINT)
+               AS added_data_files,
+           CAST((SELECT sum(has_sp) FROM touched) AS BIGINT)
+               AS removed_data_files
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(NULL AS BIGINT),
+           CAST((SELECT count(*) FROM d) AS BIGINT), CAST(0 AS BIGINT)
+    """,
+)
+def table_manifests_meta(spark, d):
+    """Manifests metadata table (Iceberg's ``SELECT * FROM db.t.manifests``
+    analog; VERDICT r6 task 5): a days-partitioned table takes one
+    insert (one file per day — the clustering guarantee pinned by
+    table_partitions_meta) and a copy-on-write DELETE of the SP rows in
+    the first 15 days; the current snapshot's manifest CHAIN must then
+    show a delta manifest (snapshot 2 on base 1) that removed exactly
+    the touched day-files and added exactly the survivor rewrites, atop
+    the full manifest of the initial append.  The oracle derives every
+    count from the raw CSV's (day, uf) shape — pure metadata reasoning,
+    zero data files read at query time."""
+    cat = IceliteCatalog(spark, scratch_dir("icelite_"))
+    t = cat.create_table("db.pedidos_mmeta", PEDIDOS_SCHEMA)
+    t.set_partition_days("data_criacao")
+    t.insert(_typed_pedidos(spark))
+    t.delete_where("uf = 'SP' AND data_criacao < TIMESTAMP '2024-01-16 00:00:00'")
+    return t.manifests().select(
+        "snapshot_id", "base_snapshot_id",
+        "added_data_files", "removed_data_files")

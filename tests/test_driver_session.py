@@ -133,6 +133,17 @@ def test_pysource_restores_callers_active_session(spark, sf_dir):
     assert active.get().equals(child._jsparkSession)
 
 
+@pytest.mark.parametrize("name", [
+    "table_merge_full_sync", "table_manifests_meta", "llm_similarity_lsh",
+])
+def test_round7_queries_on_bare_session(bare_spark, sf_dir, name):
+    """Round-7 additions (full-sync MERGE, manifests metadata table,
+    the hash-oracled LSH rewrite), replayed on a driver-like session
+    with no package-session confs pre-applied."""
+    df = REGISTRY[name].fn(bare_spark, sf_dir)
+    assert df.count() >= 0
+
+
 def test_streaks_reconcile_with_event_counts(spark, sf_dir):
     """events_streaks invariants vs the raw log: one row per active
     user, max streak <= user's event count, and streak count <= events

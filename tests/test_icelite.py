@@ -659,3 +659,28 @@ def test_to_iceberg_ddl_refuses_mor_deletes_until_compacted(spark, table):
     table.rewrite_data_files()
     out = table.to_iceberg_ddl()
     assert sum(f["record_count"] for f in out["files"]) == before
+
+
+def test_manifests_chain_reconciles_with_snapshot_files(spark, table):
+    """The manifests metadata table must account for the snapshot
+    exactly: over the delta chain, sum(added) - sum(removed) equals the
+    snapshot's file count — after an append, a CoW delete and a MoR
+    delete (which adds a delete-file entry, not a data-file one) — and
+    every listed manifest exists on disk with its recorded length."""
+    table.insert(_typed_pedidos(spark).filter(F.col("uf") == 'RJ'))
+    table.delete_where("uf = 'SP'")                       # CoW rewrite
+    table.delete_where("uf = 'MG'", mode="merge-on-read")  # delete file
+    for version in (1, 2, 3, 4, None):
+        m = table.manifests(version).collect()
+        assert (sum(r.added_data_files for r in m)
+                - sum(r.removed_data_files for r in m)
+                == table.file_count(version)), version
+    cur = table.manifests().collect()
+    # the MoR delete's manifest adds one delete file and no data files
+    head = [r for r in cur if r.snapshot_id == 4]
+    assert head and head[0].added_delete_files == 1
+    assert head[0].added_data_files == 0 and head[0].removed_data_files == 0
+    for r in cur:
+        p = os.path.join(table.tdir, r.manifest_path)
+        assert os.path.exists(p)
+        assert os.path.getsize(p) == r.length

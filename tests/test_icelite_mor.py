@@ -214,3 +214,51 @@ def test_partial_rewrite_where_range(spark, tmp_path):
     t.rewrite_data_files(target_files=2)
     assert not t._snapshot(t.meta, None).get("delete_files")
     assert _rows(t.read().select("id_pedido", "uf", "id_cliente")) == expect
+
+
+def test_merge_full_sync_mor_equals_cow_and_rewrites_nothing(spark, tmp_path):
+    """MERGE with all three arms (matched UPDATE / not-matched INSERT /
+    not-matched-by-source DELETE) must produce identical rows under
+    copy-on-write and merge-on-read — and the MoR run must leave every
+    pre-existing data file in place, masking via ONE delete file."""
+    import pyspark.sql.functions as F
+
+    cow = _fresh(spark, tmp_path, "db.m_cow")
+    mor = _fresh(spark, tmp_path, "db.m_mor")
+    base = _typed_pedidos(spark)
+    src = (base.filter(F.col("uf") == "SP")
+           .withColumn("quantidade", (F.col("quantidade") + 100).cast("int"))
+           .unionByName(base.filter(F.col("uf") == "RJ")
+                        .withColumn("id_pedido",
+                                    F.concat(F.lit("NEW-"),
+                                             F.col("id_pedido")))))
+    before_files = _data_paths(mor)
+    cow.merge_into(src, "id_pedido", ["quantidade"],
+                   not_matched_by_source="delete")
+    mor.merge_into(src, "id_pedido", ["quantidade"],
+                   not_matched_by_source="delete", mode="merge-on-read")
+    assert _rows(cow.read()) == _rows(mor.read())
+    # the delete arm really fired: only SP (updated) + NEW- rows remain
+    assert cow.read().filter("uf NOT IN ('SP','RJ')").count() == 0
+    assert cow.read().filter(
+        "uf = 'RJ' AND id_pedido NOT LIKE 'NEW-%'").count() == 0
+    # MoR preserved every original data file and added a delete file
+    mor_snap = mor.meta["snapshots"][-1]
+    assert set(before_files) <= {f["path"] for f in mor_snap["files"]}
+    assert len(mor_snap["delete_files"]) == 1
+
+
+def test_merge_keep_arm_unchanged_by_default(spark, tmp_path):
+    """not_matched_by_source defaults to 'keep' — the classic upsert:
+    target-only rows carry over in both modes."""
+    import pyspark.sql.functions as F
+
+    cow = _fresh(spark, tmp_path, "db.k_cow")
+    mor = _fresh(spark, tmp_path, "db.k_mor")
+    src = (_typed_pedidos(spark).filter(F.col("uf") == "SP")
+           .withColumn("quantidade", (F.col("quantidade") + 7).cast("int")))
+    cow.merge_into(src, "id_pedido", ["quantidade"])
+    mor.merge_into(src, "id_pedido", ["quantidade"], mode="merge-on-read")
+    assert _rows(cow.read()) == _rows(mor.read())
+    n_all = _typed_pedidos(spark).count()
+    assert cow.read().count() == n_all  # nothing deleted
