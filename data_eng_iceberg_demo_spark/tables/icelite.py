@@ -402,6 +402,7 @@ class IceliteTable:
         batch = uuid.uuid4().hex[:12]
         out = os.path.join(self.tdir, "data", batch)
         spec = meta["partition_spec"]
+        order = self._order_cols(meta)
         writer = df
         if spec is not None:
             writer = df.withColumn(spec["name"],
@@ -410,8 +411,17 @@ class IceliteTable:
             # one task owns each day → one file per partition instead of
             # (tasks × days) small files — the small-file guard at scale
             writer = writer.repartition(F.col(spec["name"]))
+            if order:  # WRITE ORDERED BY within each partition file
+                writer = writer.sortWithinPartitions(spec["name"], *order)
             writer.write.partitionBy(spec["name"]).mode("overwrite").parquet(out)
         else:
+            if order:
+                # WRITE ORDERED BY: range-cluster + in-file sort, so each
+                # file's footer min/max covers a disjoint slice of the
+                # order spine (plan_files_range prunes to ~1 file)
+                wo = meta["write_order"]
+                writer = (df.repartitionByRange(wo["target_files"], *order)
+                          .sortWithinPartitions(*order))
             writer.write.mode("overwrite").parquet(out)
         name_to_id = {f["name"]: f["id"] for f in
                       self._schema_fields(meta, meta["current_schema"])}
@@ -426,11 +436,15 @@ class IceliteTable:
                         for seg in os.path.relpath(root, out).split(os.sep):
                             if seg.startswith(spec["name"] + "="):
                                 part = seg.split("=", 1)[1]
-                    files.append({"path": rel,
-                                  "schema_version": meta["current_schema"],
-                                  "partition": part,
-                                  "spec_key": self._spec_key(spec),
-                                  **_footer_entry(full, name_to_id)})
+                    entry = {"path": rel,
+                             "schema_version": meta["current_schema"],
+                             "partition": part,
+                             "spec_key": self._spec_key(spec),
+                             **_footer_entry(full, name_to_id)}
+                    if order:  # field-id identity of the write order
+                        entry["sort_order"] = ",".join(
+                            map(str, meta["write_order"]["source_ids"]))
+                    files.append(entry)
         return files
 
     @staticmethod
@@ -1023,6 +1037,43 @@ class IceliteTable:
                            partition_name: str = "p_day") -> None:
         """ADD PARTITION FIELD days(source) (README.md:304-307)."""
         self.set_partition("days", source_col, partition_name)
+
+    def set_write_order(self, cols: list[str], target_files: int = 4) -> None:
+        """WRITE ORDERED BY (Iceberg's sort-order metadata): future
+        writes range-cluster rows on `cols` across ~`target_files`
+        files per batch and sort within each file, so footer min/max
+        stats become DISJOINT ranges and plan_files_range() prunes a
+        point/range predicate to ~1 file instead of scanning all of
+        them (zorder_by in rewrite_data_files is the multi-column
+        compaction-time analog; this is the write-time single-spine
+        version).  Recorded by FIELD ID like the partition spec, so
+        renames keep the order valid; each data file written under the
+        order records its sort_order key, and to_iceberg_ddl emits the
+        matching ``ALTER TABLE ... WRITE ORDERED BY``.  Pass cols=[]
+        to drop the order."""
+        meta = self.meta
+        fields = {f["name"]: f["id"]
+                  for f in self._schema_fields(meta, meta["current_schema"])}
+        unknown = [c for c in cols if c not in fields]
+        if unknown:
+            raise ValueError(f"no column(s): {unknown}")
+        if int(target_files) < 1:
+            raise ValueError("target_files must be >= 1")
+        meta["write_order"] = ({"cols": cols,
+                                "source_ids": [fields[c] for c in cols],
+                                "target_files": int(target_files)}
+                               if cols else None)
+        _write_meta(self.tdir, meta)
+
+    def _order_cols(self, meta: dict) -> list[str]:
+        """Current column names of the write order, resolved by field
+        id (rename-proof); [] when no order is set."""
+        wo = meta.get("write_order")
+        if not wo:
+            return []
+        by_id = {f["id"]: f["name"]
+                 for f in self._schema_fields(meta, meta["current_schema"])}
+        return [by_id[i] for i in wo.get("source_ids", []) if i in by_id]
 
     def _spec_source(self, spec: dict, meta: dict) -> dict:
         """Resolve the partition source FIELD (current name + type) by
@@ -1681,5 +1732,11 @@ class IceliteTable:
         add_files = (
             f"CALL system.add_files(table => '{name}', "
             f"source_table => '`parquet`.`{src_dir}`')")
-        return {"create_table": create, "add_files": add_files,
-                "files": files, "source_dir": src_dir}
+        out = {"create_table": create, "add_files": add_files,
+               "files": files, "source_dir": src_dir}
+        order = self._order_cols(meta)
+        if order:  # Iceberg's sort-order DDL (WRITE ORDERED BY)
+            out["write_order"] = (
+                f"ALTER TABLE {name} WRITE ORDERED BY "
+                f"({', '.join(order)})")
+        return out

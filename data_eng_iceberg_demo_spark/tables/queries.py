@@ -608,3 +608,27 @@ def table_manifests_meta(spark, d):
     return t.manifests().select(
         "snapshot_id", "base_snapshot_id",
         "added_data_files", "removed_data_files")
+
+
+@register(
+    "table_sorted_write_scan",
+    oracle=f"""
+    SELECT * FROM ({_CSV_ORACLE_BASE})
+    WHERE id_cliente BETWEEN 2000 AND 3000
+    """,
+)
+def table_sorted_write_scan(spark, d):
+    """WRITE ORDERED BY + stats-pruned range scan (Iceberg's sort-order
+    metadata, the write-time companion of table_zorder_scan's
+    compaction-time clustering): the table declares WRITE ORDERED BY
+    (id_cliente), the insert range-clusters rows into 4 files with
+    DISJOINT id_cliente footer ranges, and the range predicate then
+    reads ~1 of 4 files (pruning asserted in pytest — the hash proves
+    no mis-pruned row, the pytest proves files were actually skipped).
+    At 100 TB, write-time ordering is what keeps point/range lookups on
+    the sort spine O(matching files) instead of O(all files)."""
+    cat = IceliteCatalog(spark, scratch_dir("icelite_"))
+    t = cat.create_table("db.pedidos_sorted", PEDIDOS_SCHEMA)
+    t.set_write_order(["id_cliente"])
+    t.insert(_typed_pedidos(spark))
+    return _as_output(t.scan_range("id_cliente", 2000, 3000))

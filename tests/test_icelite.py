@@ -684,3 +684,48 @@ def test_manifests_chain_reconciles_with_snapshot_files(spark, table):
         p = os.path.join(table.tdir, r.manifest_path)
         assert os.path.exists(p)
         assert os.path.getsize(p) == r.length
+
+
+def test_write_order_clusters_files_and_prunes(spark, tmp_path):
+    """WRITE ORDERED BY (id_cliente): the insert produces files with
+    disjoint footer ranges, so a range scan prunes to fewer files than
+    the unordered layout — with identical rows either way — and the
+    order survives a rename (field-id resolution) and can be dropped."""
+    cat = IceliteCatalog(spark, str(tmp_path))
+    plain = cat.create_table("db.plain", PEDIDOS_SCHEMA)
+    plain.insert(_typed_pedidos(spark).repartition(4))
+    ordered = cat.create_table("db.ordered", PEDIDOS_SCHEMA)
+    ordered.set_write_order(["id_cliente"], target_files=4)
+    ordered.insert(_typed_pedidos(spark))
+
+    assert ordered.file_count() == 4
+    lo, hi = 2000, 3000
+    pruned = ordered.plan_files_range("id_cliente", lo, hi)
+    assert len(pruned) < ordered.file_count()
+    assert len(pruned) <= 2  # disjoint ranges: the slice + one boundary
+    # the unordered layout cannot prune (every file spans the range)
+    assert len(plain.plan_files_range("id_cliente", lo, hi)) \
+        == plain.file_count()
+    want = sorted(tuple(r) for r in
+                  _typed_pedidos(spark)
+                  .filter(F.col("id_cliente").between(lo, hi)).collect())
+    assert sorted(tuple(r) for r in
+                  ordered.scan_range("id_cliente", lo, hi).collect()) == want
+    # files record the order's field-id identity
+    assert all(f.get("sort_order") == "7" for f in
+               ordered.meta["snapshots"][-1]["files"])
+    # rename-proof: the order follows the field id, not the name
+    ordered.rename_column("id_cliente", "cliente_id")
+    ordered.insert(_typed_pedidos(spark)
+                   .withColumnRenamed("id_cliente", "cliente_id"))
+    assert len(ordered.plan_files_range("cliente_id", lo, hi)) \
+        < ordered.file_count()
+    ddl = ordered.to_iceberg_ddl("lake.db.x")
+    assert ddl["write_order"] == \
+        "ALTER TABLE lake.db.x WRITE ORDERED BY (cliente_id)"
+    # drop the order: future writes stop clustering
+    ordered.set_write_order([])
+    assert "write_order" not in {
+        k: v for k, v in ordered.to_iceberg_ddl("t").items() if v}
+    with pytest.raises(ValueError, match="no column"):
+        ordered.set_write_order(["nope"])
