@@ -358,6 +358,27 @@ def sink_csv_roundtrip(spark, d):
     return (spark.read.option("header", "true").schema(src.schema).csv(out))
 
 
+@register("sink_xml_roundtrip", oracle=_SINK_SELECT_ORACLE)
+def sink_xml_roundtrip(spark, d):
+    """XML sink + scan round trip through Spark 4's BUILT-IN xml
+    datasource (spark-xml graduated into core in 4.0 — probed working
+    in this distribution r7, unlike the still-external avro module):
+    one <row> element per record, read back with rowTag + the writer's
+    schema so types survive.  Completes the format matrix beside
+    parquet/orc/csv/json/text/binaryFile; the expression-level XML
+    surface (from_xml/schema_of_xml/xpath) is fn_xml."""
+    out = scratch_dir("sink_xml_")
+    src = (T(spark, d, "orders")
+           .select("o_orderkey", "o_custkey",
+                   F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                   "o_orderpriority")
+           .filter(F.col("o_totalprice") > 1000.0))
+    (src.write.mode("overwrite").format("xml")
+     .option("rowTag", "row").save(out))
+    return (spark.read.format("xml").option("rowTag", "row")
+            .schema(src.schema).load(out))
+
+
 @register(
     "sink_partitioned",
     oracle="""
