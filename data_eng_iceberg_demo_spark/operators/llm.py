@@ -2309,3 +2309,97 @@ def llm_dedup_keep_best(spark, d):
     return (ranked.filter((F.col("rn") == 1) & (F.col("n_members") > 1))
             .select("canonical_id", F.col("doc_id").alias("keep_doc_id"),
                     "n_members", F.round("ttr", 4).alias("best_ttr")))
+
+
+_SUBSTR_K = 8  # span grain: 8-token windows (Lee et al. use 50 BPE tokens)
+
+_SUBSTR_ORACLE = f"""
+    WITH f AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= {_SUBSTR_K}
+    ), g AS (
+        SELECT doc_id, i - 1 AS start,
+               md5(array_to_string(w[i:i+{_SUBSTR_K - 1}], ' ')) AS gh
+        FROM f, unnest(generate_series(1, len(w) - {_SUBSTR_K - 1})) AS t(i)
+    ), rep AS (
+        SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+    ), cov AS (
+        SELECT g.doc_id, g.start, g.start + {_SUBSTR_K - 1} AS e
+        FROM g JOIN rep USING (gh)
+    ), marked AS (
+        SELECT doc_id, start, e,
+               CASE WHEN start <= max(e) OVER (
+                        PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 0 ELSE 1 END AS new_island
+        FROM cov
+    ), isl AS (
+        SELECT doc_id, start, e,
+               sum(new_island) OVER (PARTITION BY doc_id ORDER BY start
+                                     ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked
+    )
+    SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(max(e) - min(start) + 1 AS BIGINT) AS span_len,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM isl GROUP BY doc_id, island
+"""
+
+
+@register("llm_substring_dedup", oracle=_SUBSTR_ORACLE)
+def llm_substring_dedup(spark, d):
+    """Cross-document repeated-substring detection (the span-level dedup
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", simplified from suffix arrays to fixed K-gram grain): every
+    8-token window occurring in >= 2 distinct documents marks its span
+    covered, and per document the covered windows merge into MAXIMAL
+    repeated regions (gaps-and-islands over a running max-end window) —
+    the (doc_id, span_start, span_len) report a curation pass would cut
+    or down-weight.  Within-doc repetition is deliberately out of scope
+    (that is llm_repetition_filter's job).
+
+    100 TB shape: windows shuffle as md5 digests, never raw text (at
+    scale xxhash64 halves the key again — md5 here because the oracle
+    must replay it); there is NO pair expansion anywhere — cost is
+    O(total occurrences of repeated windows), linear in corpus size, so
+    no hot-gram cap is needed (contrast the pairwise dedup family); the
+    island merge rides one (doc_id, start) window partitioning."""
+    from pyspark.sql import Window
+
+    K = _SUBSTR_K
+    docs = (T(spark, d, "documents")
+            .select("doc_id", F.split("text", " ").alias("w"))
+            .filter(F.size("w") >= K))
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), F.size("w") - (K - 1)),
+            lambda i: F.md5(F.concat_ws(
+                " ", F.slice(F.col("w"), i, K)).cast("binary")),
+        )).alias("start", "gh"))
+    rep = (grams.groupBy("gh")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2)
+           .select("gh"))
+    # posexplode's pos is the 0-based token offset already (the lambda's
+    # 1-based slice index is internal to the transform)
+    cov = (grams.join(rep, "gh")
+           .select("doc_id", "start",
+                   (F.col("start") + (K - 1)).alias("e")))
+    w_run = Window.partitionBy("doc_id").orderBy("start")
+    prev_end = F.max("e").over(
+        w_run.rowsBetween(Window.unboundedPreceding, -1))
+    marked = cov.withColumn(
+        "new_island",
+        F.when(F.col("start") <= prev_end, 0).otherwise(1))
+    isl = marked.withColumn(
+        "island", F.sum("new_island").over(
+            w_run.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (isl.groupBy("doc_id", "island")
+            .agg(F.min("start").alias("span_start"),
+                 F.max("e").alias("span_end"),
+                 (F.max("e") - F.min("start") + 1).alias("span_len"),
+                 F.count("*").alias("n_grams"))
+            .select("doc_id", "span_start", "span_end", "span_len",
+                    "n_grams"))

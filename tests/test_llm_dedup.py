@@ -445,3 +445,38 @@ def test_line_dedup_matches_brute_force_on_random_corpora(spark, tmp_path_factor
         assert got == brute(texts)
 
     check()
+
+
+def test_substring_dedup_finds_and_merges_shared_spans(spark, tmp_path):
+    """Two docs sharing one 12-token phrase (longer than the 8-token
+    grain) must each report EXACTLY ONE maximal span covering the
+    phrase — the 5 overlapping 8-gram hits merge into one island — and
+    a doc repeating a phrase only WITHIN itself reports nothing
+    (within-doc repetition is llm_repetition_filter's contract)."""
+    import duckdb
+
+    phrase = " ".join(f"p{i}" for i in range(12))
+    filler_a = " ".join(f"a{i}" for i in range(10))
+    filler_b = " ".join(f"b{i}" for i in range(7))
+    docs = [
+        (0, f"{filler_a} {phrase}", "en", "s0", 1),
+        (1, f"{phrase} {filler_b}", "en", "s1", 1),
+        (2, f"{phrase.replace('p', 'q')} and {phrase.replace('p', 'q')}",
+         "en", "s2", 1),  # self-repeat only: excluded
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+                " source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", docs)
+    import os
+    dd = str(tmp_path)
+    con.execute(f"COPY d TO '{dd}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+    from data_eng_iceberg_demo_spark.plans.registry import REGISTRY
+    got = {r.doc_id: r for r in
+           REGISTRY["llm_substring_dedup"].fn(spark, dd).collect()}
+    assert set(got) == {0, 1}
+    # doc 0: phrase occupies tokens 10..21; doc 1: tokens 0..11
+    assert (got[0].span_start, got[0].span_end, got[0].span_len) == (10, 21, 12)
+    assert (got[1].span_start, got[1].span_end, got[1].span_len) == (0, 11, 12)
+    assert got[0].n_grams == got[1].n_grams == 5  # 12 - 8 + 1 overlapping hits
