@@ -2403,3 +2403,61 @@ def llm_substring_dedup(spark, d):
                  F.count("*").alias("n_grams"))
             .select("doc_id", "span_start", "span_end", "span_len",
                     "n_grams"))
+
+
+@register(
+    "llm_perplexity_bucket",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT tok, CAST(count(*) AS DOUBLE) AS cnt FROM tok GROUP BY tok
+    ), tot AS (SELECT sum(cnt) AS n FROM tf),
+    scored AS (
+        SELECT doc_id, ROUND(avg(ln(cnt / n)), 4) AS avg_logprob
+        FROM tok JOIN tf USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+    ), cuts AS (
+        SELECT quantile_cont(avg_logprob, 2.0/3.0) AS c_head,
+               quantile_cont(avg_logprob, 1.0/3.0) AS c_mid
+        FROM scored
+    )
+    SELECT doc_id, avg_logprob,
+           CASE WHEN avg_logprob >= c_head THEN 'head'
+                WHEN avg_logprob >= c_mid THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM scored CROSS JOIN cuts
+    """,
+)
+def llm_perplexity_bucket(spark, d):
+    """CCNet-style perplexity bucketing: rank every document by its
+    unigram mean log-probability (the cheap perplexity proxy of
+    llm_unigram_logprob) and route it to head / middle / tail terciles —
+    the corpus partitioning CCNet feeds to downstream samplers (head =
+    most fluent third).  The cutoffs are TWO exact-percentile scalars
+    computed in one aggregate and broadcast — NOT a global ntile()
+    window, which would funnel the whole corpus through a single
+    un-partitioned window task at 100 TB; the routing itself is a
+    narrow broadcast-join + CASE at full parallelism.  Interpolated
+    percentiles are engine-identical here because both engines
+    interpolate linearly over the SAME 4dp-rounded scores (the
+    rounding-midpoint fixture guard in tests/test_oracle_parity.py
+    covers the score rounding itself)."""
+    tok = (T(spark, d, "documents")
+           .select("doc_id", F.explode(F.split("text", " ")).alias("tok")))
+    tf = tok.groupBy("tok").agg(F.count("*").cast("double").alias("cnt"))
+    total = tf.agg(F.sum("cnt").alias("n"))
+    scored = (tok.join(tf, "tok")
+              .join(F.broadcast(total))
+              .groupBy("doc_id")
+              .agg(F.round(F.avg(F.log(F.col("cnt") / F.col("n"))), 4)
+                   .alias("avg_logprob")))
+    cuts = scored.agg(
+        F.expr("percentile(avg_logprob, 2.0D/3.0D)").alias("c_head"),
+        F.expr("percentile(avg_logprob, 1.0D/3.0D)").alias("c_mid"))
+    return (scored.join(F.broadcast(cuts))
+            .select("doc_id", "avg_logprob",
+                    F.when(F.col("avg_logprob") >= F.col("c_head"), "head")
+                    .when(F.col("avg_logprob") >= F.col("c_mid"), "middle")
+                    .otherwise("tail").alias("ppl_bucket")))
