@@ -2418,10 +2418,17 @@ def llm_substring_dedup(spark, d):
         SELECT doc_id, ROUND(avg(ln(cnt / n)), 4) AS avg_logprob
         FROM tok JOIN tf USING (tok) CROSS JOIN tot
         GROUP BY doc_id
+    ), vals AS (
+        SELECT avg_logprob AS v, count(*) AS c FROM scored GROUP BY 1
+    ), td AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM scored),
+    cum AS (
+        SELECT v, sum(c) OVER (ORDER BY v DESC
+                               ROWS UNBOUNDED PRECEDING) AS cum
+        FROM vals
     ), cuts AS (
-        SELECT quantile_cont(avg_logprob, 2.0/3.0) AS c_head,
-               quantile_cont(avg_logprob, 1.0/3.0) AS c_mid
-        FROM scored
+        SELECT max(CASE WHEN 3 * cum >= nd THEN v END) AS c_head,
+               max(CASE WHEN 3 * cum >= 2 * nd THEN v END) AS c_mid
+        FROM cum CROSS JOIN td
     )
     SELECT doc_id, avg_logprob,
            CASE WHEN avg_logprob >= c_head THEN 'head'
@@ -2435,15 +2442,22 @@ def llm_perplexity_bucket(spark, d):
     unigram mean log-probability (the cheap perplexity proxy of
     llm_unigram_logprob) and route it to head / middle / tail terciles —
     the corpus partitioning CCNet feeds to downstream samplers (head =
-    most fluent third).  The cutoffs are TWO exact-percentile scalars
-    computed in one aggregate and broadcast — NOT a global ntile()
-    window, which would funnel the whole corpus through a single
-    un-partitioned window task at 100 TB; the routing itself is a
-    narrow broadcast-join + CASE at full parallelism.  Interpolated
-    percentiles are engine-identical here because both engines
-    interpolate linearly over the SAME 4dp-rounded scores (the
-    rounding-midpoint fixture guard in tests/test_oracle_parity.py
-    covers the score rounding itself)."""
+    most fluent third).  Tercile cutoffs are DISCRETE data values
+    picked by pure integer arithmetic (largest score v with
+    3*count(score >= v) >= n, resp. >= 2n) over the GROUPED distinct
+    scores — not interpolated percentiles, whose last-ULP engine
+    differences flipped an entire tie plateau between buckets at
+    sf0.1 (quantile_cont's interpolated cutoff landed a hair on
+    different sides of a -3.4015 plateau per engine), and not a
+    global ntile() window, which both funnels the corpus through one
+    un-partitioned window task AND splits tied scores across buckets
+    nondeterministically.  Ties stay coherent by construction: every
+    doc at the cutoff value lands in the same bucket in any engine.
+    Scale shape: the only window runs over DISTINCT 4dp-rounded
+    scores (a bounded grid, not the corpus); routing is a broadcast
+    of two scalars + CASE at full parallelism."""
+    from pyspark.sql import Window
+
     tok = (T(spark, d, "documents")
            .select("doc_id", F.explode(F.split("text", " ")).alias("tok")))
     tf = tok.groupBy("tok").agg(F.count("*").cast("double").alias("cnt"))
@@ -2453,9 +2467,18 @@ def llm_perplexity_bucket(spark, d):
               .groupBy("doc_id")
               .agg(F.round(F.avg(F.log(F.col("cnt") / F.col("n"))), 4)
                    .alias("avg_logprob")))
-    cuts = scored.agg(
-        F.expr("percentile(avg_logprob, 2.0D/3.0D)").alias("c_head"),
-        F.expr("percentile(avg_logprob, 1.0D/3.0D)").alias("c_mid"))
+    vals = scored.groupBy(F.col("avg_logprob").alias("v")).agg(
+        F.count("*").alias("c"))
+    nd = scored.agg(F.count("*").alias("nd"))
+    cum = vals.withColumn(
+        "cum", F.sum("c").over(
+            Window.orderBy(F.col("v").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cuts = (cum.join(F.broadcast(nd))
+            .agg(F.max(F.when(3 * F.col("cum") >= F.col("nd"), F.col("v")))
+                 .alias("c_head"),
+                 F.max(F.when(3 * F.col("cum") >= 2 * F.col("nd"),
+                              F.col("v"))).alias("c_mid")))
     return (scored.join(F.broadcast(cuts))
             .select("doc_id", "avg_logprob",
                     F.when(F.col("avg_logprob") >= F.col("c_head"), "head")
