@@ -419,3 +419,36 @@ def agg_filter_clause(spark, d):
                    AS n_taxed_suppliers
         FROM lineitem_fc GROUP BY l_returnflag
     """)
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark, d):
+    """EXACT distinct counting via Spark 4's bitmap aggregate family
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_count) — the segment-bitmap pattern for incremental distinct
+    counts at scale: each (group, bucket) pair OR-aggregates a fixed
+    32 KiB bitmap over key bit-positions, bitmaps are mergeable across
+    partitions AND across incremental loads (persist the per-bucket
+    bitmaps and bitmap_or_agg new data in — a re-count never rescans
+    history, unlike count(DISTINCT) which is all-or-nothing), and the
+    final count is the sum of per-bucket popcounts.  Exact, so the
+    oracle is a plain COUNT(DISTINCT) — unlike the HLL/KMV sketches
+    whose error bands need pytest.  Both aggregations are partial-
+    aggregatable map-side; the shuffle carries (group, bucket, bitmap)
+    rows, never raw keys."""
+    o = T(spark, d, "orders").select(
+        "o_orderpriority",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+        F.expr("bitmap_bit_position(o_custkey)").alias("pos"))
+    per_bucket = (o.groupBy("o_orderpriority", "bkt")
+                  .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))")
+                       .alias("c")))
+    return (per_bucket.groupBy("o_orderpriority")
+            .agg(F.sum("c").cast("bigint").alias("n_custs")))
