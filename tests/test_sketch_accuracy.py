@@ -70,3 +70,28 @@ def test_kmv_estimate_within_band(spark, sf_dir):
             assert est[region] == ex, (region, est[region], ex)
         else:
             assert abs(est[region] - ex) / ex < 0.18, (region, est[region], ex)
+
+
+def test_bitmap_distinct_merges_incrementally(spark, sf_dir):
+    """The property agg_bitmap_distinct's docstring claims: per-bucket
+    bitmaps built on two DISJOINT loads OR-merge (bitmap_or_agg) into
+    the exact distinct count of the union — keys appearing in both
+    loads collapse in the OR, so an incremental re-count never rescans
+    history and never double-counts."""
+    o = load(spark, sf_dir, "orders")
+    b1 = o.filter("o_orderkey % 2 = 0")
+    b2 = o.filter("o_orderkey % 2 = 1")  # custkeys overlap across halves
+
+    def bitmaps(df):
+        return (df.select(
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"))
+            .groupBy("bkt")
+            .agg(F.expr("bitmap_construct_agg(pos)").alias("bm")))
+
+    merged_total = (bitmaps(b1).unionByName(bitmaps(b2))
+                    .groupBy("bkt")
+                    .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("c"))
+                    .agg(F.sum("c")).collect()[0][0])
+    exact = o.agg(F.countDistinct("o_custkey")).collect()[0][0]
+    assert merged_total == exact
