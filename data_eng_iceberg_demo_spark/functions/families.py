@@ -509,3 +509,54 @@ def fn_aes_roundtrip(spark, d):
                "'ECB'), 'fedcba9876543210', 'ECB')").isNull()
          .alias("wrong_key_null"),
         F.length(ct).cast("bigint").alias("ct_len"))
+
+
+@register(
+    "fn_higher_order",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               list_sort(list(CAST(l_quantity AS DOUBLE))) AS qs
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           round(list_sum(qs), 4) AS total_qty,
+           CAST(len(list_filter(qs, x -> x >= 25)) AS BIGINT) AS n_bulk,
+           len(list_filter(qs, x -> x >= 49)) > 0 AS has_huge,
+           len(list_filter(qs, x -> NOT (x > 0))) = 0 AS all_positive,
+           round(list_sum(list_transform(list_zip(qs, list_reverse(qs)),
+                                         p -> p[1] * p[2])), 4)
+               AS palindrome_dot,
+           round(list_max(list_transform(qs, x -> x * x)), 4) AS max_sq
+    FROM per_order
+    """,
+)
+def fn_higher_order(spark, d):
+    """Higher-order array function family as a first-class demo —
+    lambda expressions over array columns, the JVM-side alternative to
+    a Python UDF for per-row collection logic: aggregate (fold),
+    filter, exists, forall, zip_with and transform, each mapped 1:1 to
+    a DuckDB list_* form in the oracle.  Every lambda runs inside
+    codegen on the sorted per-order quantity array; sums fold in array
+    order on BOTH engines (the array is sorted first, so the fold
+    order — and therefore the float result — is engine-identical;
+    quantities are small integers in doubles anyway).  Narrow after
+    one groupBy: the collect_list and all six lambdas ride a single
+    shuffle."""
+    qs = (T(spark, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(F.sort_array(F.collect_list(
+              F.col("l_quantity").cast("double"))).alias("qs")))
+    return qs.select(
+        "l_orderkey",
+        F.round(F.aggregate("qs", F.lit(0.0), lambda a, x: a + x), 4)
+        .alias("total_qty"),
+        F.size(F.filter("qs", lambda x: x >= 25)).cast("bigint")
+        .alias("n_bulk"),
+        F.exists("qs", lambda x: x >= 49).alias("has_huge"),
+        F.forall("qs", lambda x: x > 0).alias("all_positive"),
+        F.round(F.aggregate(
+            F.zip_with("qs", F.reverse("qs"), lambda a, b: a * b),
+            F.lit(0.0), lambda a, x: a + x), 4).alias("palindrome_dot"),
+        F.round(F.array_max(F.transform("qs", lambda x: x * x)), 4)
+        .alias("max_sq"))
