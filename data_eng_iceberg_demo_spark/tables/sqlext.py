@@ -234,7 +234,8 @@ class IceliteSqlSession:
             # metadata tables: SELECT * FROM db.t.files / db.t.partitions
             # (Iceberg's inspection surface, same spelling)
             for mname, mdf in (("files", t.files), ("partitions", t.partitions),
-                               ("refs", t.refs_df)):
+                               ("refs", t.refs_df),
+                               ("manifests", t.manifests)):
                 mpat = re.compile(rf"\b{re.escape(name)}\.{mname}\b", re.I)
                 if mpat.search(s):
                     mdf().createOrReplaceTempView(f"{view}_{mname}")

@@ -130,3 +130,16 @@ def test_select_metadata_table_refs(spark, sess):
     assert refs["main"]["type"] == "branch"
     assert refs["v1"]["type"] == "tag"
     assert refs["audit"]["type"] == "branch"
+
+
+def test_select_metadata_table_manifests(spark, sess):
+    """SELECT over db.t.manifests (Iceberg's inspection spelling)
+    resolves through the shim to the delta-manifest chain, and the
+    chain accounts for the snapshot exactly."""
+    rows = sess.sql(
+        "SELECT snapshot_id, base_snapshot_id, added_data_files,"
+        "       removed_data_files FROM db.t.manifests").collect()
+    assert rows
+    n_files = sess.sql("SELECT count(*) AS c FROM db.t.files").collect()[0].c
+    assert (sum(r.added_data_files for r in rows)
+            - sum(r.removed_data_files for r in rows)) == n_files
