@@ -2484,3 +2484,118 @@ def llm_perplexity_bucket(spark, d):
                     F.when(F.col("avg_logprob") >= F.col("c_head"), "head")
                     .when(F.col("avg_logprob") >= F.col("c_mid"), "middle")
                     .otherwise("tail").alias("ppl_bucket")))
+
+
+_FUNNEL_ORACLE = """
+    WITH nz AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x <> 0)) > 0
+          AND len(list_filter(embedding[1:16], x -> x <> 0)) > 0
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM nz WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM nz),
+    pos16 AS (
+        SELECT qid, cid, qe, ce, unnest(generate_series(1, 16)) AS i
+        FROM q, c WHERE qid <> cid
+    ), d16 AS (
+        SELECT qid, cid,
+               sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+               sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS qq,
+               sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS cc
+        FROM pos16 GROUP BY qid, cid
+    ), short AS (
+        SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 4) + 0
+                                DESC, cid ASC) AS rn
+            FROM d16
+        ) WHERE rn <= 50
+    ), pos AS (
+        SELECT s.qid, s.cid, q.embedding AS qe, c2.embedding AS ce,
+               unnest(generate_series(1, 64)) AS i
+        FROM short s JOIN nz q ON q.vec_id = s.qid
+                     JOIN nz c2 ON c2.vec_id = s.cid
+    ), dots AS (
+        SELECT qid, cid,
+               sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+               sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS qq,
+               sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS cc
+        FROM pos GROUP BY qid, cid
+    ), sims AS (
+        SELECT qid, cid, round(dot / (sqrt(qq) * sqrt(cc)), 4) + 0 AS cosine
+        FROM dots
+    )
+    SELECT qid, cid, cosine FROM (
+        SELECT qid, cid, cosine,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, cid ASC) AS rn
+        FROM sims
+    ) WHERE rn <= 10
+"""
+
+
+@register("llm_similarity_funnel", oracle=_FUNNEL_ORACLE)
+def llm_similarity_funnel(spark, d):
+    """Two-stage retrieval funnel (the Matryoshka-representation
+    pattern): a CHEAP first pass ranks candidates by cosine on the
+    first 16 embedding dimensions only — 4x less arithmetic and, in a
+    real store, 4x less I/O via column pruning of a dims-split layout —
+    keeping a top-50 shortlist per query; the full 64-dim cosine then
+    re-ranks only the shortlist for the final top-10.  Both stages are
+    deterministic (4dp rounding + vec_id tiebreak, the topk
+    discipline), so the oracle replays the funnel exactly — including
+    which candidates survive the stage-1 cut.
+
+    100 TB shape: stage 1 is the only corpus-wide pass and touches a
+    16-dim prefix per vector; stage 2 touches 50 vectors per query.
+    Compare llm_similarity_lsh (bucket prefilter, sublinear candidates)
+    — the funnel trades a full-but-cheaper linear pass for exact
+    stage-1 recall.  Zero-prefix vectors are excluded on both sides
+    (prefix cosine undefined), as zero-norm vectors are for topk."""
+    from pyspark.sql import Window
+
+    def norm_of(col):
+        return F.sqrt(F.aggregate(F.transform(col, lambda x: x * x),
+                                  F.lit(0.0), lambda a, x: a + x))
+
+    def dot_of(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda a, x: a + x)
+
+    emb = (T(spark, d, "embeddings")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("e"))
+           .filter(F.col("e").isNotNull())
+           .withColumn("e16", F.slice("e", 1, 16))
+           .withColumn("n64", norm_of(F.col("e")))
+           .withColumn("n16", norm_of(F.col("e16")))
+           .filter((F.col("n64") > 0) & (F.col("n16") > 0)))
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+        F.col("e16").alias("qe16"), F.col("n64").alias("qn64"),
+        F.col("n16").alias("qn16"))
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+                   F.col("e16").alias("ce16"), F.col("n64").alias("cn64"),
+                   F.col("n16").alias("cn16"))
+    stage1 = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("qid") != F.col("cid"))
+              .withColumn("cos16", F.round(
+                  dot_of(F.col("qe16"), F.col("ce16"))
+                  / (F.col("qn16") * F.col("cn16")), 4) + F.lit(0.0)))
+    w1 = Window.partitionBy("qid").orderBy(F.col("cos16").desc(),
+                                           F.col("cid").asc())
+    short = (stage1.withColumn("rn", F.row_number().over(w1))
+             .filter(F.col("rn") <= 50)
+             .select("qid", "cid", "qe", "ce", "qn64", "cn64"))
+    sims = short.select(
+        "qid", "cid",
+        (F.round(dot_of(F.col("qe"), F.col("ce"))
+                 / (F.col("qn64") * F.col("cn64")), 4)
+         + F.lit(0.0)).alias("cosine"))
+    w2 = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                           F.col("cid").asc())
+    return (sims.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= 10).select("qid", "cid", "cosine"))

@@ -287,6 +287,10 @@ _BROADCAST_HINT_OK = {
         "both hinted subtrees are pinned to 5 vec_ids by construction: "
         "the probe list (5 queries x 8 tables x 9 probes = 360 fixed-"
         "width rows) and the 5 query vectors for the re-rank",
+    ("llm_similarity_funnel", "embeddings"):
+        "query side is pinned to 5 vec_ids by construction — the same "
+        "tiny-query-set contract as llm_similarity_topk, probed twice "
+        "(16-dim first pass, full-dim re-rank of the top-50 shortlist)",
     ("llm_decontaminate", "documents"):
         "eval side is pinned to 10 benchmark docs by construction; its "
         "distinct 8-grams are the classic decontamination broadcast set",
@@ -380,6 +384,7 @@ _BNLJ_OK = {"events_funnel",        # cross of three 1-row stage counts
             "join_cross_limited",   # the intentional limited cross join
             "llm_dedup_embedding",  # block-pair theta join (n_blocks rows)
             "llm_similarity_topk",  # 5-row broadcast query side
+            "llm_similarity_funnel",  # same 5-row broadcast query side
             "llm_tfidf_terms",      # broadcast corpus-size scalar
             "llm_unigram_logprob",  # broadcast corpus-total scalar (1 row)
             "llm_perplexity_bucket",  # broadcast n-docs + 2-cutoff scalars
