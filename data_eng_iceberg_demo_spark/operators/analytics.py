@@ -400,3 +400,76 @@ def events_streaks(spark, d):
             .select("user_id", "n_streaks",
                     F.col("len").alias("max_streak_len"),
                     F.col("event_type").alias("top_streak_type")))
+
+
+@register(
+    "events_rollup_ohlc",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, event_type, value,
+               date_trunc('second', ts) AS tss,
+               date_trunc('hour', date_trunc('second', ts)) AS bucket
+        FROM events
+    ), marked AS (
+        SELECT event_type, bucket, value,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY tss ASC, event_id ASC) AS ra,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY tss DESC, event_id DESC) AS rd
+        FROM e
+    )
+    SELECT event_type, CAST(bucket AS VARCHAR) AS bucket_s,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS DOUBLE) / (100.0 * count(*)) AS avg_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value,
+           round(max(CASE WHEN ra = 1 THEN value END), 4) AS open_value,
+           round(max(CASE WHEN rd = 1 THEN value END), 4) AS close_value
+    FROM marked GROUP BY 1, 2
+    """,
+)
+def events_rollup_ohlc(spark, d):
+    """Hypertable-style time-bucket rollup: per (event_type, 1-hour
+    bucket) the count / avg / min / max plus OPEN and CLOSE values —
+    the OHLC downsampling a timeseries store precomputes as a
+    continuous aggregate.  Open/close resolve through the (tss,
+    event_id) total order (the truncated-second tiebreak discipline,
+    SURVEY §5.3) as two row_number marks folded into the SAME
+    group-by — one window partitioning and one aggregation, both on
+    (event_type, bucket), so the whole rollup rides a single exchange.
+    At 100 TB this is the incremental-rollup shape: buckets are
+    disjoint, so new data only touches its own (type, hour) groups."""
+    from pyspark.sql import Window
+
+    e = (T(spark, d, "events")
+         .select("event_id", "event_type", "value",
+                 F.date_trunc("second", "ts").alias("tss"))
+         .withColumn("bucket", F.date_trunc("hour", "tss")))
+    wa = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("tss").asc(), F.col("event_id").asc())
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("tss").desc(), F.col("event_id").desc())
+    marked = (e.withColumn("ra", F.row_number().over(wa))
+              .withColumn("rd", F.row_number().over(wd))
+              # fixed-point BIGINT cents, and NO rounding of the mean:
+              # exact integer operands make the IEEE division
+              # bit-identical across engines, while round(_, 4) on it
+              # is NOT engine-stable — cents/(100n) lands on REAL 4dp
+              # midpoints (e.g. 151212/3200 = 47.25375), where Spark's
+              # BigDecimal HALF_UP and DuckDB's scaled-multiply
+              # rounding disagree (caught by the sf0.1 sweep; §5.3:
+              # never round at a boundary the true value can sit on)
+              .withColumn("cents",
+                          F.round(F.col("value") * 100).cast("bigint")))
+    return (marked.groupBy("event_type",
+                           F.col("bucket").cast("string").alias("bucket_s"))
+            .agg(F.count("*").alias("n_events"),
+                 (F.sum("cents").cast("double")
+                  / (100.0 * F.count("*"))).alias("avg_value"),
+                 F.round(F.min("value"), 4).alias("min_value"),
+                 F.round(F.max("value"), 4).alias("max_value"),
+                 F.round(F.max(F.when(F.col("ra") == 1, F.col("value"))), 4)
+                 .alias("open_value"),
+                 F.round(F.max(F.when(F.col("rd") == 1, F.col("value"))), 4)
+                 .alias("close_value")))
