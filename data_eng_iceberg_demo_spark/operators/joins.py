@@ -363,3 +363,53 @@ def join_interval_bucketed(spark, d):
                       F.col("i_tss").cast("string").alias("window_start"))
             .agg(F.count("*").alias("n_events"),
                  F.countDistinct("user_id").alias("n_users")))
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+        FROM events e
+        JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate > e.ts
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_forward(spark, d):
+    """Forward as-of join — each event matched to the EARLIEST order of
+    its user STRICTLY AFTER the event time (the "next scheduled thing"
+    direction; join_asof is the backward at-or-before twin).  Same
+    union/first-value window trick, mirrored: orders sort BEFORE events
+    at equal time so the strict > bound excludes same-instant orders
+    from the forward frame, and o_orderkey ascending resolves same-date
+    ties to the MIN key.  ONE shuffle on the user key, no event x
+    candidate-orders explosion — the oracle uses the equivalent
+    join+row_number formulation, which IS exploding, fine at oracle
+    scale only."""
+    e = T(spark, d, "events").select("event_id", "user_id",
+                                     F.col("ts").alias("t"))
+    o = T(spark, d, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        "o_orderkey", "o_totalprice")
+    tagged_o = o.select(
+        "user_id", "t", F.lit(0).alias("tag"),
+        F.lit(None).cast(dict(e.dtypes)["event_id"]).alias("event_id"),
+        F.struct("o_orderkey", "o_totalprice").alias("ord"))
+    ord_type = tagged_o.schema["ord"].dataType.simpleString()
+    tagged_e = e.select(
+        "user_id", "t", F.lit(1).alias("tag"), "event_id",
+        F.lit(None).cast(ord_type).alias("ord"))
+    w = (Window.partitionBy("user_id")
+         .orderBy("t", "tag", F.col("ord.o_orderkey").asc_nulls_last())
+         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    return (tagged_o.unionByName(tagged_e)
+            .withColumn("next_ord", F.first("ord", ignorenulls=True).over(w))
+            .filter((F.col("tag") == 1) & F.col("next_ord").isNotNull())
+            .select("event_id", "user_id",
+                    F.col("next_ord.o_orderkey").alias("o_orderkey"),
+                    F.col("next_ord.o_totalprice").alias("o_totalprice")))

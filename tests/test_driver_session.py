@@ -137,7 +137,7 @@ def test_pysource_restores_callers_active_session(spark, sf_dir):
     "table_merge_full_sync", "table_manifests_meta", "llm_similarity_lsh",
     "table_sorted_write_scan", "sink_xml_roundtrip", "llm_substring_dedup",
     "llm_perplexity_bucket", "agg_bitmap_distinct", "fn_higher_order",
-    "llm_similarity_funnel", "events_rollup_ohlc",
+    "llm_similarity_funnel", "events_rollup_ohlc", "join_asof_forward",
 ])
 def test_round7_queries_on_bare_session(bare_spark, sf_dir, name):
     """Round-7 additions (full-sync MERGE, manifests metadata table,
