@@ -116,9 +116,16 @@ def agg_having(spark, d):
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
+    HAVING count(*) > 0
     """,
 )
 def agg_rollup(spark, d):
+    """cnt > 0 on BOTH sides pins the declared zero-row semantics: over
+    an EMPTY relation DuckDB emits the SQL-standard grand-total
+    grouping-set row (cnt 0) while Spark emits nothing — the filter is
+    a no-op on any non-empty input (every formed group has cnt >= 1)
+    and converges the corner (caught by the empty-mirror parity
+    sweep; same pin on agg_cube / agg_grouping_sets)."""
     c = T(spark, d, "customer")
     n = T(spark, d, "nation")
     r = T(spark, d, "region")
@@ -127,7 +134,7 @@ def agg_rollup(spark, d):
     return joined.rollup("r_name", "n_name").agg(
         F.count("*").alias("cnt"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
-    )
+    ).filter(F.col("cnt") > 0)
 
 
 @register(
@@ -137,11 +144,14 @@ def agg_rollup(spark, d):
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    HAVING count(*) > 0
     """,
 )
 def agg_cube(spark, d):
     # customer scales with the corpus — no broadcast hint; the custkey
     # equi-join is AQE's strategy call (policy: tests/test_plans.py).
+    # cnt > 0 both sides: the empty-relation grand-total pin (see
+    # agg_rollup's docstring); a no-op on non-empty input.
     o = T(spark, d, "orders")
     c = T(spark, d, "customer")
     return (
@@ -150,6 +160,7 @@ def agg_cube(spark, d):
         .agg(F.count("*").alias("cnt"),
              (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
               / F.count("*")).alias("avg_price"))
+        .filter(F.col("cnt") > 0)
     )
 
 
@@ -161,11 +172,14 @@ def agg_cube(spark, d):
            count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal
     FROM customer
     GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+    HAVING count(*) > 0
     """,
 )
 def agg_grouping_sets(spark, d):
     """Explicit grouping sets with per-column grouping() markers
-    (grouping_id bit order differs across engines; grouping() does not)."""
+    (grouping_id bit order differs across engines; grouping() does not).
+    HAVING cnt > 0 both sides: the empty-relation grand-total pin (see
+    agg_rollup's docstring); a no-op on non-empty input."""
     T(spark, d, "customer").createOrReplaceTempView("customer_gs")
     return spark.sql("""
         SELECT c_mktsegment, c_nationkey,
@@ -173,6 +187,7 @@ def agg_grouping_sets(spark, d):
                count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal
         FROM customer_gs
         GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+        HAVING count(*) > 0
     """)
 
 

@@ -115,7 +115,7 @@ NULL_SAMPLE = sorted(n for n in REGISTRY
 
 PARITY_FAMILY = sorted(
     n for n in REGISTRY
-    if n.startswith("llm_") and REGISTRY[n].oracle is not None)
+    if n.startswith(("llm_", "events_")) and REGISTRY[n].oracle is not None)
 
 
 def _mirror_duck(d):
@@ -158,12 +158,36 @@ def _assert_parity(name, spark, d, con):
         raise AssertionError(f"{name}: value mismatch\n{sample.to_string()}")
 
 
-@pytest.mark.parametrize("name", PARITY_FAMILY)
+# Zero-row parity runs over a WIDER family than the null mirror: the
+# TPC-H / agg / window / join / subquery surface reads only the sf
+# tables, and zero-row semantics (global aggregate -> one row of
+# NULLs/0, grouped -> empty, scalar subquery -> NULL) are classic
+# engine-divergence ground.  Queries that build their own inputs
+# (table_*, sink_*, scan_*, udf fixtures) are excluded — an empty
+# mirror changes nothing for them.
+EMPTY_PARITY = sorted(
+    n for n in REGISTRY
+    if REGISTRY[n].oracle is not None
+    and n.startswith(("llm_", "events_", "tpch_", "agg_", "window_",
+                      "join_", "subquery_", "topk_", "limit_", "sort_",
+                      "set_", "pivot_", "unpivot_", "sample_", "dq_",
+                      "scd2_", "cte_", "distinct_", "filter_",
+                      "project_", "fn_"))
+    # df.transpose()'s OUTPUT SCHEMA is data-dependent (columns come
+    # from rows): on zero rows Spark yields only the key column while
+    # the oracle's fixed conditional-agg shape keeps its 5 region
+    # columns — inherent to transpose's contract, not a bug; the
+    # declared query is valid on the 5-region fixture it pins.
+    and n != "project_transpose")
+
+
+@pytest.mark.parametrize("name", EMPTY_PARITY)
 def test_empty_input_matches_oracle(driver_spark, empty_sf_dir, empty_duck,
                                     name):
     """Zero-row input: both engines must agree exactly (usually on an
-    empty result — but e.g. train/test split ratios and mixture weights
-    must degrade identically, not just not-crash)."""
+    empty result — but e.g. train/test split ratios, mixture weights,
+    vacuous aggregates and NULL scalar subqueries must degrade
+    identically, not just not-crash)."""
     _assert_parity(name, driver_spark, empty_sf_dir, empty_duck)
 
 
