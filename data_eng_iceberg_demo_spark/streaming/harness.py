@@ -250,19 +250,26 @@ def _stateful_running(spark, d, provider=None, tag="stateful_running"):
     state_schema = StructType([
         StructField("cnt", LongType()),
         StructField("cents", LongType()),
+        StructField("nn", LongType()),
     ])
 
     def update(key, pdf_iter, state):
-        cnt, cents = state.get if state.exists else (0, 0)
+        cnt, cents, nn = state.get if state.exists else (0, 0, 0)
         for pdf in pdf_iter:
             cnt += len(pdf)  # COUNT(*) semantics: NULL rows still count
             # SUM skips NULLs; a NaN reaching the int64 cast is
             # platform-defined garbage, so drop them first
             v = pdf["value"].dropna().to_numpy()
+            nn += len(v)
             cents += int(np.floor(v * 100.0 + 0.5).astype("int64").sum())
-        state.update((cnt, cents))
+        state.update((cnt, cents, nn))
+        # SQL SUM semantics, not pandas': a key that has seen ZERO
+        # non-null values reports NULL, never 0.0 (the null-mirror
+        # parity sweep caught the all-NULL-user group reading 0.0
+        # while the oracle's SUM said NULL)
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt],
-                            "total_value": [cents / 100.0]})
+                            "total_value": [cents / 100.0 if nn
+                                            else float("nan")]})
 
     iso = _state_session(spark, 8)
     if provider is not None:

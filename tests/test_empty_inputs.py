@@ -113,9 +113,17 @@ NULL_SAMPLE = sorted(n for n in REGISTRY
 # those fixes against regression.  Every hash-oracled llm_* query
 # participates (the approx/sketch ones have no oracle by design).
 
+# the null mirror injects only into documents/embeddings/events, so
+# its parity family is every hash-oracled query that READS those
+# tables: the llm/events analytics, the events-based joins and
+# windows, and the streaming harness (whose oracles replay the same
+# events table) — TPC-H-only queries would just duplicate the normal
+# parity run against identical data
 PARITY_FAMILY = sorted(
     n for n in REGISTRY
-    if n.startswith(("llm_", "events_")) and REGISTRY[n].oracle is not None)
+    if REGISTRY[n].oracle is not None
+    and n.startswith(("llm_", "events_", "join_asof", "join_interval",
+                      "window_", "stream_")))
 
 
 def _mirror_duck(d):
@@ -172,7 +180,7 @@ EMPTY_PARITY = sorted(
                       "join_", "subquery_", "topk_", "limit_", "sort_",
                       "set_", "pivot_", "unpivot_", "sample_", "dq_",
                       "scd2_", "cte_", "distinct_", "filter_",
-                      "project_", "fn_"))
+                      "project_", "fn_", "stream_"))
     # df.transpose()'s OUTPUT SCHEMA is data-dependent (columns come
     # from rows): on zero rows Spark yields only the key column while
     # the oracle's fixed conditional-agg shape keeps its 5 region
