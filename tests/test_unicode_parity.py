@@ -74,6 +74,9 @@ UNICODE_SAMPLE = [
     "llm_dedup_exact", "llm_dedup_exact_normalized", "llm_token_count",
     "llm_text_stats", "llm_fingerprint", "llm_docs_to_chunks",
     "llm_line_dedup", "llm_train_test_split", "llm_dedup_cross_source",
+    # r7 text additions: md5-digest 8-gram spans and unigram-logprob
+    # tercile routing — both hash non-ASCII token bytes
+    "llm_substring_dedup", "llm_perplexity_bucket",
 ]
 
 
