@@ -666,3 +666,30 @@ def scan_jdbc_partitioned(spark, d):
             .select(F.col("O_ORDERKEY").alias("o_orderkey"),
                     F.col("O_CUSTKEY").alias("o_custkey"),
                     F.col("O_TOTALPRICE").alias("o_totalprice")))
+
+
+@register(
+    "scan_parquet_metadata_cols",
+    oracle="""
+    SELECT event_id, 'events.parquet' AS file_name,
+           CAST(event_id AS BIGINT) AS row_index
+    FROM events WHERE event_id % 1000 = 0
+    """,
+)
+def scan_parquet_metadata_cols(spark, d):
+    """Hidden file-metadata columns (`_metadata.file_name` /
+    `_metadata.row_index`) — the row-provenance scan every
+    position-delete and CDC implementation stands on (icelite's MoR
+    path uses exactly these internally).  Row indexes are the file's
+    physical order, identical in any parquet reader; the fixture writes
+    events in event_id order as ONE file, so the oracle predicts
+    row_index == event_id — an assumption pinned AT FIXTURE LEVEL by
+    test_fixture_events_row_index_equals_event_id (DuckDB
+    file_row_number), so the hash genuinely tests Spark's synthesized
+    index against the file's physical order.  Zero extra IO: the index
+    comes from the scanner, the name from the task's split."""
+    return (spark.read.parquet(f"{d}/events.parquet")
+            .select("event_id",
+                    F.col("_metadata.file_name").alias("file_name"),
+                    F.col("_metadata.row_index").alias("row_index"))
+            .filter(F.col("row_index") % 1000 == 0))

@@ -267,7 +267,8 @@ SKEW_SAMPLE = [
     "llm_dedup_simhash", "llm_dedup_embedding", "llm_dedup_clusters",
     "llm_dedup_keep_best",
     "llm_dedup_cross_source", "llm_line_dedup", "llm_similarity_lsh",
-    "llm_similarity_ivf", "llm_substring_dedup",
+    "llm_similarity_ivf", "llm_substring_dedup", "llm_similarity_funnel",
+    "llm_perplexity_bucket", "events_rollup_ohlc",
     "llm_bm25_topk", "events_funnel", "events_top_paths",
     "events_transition_matrix", "events_attribution",
     "window_sessionize_batch",

@@ -137,6 +137,20 @@ def test_fixture_lsh_projection_margin_clears_reassociation_noise(duck):
     assert m is None or m > 1e-9, m
 
 
+def test_fixture_events_row_index_equals_event_id(duck, sf_dir):
+    """Fixture guard for scan_parquet_metadata_cols: its oracle predicts
+    _metadata.row_index == event_id, which holds iff events.parquet is
+    ONE file written in event_id order.  Verify with DuckDB's
+    file_row_number so the assumption fails here — at fixture level —
+    if a regenerated fixture ever shuffles or splits the file."""
+    (bad,) = duck.execute(f"""
+        SELECT count(*) FROM read_parquet(
+            '{sf_dir}/events.parquet', file_row_number=true)
+        WHERE file_row_number <> event_id
+    """).fetchone()
+    assert bad == 0
+
+
 def test_fixture_watermark_late_replay_and_boundary(duck):
     """Fixture guards for stream_watermark_late's exact oracle.
 
