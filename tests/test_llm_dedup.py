@@ -480,3 +480,70 @@ def test_substring_dedup_finds_and_merges_shared_spans(spark, tmp_path):
     assert (got[0].span_start, got[0].span_end, got[0].span_len) == (10, 21, 12)
     assert (got[1].span_start, got[1].span_end, got[1].span_len) == (0, 11, 12)
     assert got[0].n_grams == got[1].n_grams == 5  # 12 - 8 + 1 overlapping hits
+
+
+def test_substring_dedup_matches_brute_force_on_random_docs(
+        spark, tmp_path_factory):
+    """llm_substring_dedup vs a pure-Python brute force on randomized
+    tiny-alphabet corpora (hypothesis): 3-token alphabet over 8-20-token
+    docs makes shared 8-grams dense, exercising island merging across
+    heavily overlapping coverage and the >= 2-distinct-docs rule."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_eng_iceberg_demo_spark.plans.registry import REGISTRY
+
+    K = 8
+    root = tmp_path_factory.mktemp("substr_prop")
+    case_n = [0]
+
+    def brute(texts):
+        grams = {}
+        for did, t in enumerate(texts):
+            w = t.split(" ")
+            for i in range(len(w) - K + 1):
+                grams.setdefault(" ".join(w[i:i + K]), set()).add(did)
+        out = {}
+        for did, t in enumerate(texts):
+            w = t.split(" ")
+            spans = []
+            for i in range(len(w) - K + 1):
+                if len(grams[" ".join(w[i:i + K])]) >= 2:
+                    spans.append((i, i + K - 1))
+            merged = []
+            for s, e in spans:  # spans sorted by start already
+                if merged and s <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], e)
+                    merged[-1][2] += 1
+                else:
+                    merged.append([s, e, 1])
+            for s, e, n in merged:
+                out[(did, s)] = (e, e - s + 1, n)
+        return out
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=8, max_size=20)
+        .map(" ".join),
+        min_size=2, max_size=5))
+    def check(texts):
+        import duckdb
+
+        case_n[0] += 1
+        d = str(root / f"c{case_n[0]}")
+        import os
+        os.makedirs(d, exist_ok=True)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR, "
+                    "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+        for i, t in enumerate(texts):
+            con.execute("INSERT INTO t VALUES (?, ?, 'en', 's', ?)",
+                        [i, t, len(t)])
+        con.execute(f"COPY t TO '{d}/documents.parquet' (FORMAT PARQUET)")
+        con.close()
+        got = {(r.doc_id, r.span_start): (r.span_end, r.span_len, r.n_grams)
+               for r in REGISTRY["llm_substring_dedup"].fn(spark, d).collect()}
+        assert got == brute(texts)
+
+    check()
