@@ -971,6 +971,27 @@ class IceliteTable:
         new_files = [f for f in to_snap["files"] if f["path"] not in old_paths]
         return self._read_files(new_files, meta)
 
+    def diff_snapshots(self, from_version: int,
+                       to_version: int | None = None) -> DataFrame:
+        """Row-level changelog between ANY two snapshots — the general
+        diff read_changes deliberately refuses for non-append history:
+        multiset EXCEPT in both directions, each surviving row tagged
+        ``change_type`` 'insert' (in to, not in from) or 'delete' (in
+        from, not in to); an UPDATE surfaces as its delete+insert pair,
+        CDC-style.  exceptAll keeps duplicate multiplicity, so N copies
+        appearing/disappearing report N change rows.
+
+        Cost note: this reads BOTH snapshots in full (two hash
+        anti-joins on the whole row) — the correct tool for audits and
+        backfills at any history shape; the O(delta) fast path for
+        append-only ranges remains read_changes."""
+        a = self.read(version=from_version)
+        b = self.read(version=to_version)
+        return (b.exceptAll(a).withColumn("change_type", F.lit("insert"))
+                .unionByName(
+                    a.exceptAll(b).withColumn("change_type",
+                                              F.lit("delete"))))
+
     # ------------------------------------------------------------ evolution
     def add_column(self, name: str, sql_type: str) -> None:
         """Metadata-only ADD COLUMN; existing rows read NULL

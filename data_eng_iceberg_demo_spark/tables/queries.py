@@ -632,3 +632,39 @@ def table_sorted_write_scan(spark, d):
     t.set_write_order(["id_cliente"])
     t.insert(_typed_pedidos(spark))
     return _as_output(t.scan_range("id_cliente", 2000, 3000))
+
+
+@register(
+    "table_snapshot_diff",
+    oracle=f"""
+    SELECT id_pedido, produto, valor_unitario,
+           CAST(quantidade + 10 AS BIGINT) AS quantidade,
+           data_criacao_s, uf, id_cliente, 'insert' AS change_type
+    FROM ({_CSV_ORACLE_BASE}) WHERE uf = 'SP'
+    UNION ALL
+    SELECT id_pedido, produto, valor_unitario, quantidade,
+           data_criacao_s, uf, id_cliente, 'delete' AS change_type
+    FROM ({_CSV_ORACLE_BASE}) WHERE uf IN ('SP', 'RJ')
+    """,
+)
+def table_snapshot_diff(spark, d):
+    """Row-level changelog between two snapshots across NON-append
+    history — the diff read_changes refuses (it guards against exactly
+    this: CoW rewrites would misreport as appends).  An UPDATE of the
+    SP rows then a DELETE of the RJ rows later, diff(1 -> current) must
+    report the updated SP rows as inserts, and the pre-update SP rows
+    plus the deleted RJ rows as deletes — multiset EXCEPT both ways,
+    tagged change_type.  The oracle derives every change row from the
+    raw CSV.  At scale this is the audit/backfill tool; incremental
+    consumers use read_changes' O(delta) path."""
+    t = _fresh_table(spark)
+    t.update_where("uf = 'SP'", {"quantidade": "quantidade + 10"})
+    t.delete_where("uf = 'RJ'")
+    return (t.diff_snapshots(from_version=1)
+            .select("id_pedido", "produto",
+                    F.col("valor_unitario").cast("double")
+                    .alias("valor_unitario"),
+                    F.col("quantidade").cast("bigint").alias("quantidade"),
+                    F.col("data_criacao").cast("string")
+                    .alias("data_criacao_s"),
+                    "uf", "id_cliente", "change_type"))

@@ -138,7 +138,7 @@ def test_pysource_restores_callers_active_session(spark, sf_dir):
     "table_sorted_write_scan", "sink_xml_roundtrip", "llm_substring_dedup",
     "llm_perplexity_bucket", "agg_bitmap_distinct", "fn_higher_order",
     "llm_similarity_funnel", "events_rollup_ohlc", "join_asof_forward",
-    "scan_parquet_metadata_cols",
+    "scan_parquet_metadata_cols", "table_snapshot_diff",
 ])
 def test_round7_queries_on_bare_session(bare_spark, sf_dir, name):
     """Round-7 additions (full-sync MERGE, manifests metadata table,

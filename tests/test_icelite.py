@@ -729,3 +729,28 @@ def test_write_order_clusters_files_and_prunes(spark, tmp_path):
         k: v for k, v in ordered.to_iceberg_ddl("t").items() if v}
     with pytest.raises(ValueError, match="no column"):
         ordered.set_write_order(["nope"])
+
+
+def test_diff_snapshots_multiset_and_read_changes_contrast(spark, table):
+    """diff_snapshots handles exactly what read_changes refuses: after a
+    CoW update, read_changes(1) raises while diff reports the
+    delete+insert pair per touched row; multiset semantics report N
+    change rows for N duplicate copies."""
+    table.update_where("uf = 'SP'", {"quantidade": "quantidade + 10"})
+    with pytest.raises(ValueError, match="non-append"):
+        table.read_changes(from_version=1)
+    diff = table.diff_snapshots(from_version=1)
+    n_sp = table.read().filter("uf = 'SP'").count()
+    by_type = {r["change_type"]: r["n"] for r in
+               diff.groupBy("change_type").agg(
+                   F.count("*").alias("n")).collect()}
+    assert by_type == {"insert": n_sp, "delete": n_sp}
+    # every insert is an SP row with +10, every delete its old version
+    assert diff.filter("change_type = 'insert' AND uf <> 'SP'").count() == 0
+    # duplicate multiplicity: insert two identical copies of one row
+    one = table.read().limit(1)
+    v_before = table.meta["current_snapshot"]
+    table.insert(one.unionAll(one))
+    d2 = table.diff_snapshots(from_version=v_before)
+    assert d2.filter("change_type = 'insert'").count() == 2
+    assert d2.filter("change_type = 'delete'").count() == 0
