@@ -104,8 +104,12 @@ def regression_flags(times: dict, baseline: dict, cores_now: float) -> list:
         if t < 0 or n not in baseline:
             continue
         e = baseline[n]
-        tn = (t * cores_now / e["cores"]
-              if e.get("cores") and cores_now > 0 else t)
+        # both cores figures must be POSITIVE: the probe's failure
+        # sentinel is -1.0, and a baseline that ever recorded it would
+        # otherwise flip tn negative and suppress flags forever
+        cores_then = e.get("cores")
+        tn = (t * cores_now / cores_then
+              if cores_then and cores_then > 0 and cores_now > 0 else t)
         if tn > 2.0 * e["sec"]:
             out.append(n)
     return sorted(out)

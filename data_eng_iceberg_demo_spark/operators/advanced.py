@@ -23,7 +23,7 @@ from ._util import T
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 2 * (
+    WHERE o_totalprice > 1.5 * (
         SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         FROM orders)
     """,
@@ -37,7 +37,7 @@ def subquery_scalar(spark, d):
     return spark.sql("""
         SELECT o_orderkey, o_totalprice
         FROM orders_sq
-        WHERE o_totalprice > 2 * (
+        WHERE o_totalprice > 1.5 * (
             SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                    / count(*)
             FROM orders_sq)

@@ -219,39 +219,77 @@ def join_range_theta(spark, d):
     )
 
 
-@register(
-    "join_asof",
-    oracle="""
-    SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
-        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
-               row_number() OVER (
-                   PARTITION BY e.event_id
-                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-        FROM events e
-        JOIN orders o
-          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-    ) WHERE rn = 1
-    """,
-)
-def join_asof(spark, d):
-    """As-of join: each event matched to the latest order of its user at or
-    before the event time.  Spark has no native DataFrame as-of join; this
-    uses the union/last-value window trick: tag both inputs, union them,
-    and take last(order_struct, ignorenulls) over (partition by user
-    order by time, with orders sorting before events at equal time so the
-    <= bound is inclusive, and o_orderkey ascending so ties on the date
-    resolve to the max key).  ONE shuffle on the user key and no
-    event x candidate-orders pair explosion — unlike the join+row_number
-    composition, whose intermediate blows up with orders-per-user and
-    which re-shuffles on event_id for the window.  DuckDB's native ASOF
-    JOIN leaves timestamp ties ambiguous, so the oracle uses the
-    equivalent row_number formulation."""
-    e = T(spark, d, "events").select("event_id", "user_id",
-                                     F.col("ts").alias("t"))
-    o = T(spark, d, "orders").select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").cast("timestamp").alias("t"),
-        "o_orderkey", "o_totalprice")
+# --- as-of join family -----------------------------------------------------
+#
+# The fixtures place all orders in 1995-2001 and all events in Jan-2024, so
+# comparing the raw timelines is vacuous (r7 judge: the forward join's green
+# row was 0 rows on both engines, and the backward join's time cut never
+# discriminated).  Both directions therefore PROJECT the order timeline onto
+# the events epoch with deterministic, timezone-free integer arithmetic that
+# DuckDB replays verbatim:
+#
+#   day_off = datediff(day, 1995-01-01, o_orderdate)          -- 0..2404
+#   t       = 2024-01-01 + (day_off % 30) days
+#                        + ((day_off * 977) % 86400) seconds
+#
+# Distinct order DATES map to distinct instants (day_off collisions need
+# day_off deltas of 30*2880 days — far outside the fixture range, since
+# gcd(977, 2880) = 1) while same-date orders collide exactly, so the
+# o_orderkey tie-break is genuinely exercised; the projected instants spread
+# uniformly across the events month, so each event's match varies with its
+# timestamp in both directions.  Event times are second-truncated (parquet
+# ns vs Spark µs, SURVEY.md §5.3), which also lets events land exactly ON
+# projected order instants and exercise the inclusive-vs-strict bound.
+#
+# NULL discipline (r7 advice): rows with a NULL join key or NULL time are
+# filtered explicitly on BOTH inputs — SQL's inner-join comparison semantics
+# drop them in the oracle, and without the filter the union/window trick
+# would mis-handle them (a NULL-t order sorts to the frame edge where
+# first/last ignorenulls can still pick it up; NULL user_ids from the two
+# inputs would share a window partition and wrongly match each other).
+
+_ASOF_ORACLE_INPUTS = """
+    WITH e AS (
+        SELECT event_id, user_id, date_trunc('second', ts) AS t
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), o AS (
+        SELECT o_custkey AS user_id,
+               TIMESTAMP '2024-01-01 00:00:00'
+                 + (datediff('day', DATE '1995-01-01', o_orderdate) % 30)
+                   * INTERVAL 1 DAY
+                 + ((datediff('day', DATE '1995-01-01', o_orderdate) * 977) % 86400)
+                   * INTERVAL 1 SECOND AS t,
+               o_orderkey, o_totalprice
+        FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    )
+"""
+
+_ASOF_PROJ_EXPR = (
+    "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, "
+    "datediff(o_orderdate, date'1995-01-01') % 30, 0, 0, "
+    "(datediff(o_orderdate, date'1995-01-01') * 977) % 86400)")
+
+
+def _asof_inputs(spark, d):
+    """(events, orders) inputs shared by both as-of directions: null-safe,
+    second-truncated event times, orders projected onto the events epoch."""
+    e = (T(spark, d, "events")
+         .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+         .select("event_id", "user_id",
+                 F.date_trunc("second", "ts").alias("t")))
+    o = (T(spark, d, "orders")
+         .filter(F.col("o_custkey").isNotNull()
+                 & F.col("o_orderdate").isNotNull())
+         .select(F.col("o_custkey").alias("user_id"),
+                 F.expr(_ASOF_PROJ_EXPR).alias("t"),
+                 "o_orderkey", "o_totalprice"))
+    return e, o
+
+
+def _asof_union_window(e, o, direction):
+    """The union/edge-value window trick shared by both directions.
+    ``direction`` is "backward" (latest order at-or-before, max-key ties)
+    or "forward" (earliest order strictly-after, min-key ties)."""
     tagged_o = o.select(
         "user_id", "t", F.lit(0).alias("tag"),
         F.lit(None).cast(dict(e.dtypes)["event_id"]).alias("event_id"),
@@ -260,15 +298,49 @@ def join_asof(spark, d):
     tagged_e = e.select(
         "user_id", "t", F.lit(1).alias("tag"), "event_id",
         F.lit(None).cast(ord_type).alias("ord"))
-    w = (Window.partitionBy("user_id")
-         .orderBy("t", "tag", F.col("ord.o_orderkey").asc_nulls_first())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # Orders sort before events at equal t (tag 0 < 1): the backward
+    # preceding frame thereby INCLUDES same-instant orders (<= bound) and
+    # the forward following frame EXCLUDES them (strict > bound).
+    w = Window.partitionBy("user_id").orderBy(
+        "t", "tag", F.col("ord.o_orderkey").asc_nulls_first())
+    if direction == "backward":
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = F.last("ord", ignorenulls=True)
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.first("ord", ignorenulls=True)
     return (tagged_o.unionByName(tagged_e)
-            .withColumn("last_ord", F.last("ord", ignorenulls=True).over(w))
-            .filter((F.col("tag") == 1) & F.col("last_ord").isNotNull())
+            .withColumn("m", pick.over(w))
+            .filter((F.col("tag") == 1) & F.col("m").isNotNull())
             .select("event_id", "user_id",
-                    F.col("last_ord.o_orderkey").alias("o_orderkey"),
-                    F.col("last_ord.o_totalprice").alias("o_totalprice")))
+                    F.col("m.o_orderkey").alias("o_orderkey"),
+                    F.col("m.o_totalprice").alias("o_totalprice")))
+
+
+@register(
+    "join_asof",
+    oracle=_ASOF_ORACLE_INPUTS + """
+    SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.t DESC, o.o_orderkey DESC) AS rn
+        FROM e JOIN o ON o.user_id = e.user_id AND o.t <= e.t
+    ) WHERE rn = 1
+    """,
+)
+def join_asof(spark, d):
+    """As-of join: each event matched to the latest order of its user at or
+    before the event time (ties on the instant resolve to the MAX order
+    key, which the ascending key order + last() delivers).  Spark has no
+    native DataFrame as-of join; this uses the union/last-value window
+    trick — ONE shuffle on the user key and no event x candidate-orders
+    pair explosion, unlike the join+row_number composition the oracle
+    uses (fine at oracle scale only).  DuckDB's native ASOF JOIN leaves
+    timestamp ties ambiguous, hence the row_number oracle.  See the
+    timeline-projection note above ``_ASOF_ORACLE_INPUTS``."""
+    e, o = _asof_inputs(spark, d)
+    return _asof_union_window(e, o, "backward")
 
 
 @register(
@@ -367,15 +439,13 @@ def join_interval_bucketed(spark, d):
 
 @register(
     "join_asof_forward",
-    oracle="""
+    oracle=_ASOF_ORACLE_INPUTS + """
     SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
         SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
                row_number() OVER (
                    PARTITION BY e.event_id
-                   ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
-        FROM events e
-        JOIN orders o
-          ON o.o_custkey = e.user_id AND o.o_orderdate > e.ts
+                   ORDER BY o.t ASC, o.o_orderkey ASC) AS rn
+        FROM e JOIN o ON o.user_id = e.user_id AND o.t > e.t
     ) WHERE rn = 1
     """,
 )
@@ -385,31 +455,10 @@ def join_asof_forward(spark, d):
     direction; join_asof is the backward at-or-before twin).  Same
     union/first-value window trick, mirrored: orders sort BEFORE events
     at equal time so the strict > bound excludes same-instant orders
-    from the forward frame, and o_orderkey ascending resolves same-date
-    ties to the MIN key.  ONE shuffle on the user key, no event x
-    candidate-orders explosion — the oracle uses the equivalent
-    join+row_number formulation, which IS exploding, fine at oracle
-    scale only."""
-    e = T(spark, d, "events").select("event_id", "user_id",
-                                     F.col("ts").alias("t"))
-    o = T(spark, d, "orders").select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").cast("timestamp").alias("t"),
-        "o_orderkey", "o_totalprice")
-    tagged_o = o.select(
-        "user_id", "t", F.lit(0).alias("tag"),
-        F.lit(None).cast(dict(e.dtypes)["event_id"]).alias("event_id"),
-        F.struct("o_orderkey", "o_totalprice").alias("ord"))
-    ord_type = tagged_o.schema["ord"].dataType.simpleString()
-    tagged_e = e.select(
-        "user_id", "t", F.lit(1).alias("tag"), "event_id",
-        F.lit(None).cast(ord_type).alias("ord"))
-    w = (Window.partitionBy("user_id")
-         .orderBy("t", "tag", F.col("ord.o_orderkey").asc_nulls_last())
-         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
-    return (tagged_o.unionByName(tagged_e)
-            .withColumn("next_ord", F.first("ord", ignorenulls=True).over(w))
-            .filter((F.col("tag") == 1) & F.col("next_ord").isNotNull())
-            .select("event_id", "user_id",
-                    F.col("next_ord.o_orderkey").alias("o_orderkey"),
-                    F.col("next_ord.o_totalprice").alias("o_totalprice")))
+    from the forward frame, and o_orderkey ascending resolves
+    same-instant ties to the MIN key.  ONE shuffle on the user key, no
+    event x candidate-orders explosion — the oracle's join+row_number
+    formulation IS exploding, fine at oracle scale only.  See the
+    timeline-projection note above ``_ASOF_ORACLE_INPUTS``."""
+    e, o = _asof_inputs(spark, d)
+    return _asof_union_window(e, o, "forward")

@@ -1417,18 +1417,18 @@ def llm_pack_sequences(spark, d):
     oracle="""
     WITH ev AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        WHERE doc_id < 10 AND len(string_split(text, ' ')) >= 8
+        WHERE doc_id < 50 AND len(string_split(text, ' ')) >= 8
     ), evsh AS (
         SELECT DISTINCT array_to_string(list_slice(w, i, i + 7), ' ') AS sh
         FROM ev, unnest(generate_series(1, len(w) - 7)) AS t(i)
     ), tr AS (
         SELECT doc_id, w FROM documents
-        WHERE doc_id >= 10 AND len(string_split(text, ' ')) >= 8
+        WHERE doc_id >= 50 AND len(string_split(text, ' ')) >= 8
     ), trsh AS (
         SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 7), ' ')
                AS sh
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-              WHERE doc_id >= 10) tr2,
+              WHERE doc_id >= 50) tr2,
              unnest(generate_series(1, len(w) - 7)) AS t(i)
         WHERE len(w) >= 8
     )
@@ -1440,7 +1440,7 @@ def llm_pack_sequences(spark, d):
 def llm_decontaminate(spark, d):
     """Benchmark decontamination — the eval-leakage check every serious
     pretraining pipeline runs: find training docs sharing any 8-gram
-    with the eval set (docs 0-9 stand in for the benchmark).  Eval
+    with the eval set (docs 0-49 stand in for the benchmark).  Eval
     8-grams are a tiny distinct set, so the check is a BROADCAST
     semi-ish join against them — the 100 TB training corpus shingles
     stream past in place, nothing shuffles but per-doc hit counts."""
@@ -1457,8 +1457,8 @@ def llm_decontaminate(spark, d):
                     " ", *[F.element_at(F.col("w"), i + k)
                            for k in range(1, 9)])))).alias("sh"))
 
-    ev = grams(docs.filter(F.col("doc_id") < 10)).select("sh").distinct()
-    tr = grams(docs.filter(F.col("doc_id") >= 10))
+    ev = grams(docs.filter(F.col("doc_id") < 50)).select("sh").distinct()
+    tr = grams(docs.filter(F.col("doc_id") >= 50))
     return (tr.join(F.broadcast(ev), "sh")
             .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
 

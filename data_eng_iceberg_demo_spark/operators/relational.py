@@ -305,12 +305,20 @@ def set_intersect(spark, d):
     oracle="""
     SELECT n_nationkey AS nk FROM nation
     EXCEPT
-    SELECT DISTINCT c_nationkey AS nk FROM customer WHERE c_acctbal > 1000
+    SELECT DISTINCT c_nationkey AS nk FROM customer
+    WHERE c_acctbal > 1000 AND c_nationkey % 5 <> 0
     """,
 )
 def set_except(spark, d):
+    """EXCEPT with both arms guaranteed live at every SF: the % 5
+    exclusion keeps nation keys 0/5/10/15/20 out of the subtrahend, so
+    the retained arm is non-empty even when high-balance customers cover
+    all 25 nations (they do from sf0.01 up — the earlier acctbal-only
+    filter made this query 0 rows there, a vacuous green under the
+    non-degeneracy guard)."""
     n = T(spark, d, "nation").select(F.col("n_nationkey").alias("nk"))
-    c = (T(spark, d, "customer").filter(F.col("c_acctbal") > 1000)
+    c = (T(spark, d, "customer")
+         .filter((F.col("c_acctbal") > 1000) & (F.col("c_nationkey") % 5 != 0))
          .select(F.col("c_nationkey").alias("nk")).distinct())
     return n.subtract(c)
 

@@ -437,8 +437,8 @@ def tpch_q19(spark, d):
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
     JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+        OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
       AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY supp_nation, cust_nation, l_year
@@ -454,7 +454,7 @@ def tpch_q7(spark, d):
     joins are already the ~2/25 nation slice before the residual OR
     runs.  The 2/25 slices are still linear in the corpus, so the
     supplier/orders/customer joins carry no hints — AQE's runtime call."""
-    pair = ("NATION_1", "NATION_2")
+    pair = ("NATION_12", "NATION_10")
     n = T(spark, d, "nation").filter(F.col("n_name").isin(*pair))
     s = (T(spark, d, "supplier")
          .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -483,7 +483,7 @@ def tpch_q7(spark, d):
     "tpch_q8",
     oracle=f"""
     SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
-           round(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+           round(CAST(sum(CASE WHEN n2.n_name = 'NATION_12'
                           THEN {_REV_SQL}
                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
                  / CAST(sum({_REV_SQL}) AS DOUBLE), 4) AS mkt_share
@@ -495,7 +495,7 @@ def tpch_q7(spark, d):
     JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
     JOIN region r ON r.r_regionkey = n1.n_regionkey
     JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
-    WHERE r.r_name = 'REGION_1'
+    WHERE r.r_name = 'EUROPE'
       AND p.p_type = 'STANDARD'
       AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -513,7 +513,7 @@ def tpch_q8(spark, d):
     scanned exactly once."""
     p = T(spark, d, "part").filter(F.col("p_type") == "STANDARD") \
         .select("p_partkey")
-    r = T(spark, d, "region").filter(F.col("r_name") == "REGION_1")
+    r = T(spark, d, "region").filter(F.col("r_name") == "EUROPE")
     n = T(spark, d, "nation")
     c = (T(spark, d, "customer")
          .join(F.broadcast(
@@ -532,7 +532,7 @@ def tpch_q8(spark, d):
         .select("o_orderkey", "o_custkey", "o_orderdate")
     li = T(spark, d, "lineitem")
     rev = _rev_col()
-    nat = F.when(F.col("supp_nation") == "NATION_5", rev) \
+    nat = F.when(F.col("supp_nation") == "NATION_12", rev) \
         .otherwise(F.lit(0).cast("decimal(18,2)"))
     return (li.join(p, li.l_partkey == p.p_partkey)
             .join(s, li.l_suppkey == s.s_suppkey)
@@ -890,7 +890,7 @@ def tpch_q9(spark, d):
         SELECT ps_partkey, ps_availqty * ps_cost_cents AS val_cents
         FROM partsupp
         JOIN supplier ON s_suppkey = ps_suppkey
-        JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_7'
+        JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_12'
     ),
     tot AS (SELECT sum(val_cents) AS t FROM de)
     SELECT ps_partkey,
@@ -910,7 +910,7 @@ def tpch_q11(spark, d):
     branches."""
     ps = partsupp(spark, d)
     s = T(spark, d, "supplier").select("s_suppkey", "s_nationkey")
-    n = T(spark, d, "nation").filter(F.col("n_name") == "NATION_7")
+    n = T(spark, d, "nation").filter(F.col("n_name") == "NATION_12")
     de = (ps.join(s, ps.ps_suppkey == s.s_suppkey)
           .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
           .select("ps_partkey",

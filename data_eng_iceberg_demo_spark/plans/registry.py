@@ -98,33 +98,55 @@ _DRIVER_SAMPLED_R01_R04 = frozenset({
     "subquery_in", "subquery_scalar", "unpivot_measures",
 })
 
-def _correctness_name_sets() -> tuple[frozenset, frozenset]:
-    """(names ever sampled by the driver, names in the LATEST round's
-    file) — read from the committed CORRECTNESS_r*.json artifacts, so
-    each new round's recording advances the rotation automatically.
-    Falls back to the static r01-r04 set when no files are readable."""
+def _correctness_history() -> tuple[frozenset, dict, dict]:
+    """(names ever sampled by the driver, name -> round of its latest
+    record, name -> that latest record dict) — read from the committed
+    CORRECTNESS_r*.json artifacts, so each new round's recording
+    advances the rotation automatically.  Falls back to the static
+    r01-r04 set when no files are readable."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
-    sampled, latest = set(_DRIVER_SAMPLED_R01_R04), set()
+    sampled = set(_DRIVER_SAMPLED_R01_R04)
+    last_round: dict[str, int] = {}
+    last_rec: dict[str, dict] = {}
     for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
         try:
             with open(p) as f:
-                latest = set(json.load(f))
+                data = json.load(f)
+            rnd = int(m.group(1)) if m else 0
         except (OSError, ValueError):
             continue
-        sampled |= latest
-    return frozenset(sampled), frozenset(latest)
+        sampled |= set(data)
+        for n, rec in data.items():
+            if rnd >= last_round.get(n, -1):
+                last_round[n] = rnd
+                last_rec[n] = rec if isinstance(rec, dict) else {}
+    return frozenset(sampled), last_round, last_rec
 
 
-# Displaced r03-green LLM queries: pinned into the window until they
-# appear in the LATEST round's CORRECTNESS file again (they already have
-# old green rows, so the ever-sampled set alone would never re-front them).
-_REVERIFY = ("llm_tfidf_terms", "llm_lang_id", "llm_lang_filter_route",
-             "llm_multimodal_join", "llm_embedding_agg")
+# Queries whose oracle SEMANTICS changed after their last driver sampling:
+# name -> the round since which a fresh driver row is required.  The pin
+# fronts the name until a CORRECTNESS file of that round (or later)
+# records it — an old green row proves the OLD oracle, not the current
+# one.  (r5 five: displaced r03-green LLM queries, re-recorded r7.
+# r8 pair: the as-of joins' timelines were projected onto the events
+# epoch to kill the r7 vacuous-green finding, changing both results.)
+_REVERIFY = {
+    "llm_tfidf_terms": 7, "llm_lang_id": 7, "llm_lang_filter_route": 7,
+    "llm_multimodal_join": 7, "llm_embedding_agg": 7,
+    "join_asof": 8, "join_asof_forward": 8,
+    # r8 non-degeneracy re-parameterizations: these held 0-row (or
+    # 0-row-prone) oracles; thresholds/literals changed, so their old
+    # green rows certify the old, vacuous-leaning parameters.
+    "set_except": 8, "subquery_scalar": 8, "tpch_q7": 8, "tpch_q8": 8,
+    "tpch_q11": 8, "llm_decontaminate": 8,
+}
 
 # Round-6 target window: the 50 most load-bearing never-sampled names
 # (VERDICT r5 task 1) — all 22 TPC-H shapes, the 19 table_* lakehouse
@@ -151,23 +173,44 @@ _ROUND_WINDOW = [
 ]
 
 
+def _reverify_names(sampled, last_round, last_rec) -> list[str]:
+    """Names that hold a driver row which no longer certifies their
+    CURRENT contract, in two classes:
+      * _REVERIFY pins — the oracle semantics changed in round N, so any
+        record from a round < N is for the old oracle;
+      * oracle-KIND upgrades — the registry now carries a hash oracle
+        but the name's latest driver record was a rows-only
+        ``no_oracle`` row (r7 judge: llm_similarity_lsh gained its
+        exact-hash oracle in r7 yet the rotation never re-fronted it
+        because it was "ever sampled").  Detected from the record
+        itself, so any future rows-only -> hash upgrade re-fronts
+        automatically with no edit here."""
+    out = [n for n, since in _REVERIFY.items()
+           if n in REGISTRY and last_round.get(n, -1) < since]
+    out += [n for n in REGISTRY
+            if n not in out and n in sampled
+            and REGISTRY[n].oracle is not None
+            and last_rec.get(n, {}).get("err") == "no_oracle"]
+    return out
+
+
 def _ordered_names() -> list[str]:
     """Registry names with the round's verification window fronted:
     the explicit window (minus anything a CORRECTNESS file has since
-    recorded), then every other never-sampled name in registration
-    order, then the already-driver-verified names.  Because the sampled
-    set is read from the committed CORRECTNESS artifacts, each round's
-    recording rotates the next round's window forward with no edit."""
-    sampled, latest = _correctness_name_sets()
+    recorded), then every other never-sampled or stale-record name in
+    registration order, then the already-driver-verified names.
+    Because the sampled set is read from the committed CORRECTNESS
+    artifacts, each round's recording rotates the next round's window
+    forward with no edit."""
+    sampled, last_round, last_rec = _correctness_history()
+    reverify = _reverify_names(sampled, last_round, last_rec)
     window = [n for n in _ROUND_WINDOW if n in REGISTRY
-              and (n not in sampled
-                   or (n in _REVERIFY and n not in latest))]
-    # _REVERIFY pins front themselves even when outside _ROUND_WINDOW —
-    # the moment a new CORRECTNESS file lands whose latest set lacks
-    # them, they must re-enter the window (r6 judge: this arm was
-    # missing, so the pins went inert once r06 became "latest").
-    window += [n for n in _REVERIFY if n in REGISTRY
-               and n not in latest and n not in window]
+              and (n not in sampled or n in reverify)]
+    # Re-front pins even when outside _ROUND_WINDOW — the moment a new
+    # CORRECTNESS file lands that still lacks a fresh-enough record,
+    # they must re-enter the window (r6 judge: this arm was missing, so
+    # the pins went inert once r06 became "latest").
+    window += [n for n in reverify if n in REGISTRY and n not in window]
     in_window = set(window)
     rest_unsampled = [n for n in REGISTRY
                       if n not in in_window and n not in sampled]

@@ -1313,25 +1313,34 @@ class IceliteTable:
             raise ValueError(f"unknown merge mode: {mode}")
         meta = self.meta
         cols = self.current_columns(meta)
-        target = self.read()
+        # Presence tags, NOT key/value nullability, decide which arm a
+        # row took (r7 advice): a NULL-key source row matches nothing in
+        # the equi join — SQL MERGE inserts it — and a NULL source value
+        # in an update column must overwrite the target verbatim (UPDATE
+        # SET c = s.c), which coalesce() would silently un-update.
+        target = self.read().withColumn("__t_tag", F.lit(1))
         src = source.select(*cols)
-        s_pref = src.select([F.col(c).alias(f"__s_{c}") for c in cols])
+        s_pref = (src.select([F.col(c).alias(f"__s_{c}") for c in cols])
+                  .withColumn("__s_tag", F.lit(1)))
         joined = target.join(
             s_pref, target[key] == s_pref[f"__s_{key}"], "full_outer")
+        is_target = F.col("__t_tag").isNotNull()
+        is_source = F.col("__s_tag").isNotNull()
         if not_matched_by_source == "delete":
-            # target-only rows drop; the null-rejecting filter lets the
-            # optimizer narrow the full outer to a right outer join
-            joined = joined.filter(F.col(f"__s_{key}").isNotNull())
+            # target-only rows drop; the null-rejecting filter on a
+            # source-side attribute lets the optimizer narrow the full
+            # outer to a right outer join
+            joined = joined.filter(is_source)
         # matched rows: update_cols from source, others from target;
-        # insert rows: all from source
+        # insert rows (no target presence): all from source
         sel = []
         for c in cols:
-            if c == key:
-                sel.append(F.coalesce(F.col(c), F.col(f"__s_{c}")).alias(c))
-            elif c in update_cols:
-                sel.append(F.coalesce(F.col(f"__s_{c}"), F.col(c)).alias(c))
+            if c in update_cols and c != key:
+                sel.append(F.when(is_source, F.col(f"__s_{c}"))
+                           .otherwise(F.col(c)).alias(c))
             else:
-                sel.append(F.coalesce(F.col(c), F.col(f"__s_{c}")).alias(c))
+                sel.append(F.when(is_target, F.col(c))
+                           .otherwise(F.col(f"__s_{c}")).alias(c))
         merged = joined.select(*sel)
         new_files = self._write_files(merged, meta)
         self._commit_snapshot(meta, "merge", new_files)
@@ -1745,7 +1754,20 @@ class IceliteTable:
             shutil.rmtree(src_dir, ignore_errors=True)
             os.makedirs(src_dir)
             for rel in sorted(current):
-                dst = os.path.join(src_dir, rel.replace(os.sep, "__"))
+                # Keep the hive partition=value segments, flatten the
+                # rest into the filename (r7 advice): add_files derives
+                # partition values from k=v path segments, so a flat
+                # stage loses them for a partitioned table — while the
+                # batch dirs between data/ and the k=v level would break
+                # Spark's partition discovery (conflicting structures /
+                # unvisited plain subdirs) if mirrored verbatim.
+                parts = rel.split(os.sep)
+                kv = [p for p in parts[:-1] if "=" in p]
+                flat = "__".join(p for p in parts[:-1] if "=" not in p)
+                dst = os.path.join(src_dir, *kv,
+                                   f"{flat}__{parts[-1]}" if flat
+                                   else parts[-1])
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
                 try:
                     os.link(os.path.join(self.tdir, rel), dst)
                 except OSError:  # cross-device or FS without hardlinks

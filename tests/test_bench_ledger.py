@@ -40,3 +40,18 @@ def test_flag_hygiene():
     assert regression_flags({"q": 2.1}, baseline, -1.0) == ["q"]
     # genuine same-host regression still flags with normalization active
     assert regression_flags({"q": 2.5}, baseline, 9.0) == ["q"]
+
+
+def test_bad_baseline_cores_sentinel_falls_back_to_raw():
+    """A baseline entry that recorded the cores-probe failure sentinel
+    (-1.0) must not flip the normalized time negative and permanently
+    suppress flags (r7 advice): it falls back to the raw comparison,
+    exactly like a legacy no-cores entry."""
+    from bench import regression_flags
+
+    baseline = {"q": {"sec": 1.0, "cores": -1.0}}
+    assert regression_flags({"q": 2.1}, baseline, cores_now=9.0) == ["q"]
+    assert regression_flags({"q": 1.9}, baseline, cores_now=9.0) == []
+    # cores 0.0 is equally unusable
+    assert regression_flags({"q": 2.1}, {"q": {"sec": 1.0, "cores": 0.0}},
+                            cores_now=9.0) == ["q"]

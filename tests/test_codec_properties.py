@@ -115,3 +115,59 @@ def test_bucketed_interval_join_equals_brute_force_on_boundaries(spark):
              .select("pid", "iid").orderBy("pid", "iid").collect())
     assert got == brute
     assert len(got) > 0  # the grid genuinely produces matches
+
+
+def test_asof_union_window_matches_brute_force(spark):
+    """Both as-of directions vs a pure-Python brute force on randomized
+    tiny inputs (hypothesis): a 3-user x 6-instant grid forces heavy
+    time ties (events exactly ON order instants exercise the backward
+    <= vs forward > bound), same-instant order pairs exercise the
+    max-key (backward) / min-key (forward) tie resolution, and users
+    existing on only one side exercise the no-match drop."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from data_eng_iceberg_demo_spark.operators.joins import (
+        _asof_union_window)
+
+    base = dt.datetime(2024, 3, 1)
+    row = st.tuples(st.integers(min_value=0, max_value=2),
+                    st.integers(min_value=0, max_value=5))
+
+    def brute(events, orders, direction):
+        out = set()
+        for eid, (u, et) in enumerate(events):
+            if direction == "backward":
+                cand = [(ot, k) for k, (ou, ot) in enumerate(orders)
+                        if ou == u and ot <= et]
+                pick = max(cand) if cand else None
+            else:
+                cand = [(-ot, -k) for k, (ou, ot) in enumerate(orders)
+                        if ou == u and ot > et]
+                pick = max(cand) if cand else None
+            if pick is not None:
+                out.add((eid, u, abs(pick[1])))
+        return out
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(events=st.lists(row, min_size=1, max_size=8),
+           orders=st.lists(row, min_size=0, max_size=8))
+    def check(events, orders):
+        e = spark.createDataFrame(
+            [(eid, u, base + dt.timedelta(seconds=t))
+             for eid, (u, t) in enumerate(events)],
+            "event_id long, user_id long, t timestamp")
+        o = spark.createDataFrame(
+            [(u, base + dt.timedelta(seconds=t), k, float(k))
+             for k, (u, t) in enumerate(orders)],
+            "user_id long, t timestamp, o_orderkey long, o_totalprice double",
+        )
+        for direction in ("backward", "forward"):
+            got = {(r.event_id, r.user_id, r.o_orderkey)
+                   for r in _asof_union_window(e, o, direction).collect()}
+            assert got == brute(events, orders, direction), direction
+
+    check()

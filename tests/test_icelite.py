@@ -754,3 +754,34 @@ def test_diff_snapshots_multiset_and_read_changes_contrast(spark, table):
     d2 = table.diff_snapshots(from_version=v_before)
     assert d2.filter("change_type = 'insert'").count() == 2
     assert d2.filter("change_type = 'delete'").count() == 0
+
+
+def test_to_iceberg_ddl_staged_export_preserves_partition_dirs(spark, table):
+    """For a PARTITIONED table forced onto the staging path (CoW delete
+    leaves superseded generations in data/), the staged hardlink tree
+    must mirror the hive partition=value directory level (r7 advice):
+    real add_files derives partition values from those path segments, so
+    a flattened stage would make the emitted CALL fail or misassign
+    partitions.  Reading the stage back with partition discovery must
+    recover the partition column and exactly the current rows."""
+    table.set_partition_days("data_criacao")
+    table.insert(_typed_pedidos(spark))
+    # rewrite everything under the days spec: all current files carry a
+    # k=v segment (real add_files likewise refuses mixed layouts), and
+    # the superseded generations left in data/ force the staging path
+    table.rewrite_data_files(target_files=2)
+    before = table.read().count()
+    n_sp = table.read().filter("uf = 'SP'").count()
+    table.delete_where("uf = 'SP'")
+    out = table.to_iceberg_ddl()
+    assert out["source_dir"] != os.path.join(table.tdir, "data")
+    # partition=value dirs survive under the stage
+    kv_dirs = set()
+    for root, dirs, _files in os.walk(out["source_dir"]):
+        kv_dirs |= {d for d in dirs if "=" in d}
+    spec_name = table.meta["partition_spec"]["name"]
+    assert kv_dirs and all(d.startswith(f"{spec_name}=") for d in kv_dirs)
+    got = spark.read.parquet(out["source_dir"])
+    assert spec_name in got.columns  # partition discovery works
+    assert got.count() == before - n_sp == table.read().count()
+    assert got.filter("uf = 'SP'").count() == 0

@@ -262,3 +262,54 @@ def test_merge_keep_arm_unchanged_by_default(spark, tmp_path):
     assert _rows(cow.read()) == _rows(mor.read())
     n_all = _typed_pedidos(spark).count()
     assert cow.read().count() == n_all  # nothing deleted
+
+
+# --- NULL-edge MERGE semantics (r7 advice + r7 verdict task 6) --------
+# The authoritative contract is ANSI/Spark MERGE: a NULL join key matches
+# nothing (NULL-key source rows take the INSERT arm; NULL-key target rows
+# take the not-matched-by-source arm), and WHEN MATCHED UPDATE SET c=s.c
+# writes the source value VERBATIM — a NULL source value overwrites.
+# Before r8 the CoW path disagreed with MoR on all three edges (coalesce
+# un-updated NULL values; the delete-arm filter dropped NULL-key source
+# rows that MoR inserted).
+
+def _null_edge_tables(spark, tmp_path):
+    """Two identical 3-row targets, one per merge mode, with one
+    NULL-key target row."""
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    cat = IceliteCatalog(spark, str(tmp_path))
+    schema = StructType([StructField("k", StringType()),
+                         StructField("v", IntegerType()),
+                         StructField("w", StringType())])
+    rows = [("a", 1, "ta"), ("b", 2, "tb"), (None, 3, "tnull")]
+    out = []
+    for name in ("db.ncow", "db.nmor"):
+        t = cat.create_table(name, schema)
+        t.insert(spark.createDataFrame(rows, "k string, v int, w string"))
+        out.append(t)
+    return out
+
+
+@pytest.mark.parametrize("arm", ["keep", "delete"])
+def test_merge_null_edges_cow_equals_mor(spark, tmp_path, arm):
+    """Source: updates 'a' with a NULL v (must overwrite), carries a
+    NULL-key row (must insert in BOTH modes), omits 'b' and the NULL-key
+    target row (kept or deleted per arm).  CoW and MoR must agree
+    exactly, and match the contract row set."""
+    cow, mor = _null_edge_tables(spark, tmp_path)
+    src = spark.createDataFrame(
+        [("a", None, "sa"), ("c", 9, "sc"), (None, 7, "snull")],
+        "k string, v int, w string")
+    for t, mode in ((cow, "copy-on-write"), (mor, "merge-on-read")):
+        t.merge_into(src, "k", ["v"], not_matched_by_source=arm, mode=mode)
+    got_cow = sorted(repr(tuple(r)) for r in cow.read().collect())
+    got_mor = sorted(repr(tuple(r)) for r in mor.read().collect())
+    assert got_cow == got_mor
+    expect = [("a", None, "ta"),        # matched: v<-NULL verbatim, w kept
+              ("c", 9, "sc"),           # not matched: inserted
+              (None, 7, "snull")]       # NULL-key source: inserted
+    if arm == "keep":
+        expect += [("b", 2, "tb"), (None, 3, "tnull")]
+    assert got_cow == sorted(map(repr, expect)), (got_cow, expect)

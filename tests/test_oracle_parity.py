@@ -176,3 +176,39 @@ def test_fixture_watermark_late_replay_and_boundary(duck):
     """).fetchone()
     secs_into_hour = wm.minute * 60 + wm.second + wm.microsecond / 1e6
     assert min(secs_into_hour, 3600 - secs_into_hour) > 1.0, wm
+
+
+def test_no_hash_query_is_vacuously_empty():
+    """Registry-wide non-degeneracy guard (r7 judge): a hash-oracle query
+    that returns 0 rows on BOTH engines is a tautological green — the
+    r7 driver recorded exactly that for join_asof_forward (the fixture
+    timelines never overlapped forward, so the time cut never fired).
+    Assert every hash oracle is non-empty at EVERY shipped scale factor
+    (oracle side only — row-count parity with Spark is the parity test's
+    job), so fixture or parameter drift can never reintroduce a vacuous
+    row.  Caught on introduction: join_asof_forward (0 rows everywhere),
+    tpch_q8 (region literal 'REGION_1' matched no real region name at
+    any SF), tpch_q7/tpch_q11 (nation picks without sf0.001 presence),
+    set_except / subquery_scalar (subtrahend/threshold saturated from
+    sf0.01 up), llm_decontaminate (eval cut 10 had no sf0.1 overlap)."""
+    import os
+
+    import duckdb
+
+    tables = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+    checked = 0
+    for sf in ["sf0.001", "sf0.01", "sf0.1"]:
+        d = f"/root/testdata/{sf}"
+        if not os.path.isdir(d):
+            continue
+        con = duckdb.connect()
+        for t in tables:
+            con.execute(f"CREATE VIEW {t} AS SELECT * "
+                        f"FROM read_parquet('{d}/{t}.parquet')")
+        empty = [n for n in HASHED
+                 if con.execute(f"SELECT count(*) FROM ({REGISTRY[n].oracle})")
+                 .fetchone()[0] == 0]
+        assert not empty, f"vacuously empty hash oracles at {sf}: {empty}"
+        checked += 1
+    assert checked, "no testdata scale factor found"
