@@ -462,3 +462,72 @@ def join_asof_forward(spark, d):
     timeline-projection note above ``_ASOF_ORACLE_INPUTS``."""
     e, o = _asof_inputs(spark, d)
     return _asof_union_window(e, o, "forward")
+
+
+@register(
+    "join_asof_nearest",
+    oracle=_ASOF_ORACLE_INPUTS + """
+    SELECT event_id, user_id, o_orderkey, o_totalprice,
+           CAST(dt AS BIGINT) AS dt_s
+    FROM (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+               abs(datediff('second', e.t, o.t)) AS dt,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY abs(datediff('second', e.t, o.t)) ASC,
+                            o.t ASC, o.o_orderkey ASC) AS rn
+        FROM e JOIN o ON o.user_id = e.user_id
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark, d):
+    """Nearest as-of join — each event matched to its user's order
+    CLOSEST in time, either direction (ties: the earlier order, then
+    the MIN key).  Composition of the two directional window tricks in
+    ONE shuffle: the tagged union is sorted once per user and two
+    window frames over that single sort pick the backward (latest <=,
+    min key among same-instant ties via key-descending order + last)
+    and forward (earliest >, min key via key-ascending + first)
+    candidates; a scalar comparison then keeps the closer.  The oracle
+    is the exploding join+row_number form, fine at oracle scale only.
+    Second-granularity times on both engines make the |dt| comparison
+    integer-exact.  See the projection note above
+    ``_ASOF_ORACLE_INPUTS``."""
+    e, o = _asof_inputs(spark, d)
+    return _asof_nearest_kernel(e, o)
+
+
+def _asof_nearest_kernel(e, o):
+    """Single-shuffle nearest-in-time pick (see join_asof_nearest)."""
+    tagged_o = o.select(
+        "user_id", "t", F.lit(0).alias("tag"),
+        F.lit(None).cast(dict(e.dtypes)["event_id"]).alias("event_id"),
+        F.struct("t", "o_orderkey", "o_totalprice").alias("ord"))
+    ord_type = tagged_o.schema["ord"].dataType.simpleString()
+    tagged_e = e.select(
+        "user_id", "t", F.lit(1).alias("tag"), "event_id",
+        F.lit(None).cast(ord_type).alias("ord"))
+    u = tagged_o.unionByName(tagged_e)
+    # one sort serves both frames; backward orders key-DESC inside a
+    # timestamp so last() lands on the MIN key (matching the oracle's
+    # o_orderkey ASC tie-break), forward orders key-ASC for first()
+    wb = (Window.partitionBy("user_id")
+          .orderBy("t", "tag", F.col("ord.o_orderkey").desc_nulls_last())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("user_id")
+          .orderBy("t", "tag", F.col("ord.o_orderkey").asc_nulls_first())
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    ev = (u.withColumn("b", F.last("ord", ignorenulls=True).over(wb))
+          .withColumn("f", F.first("ord", ignorenulls=True).over(wf))
+          .filter(F.col("tag") == 1)
+          .filter(F.col("b").isNotNull() | F.col("f").isNotNull()))
+    ts = F.col("t").cast("long")
+    db = ts - F.col("b.t").cast("long")
+    df_ = F.col("f.t").cast("long") - ts
+    take_b = F.col("f").isNull() | (F.col("b").isNotNull() & (db <= df_))
+    pick = F.when(take_b, F.col("b")).otherwise(F.col("f"))
+    return ev.select(
+        "event_id", "user_id",
+        pick["o_orderkey"].alias("o_orderkey"),
+        pick["o_totalprice"].alias("o_totalprice"),
+        F.when(take_b, db).otherwise(df_).cast("bigint").alias("dt_s"))

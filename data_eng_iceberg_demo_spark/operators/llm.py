@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Observation
+from pyspark.sql import Observation, Window
 
 from ..plans.registry import register
 from ._util import T
@@ -2599,3 +2599,315 @@ def llm_similarity_funnel(spark, d):
                                            F.col("cid").asc())
     return (sims.withColumn("rn", F.row_number().over(w2))
             .filter(F.col("rn") <= 10).select("qid", "cid", "cosine"))
+
+
+# --- round-8 pipeline additions ---------------------------------------
+
+def _duck_hex8(expr: str) -> str:
+    """DuckDB: the same 32-bit integer Spark's
+    ``conv(substr(md5(x),1,8),16,10)`` yields, as a positional
+    hex-digit sum over ``expr``'s md5 (the proven llm_train_test_split
+    pattern)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}),{i},1))-1)"
+        f"*{16 ** (8 - i)}" for i in range(1, 9)) + ")"
+
+
+@register(
+    "llm_quality_classifier",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ), w AS (
+        SELECT doc_id, ({_duck_hex8('tok')} % 2001 - 1000) AS wt FROM t
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(wt) AS DOUBLE) / (1000.0 * count(*)) AS score,
+           CASE WHEN sum(wt) >= 0 THEN 'keep' ELSE 'drop' END AS label
+    FROM w GROUP BY doc_id
+    """,
+)
+def llm_quality_classifier(spark, d):
+    """Model-based quality filter plumbing — the fastText-style linear
+    scorer every pretraining pipeline runs (CCNet / DCLM): each token
+    hashes to a FIXED weight in [-1, 1] (md5-derived, standing in for
+    trained weights) and the doc's score is the mean weight; docs score
+    >= 0 keep.  The Spark side never shuffles: tokens hash and sum
+    INSIDE the projection (transform + aggregate over the split array,
+    whole-stage codegen), so a 100 TB corpus scores in one map pass —
+    the shape that matters, since a real classifier just swaps the
+    weight lookup for a broadcast table or an Arrow-batched model UDF.
+    Weight sums stay INTEGER (order-independent — a float sum would be
+    reassociation-sensitive across engines); the single final division
+    is bit-identical."""
+    docs = T(spark, d, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.lower("text"), " ")
+    wt = lambda tok: (F.conv(F.substring(F.md5(tok), 1, 8), 16, 10)
+                      .cast("bigint") % 2001 - 1000)
+    s = F.aggregate(toks, F.lit(0).cast("bigint"),
+                    lambda acc, tok: acc + wt(tok))
+    n = F.size(toks)
+    return docs.select(
+        "doc_id", n.cast("bigint").alias("n_tokens"),
+        (s.cast("double") / (1000.0 * n)).alias("score"),
+        F.when(s >= 0, "keep").otherwise("drop").alias("label"))
+
+
+@register(
+    "llm_dataset_card",
+    oracle="""
+    SELECT CASE WHEN GROUPING(source) = 1 THEN '(all)'
+                ELSE coalesce(source, '(none)') END AS src,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(len(string_split(text, ' ')), 0)) AS BIGINT)
+               AS n_tokens,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           round(CAST(count(*) FILTER (WHERE text IS NOT NULL)
+                      - count(DISTINCT md5(text)) AS DOUBLE)
+                 / count(*), 4) AS dup_rate
+    FROM documents
+    GROUP BY GROUPING SETS ((source), ())
+    HAVING count(*) > 0
+    """,
+)
+def llm_dataset_card(spark, d):
+    """Dataset datasheet — the per-source summary block a training-data
+    release ships (docs, token volume, distinct-text count, language
+    spread, exact-dup rate), plus a grand-total row via grouping sets.
+    ONE shuffle keyed on source; the dup counter hashes text to a
+    16-byte digest BEFORE the distinct-aggregate shuffle, so corpus
+    text never moves — the same digest-not-text discipline as the dedup
+    family.  NULL sources group as their own '(none)' row (distinct
+    from the grouping-set total, disambiguated by GROUPING())."""
+    docs = T(spark, d, "documents")
+    n_tok = F.coalesce(F.size(F.split("text", " ")), F.lit(0))
+    agg = (docs.groupingSets([["source"], []], "source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(n_tok).cast("bigint").alias("n_tokens"),
+                F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+                F.countDistinct("lang").alias("n_langs"),
+                F.round((F.count("text") - F.countDistinct(F.md5("text")))
+                        .cast("double") / F.count("*"), 4).alias("dup_rate"),
+                F.grouping("source").alias("g")))
+    # n_docs > 0 on BOTH sides: a no-op on any non-empty corpus, but it
+    # pins the one cross-engine divergence grouping sets carry — DuckDB
+    # emits the () grand-total row over an EMPTY relation, Spark does
+    # not (SURVEY.md §5.2; same pin as the grouping-set family).
+    return agg.filter(F.col("n_docs") > 0).select(
+        F.when(F.col("g") == 1, "(all)")
+        .otherwise(F.coalesce("source", F.lit("(none)"))).alias("src"),
+        "n_docs", "n_tokens", "n_distinct_texts", "n_langs", "dup_rate")
+
+
+@register(
+    "events_count_min_sketch",
+    oracle=f"""
+    WITH rows_ AS (SELECT unnest(generate_series(0, 3)) AS row_id),
+    cells AS (
+        SELECT r.row_id,
+               {_duck_hex8("CAST(r.row_id AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)")}
+                   % 32 AS col_id
+        FROM events e CROSS JOIN rows_ r
+        WHERE e.user_id IS NOT NULL
+    )
+    SELECT row_id, col_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM cells GROUP BY row_id, col_id
+    """,
+)
+def events_count_min_sketch(spark, d):
+    """Count-min sketch over the event stream's user dimension: 4
+    md5-derived hash rows x 32 columns; each event increments one cell
+    per row.  The sketch is a 128-cell MERGEABLE summary — per-segment
+    sketches add cell-wise, so heavy-hitter queries over a 100 TB
+    stream union partial sketches instead of re-scanning (the same
+    segment-merge contract as agg_bitmap_distinct / the HLL family),
+    and the map-side partial aggregate means the shuffle carries at
+    most 128 rows per task.  Deterministic hashes make the full sketch
+    hash-checkable — estimation-error behavior is the accuracy-band
+    pytest's job."""
+    ev = T(spark, d, "events").filter(F.col("user_id").isNotNull())
+    rows = F.array(*[F.lit(i) for i in range(4)])
+    cell = (ev.select("user_id", F.explode(rows).alias("row_id"))
+            .withColumn("col_id", F.conv(F.substring(F.md5(
+                F.concat_ws(":", F.col("row_id").cast("string"),
+                            F.col("user_id").cast("string"))), 1, 8),
+                16, 10).cast("bigint") % 32))
+    return (cell.groupBy("row_id", "col_id")
+            .agg(F.count("*").alias("cnt")))
+
+
+@register(
+    "llm_cdc_chunking",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE text IS NOT NULL
+    ), tok AS (
+        SELECT doc_id, i, w[i] AS tok
+        FROM t, unnest(generate_series(1, len(w))) AS s(i)
+    ), b AS (
+        SELECT doc_id, i,
+               CASE WHEN i > 1 AND {_duck_hex8('tok')} % 16 = 0
+                    THEN 1 ELSE 0 END AS boundary
+        FROM tok
+    ), c AS (
+        SELECT doc_id, i,
+               1 + sum(boundary) OVER (PARTITION BY doc_id ORDER BY i)
+                   AS chunk_idx
+        FROM b
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM c GROUP BY doc_id, chunk_idx
+    """,
+)
+def llm_cdc_chunking(spark, d):
+    """Content-defined chunking — the rolling-hash boundary trick that
+    makes near-dup detection insertion-robust (a token whose hash = 0
+    mod 16 STARTS a new chunk, so an edit only reshapes its own chunk,
+    unlike fixed windows where everything downstream shifts).  The
+    Spark side is a LINEAR array fold entirely inside the projection
+    (aggregate over the split array carrying a (current-run, lengths)
+    struct accumulator — no shuffle, no per-doc window), then one
+    posexplode to chunk rows; the oracle spells the same boundaries as
+    a per-doc running sum, which is fine at oracle scale but would be
+    an extra corpus-wide shuffle in the engine."""
+    docs = T(spark, d, "documents").filter(F.col("text").isNotNull())
+    toks = F.split("text", " ")
+    is_b = lambda tok: (F.conv(F.substring(F.md5(tok), 1, 8), 16, 10)
+                        .cast("bigint") % 16 == 0)
+    init = F.struct(F.lit(0).cast("int").alias("cur"),
+                    F.array().cast("array<int>").alias("lens"))
+    step = lambda acc, tok: F.struct(
+        F.when(is_b(tok) & (acc["cur"] > 0), F.lit(1))
+        .otherwise(acc["cur"] + 1).alias("cur"),
+        F.when(is_b(tok) & (acc["cur"] > 0),
+               F.concat(acc["lens"], F.array(acc["cur"])))
+        .otherwise(acc["lens"]).alias("lens"))
+    fin = lambda acc: F.when(acc["cur"] > 0,
+                             F.concat(acc["lens"], F.array(acc["cur"]))) \
+        .otherwise(acc["lens"])
+    lens = F.aggregate(toks, init, step, fin)
+    return (docs.select("doc_id", F.posexplode(lens)
+                        .alias("pos", "n_tokens"))
+            .select("doc_id", (F.col("pos") + 1).cast("bigint")
+                    .alias("chunk_idx"),
+                    F.col("n_tokens").cast("bigint").alias("n_tokens")))
+
+
+_VOCAB_V = 256
+
+
+@register(
+    "llm_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ), vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS c FROM tok GROUP BY tok
+            ORDER BY c DESC, tok ASC LIMIT {_VOCAB_V})
+    )
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+           CAST(count(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE)
+               / count(*) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def llm_vocab_coverage(spark, d):
+    """Two-pass vocabulary build + coverage audit: pass 1 ranks tokens
+    by corpus frequency (count desc, token asc — a total order, so the
+    top-{_VOCAB_V} cut is deterministic) and keeps the top {_VOCAB_V};
+    pass 2 re-scans the corpus and reports each doc's OOV rate against
+    that vocabulary.  The vocab is O(V) — BROADCAST to the coverage
+    join, so the second pass is map-side only; the only corpus-keyed
+    shuffle is pass 1's token count, which partial-aggregates to
+    distinct-token size.  This is the sizing loop a tokenizer/vocab
+    decision runs before committing a 100 TB tokenization."""
+    docs = T(spark, d, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select("doc_id", F.explode(F.split(F.lower("text"), " "))
+                      .alias("tok"))
+    vocab = (tok.groupBy("tok").agg(F.count("*").alias("c"))
+             .orderBy(F.col("c").desc(), F.col("tok").asc())
+             .limit(_VOCAB_V).select("tok", F.lit(1).alias("in_v")))
+    return (tok.join(F.broadcast(vocab), "tok", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_oov"))
+            .select("doc_id", "n_tokens", "n_oov",
+                    (F.col("n_oov").cast("double") / F.col("n_tokens"))
+                    .alias("oov_rate")))
+
+
+_STRAT_QUOTA = 40
+
+
+@register(
+    "llm_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+                   AS rk
+        FROM documents WHERE lang IS NOT NULL
+    ) WHERE rk <= {_STRAT_QUOTA}
+    """,
+)
+def llm_stratified_sample(spark, d):
+    """Exact-quota stratified sampling — up to N=40 docs PER LANGUAGE,
+    chosen by md5(doc_id) rank so the draw is deterministic, uniform
+    within each stratum, and STABLE under corpus growth near the
+    boundary (a new doc displaces at most one pick in its own
+    stratum).  sample_fraction covers Bernoulli sampling; training-data
+    mixtures need exact per-stratum counts, which Bernoulli cannot
+    promise.  One shuffle on lang; at 100 TB with a bounded quota the
+    per-stratum rank never materializes more than quota rows per
+    reducer after the partial top-k (Spark's WindowGroupLimit pushes
+    rk <= N below the sort)."""
+    docs = T(spark, d, "documents").filter(F.col("lang").isNotNull())
+    w = (Window.partitionBy("lang")
+         .orderBy(F.md5(F.col("doc_id").cast("string")).asc(),
+                  F.col("doc_id").asc()))
+    return (docs.select("doc_id", "lang",
+                        F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= _STRAT_QUOTA)
+            .select("doc_id", "lang"))
+
+
+_KANON_K = 5
+
+
+@register(
+    "dq_k_anonymity",
+    oracle=f"""
+    SELECT coalesce(lang, '(none)') AS lang,
+           coalesce(source, '(none)') AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           count(*) >= {_KANON_K} AS releasable
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def dq_k_anonymity(spark, d):
+    """k-anonymity audit over the quasi-identifier pair (lang, source):
+    any combination carried by fewer than k=5 docs is flagged
+    non-releasable (the suppression rule privacy review applies before
+    publishing corpus slices; complements llm_pii_scrub's value-level
+    scrubbing with group-level protection).  One partial-aggregated
+    shuffle on the QI pair — output is O(distinct QI combos), so the
+    audit is a metadata-sized result at any corpus scale."""
+    docs = T(spark, d, "documents")
+    return (docs.groupBy(
+        F.coalesce("lang", F.lit("(none)")).alias("lang"),
+        F.coalesce("source", F.lit("(none)")).alias("source"))
+        .agg(F.count("*").alias("n_docs"))
+        .select("lang", "source", "n_docs",
+                (F.col("n_docs") >= _KANON_K).alias("releasable")))

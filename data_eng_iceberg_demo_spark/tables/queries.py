@@ -62,17 +62,84 @@ def _typed_pedidos(spark):
     )
 
 
+_TABLE_TEMPLATES: dict[int | str, str] = {}
+
+
+def _copy_table_tree(src: str, dst: str) -> None:
+    """Independent copy of an icelite table tree: parquet data files
+    hardlink (they are immutable — every mutation writes NEW files and
+    metadata swaps via atomic rename, so a linked inode is never
+    rewritten in place), the small JSON metadata/manifests copy for
+    real."""
+    import os
+    import shutil
+
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        troot = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(troot, exist_ok=True)
+        for fn in files:
+            s, d = os.path.join(root, fn), os.path.join(troot, fn)
+            if fn.endswith(".parquet"):
+                try:
+                    os.link(s, d)
+                except OSError:  # cross-device / no-hardlink FS
+                    shutil.copy2(s, d)
+            else:
+                shutil.copy2(s, d)
+
+
 def _fresh_table(spark, n_batches: int = 1):
-    cat = IceliteCatalog(spark, scratch_dir("icelite_"))
-    cat.create_namespace("db")
-    t = cat.create_table("db.pedidos", PEDIDOS_SCHEMA)
-    df = _typed_pedidos(spark)
-    if n_batches == 1:
-        t.insert(df)
-    else:
-        for i in range(n_batches):
-            t.insert(df.filter(F.col("id_cliente") % n_batches == i))
-    return t
+    """A private scratch pedidos table for one query run.
+
+    The build is deterministic for a given ``n_batches``, so it runs
+    ONCE per process into a template directory and each query gets an
+    independent hardlink-copy (VERDICT r7 task 7: per-query Spark
+    fixture writes dominated the bench's table_* timings — e.g.
+    table_manifests_meta spent ~3.3 s building a ~30-file partitioned
+    insert; a tree copy is milliseconds).  Queries mutate only their
+    copy, so the bare-session driver contract is unchanged."""
+    import os
+
+    from .icelite import IceliteTable
+
+    tpl = _TABLE_TEMPLATES.get(n_batches)
+    if tpl is None:
+        tpl = scratch_dir("icelite_tpl_")
+        cat = IceliteCatalog(spark, tpl)
+        cat.create_namespace("db")
+        t = cat.create_table("db.pedidos", PEDIDOS_SCHEMA)
+        df = _typed_pedidos(spark)
+        if n_batches == 1:
+            t.insert(df)
+        else:
+            for i in range(n_batches):
+                t.insert(df.filter(F.col("id_cliente") % n_batches == i))
+        _TABLE_TEMPLATES[n_batches] = tpl
+    dst = scratch_dir("icelite_")
+    _copy_table_tree(tpl, dst)
+    return IceliteTable(spark, os.path.join(dst, "db", "pedidos"))
+
+
+def _fresh_days_table(spark):
+    """Days-partitioned scratch pedidos table (template-cached like
+    _fresh_table: the ~30-file partitioned insert is the single most
+    expensive bench fixture; the copy is milliseconds)."""
+    import os
+
+    from .icelite import IceliteTable
+
+    tpl = _TABLE_TEMPLATES.get("days")
+    if tpl is None:
+        tpl = scratch_dir("icelite_tpl_")
+        cat = IceliteCatalog(spark, tpl)
+        t = cat.create_table("db.pedidos_days", PEDIDOS_SCHEMA)
+        t.set_partition_days("data_criacao")
+        t.insert(_typed_pedidos(spark))
+        _TABLE_TEMPLATES["days"] = tpl
+    dst = scratch_dir("icelite_")
+    _copy_table_tree(tpl, dst)
+    return IceliteTable(spark, os.path.join(dst, "db", "pedidos_days"))
 
 
 def _as_output(df):
@@ -239,10 +306,7 @@ def table_partition_pruning(spark, d):
     """Hidden partitioning by days(data_criacao) (README.md:304-307): the
     query filters on the timestamp; the engine maps it to partition-value
     bounds and reads only qualifying files (pruning asserted in pytest)."""
-    cat = IceliteCatalog(spark, scratch_dir("icelite_"))
-    t = cat.create_table("db.pedidos_part", PEDIDOS_SCHEMA)
-    t.set_partition_days("data_criacao")
-    t.insert(_typed_pedidos(spark))
+    t = _fresh_days_table(spark)
     return _as_output(t.scan(ts_lo="2024-02-01 00:00:00", ts_hi="2024-03-01 00:00:00"))
 
 
@@ -410,10 +474,7 @@ def table_partitions_meta(spark, d):
     partitioned write (icelite._write_files), so each day is owned by one
     task.  At 100 TB this is the O(#files) metadata scan that lets an
     operator spot skewed partitions without an O(rows) data pass."""
-    cat = IceliteCatalog(spark, scratch_dir("icelite_"))
-    t = cat.create_table("db.pedidos_pmeta", PEDIDOS_SCHEMA)
-    t.set_partition_days("data_criacao")
-    t.insert(_typed_pedidos(spark))
+    t = _fresh_days_table(spark)
     return t.partitions().select(
         F.col("partition").alias("part_value"), "file_count", "record_count")
 
@@ -600,10 +661,7 @@ def table_manifests_meta(spark, d):
     the full manifest of the initial append.  The oracle derives every
     count from the raw CSV's (day, uf) shape — pure metadata reasoning,
     zero data files read at query time."""
-    cat = IceliteCatalog(spark, scratch_dir("icelite_"))
-    t = cat.create_table("db.pedidos_mmeta", PEDIDOS_SCHEMA)
-    t.set_partition_days("data_criacao")
-    t.insert(_typed_pedidos(spark))
+    t = _fresh_days_table(spark)
     t.delete_where("uf = 'SP' AND data_criacao < TIMESTAMP '2024-01-16 00:00:00'")
     return t.manifests().select(
         "snapshot_id", "base_snapshot_id",

@@ -130,7 +130,7 @@ def test_asof_union_window_matches_brute_force(spark):
     from hypothesis import strategies as st
 
     from data_eng_iceberg_demo_spark.operators.joins import (
-        _asof_union_window)
+        _asof_nearest_kernel, _asof_union_window)
 
     base = dt.datetime(2024, 3, 1)
     row = st.tuples(st.integers(min_value=0, max_value=2),
@@ -151,6 +151,18 @@ def test_asof_union_window_matches_brute_force(spark):
                 out.add((eid, u, abs(pick[1])))
         return out
 
+    def brute_nearest(events, orders):
+        # min |dt|, then earlier order time, then min key — the oracle's
+        # ORDER BY abs(dt), t, key
+        out = set()
+        for eid, (u, et) in enumerate(events):
+            cand = [(abs(ot - et), ot, k, ot - et if ot > et else et - ot)
+                    for k, (ou, ot) in enumerate(orders) if ou == u]
+            if cand:
+                d, _ot, k, dt = min(cand)
+                out.add((eid, u, k, d))
+        return out
+
     @settings(max_examples=10, deadline=None,
               suppress_health_check=[HealthCheck.too_slow])
     @given(events=st.lists(row, min_size=1, max_size=8),
@@ -169,5 +181,8 @@ def test_asof_union_window_matches_brute_force(spark):
             got = {(r.event_id, r.user_id, r.o_orderkey)
                    for r in _asof_union_window(e, o, direction).collect()}
             assert got == brute(events, orders, direction), direction
+        got_n = {(r.event_id, r.user_id, r.o_orderkey, r.dt_s)
+                 for r in _asof_nearest_kernel(e, o).collect()}
+        assert got_n == brute_nearest(events, orders), "nearest"
 
     check()
