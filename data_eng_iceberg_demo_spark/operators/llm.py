@@ -2617,7 +2617,7 @@ def _duck_hex8(expr: str) -> str:
     "llm_quality_classifier",
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS tok
         FROM documents WHERE text IS NOT NULL
     ), w AS (
         SELECT doc_id, ({_duck_hex8('tok')} % 2001 - 1000) AS wt FROM t
@@ -2642,7 +2642,11 @@ def llm_quality_classifier(spark, d):
     reassociation-sensitive across engines); the single final division
     is bit-identical."""
     docs = T(spark, d, "documents").filter(F.col("text").isNotNull())
-    toks = F.split(F.lower("text"), " ")
+    # ASCII-only case fold (translate, not lower): Java and DuckDB
+    # disagree on Unicode casing edges ('I\u0307' vs 'i' for U+0130,
+    # SS for \u00df...), so full lower() is not an engine-stable
+    # feature key (SURVEY.md \u00a75.2; caught by the unicode sweep)
+    toks = F.split(F.translate("text", "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), " ")
     wt = lambda tok: (F.conv(F.substring(F.md5(tok), 1, 8), 16, 10)
                       .cast("bigint") % 2001 - 1000)
     s = F.aggregate(toks, F.lit(0).cast("bigint"),
@@ -2804,7 +2808,7 @@ _VOCAB_V = 256
     "llm_vocab_coverage",
     oracle=f"""
     WITH tok AS (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS tok
         FROM documents WHERE text IS NOT NULL
     ), vocab AS (
         SELECT tok FROM (
@@ -2830,8 +2834,9 @@ def llm_vocab_coverage(spark, d):
     distinct-token size.  This is the sizing loop a tokenizer/vocab
     decision runs before committing a 100 TB tokenization."""
     docs = T(spark, d, "documents").filter(F.col("text").isNotNull())
-    tok = docs.select("doc_id", F.explode(F.split(F.lower("text"), " "))
-                      .alias("tok"))
+    tok = docs.select("doc_id",
+                      F.explode(F.split(F.translate(
+                          "text", "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), " ")).alias("tok"))
     vocab = (tok.groupBy("tok").agg(F.count("*").alias("c"))
              .orderBy(F.col("c").desc(), F.col("tok").asc())
              .limit(_VOCAB_V).select("tok", F.lit(1).alias("in_v")))

@@ -148,28 +148,36 @@ _REVERIFY = {
     "tpch_q11": 8, "llm_decontaminate": 8,
 }
 
-# Round-6 target window: the 50 most load-bearing never-sampled names
-# (VERDICT r5 task 1) — all 22 TPC-H shapes, the 19 table_* lakehouse
-# queries (the reference's distinctive surface: time travel, schema /
-# partition-spec evolution, pruning, maintenance), and the 9 udf_*
-# Python-execution queries.  Entries leave the window automatically
-# once a CORRECTNESS file records them (see _ordered_names); the
-# streams/llm remainder fronts itself right behind via rest_unsampled.
+# Round-8 target window (VERDICT r7 task 3): every name the driver has
+# NEVER recorded — the full stream_* family, the multimodal family, the
+# Python-datasource trio, the r7 table_*/scan/fn/window/udf remainder —
+# plus nothing else; the reverify pins append themselves (see
+# _ordered_names).  Listed explicitly so the round-8 queries, which
+# REGISTER before some of these, cannot displace them past the driver's
+# ~50-name sampling window; the r8 additions front themselves via
+# rest_unsampled right behind and get recorded next round.  Entries
+# leave the window automatically once a CORRECTNESS file records them.
 _ROUND_WINDOW = [
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "table_insert_select", "table_delete_where", "table_update_where",
-    "table_time_travel", "table_rollback", "table_orphan_cleanup",
-    "table_history", "table_schema_evolution", "table_partition_pruning",
-    "table_partition_bucket", "table_merge_upsert", "table_cdc_changes",
-    "table_compaction", "table_zorder_scan", "table_branch_wap",
-    "table_expire_snapshots", "table_partitions_meta",
-    "table_incremental_agg", "table_partition_spec_evolution",
-    "udf_python_scalar", "udf_pandas_scalar", "udf_pandas_grouped_agg",
-    "udf_grouped_map", "udf_cogrouped_map", "udf_map_in_pandas",
-    "udf_map_in_arrow", "udf_sql_declared", "udtf_python",
+    "scan_csv_malformed", "scan_jdbc_partitioned",
+    "scan_parquet_metadata_cols", "scan_parquet_schema_merge",
+    "scan_python_datasource", "sink_python_datasource",
+    "sink_xml_roundtrip",
+    "stream_dedup_keyed", "stream_dedup_within_watermark",
+    "stream_file_sink_exactly_once", "stream_foreach_batch_merge",
+    "stream_python_datasource", "stream_session_window",
+    "stream_sliding_window", "stream_stateful_rocksdb",
+    "stream_stateful_running", "stream_static_join", "stream_stream_join",
+    "stream_table_appends", "stream_tumbling_window",
+    "stream_watermark_late",
+    "llm_multimodal_meta", "llm_multimodal_decode", "llm_multimodal_route",
+    "llm_multimodal_frames", "llm_multimodal_resize",
+    "llm_multimodal_decode_bmp",
+    "table_manifests_meta", "table_merge_full_sync", "table_snapshot_diff",
+    "table_sorted_write_scan",
+    "window_count_distinct", "window_time_range_frame",
+    "fn_aes_roundtrip", "fn_higher_order", "fn_try_family",
+    "udf_python_arrow", "udtf_python_analyze", "udf_grouped_map_arrow",
+    "udf_cogrouped_map_arrow",
 ]
 
 

@@ -123,7 +123,10 @@ PARITY_FAMILY = sorted(
     n for n in REGISTRY
     if REGISTRY[n].oracle is not None
     and n.startswith(("llm_", "events_", "join_asof", "join_interval",
-                      "window_", "stream_")))
+                      "window_", "stream_",
+                      # r8: the k-anonymity audit groups directly on the
+                      # null-injected lang/source quasi-identifiers
+                      "dq_k_anonymity")))
 
 
 def _mirror_duck(d):

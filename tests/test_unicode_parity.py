@@ -77,6 +77,10 @@ UNICODE_SAMPLE = [
     # r7 text additions: md5-digest 8-gram spans and unigram-logprob
     # tercile routing — both hash non-ASCII token bytes
     "llm_substring_dedup", "llm_perplexity_bucket",
+    # r8 text additions: md5-over-UTF-8 weights/boundaries, lower()
+    # tokenization, digest-based dup counting
+    "llm_quality_classifier", "llm_cdc_chunking", "llm_vocab_coverage",
+    "llm_dataset_card",
 ]
 
 
