@@ -2916,3 +2916,67 @@ def dq_k_anonymity(spark, d):
         .agg(F.count("*").alias("n_docs"))
         .select("lang", "source", "n_docs",
                 (F.col("n_docs") >= _KANON_K).alias("releasable")))
+
+
+@register(
+    "llm_embedding_power_iteration",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS
+                                        BIGINT)) AS q
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), d1 AS (
+        SELECT vec_id, q, list_sum(q) AS dot1 FROM q
+    ), w AS (
+        SELECT i AS dim, sum(q[i] * dot1) AS w
+        FROM d1, unnest(generate_series(1, 64)) AS s(i)
+        GROUP BY i
+    ), d2 AS (
+        SELECT d1.vec_id, sum(d1.q[w.dim] * w.w) AS dot2
+        FROM d1, w GROUP BY d1.vec_id
+    ), u AS (
+        SELECT i AS dim, sum(q.q[i] * d2.dot2) AS u
+        FROM q JOIN d2 USING (vec_id),
+             unnest(generate_series(1, 64)) AS s(i)
+        GROUP BY i
+    )
+    SELECT CAST(dim AS INT) AS dim, CAST(u AS BIGINT) AS u
+    FROM u
+    """,
+)
+def llm_embedding_power_iteration(spark, d):
+    """Distributed power iteration — two multiplications of the corpus
+    Gram matrix against a fixed start vector (all-ones), yielding an
+    unnormalized dominant-eigenvector estimate u = (EᵀE)² · 1: the
+    kernel under spectral embedding diagnostics / semantic-dedup
+    centroid seeding.  Arithmetic is INTEGER-EXACT end to end — vectors
+    quantize to floor(64·x) (one float multiply both engines compute
+    bit-identically, then floor), every dot/sum is int64 (bounds:
+    |q|≤64-ish, dot2 ≲ 5e9, u ≲ 2e15 at sf0.1 — far inside int64), so
+    the 64-row result hash-matches with no float-reassociation risk,
+    unlike a naive float implementation whose sum order differs per
+    engine.  Scale shape: per-dim partial sums combine map-side (the
+    shuffle carries 64 rows/task), the 64-row w vector BROADCASTS back
+    for the second pass, and the corpus is scanned exactly twice — no
+    driver-side matrix, no collect."""
+    emb = (T(spark, d, "embeddings").filter(F.col("embedding").isNotNull())
+           .select("vec_id", F.transform(
+               "embedding",
+               lambda x: F.floor(x.cast("double") * 64).cast("bigint"))
+               .alias("q")))
+    d1 = emb.withColumn("dot1", F.aggregate(
+        "q", F.lit(0).cast("bigint"), lambda a, x: a + x))
+    w = (d1.select(F.posexplode("q").alias("dim0", "qv"), "dot1")
+         .groupBy("dim0").agg(F.sum(F.col("qv") * F.col("dot1")).alias("w")))
+    # second pass: dot2 = q · w via a 64-row broadcast join on the dim
+    d2 = (d1.select("vec_id", "q", F.posexplode("q").alias("dim0", "qv"))
+          .join(F.broadcast(w), "dim0")
+          .groupBy("vec_id").agg(F.sum(F.col("qv") * F.col("w"))
+                                 .alias("dot2")))
+    u = (emb.join(d2, "vec_id")
+         .select(F.posexplode("q").alias("dim0", "qv"), "dot2")
+         .groupBy("dim0").agg(F.sum(F.col("qv") * F.col("dot2")).alias("u")))
+    return u.select((F.col("dim0") + 1).cast("int").alias("dim"),
+                    F.col("u").cast("bigint").alias("u"))

@@ -1,0 +1,247 @@
+"""Pure-stdlib Avro Object Container File codec + a block-parallel
+Spark Python DataSource ("pyavro").
+
+The environment ships Avro's core Java libs but NOT the spark-avro
+datasource jar, so ``spark.read.format("avro")`` is unavailable
+(SURVEY.md §2 end — the one declared format-surface gap).  The Avro
+container format is publicly specified (magic ``Obj\\x01``, a metadata
+map carrying the JSON schema and codec, a 16-byte sync marker, then
+blocks of ``<count varint><byte-size varint><payload><sync>``), and the
+binary encoding of primitives is zigzag varints / IEEE little-endian
+doubles / length-prefixed UTF-8 — all implementable with the stdlib
+(``zlib`` with negative wbits gives Avro's raw-DEFLATE codec).  This
+module closes the gap the Spark-idiomatic way: the container's OWN
+block structure becomes the unit of parallelism, exactly how the
+parquet reader splits on row groups — the driver skims block offsets
+from the header (O(#blocks), no payload decode), each Spark task seeks
+to its block and decodes independently, and the declared schema comes
+from the file header so pruning/codegen see an ordinary relation.
+
+Supported schema surface: a record of primitives (``long``, ``int``,
+``double``, ``float``, ``string``, ``boolean``) and their
+``["null", T]`` unions — the tabular subset a DataFrame round-trips.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+
+_MAGIC = b"Obj\x01"
+
+
+# --------------------------------------------------------------- binary codec
+def _zigzag_encode(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: io.BytesIO) -> int:
+    shift = u = 0
+    while True:
+        (b,) = buf.read(1)
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1)
+
+
+def _enc_value(v, typ):
+    if isinstance(typ, list):  # ["null", T]
+        if v is None:
+            return _zigzag_encode(typ.index("null"))
+        t = next(t for t in typ if t != "null")
+        return _zigzag_encode(typ.index(t)) + _enc_value(v, t)
+    if typ in ("long", "int"):
+        return _zigzag_encode(int(v))
+    if typ == "double":
+        return struct.pack("<d", float(v))
+    if typ == "float":
+        return struct.pack("<f", float(v))
+    if typ == "string":
+        b = str(v).encode("utf-8")
+        return _zigzag_encode(len(b)) + b
+    if typ == "boolean":
+        return b"\x01" if v else b"\x00"
+    raise ValueError(f"unsupported avro type: {typ!r}")
+
+
+def _dec_value(buf: io.BytesIO, typ):
+    if isinstance(typ, list):
+        branch = typ[_zigzag_decode(buf)]
+        return None if branch == "null" else _dec_value(buf, branch)
+    if typ in ("long", "int"):
+        return _zigzag_decode(buf)
+    if typ == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if typ == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if typ == "string":
+        return buf.read(_zigzag_decode(buf)).decode("utf-8")
+    if typ == "boolean":
+        return buf.read(1) == b"\x01"
+    raise ValueError(f"unsupported avro type: {typ!r}")
+
+
+def _field_types(schema: dict) -> list[tuple[str, object]]:
+    if schema.get("type") != "record":
+        raise ValueError("top-level avro schema must be a record")
+    return [(f["name"], f["type"]) for f in schema["fields"]]
+
+
+# ------------------------------------------------------------ container file
+def write_avro(path: str, records, schema: dict, codec: str = "deflate",
+               block_rows: int = 100, sync: bytes | None = None) -> None:
+    """Write an Avro Object Container File (codec ``null`` or
+    ``deflate``).  ``sync`` defaults to a deterministic marker so the
+    same records produce the same bytes."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec: {codec}")
+    sync = sync or b"pyavro-sync-16bb"
+    assert len(sync) == 16
+    fields = _field_types(schema)
+    meta = {"avro.schema": json.dumps(schema).encode(),
+            "avro.codec": codec.encode()}
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(_zigzag_encode(len(meta)))
+        for k, v in sorted(meta.items()):
+            kb = k.encode()
+            f.write(_zigzag_encode(len(kb)) + kb)
+            f.write(_zigzag_encode(len(v)) + v)
+        f.write(_zigzag_encode(0))  # end of metadata map
+        f.write(sync)
+        recs = list(records)
+        for a in range(0, len(recs), block_rows):
+            chunk = recs[a:a + block_rows]
+            payload = b"".join(
+                b"".join(_enc_value(r[i], t)
+                         for i, (_n, t) in enumerate(fields))
+                for r in chunk)
+            if codec == "deflate":
+                co = zlib.compressobj(9, zlib.DEFLATED, -15)
+                payload = co.compress(payload) + co.flush()
+            f.write(_zigzag_encode(len(chunk)))
+            f.write(_zigzag_encode(len(payload)))
+            f.write(payload)
+            f.write(sync)
+
+
+def read_header(path: str) -> tuple[dict, str, bytes, int]:
+    """(schema, codec, sync, header_end_offset) from the container
+    header."""
+    with open(path, "rb") as f:
+        if f.read(4) != _MAGIC:
+            raise ValueError(f"not an avro container file: {path}")
+        buf = io.BytesIO(f.read())
+    meta = {}
+    n = _zigzag_decode(buf)
+    while n:
+        for _ in range(abs(n)):
+            k = buf.read(_zigzag_decode(buf)).decode()
+            meta[k] = buf.read(_zigzag_decode(buf))
+        n = _zigzag_decode(buf)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = buf.read(16)
+    return schema, codec, sync, 4 + buf.tell()
+
+
+def block_index(path: str) -> list[tuple[int, int, int]]:
+    """[(offset, n_records, byte_size)] for every block — an O(#blocks)
+    skim that never decodes payloads; this is the driver-side planning
+    step (the parquet-footer analog)."""
+    _schema, _codec, _sync, pos = read_header(path)
+    size = os.path.getsize(path)
+    out = []
+    with open(path, "rb") as f:
+        while pos < size:
+            f.seek(pos)
+            head = io.BytesIO(f.read(20))
+            n = _zigzag_decode(head)
+            nbytes = _zigzag_decode(head)
+            out.append((pos, n, nbytes))
+            pos += head.tell() + nbytes + 16  # payload + sync marker
+    return out
+
+
+def read_block(path: str, offset: int, schema: dict, codec: str):
+    """Decode one block into a list of tuples."""
+    fields = _field_types(schema)
+    with open(path, "rb") as f:
+        f.seek(offset)
+        head = io.BytesIO(f.read(20))
+        n = _zigzag_decode(head)
+        nbytes = _zigzag_decode(head)
+        f.seek(offset + head.tell())
+        payload = f.read(nbytes)
+    if codec == "deflate":
+        payload = zlib.decompress(payload, -15)
+    buf = io.BytesIO(payload)
+    return [tuple(_dec_value(buf, t) for _n, t in fields) for _ in range(n)]
+
+
+# --------------------------------------------------------------- spark source
+def _spark_type(t):
+    from pyspark.sql import types as T
+
+    if isinstance(t, list):
+        return _spark_type(next(x for x in t if x != "null"))
+    return {"long": T.LongType(), "int": T.IntegerType(),
+            "double": T.DoubleType(), "float": T.FloatType(),
+            "string": T.StringType(), "boolean": T.BooleanType()}[t]
+
+
+def make_source():
+    """Build the DataSource class lazily (pyspark import kept out of
+    module import time for the pure-codec consumers/tests)."""
+    from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                        InputPartition)
+    from pyspark.sql.types import StructField, StructType
+
+    class _Block(InputPartition):
+        def __init__(self, path, offset):
+            self.path, self.offset = path, offset
+
+    class PyAvroReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options["path"]
+            self.schema_json, self.codec, _sync, _ = read_header(self.path)
+
+        def partitions(self):
+            # one Spark task per container block — the row-group split
+            return [_Block(self.path, off)
+                    for off, _n, _s in block_index(self.path)]
+
+        def read(self, partition):
+            yield from read_block(partition.path, partition.offset,
+                                  self.schema_json, self.codec)
+
+    class PyAvroSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "pyavro"
+
+        def schema(self):
+            schema, _codec, _sync, _ = read_header(self.options["path"])
+            return StructType([
+                StructField(n, _spark_type(t),
+                            nullable=isinstance(t, list))
+                for n, t in _field_types(schema)])
+
+        def reader(self, schema):
+            return PyAvroReader(self.options)
+
+    return PyAvroSource

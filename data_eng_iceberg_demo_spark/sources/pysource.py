@@ -383,3 +383,84 @@ def sink_python_datasource(spark, d):
         return (sess.read.schema(schema)
                 .option("escape", '"')  # RFC 4180 doubled-quote escapes
                 .csv(committed))
+
+
+# ------------------------------------------------------- pure-python avro scan
+import os  # noqa: E402
+
+_AVRO_FIXTURE: dict = {}
+_PYAVRO_CLS: list = []  # built once; _registered_session caches by name
+
+
+def _avro_row(i: int):
+    """Counter-based row function (same splittable-LCG discipline as
+    the synthetic source): id, bucketed name, nullable amount (every
+    7th NULL), boolean flag."""
+    h = (i * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+    return (i, f"u{h % 97}",
+            None if i % 7 == 0 else ((h >> 16) % 100000) / 100.0,
+            h % 2 == 1)
+
+
+def _avro_fixture_path() -> str:
+    """Write the deterministic 600-row container once per process:
+    deflate codec, 100-row blocks -> 6 blocks -> 6 scan partitions."""
+    p = _AVRO_FIXTURE.get("path")
+    if p is None or not os.path.exists(p):
+        from .avro_py import write_avro
+
+        schema = {"type": "record", "name": "pedido_evt", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "amount", "type": ["null", "double"]},
+            {"name": "flag", "type": "boolean"},
+        ]}
+        p = os.path.join(scratch_dir("pyavro_"), "fixture.avro")
+        write_avro(p, [_avro_row(i) for i in range(600)], schema,
+                   codec="deflate", block_rows=100)
+        _AVRO_FIXTURE["path"] = p
+    return p
+
+
+@register(
+    "scan_avro_python",
+    oracle="""
+    WITH g AS (SELECT unnest(generate_series(0, 599)) AS i),
+    h AS (
+        SELECT i,
+               CAST((CAST(i AS HUGEINT) * 6364136223846793005
+                     + 1442695040888963407) % 18446744073709551616 AS HUGEINT)
+                   AS hv
+        FROM g
+    )
+    SELECT CAST(i AS BIGINT) AS id,
+           'u' || CAST(hv % 97 AS VARCHAR) AS name,
+           CASE WHEN i % 7 = 0 THEN NULL
+                ELSE CAST((hv // 65536) % 100000 AS DOUBLE) / 100.0
+           END AS amount,
+           hv % 2 = 1 AS flag
+    FROM h
+    """,
+)
+def scan_avro_python(spark, d):
+    """Avro scan WITHOUT spark-avro: the environment lacks the
+    spark-avro datasource jar (the one declared format gap, SURVEY.md
+    §2 end), so this closes it with a pure-stdlib Avro Object Container
+    codec behind a Spark 4 Python DataSource (sources/avro_py.py).  The
+    fixture is written by our own writer (deflate codec, zigzag
+    varints, 16-byte sync markers) and scanned block-parallel — the
+    container's own 100-row blocks become 6 InputPartitions, the
+    row-group split discipline a columnar scan uses — with schema
+    (including the ["null","double"] union -> nullable column) taken
+    from the file header.  The oracle replays the counter-based row
+    function in SQL, so header parse, DEFLATE decode, varint/union
+    decoding and the block->partition plumbing are what's under test;
+    spec-conformance of the codec itself is hypothesis-tested
+    (tests/test_avro_py.py)."""
+    if not _PYAVRO_CLS:
+        from .avro_py import make_source
+
+        _PYAVRO_CLS.append(make_source())
+    path = _avro_fixture_path()
+    with _pinned_session(spark, _PYAVRO_CLS[0]) as sess:
+        return sess.read.format("pyavro").option("path", path).load()

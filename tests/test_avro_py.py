@@ -1,0 +1,106 @@
+"""The pure-stdlib Avro container codec (sources/avro_py.py): spec
+shapes the oracle comparison cannot cover — arbitrary records through
+the writer/reader pair, block independence, codec variants, and the
+block→InputPartition planning the Spark source relies on."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_eng_iceberg_demo_spark.sources.avro_py import (block_index,
+                                                         read_block,
+                                                         read_header,
+                                                         write_avro)
+
+SCHEMA = {"type": "record", "name": "t", "fields": [
+    {"name": "k", "type": "long"},
+    {"name": "s", "type": "string"},
+    {"name": "x", "type": ["null", "double"]},
+    {"name": "b", "type": "boolean"},
+]}
+
+
+def _read_all(path):
+    schema, codec, _sync, _ = read_header(path)
+    out = []
+    for off, n, _size in block_index(path):
+        rows = read_block(path, off, schema, codec)
+        assert len(rows) == n
+        out += rows
+    return out
+
+
+rec = st.tuples(
+    st.integers(min_value=-(2 ** 62), max_value=2 ** 62),
+    st.text(max_size=12),  # includes non-ASCII + surrogate-free unicode
+    st.one_of(st.none(), st.floats(allow_nan=False)),
+    st.booleans(),
+)
+
+
+@given(recs=st.lists(rec, max_size=40),
+       codec=st.sampled_from(["null", "deflate"]),
+       block_rows=st.integers(min_value=1, max_value=7))
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_roundtrip_any_records(tmp_path_factory, recs, codec, block_rows):
+    p = str(tmp_path_factory.mktemp("avro") / "t.avro")
+    write_avro(p, recs, SCHEMA, codec=codec, block_rows=block_rows)
+    got = _read_all(p)
+    assert len(got) == len(recs)
+    for g, w in zip(got, recs):
+        assert g[0] == w[0] and g[1] == w[1] and g[3] == w[3]
+        if w[2] is None:
+            assert g[2] is None
+        else:
+            assert g[2] == w[2] or (math.isinf(w[2]) and g[2] == w[2])
+
+
+def test_block_layout_and_header(tmp_path):
+    p = str(tmp_path / "t.avro")
+    rows = [(i, f"s{i}", None if i % 3 == 0 else i / 2.0, i % 2 == 0)
+            for i in range(250)]
+    write_avro(p, rows, SCHEMA, codec="deflate", block_rows=100)
+    schema, codec, sync, _ = read_header(p)
+    assert codec == "deflate" and len(sync) == 16
+    assert [f["name"] for f in schema["fields"]] == ["k", "s", "x", "b"]
+    idx = block_index(p)
+    assert [n for _o, n, _s in idx] == [100, 100, 50]
+    # blocks decode independently and in any order
+    last = read_block(p, idx[2][0], schema, codec)
+    assert last == rows[200:]
+    first = read_block(p, idx[0][0], schema, codec)
+    assert first == rows[:100]
+
+
+def test_rejects_non_avro_file(tmp_path):
+    p = str(tmp_path / "bad.avro")
+    with open(p, "wb") as f:
+        f.write(b"PAR1 definitely not avro")
+    with pytest.raises(ValueError, match="not an avro container"):
+        read_header(p)
+
+
+def test_rejects_unknown_codec(tmp_path):
+    with pytest.raises(ValueError, match="unsupported codec"):
+        write_avro(str(tmp_path / "x.avro"), [], SCHEMA, codec="snappy")
+
+
+def test_spark_scan_partitions_per_block(spark):
+    """The registered query's plan must carry one InputPartition per
+    container block (6 x 100-row blocks), the row-group parallelism
+    discipline that makes the scan distribute."""
+    from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
+                                                            _load_all_modules)
+
+    _load_all_modules()
+    df = REGISTRY["scan_avro_python"].fn(spark, "/root/testdata/sf0.001")
+    assert df.rdd.getNumPartitions() == 6
+    assert df.count() == 600
+    # the ["null","double"] union surfaces as a nullable column with
+    # every 7th row NULL
+    assert df.filter("amount IS NULL").count() == len(range(0, 600, 7))
