@@ -226,6 +226,10 @@ def make_source():
                     for off, _n, _s in block_index(self.path)]
 
         def read(self, partition):
+            # a zero-block container (empty write) plans no partitions;
+            # Spark still schedules one task handing read() None
+            if partition is None:
+                return
             yield from read_block(partition.path, partition.offset,
                                   self.schema_json, self.codec)
 

@@ -464,3 +464,117 @@ def scan_avro_python(spark, d):
     path = _avro_fixture_path()
     with _pinned_session(spark, _PYAVRO_CLS[0]) as sess:
         return sess.read.format("pyavro").option("path", path).load()
+
+
+# ------------------------------------------------------- pure-python avro sink
+class _AvroCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path, self.rows = path, rows
+
+
+_AVRO_SINK_SCHEMA = {"type": "record", "name": "evt", "fields": [
+    {"name": "event_id", "type": "long"},
+    {"name": "event_type", "type": ["null", "string"]},
+    {"name": "value_r", "type": ["null", "double"]},
+]}
+
+
+class AvroSinkWriter(DataSourceWriter):
+    """Per-partition Avro container writer: each partition becomes one
+    container file written by the pure-stdlib codec (sources/avro_py),
+    with the CSV sink's two-phase commit protocol (_SUCCESS manifest of
+    exactly the committed files; abort removes partials).  Rows buffer
+    per partition before the block write — fine at fixture scale; the
+    scale path streams 100-row blocks straight to disk, same format."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        from .avro_py import write_avro
+
+        os.makedirs(self.path, exist_ok=True)
+        fp = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
+        rows = [(r.event_id, r.event_type, r.value_r) for r in iterator]
+        # 1000-row (~tens-of-KB) blocks: the block is the read side's
+        # parallelism unit, so tiny blocks turn a rescan into thousands
+        # of micro-tasks (the scan fixture keeps 100-row blocks on
+        # purpose to pin the multi-partition plumbing cheaply)
+        write_avro(fp, rows, _AVRO_SINK_SCHEMA, codec="deflate",
+                   block_rows=1000)
+        return _AvroCommit(fp, len(rows))
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {m.path: m.rows for m in messages if m is not None}
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class AvroSink(DataSource):
+    @classmethod
+    def name(cls):
+        return "pyavro_sink"
+
+    def writer(self, schema, overwrite):
+        return AvroSinkWriter(self.options)
+
+
+@register(
+    "sink_avro_roundtrip",
+    oracle="""
+    SELECT event_id, event_type, round(value, 2) AS value_r
+    FROM events
+    """,
+)
+def sink_avro_roundtrip(spark, d):
+    """Avro WRITE path without spark-avro — the sink half of
+    scan_avro_python's format-gap closure: the events projection
+    streams through the Python DataSourceWriter into one Avro container
+    per partition (pure-stdlib codec, deflate blocks, two-phase
+    _SUCCESS commit), then reads back through the block-parallel pyavro
+    scan source, one relation per committed container unioned — so the
+    bytes our writer produced, the manifest protocol, AND the scan
+    source's multi-file story are all under the hash.  The oracle is
+    the same events projection: a byte-level codec error anywhere in
+    the round trip breaks value equality (doubles travel as IEEE bytes,
+    exact)."""
+    import functools
+    import json
+
+    from ..operators._util import T
+
+    if not _PYAVRO_CLS:
+        from .avro_py import make_source
+
+        _PYAVRO_CLS.append(make_source())
+    with _pinned_session(spark, AvroSink) as sess:
+        out = scratch_dir("pyavro_sink_")
+        frame = T(sess, d, "events").select(
+            "event_id", "event_type", F.round("value", 2).alias("value_r"))
+        # one container per partition, so bound the writer's parallelism
+        # (8 files) the way any sink targets file sizes — without this,
+        # the upstream scan's split count (1000 tasks at sf0.1) becomes
+        # 1000 hundred-row containers, the classic small-file mistake
+        (frame.coalesce(8).write.format("pyavro_sink")
+         .option("path", out).mode("append").save())
+        with open(os.path.join(out, "_SUCCESS")) as f:
+            committed = sorted(json.load(f))
+    with _pinned_session(spark, _PYAVRO_CLS[0]) as sess:
+        # every committed container participates — a zero-row one reads
+        # as an empty relation (zero blocks -> zero partitions)
+        parts = [sess.read.format("pyavro").option("path", p).load()
+                 for p in committed]
+        return functools.reduce(lambda a, b: a.unionByName(b), parts)

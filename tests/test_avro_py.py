@@ -104,3 +104,26 @@ def test_spark_scan_partitions_per_block(spark):
     # the ["null","double"] union surfaces as a nullable column with
     # every 7th row NULL
     assert df.filter("amount IS NULL").count() == len(range(0, 600, 7))
+
+
+def test_empty_container_reads_as_empty_relation(spark):
+    """A zero-row write produces a header-only container (no blocks);
+    the scan source must return an empty relation with the header's
+    schema, not crash (Spark hands read() a None partition when
+    partitions() is empty)."""
+    import os
+    import tempfile
+
+    from data_eng_iceberg_demo_spark.sources.avro_py import (make_source,
+                                                             write_avro)
+    from data_eng_iceberg_demo_spark.sources.pysource import (_PYAVRO_CLS,
+                                                              _pinned_session)
+
+    if not _PYAVRO_CLS:
+        _PYAVRO_CLS.append(make_source())
+    p = os.path.join(tempfile.mkdtemp(), "empty.avro")
+    write_avro(p, [], SCHEMA)
+    with _pinned_session(spark, _PYAVRO_CLS[0]) as sess:
+        df = sess.read.format("pyavro").option("path", p).load()
+        assert df.count() == 0
+        assert [f.name for f in df.schema.fields] == ["k", "s", "x", "b"]

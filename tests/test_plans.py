@@ -659,3 +659,58 @@ def test_arrow_grouped_map_uses_flat_map_groups_in_arrow(spark, sf_dir):
     p = plan_of(spark, sf_dir, "udf_grouped_map_arrow")
     assert "FlatMapGroupsInArrow" in p, p[:1500]
     assert "FlatMapGroupsInPandas" not in p, p[:1500]
+
+
+# --- round-8 additions ------------------------------------------------
+
+@pytest.mark.parametrize("name", ["llm_quality_classifier",
+                                  "llm_cdc_chunking"])
+def test_r8_projection_scorers_have_no_exchange(spark, sf_dir, name):
+    """The classifier and the content-defined chunker do ALL their work
+    inside the projection (hash + integer fold over the split array):
+    zero exchanges means a 100 TB corpus scores/chunks in one map pass."""
+    assert "Exchange" not in plan_of(spark, sf_dir, name)
+
+
+def test_stratified_sample_pushes_group_limit_below_sort(spark, sf_dir):
+    """The per-stratum rank filter must plan as WindowGroupLimit
+    (partial top-k BEFORE the lang shuffle's full sort materializes), so
+    reducers see at most quota rows per stratum, not the whole corpus."""
+    p = plan_of(spark, sf_dir, "llm_stratified_sample")
+    assert node_count(p, "WindowGroupLimit") >= 1
+    assert node_count(p, "Exchange") == 1
+
+
+def test_vocab_coverage_broadcasts_vocab_not_corpus(spark, sf_dir):
+    """Pass 2's membership join must broadcast the O(V) vocabulary —
+    never shuffle the exploded corpus tokens against it."""
+    p = plan_of(spark, sf_dir, "llm_vocab_coverage")
+    assert node_count(p, "BroadcastHashJoin") == 1
+    assert node_count(p, "SortMergeJoin") == 0
+
+
+def test_asof_nearest_single_shuffle_no_join_node(spark, sf_dir):
+    """Both directional candidates come out of window frames over ONE
+    user-key exchange; the only join-free matching discipline the
+    backward/forward twins use, preserved in the composed form."""
+    p = plan_of(spark, sf_dir, "join_asof_nearest")
+    assert node_count(p, "Exchange") == 1
+    assert node_count(p, "SortMergeJoin") == 0
+    assert node_count(p, "BroadcastHashJoin") == 0
+
+
+def test_count_min_sketch_partial_aggregates(spark, sf_dir):
+    """The 4x explode must partial-aggregate map-side: the exchange
+    carries at most 128 cell rows per task, not 4x the event stream."""
+    p = plan_of(spark, sf_dir, "events_count_min_sketch")
+    assert node_count(p, "Exchange") == 1
+    assert node_count(p, "HashAggregate") == 2  # partial + final
+
+
+def test_power_iteration_broadcasts_the_64_row_vector(spark, sf_dir):
+    """The second Gram multiply must BROADCAST the 64-row intermediate
+    vector back to the corpus scan — a shuffle join there would key the
+    whole exploded corpus by dim for a 64-row probe."""
+    p = plan_of(spark, sf_dir, "llm_embedding_power_iteration")
+    assert node_count(p, "BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in p
