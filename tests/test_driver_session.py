@@ -245,3 +245,18 @@ def test_stateful_provider_conf_is_live(spark, sf_dir):
         _stateful_running(spark, sf_dir,
                           provider="no.such.StateStoreProvider",
                           tag="bogus_provider")
+
+
+@pytest.mark.parametrize("name", [
+    "join_asof_nearest", "llm_quality_classifier", "llm_dataset_card",
+    "events_count_min_sketch", "llm_cdc_chunking", "llm_vocab_coverage",
+    "llm_stratified_sample", "dq_k_anonymity",
+    "llm_embedding_power_iteration", "scan_avro_python",
+    "sink_avro_roundtrip",
+])
+def test_round8_queries_on_bare_session(bare_spark, sf_dir, name):
+    """Round-8 additions (the as-of completion, the pipeline scorers,
+    the pure-python avro scan/sink pair), replayed on a driver-like
+    session with no package-session confs pre-applied."""
+    df = REGISTRY[name].fn(bare_spark, sf_dir)
+    assert df.count() >= 0

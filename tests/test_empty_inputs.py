@@ -275,6 +275,9 @@ SKEW_SAMPLE = [
     "llm_bm25_topk", "events_funnel", "events_top_paths",
     "events_transition_matrix", "events_attribution",
     "window_sessionize_batch",
+    # r8: per-stratum rank under a hot stratum (WindowGroupLimit must
+    # cap reducer input) and the vocab build under hot tokens
+    "llm_stratified_sample", "llm_vocab_coverage",
 ]
 
 

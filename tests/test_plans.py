@@ -270,6 +270,10 @@ _LINT_SKIP = {"llm_dedup_clusters", "llm_similarity_ivf", "sort_multikey_nulls",
 _BOUNDED_TABLES = {"nation", "region"}
 # (query, table) -> why this hint subtree is size-bounded anyway
 _BROADCAST_HINT_OK = {
+    ("llm_embedding_power_iteration", "embeddings"):
+        "the hinted subtree is groupBy(posexplode dim) over 64-wide "
+        "vectors: output is bounded at 64 rows by the embedding "
+        "DIMENSION (schema), not the corpus row count",
     ("join_broadcast", "part"):
         "this query IS the broadcast-hint API demonstration (mirrored in "
         "its oracle); the hint is the demonstrated contract, not a plan "
