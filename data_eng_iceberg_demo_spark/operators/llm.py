@@ -2980,3 +2980,136 @@ def llm_embedding_power_iteration(spark, d):
          .groupBy("dim0").agg(F.sum(F.col("qv") * F.col("dot2")).alias("u")))
     return u.select((F.col("dim0") + 1).cast("int").alias("dim"),
                     F.col("u").cast("bigint").alias("u"))
+
+
+_BPE_SEP = "\x1f"  # joins merged tokens; unit separator, never in fixture text
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    """3 unrolled merge rounds: each round's argmax pair is a scalar
+    subquery and its application a left-to-right non-overlapping
+    replace — the same semantics Spark's replace() has, which is what
+    makes the iterative algorithm exactly oracle-checkable."""
+    sql = ["WITH s0 AS (SELECT doc_id, ' ' || text || ' ' AS s "
+           "FROM documents WHERE text IS NOT NULL)"]
+    for r in range(1, _BPE_ROUNDS + 1):
+        sql.append(f"""
+    , p{r} AS (
+        SELECT w[i] || ' ' || w[i+1] AS pair, count(*) AS cnt
+        FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS w
+              FROM s{r-1}),
+             unnest(generate_series(1, len(w) - 1)) AS t(i)
+        GROUP BY pair
+    ), b{r} AS (SELECT pair, cnt FROM p{r}
+                ORDER BY cnt DESC, pair ASC LIMIT 1)""")
+        if r < _BPE_ROUNDS:
+            sql.append(f"""
+    , s{r} AS (
+        SELECT doc_id,
+               replace(s, ' ' || (SELECT pair FROM b{r}) || ' ',
+                       ' ' || replace((SELECT pair FROM b{r}), ' ', chr(31))
+                           || ' ') AS s
+        FROM s{r-1}
+    )""")
+    sql.append("""
+    SELECT * FROM (""" + "\n    UNION ALL ".join(
+        f"SELECT {r} AS round, pair, CAST(cnt AS BIGINT) AS cnt FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)) + ")")
+    return "".join(sql)
+
+
+@register("llm_bpe_train_merges", oracle=_bpe_oracle())
+def llm_bpe_train_merges(spark, d):
+    """BPE tokenizer TRAINING — the iterative half llm_bpe_pair_counts
+    stops short of: 3 merge rounds, each counting adjacent-pair
+    frequencies over the whole corpus, picking the winner under a total
+    order (count desc, pair asc), and applying it corpus-wide before
+    the next count.  The per-round driver traffic is ONE bounded row
+    (the argmax pair — the dedup_clusters O(1)-scalar discipline); the
+    corpus-wide apply stays a codegen string replace whose left-to-
+    right non-overlapping semantics Spark and DuckDB share, so the
+    greedy 'a a a' -> '(a a) a' BPE rule is engine-stable and the whole
+    training trace hash-checks.  At 100 TB each round is one
+    partial-aggregated pair-count shuffle + one map pass — the exact
+    shape of a production BPE trainer's distributed phase."""
+    docs = (T(spark, d, "documents").filter(F.col("text").isNotNull())
+            .select("doc_id", F.concat(F.lit(" "), F.col("text"),
+                                       F.lit(" ")).alias("s")))
+    out = []
+    cur = docs
+    for r in range(1, _BPE_ROUNDS + 1):
+        toks = F.filter(F.split("s", " "), lambda x: x != "")
+        pairs = cur.select(F.explode(F.zip_with(
+            toks, F.slice(toks, 2, F.size(toks)),
+            lambda a, b: F.concat_ws(" ", a, b))).alias("pair"))
+        pc = (pairs.filter(~F.col("pair").endswith(" ") &
+                           F.col("pair").contains(" "))
+              .groupBy("pair").agg(F.count("*").alias("cnt")))
+        top = (pc.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+               .limit(1).collect())  # one bounded row per round
+        if not top:  # empty corpus: no pairs, no merges (oracle agrees)
+            break
+        best = top[0]
+        out.append((r, best.pair, best.cnt))
+        if r < _BPE_ROUNDS:
+            cur = cur.withColumn("s", F.replace(
+                "s", F.lit(f" {best.pair} "),
+                F.lit(f" {best.pair.replace(' ', _BPE_SEP)} ")))
+    return spark.createDataFrame(out, "round int, pair string, cnt long") \
+        if out else spark.createDataFrame([], "round int, pair string, cnt long")
+
+
+@register(
+    "llm_pmi_collocations",
+    oracle="""
+    WITH tok AS (
+        SELECT w[i] AS cur, w[i+1] AS nxt
+        FROM (SELECT string_split(text, ' ') AS w,
+                     unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS i
+              FROM documents
+              WHERE text IS NOT NULL
+                AND len(string_split(text, ' ')) >= 2)
+    ), big AS (
+        SELECT cur, nxt, count(*) AS c2 FROM tok GROUP BY cur, nxt
+    ), una AS (SELECT cur, sum(c2) AS ca FROM big GROUP BY cur),
+    unb AS (SELECT nxt, sum(c2) AS cb FROM big GROUP BY nxt),
+    tot AS (SELECT sum(c2) AS np FROM big)
+    SELECT cur, nxt, CAST(c2 AS BIGINT) AS c2,
+           CAST(round(ln(CAST(c2 * np AS DOUBLE) / (ca * cb)) * 1000000)
+                AS BIGINT) AS pmi_fp6
+    FROM big JOIN una USING (cur) JOIN unb USING (nxt) CROSS JOIN tot
+    WHERE c2 >= 10
+    """,
+)
+def llm_pmi_collocations(spark, d):
+    """Collocation mining by pointwise mutual information — the
+    corpus-level companion to llm_bigram_logprob's per-doc scoring:
+    adjacent pairs occurring >= 10 times ranked-able by
+    pmi = ln(p(a,b) / (p(a)p(b))) over the pair distribution.  The log
+    argument is ONE exact-integer ratio (c2*N / (ca*cb), int64-safe at
+    any realistic corpus since counts enter linearly) so both engines
+    feed ln the identical double, and the output is fixed-point
+    micro-nats (the llm_bigram_logprob discipline).  Shapes: pair
+    counts shuffle once on the pair; the two marginal joins re-shuffle
+    only the DISTINCT-pair relation (vocabulary-sized, not
+    corpus-sized); the pair total is a 1-row broadcast."""
+    docs = (T(spark, d, "documents").filter(F.col("text").isNotNull())
+            .select(F.split("text", " ").alias("w"))
+            .filter(F.size("w") >= 2))
+    tok = docs.select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("w"), i).alias("cur"),
+            F.element_at(F.col("w"), i + 1).alias("nxt")))).alias("p")
+    ).select("p.cur", "p.nxt")
+    big = tok.groupBy("cur", "nxt").agg(F.count("*").alias("c2"))
+    una = big.groupBy("cur").agg(F.sum("c2").alias("ca"))
+    unb = big.groupBy("nxt").agg(F.sum("c2").alias("cb"))
+    tot = big.agg(F.sum("c2").alias("np"))
+    pmi = F.log((F.col("c2") * F.col("np")).cast("double")
+                / (F.col("ca") * F.col("cb")))
+    return (big.filter(F.col("c2") >= 10)
+            .join(una, "cur").join(unb, "nxt").join(F.broadcast(tot))
+            .select("cur", "nxt", F.col("c2").cast("bigint").alias("c2"),
+                    F.round(pmi * 1e6).cast("bigint").alias("pmi_fp6")))

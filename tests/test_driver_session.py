@@ -252,7 +252,7 @@ def test_stateful_provider_conf_is_live(spark, sf_dir):
     "events_count_min_sketch", "llm_cdc_chunking", "llm_vocab_coverage",
     "llm_stratified_sample", "dq_k_anonymity",
     "llm_embedding_power_iteration", "scan_avro_python",
-    "sink_avro_roundtrip",
+    "sink_avro_roundtrip", "llm_bpe_train_merges", "llm_pmi_collocations",
 ])
 def test_round8_queries_on_bare_session(bare_spark, sf_dir, name):
     """Round-8 additions (the as-of completion, the pipeline scorers,

@@ -80,7 +80,7 @@ UNICODE_SAMPLE = [
     # r8 text additions: md5-over-UTF-8 weights/boundaries, lower()
     # tokenization, digest-based dup counting
     "llm_quality_classifier", "llm_cdc_chunking", "llm_vocab_coverage",
-    "llm_dataset_card",
+    "llm_dataset_card", "llm_bpe_train_merges", "llm_pmi_collocations",
 ]
 
 
