@@ -726,3 +726,89 @@ def table_snapshot_diff(spark, d):
                     F.col("data_criacao").cast("string")
                     .alias("data_criacao_s"),
                     "uf", "id_cliente", "change_type"))
+
+
+@register(
+    "table_refs_meta",
+    oracle=f"""
+    WITH base AS (SELECT CAST(count(*) AS BIGINT) AS c
+                  FROM ({_CSV_ORACLE_BASE})),
+    sp AS (SELECT CAST(count(*) AS BIGINT) AS c
+           FROM ({_CSV_ORACLE_BASE}) WHERE uf = 'SP'),
+    rj AS (SELECT CAST(count(*) AS BIGINT) AS c
+           FROM ({_CSV_ORACLE_BASE}) WHERE uf = 'RJ')
+    SELECT 'audit' AS name, 'branch' AS type,
+           CAST(2 AS BIGINT) AS snapshot_id,
+           base.c + rj.c AS n_rows FROM base, rj
+    UNION ALL
+    SELECT 'main', 'branch', 3, base.c - sp.c FROM base, sp
+    UNION ALL
+    SELECT 'v1', 'tag', 1, base.c FROM base
+    """,
+)
+def table_refs_meta(spark, d):
+    """refs metadata table (Iceberg's ``db.t.refs``; promotes the
+    pytest-only surface to a declared query): after a lifecycle that
+    leaves three refs — the v1 TAG pinning the initial snapshot, an
+    audit BRANCH advanced by a WAP-style staged append (invisible on
+    main), and main itself moved forward by a CoW delete — each ref row
+    reports the row count readable AT that ref, so ref->snapshot->read
+    resolution is under the hash, not just the ref listing.  Snapshot
+    ids are deterministic (sequential): tag pins 1, the branch head is
+    2, main's delete commit is 3.  Pure metadata + three bounded reads;
+    the branch read proves main isolation (it still contains SP rows
+    and the staged AUD- rows)."""
+    t = _fresh_table(spark)
+    t.create_tag("v1")
+    t.create_branch("audit")
+    staged = (_typed_pedidos(spark).filter(F.col("uf") == "RJ")
+              .withColumn("id_pedido",
+                          F.concat(F.lit("AUD-"), F.col("id_pedido"))))
+    t.write_to_branch("audit", staged)
+    t.delete_where("uf = 'SP'")
+    refs = t.refs_df()
+    counts = {r["name"]: r for r in refs.collect()}  # 3 bounded rows
+    rows = []
+    for name, ref in sorted(counts.items()):
+        snap = ref["snapshot_id"]
+        n = t.read(version=snap).count()
+        rows.append((name, ref["type"], snap, n))
+    return spark.createDataFrame(
+        rows, "name string, type string, snapshot_id bigint, n_rows bigint")
+
+
+@register(
+    "table_files_meta",
+    oracle=f"""
+    SELECT substr(data_criacao_s, 1, 10) AS part_value,
+           COUNT(*) AS record_count,
+           CAST(min(quantidade) AS BIGINT) AS q_min,
+           CAST(max(quantidade) AS BIGINT) AS q_max
+    FROM ({_CSV_ORACLE_BASE})
+    GROUP BY 1
+    """,
+)
+def table_files_meta(spark, d):
+    """files metadata table with the FOOTER STATS under the hash (the
+    per-file min/max partitions_meta doesn't surface): each data file
+    of the days-partitioned table reports its manifest-recorded
+    quantidade min/max — captured from the parquet footer at WRITE time
+    and keyed by FIELD ID so renames can't dangle — against the CSV's
+    per-day group-by.  One file per day by the write path's
+    partition-value clustering, so file rows ARE day rows.  This is the
+    metadata a stats-range scan prunes with; the query itself reads
+    zero data files."""
+    import json as _json
+
+    t = _fresh_days_table(spark)
+    # field id for quantidade under the CURRENT schema (id-keyed stats)
+    fid = str(next(f["id"] for f in t._schema_fields(
+        t.meta, t.meta["current_schema"]) if f["name"] == "quantidade"))
+    rows = []
+    for r in t.files().collect():  # bounded: one row per data FILE
+        st = _json.loads(r["stats"]).get(fid)  # [min, max]
+        rows.append((r["partition"], r["record_count"],
+                     int(st[0]), int(st[1])))
+    return spark.createDataFrame(
+        rows, "part_value string, record_count bigint, "
+              "q_min bigint, q_max bigint")
