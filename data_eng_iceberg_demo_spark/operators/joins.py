@@ -286,18 +286,28 @@ def _asof_inputs(spark, d):
     return e, o
 
 
-def _asof_union_window(e, o, direction):
-    """The union/edge-value window trick shared by both directions.
-    ``direction`` is "backward" (latest order at-or-before, max-key ties)
-    or "forward" (earliest order strictly-after, min-key ties)."""
+def _asof_tagged_union(e, o, ord_cols):
+    """Shared union encoding for the as-of family: orders tagged 0 with
+    an ``ord`` struct of ``ord_cols``, events tagged 1 with a null
+    struct — ONE relation a per-user window can sweep.  Kept in one
+    place so the encoding (tag ordering, null casts) cannot diverge
+    across the three as-of queries (r8 review)."""
     tagged_o = o.select(
         "user_id", "t", F.lit(0).alias("tag"),
         F.lit(None).cast(dict(e.dtypes)["event_id"]).alias("event_id"),
-        F.struct("o_orderkey", "o_totalprice").alias("ord"))
+        F.struct(*ord_cols).alias("ord"))
     ord_type = tagged_o.schema["ord"].dataType.simpleString()
     tagged_e = e.select(
         "user_id", "t", F.lit(1).alias("tag"), "event_id",
         F.lit(None).cast(ord_type).alias("ord"))
+    return tagged_o.unionByName(tagged_e)
+
+
+def _asof_union_window(e, o, direction):
+    """The union/edge-value window trick shared by both directions.
+    ``direction`` is "backward" (latest order at-or-before, max-key ties)
+    or "forward" (earliest order strictly-after, min-key ties)."""
+    u = _asof_tagged_union(e, o, ["o_orderkey", "o_totalprice"])
     # Orders sort before events at equal t (tag 0 < 1): the backward
     # preceding frame thereby INCLUDES same-instant orders (<= bound) and
     # the forward following frame EXCLUDES them (strict > bound).
@@ -309,8 +319,7 @@ def _asof_union_window(e, o, direction):
     else:
         w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         pick = F.first("ord", ignorenulls=True)
-    return (tagged_o.unionByName(tagged_e)
-            .withColumn("m", pick.over(w))
+    return (u.withColumn("m", pick.over(w))
             .filter((F.col("tag") == 1) & F.col("m").isNotNull())
             .select("event_id", "user_id",
                     F.col("m.o_orderkey").alias("o_orderkey"),
@@ -499,15 +508,7 @@ def join_asof_nearest(spark, d):
 
 def _asof_nearest_kernel(e, o):
     """Single-shuffle nearest-in-time pick (see join_asof_nearest)."""
-    tagged_o = o.select(
-        "user_id", "t", F.lit(0).alias("tag"),
-        F.lit(None).cast(dict(e.dtypes)["event_id"]).alias("event_id"),
-        F.struct("t", "o_orderkey", "o_totalprice").alias("ord"))
-    ord_type = tagged_o.schema["ord"].dataType.simpleString()
-    tagged_e = e.select(
-        "user_id", "t", F.lit(1).alias("tag"), "event_id",
-        F.lit(None).cast(ord_type).alias("ord"))
-    u = tagged_o.unionByName(tagged_e)
+    u = _asof_tagged_union(e, o, ["t", "o_orderkey", "o_totalprice"])
     # one sort serves both frames; backward orders key-DESC inside a
     # timestamp so last() lands on the MIN key (matching the oracle's
     # o_orderkey ASC tie-break), forward orders key-ASC for first()

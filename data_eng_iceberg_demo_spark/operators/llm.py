@@ -2732,7 +2732,9 @@ def events_count_min_sketch(spark, d):
     hash-checkable — estimation-error behavior is the accuracy-band
     pytest's job."""
     ev = T(spark, d, "events").filter(F.col("user_id").isNotNull())
-    rows = F.array(*[F.lit(i) for i in range(4)])
+    # bigint hash rows: the oracle's generate_series is BIGINT and the
+    # driver's schema compare is width-strict (r8 review finding)
+    rows = F.array(*[F.lit(i).cast("bigint") for i in range(4)])
     cell = (ev.select("user_id", F.explode(rows).alias("row_id"))
             .withColumn("col_id", F.conv(F.substring(F.md5(
                 F.concat_ws(":", F.col("row_id").cast("string"),

@@ -139,23 +139,53 @@ def write_avro(path: str, records, schema: dict, codec: str = "deflate",
             f.write(sync)
 
 
-def read_header(path: str) -> tuple[dict, str, bytes, int]:
-    """(schema, codec, sync, header_end_offset) from the container
-    header."""
-    with open(path, "rb") as f:
-        if f.read(4) != _MAGIC:
-            raise ValueError(f"not an avro container file: {path}")
-        buf = io.BytesIO(f.read())
+def _parse_header(buf: io.BytesIO) -> tuple[dict, bytes]:
+    """Metadata map + sync from a buffer positioned after the magic.
+    Raises ValueError if the buffer ends mid-header (caller grows it).
+    Spec shape honored: a NEGATIVE map-block count means abs(count)
+    pairs preceded by a long byte-size (foreign writers use it)."""
     meta = {}
     n = _zigzag_decode(buf)
     while n:
+        if n < 0:
+            _zigzag_decode(buf)  # block byte-size; unused when parsing
         for _ in range(abs(n)):
-            k = buf.read(_zigzag_decode(buf)).decode()
-            meta[k] = buf.read(_zigzag_decode(buf))
+            k = _read_exact(buf, _zigzag_decode(buf)).decode()
+            meta[k] = _read_exact(buf, _zigzag_decode(buf))
         n = _zigzag_decode(buf)
+    return meta, _read_exact(buf, 16)
+
+
+def _read_exact(buf: io.BytesIO, n: int) -> bytes:
+    b = buf.read(n)
+    if len(b) != n:
+        raise ValueError("truncated header")
+    return b
+
+
+def read_header(path: str) -> tuple[dict, str, bytes, int]:
+    """(schema, codec, sync, header_end_offset) from the container
+    header — BOUNDED reads (64 KiB prefix, grown geometrically for
+    huge embedded schemas), never the whole file: this runs on the
+    driver during planning, where a multi-GB container must not be
+    slurped into memory (r8 review finding)."""
+    size = os.path.getsize(path)
+    prefix = 1 << 16
+    while True:
+        with open(path, "rb") as f:
+            head = f.read(min(prefix, size))
+        if head[:4] != _MAGIC:
+            raise ValueError(f"not an avro container file: {path}")
+        buf = io.BytesIO(head[4:])
+        try:
+            meta, sync = _parse_header(buf)
+            break
+        except ValueError:
+            if prefix >= size:
+                raise ValueError(f"truncated avro header: {path}")
+            prefix *= 4
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    sync = buf.read(16)
     return schema, codec, sync, 4 + buf.tell()
 
 

@@ -472,8 +472,11 @@ class _AvroCommit(WriterCommitMessage):
         self.path, self.rows = path, rows
 
 
+# every field a null-union: the Spark projection's columns are all
+# nullable, and a NULL reaching a plain 'long' would abort the write
+# task with a bare TypeError (r8 review finding)
 _AVRO_SINK_SCHEMA = {"type": "record", "name": "evt", "fields": [
-    {"name": "event_id", "type": "long"},
+    {"name": "event_id", "type": ["null", "long"]},
     {"name": "event_type", "type": ["null", "string"]},
     {"name": "value_r", "type": ["null", "double"]},
 ]}
@@ -574,7 +577,11 @@ def sink_avro_roundtrip(spark, d):
             committed = sorted(json.load(f))
     with _pinned_session(spark, _PYAVRO_CLS[0]) as sess:
         # every committed container participates — a zero-row one reads
-        # as an empty relation (zero blocks -> zero partitions)
+        # as an empty relation (zero blocks -> zero partitions); the
+        # schema-typed empty frame seeds reduce so an empty manifest
+        # yields an empty relation instead of a reduce() TypeError
+        empty = sess.createDataFrame(
+            [], "event_id bigint, event_type string, value_r double")
         parts = [sess.read.format("pyavro").option("path", p).load()
                  for p in committed]
-        return functools.reduce(lambda a, b: a.unionByName(b), parts)
+        return functools.reduce(lambda a, b: a.unionByName(b), parts, empty)

@@ -1306,6 +1306,20 @@ class IceliteTable:
             raise ValueError(
                 f"not_matched_by_source must be 'keep' or 'delete', "
                 f"got {not_matched_by_source!r}")
+        # ANSI MERGE cardinality (r8 review): a target row matched by
+        # MORE THAN ONE source row is an error, never a silent fan-out
+        # (duplicate UNMATCHED source keys are fine — they just insert).
+        # One bounded extra job: source-side dup keys semi-joined
+        # against the target, stopped at the first hit.
+        dup = (source.select(F.col(key).alias("__k"))
+               .filter(F.col("__k").isNotNull())
+               .groupBy("__k").count().filter(F.col("count") > 1))
+        hit = (dup.join(self.read().select(F.col(key).alias("__k")),
+                        "__k", "left_semi").limit(1).collect())
+        if hit:
+            raise ValueError(
+                f"MERGE source has multiple rows for matched key "
+                f"{hit[0]['__k']!r} (ANSI MERGE cardinality violation)")
         if mode in ("merge-on-read", "mor"):
             return self._merge_into_mor(source, key, update_cols,
                                         not_matched_by_source)

@@ -127,3 +127,42 @@ def test_empty_container_reads_as_empty_relation(spark):
         df = sess.read.format("pyavro").option("path", p).load()
         assert df.count() == 0
         assert [f.name for f in df.schema.fields] == ["k", "s", "x", "b"]
+
+
+def test_header_with_negative_map_block_count():
+    """Spec shape a foreign writer may use: a NEGATIVE metadata
+    map-block count means abs(count) pairs PRECEDED by a long
+    byte-size.  Hand-build such a header and assert it parses."""
+    import io
+    import tempfile
+
+    from data_eng_iceberg_demo_spark.sources.avro_py import (_MAGIC,
+                                                             _zigzag_encode,
+                                                             read_header)
+
+    schema_json = b'{"type":"record","name":"t","fields":[{"name":"k","type":"long"}]}'
+    pairs = b"".join(
+        _zigzag_encode(len(k)) + k + _zigzag_encode(len(v)) + v
+        for k, v in [(b"avro.schema", schema_json), (b"avro.codec", b"null")])
+    head = (_MAGIC + _zigzag_encode(-2) + _zigzag_encode(len(pairs)) + pairs
+            + _zigzag_encode(0) + b"S" * 16)
+    p = tempfile.mktemp(suffix=".avro")
+    with open(p, "wb") as f:
+        f.write(head)
+    schema, codec, sync, end = read_header(p)
+    assert schema["name"] == "t" and codec == "null" and sync == b"S" * 16
+    assert end == len(head)
+
+
+def test_header_parse_is_bounded_even_for_large_files(tmp_path):
+    """read_header must not slurp the file: a container with a large
+    body parses its header from a bounded prefix (asserted by byte
+    accounting: header_end is tiny while the file is big)."""
+    p = str(tmp_path / "big.avro")
+    rows = [(i, "x" * 100, float(i), True) for i in range(20000)]
+    write_avro(p, rows, SCHEMA, codec="null", block_rows=5000)
+    import os
+
+    _schema, _codec, _sync, end = read_header(p)
+    assert end < 1024
+    assert os.path.getsize(p) > 2_000_000

@@ -313,3 +313,21 @@ def test_merge_null_edges_cow_equals_mor(spark, tmp_path, arm):
     if arm == "keep":
         expect += [("b", 2, "tb"), (None, 3, "tnull")]
     assert got_cow == sorted(map(repr, expect)), (got_cow, expect)
+
+
+@pytest.mark.parametrize("mode", ["copy-on-write", "merge-on-read"])
+def test_merge_rejects_duplicate_matched_source_keys(spark, tmp_path, mode):
+    """ANSI MERGE cardinality (r8 review): a source with two rows for a
+    key that MATCHES a target row must raise, in both modes — the
+    full-outer formulation would otherwise silently duplicate the
+    target row.  Duplicate UNMATCHED source keys are legal: they take
+    the insert arm twice."""
+    cow, _ = _null_edge_tables(spark, tmp_path)
+    bad = spark.createDataFrame(
+        [("a", 1, "s1"), ("a", 2, "s2")], "k string, v int, w string")
+    with pytest.raises(ValueError, match="multiple rows for matched key"):
+        cow.merge_into(bad, "k", ["v"], mode=mode)
+    ok = spark.createDataFrame(  # 'z' matches nothing: inserts twice
+        [("z", 1, "s1"), ("z", 2, "s2")], "k string, v int, w string")
+    cow.merge_into(ok, "k", ["v"], mode=mode)
+    assert cow.read().filter("k = 'z'").count() == 2
