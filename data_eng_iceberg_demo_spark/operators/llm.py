@@ -2950,10 +2950,14 @@ def dq_k_anonymity(spark, d):
 )
 def llm_embedding_power_iteration(spark, d):
     """Distributed power iteration — two multiplications of the corpus
-    Gram matrix against a fixed start vector (all-ones), yielding an
-    unnormalized dominant-eigenvector estimate u = (EᵀE)² · 1: the
-    kernel under spectral embedding diagnostics / semantic-dedup
-    centroid seeding.  Arithmetic is INTEGER-EXACT end to end — vectors
+    Gram matrix against a fixed start vector (all-ones), yielding
+    u = (EᵀE)² · 1: the kernel under spectral embedding diagnostics /
+    semantic-dedup centroid seeding.  Each multiply provably raises
+    the Rayleigh quotient; how fast u aligns with the dominant
+    eigenvector depends on the spectral GAP, which the isotropic
+    random fixture deliberately lacks — so the pinned claims are
+    bit-exactness vs the dense computation and monotone convergence
+    (tests/test_sketch_accuracy.py).  Arithmetic is INTEGER-EXACT end to end — vectors
     quantize to floor(64·x) (one float multiply both engines compute
     bit-identically, then floor), every dot/sum is int64 (bounds:
     |q|≤64-ish, dot2 ≲ 5e9, u ≲ 2e15 at sf0.1 — far inside int64), so

@@ -95,3 +95,71 @@ def test_bitmap_distinct_merges_incrementally(spark, sf_dir):
                     .agg(F.sum("c")).collect()[0][0])
     exact = o.agg(F.countDistinct("o_custkey")).collect()[0][0]
     assert merged_total == exact
+
+
+def test_count_min_sketch_overestimates_and_finds_heavy_hitter(spark, sf_dir):
+    """The CMS guarantee the cell-parity oracle cannot express: for
+    every user, min over the 4 rows of its cells is >= its true count
+    (CMS never underestimates), and the argmax estimate recovers the
+    true heaviest user on the fixture."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+
+    from data_eng_iceberg_demo_spark.plans.registry import REGISTRY
+
+    cells = {(r.row_id, r.col_id): r.cnt
+             for r in REGISTRY["events_count_min_sketch"]
+             .fn(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    truth = dict(con.execute(
+        f"SELECT user_id, count(*) FROM read_parquet('{sf_dir}/events.parquet') "
+        "WHERE user_id IS NOT NULL GROUP BY user_id").fetchall())
+
+    def est(uid):
+        mins = []
+        for row in range(4):
+            h = int(hashlib.md5(f"{row}:{uid}".encode()).hexdigest()[:8], 16)
+            mins.append(cells.get((row, h % 32), 0))
+        return min(mins)
+
+    assert all(est(u) >= c for u, c in truth.items())  # no underestimate
+    # CMS error bound: with width 32, the expected per-row inflation is
+    # N/32 colliding mass; the min over 4 independent rows keeps every
+    # estimate within 2N/32 of truth on this fixture (classic Markov
+    # bound gives P(err_row > 2N/w) <= 1/2, so all-4-rows-bad is rare;
+    # deterministic hashes make this a fixed property of the fixture)
+    n = sum(truth.values())
+    bound = 2 * n / 32
+    assert all(est(u) - c <= bound for u, c in truth.items()), (
+        max((est(u) - c, u) for u, c in truth.items()), bound)
+
+
+def test_power_iteration_is_exact_dense_gram_square(spark, sf_dir):
+    """The distributed result must equal the DENSE numpy computation
+    G²·1 EXACTLY (integer arithmetic — zero tolerance), and each
+    applied multiplication must raise the Rayleigh quotient (the
+    power-iteration convergence theorem for PSD matrices; full
+    eigenvector alignment is a spectral-GAP property the isotropic
+    random fixture deliberately lacks — top eigenvalues within ~5% —
+    so exactness + monotone convergence are the testable claims)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from data_eng_iceberg_demo_spark.plans.registry import REGISTRY
+
+    u = (REGISTRY["llm_embedding_power_iteration"].fn(spark, sf_dir)
+         .orderBy("dim").toPandas()["u"].to_numpy().astype(float))
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    q = np.stack([np.floor(np.asarray(e, dtype=np.float64) * 64)
+                  for e in emb["embedding"].dropna()])
+    g = q.T @ q
+    ones = np.ones(64)
+    assert np.array_equal(u, g @ (g @ ones))  # exact, not allclose
+
+    def rayleigh(x):
+        return (x @ g @ x) / (x @ x)
+
+    r0, r1, r2 = rayleigh(ones), rayleigh(g @ ones), rayleigh(u)
+    assert r0 < r1 < r2, (r0, r1, r2)
