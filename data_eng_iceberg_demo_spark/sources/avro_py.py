@@ -238,7 +238,8 @@ def make_source():
     """Build the DataSource class lazily (pyspark import kept out of
     module import time for the pure-codec consumers/tests)."""
     from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                        InputPartition)
+                                        InputPartition,
+                                        SimpleDataSourceStreamReader)
     from pyspark.sql.types import StructField, StructType
 
     class _Block(InputPartition):
@@ -263,6 +264,38 @@ def make_source():
             yield from read_block(partition.path, partition.offset,
                                   self.schema_json, self.codec)
 
+    class PyAvroStreamReader(SimpleDataSourceStreamReader):
+        """Streaming face of the container: the offset is the next
+        BLOCK index, each micro-batch replays exactly one block, and
+        end-of-data is reported by returning the start offset
+        unchanged.  Because a block's rows are a pure function of
+        (file, block offset), replaying a batch after failure yields
+        identical rows — exactly-once without source-side state, the
+        same contract as the synthetic stream source."""
+
+        def __init__(self, options):
+            self.path = options["path"]
+            self.schema_json, self.codec, _sync, _ = read_header(self.path)
+            self.blocks = block_index(self.path)
+
+        def initialOffset(self):
+            return {"b": 0}
+
+        def read(self, start):
+            b = int(start["b"])
+            if b >= len(self.blocks):
+                return iter([]), start
+            rows = read_block(self.path, self.blocks[b][0],
+                              self.schema_json, self.codec)
+            return iter(rows), {"b": b + 1}
+
+        def readBetweenOffsets(self, start, end):
+            out = []
+            for b in range(int(start["b"]), int(end["b"])):
+                out += read_block(self.path, self.blocks[b][0],
+                                  self.schema_json, self.codec)
+            return iter(out)
+
     class PyAvroSource(DataSource):
         @classmethod
         def name(cls):
@@ -277,5 +310,8 @@ def make_source():
 
         def reader(self, schema):
             return PyAvroReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return PyAvroStreamReader(self.options)
 
     return PyAvroSource

@@ -585,3 +585,54 @@ def sink_avro_roundtrip(spark, d):
         parts = [sess.read.format("pyavro").option("path", p).load()
                  for p in committed]
         return functools.reduce(lambda a, b: a.unionByName(b), parts, empty)
+
+
+@register(
+    "stream_avro_python",
+    oracle="""
+    WITH g AS (SELECT unnest(generate_series(0, 599)) AS i),
+    h AS (
+        SELECT i,
+               CAST((CAST(i AS HUGEINT) * 6364136223846793005
+                     + 1442695040888963407) % 18446744073709551616 AS HUGEINT)
+                   AS hv
+        FROM g
+    )
+    SELECT CAST(i AS BIGINT) AS id,
+           'u' || CAST(hv % 97 AS VARCHAR) AS name,
+           CASE WHEN i % 7 = 0 THEN NULL
+                ELSE CAST((hv // 65536) % 100000 AS DOUBLE) / 100.0
+           END AS amount,
+           hv % 2 = 1 AS flag
+    FROM h
+    """,
+)
+def stream_avro_python(spark, d):
+    """readStream over the Avro container (the streaming face of
+    scan_avro_python): the offset is the next BLOCK index, each
+    micro-batch replays exactly one 100-row block, and the union of
+    the six micro-batches must equal the batch scan of the same file —
+    same oracle, so the offset bookkeeping (no gap, no overlap, stop
+    at end, exactly-once block replay) is what's under the hash.  The
+    block-as-offset scheme is how a production tailer follows a
+    growing container: new blocks appended after the sync marker
+    become new offsets with no rewind."""
+    import uuid as _uuid
+
+    if not _PYAVRO_CLS:
+        from .avro_py import make_source
+
+        _PYAVRO_CLS.append(make_source())
+    path = _avro_fixture_path()
+    with _pinned_session(spark, _PYAVRO_CLS[0]) as sess:
+        stream = (sess.readStream.format("pyavro")
+                  .option("path", path).load())
+        qname = f"avro_stream_{_uuid.uuid4().hex[:8]}"
+        q = (stream.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(processingTime="0 seconds")
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sess.table(qname)

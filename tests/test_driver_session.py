@@ -253,7 +253,7 @@ def test_stateful_provider_conf_is_live(spark, sf_dir):
     "llm_stratified_sample", "dq_k_anonymity",
     "llm_embedding_power_iteration", "scan_avro_python",
     "sink_avro_roundtrip", "llm_bpe_train_merges", "llm_pmi_collocations",
-    "table_refs_meta", "table_files_meta",
+    "table_refs_meta", "table_files_meta", "stream_avro_python",
 ])
 def test_round8_queries_on_bare_session(bare_spark, sf_dir, name):
     """Round-8 additions (the as-of completion, the pipeline scorers,
