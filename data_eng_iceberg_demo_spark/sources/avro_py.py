@@ -91,7 +91,12 @@ def _dec_value(buf: io.BytesIO, typ):
     if typ == "string":
         return buf.read(_zigzag_decode(buf)).decode("utf-8")
     if typ == "boolean":
-        return buf.read(1) == b"\x01"
+        b = buf.read(1)
+        if not b:
+            # read(1) == b'\x01' would decode a truncated buffer as a
+            # silent False; error like the varint/struct paths (r8 advice)
+            raise ValueError("truncated avro data: expected boolean byte")
+        return b == b"\x01"
     raise ValueError(f"unsupported avro type: {typ!r}")
 
 
@@ -110,7 +115,11 @@ def write_avro(path: str, records, schema: dict, codec: str = "deflate",
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec: {codec}")
     sync = sync or b"pyavro-sync-16bb"
-    assert len(sync) == 16
+    if len(sync) != 16:
+        # Not an assert: under ``python -O`` a stripped assert would let a
+        # wrong-length sync through, and every block offset (payload+16)
+        # downstream would silently misalign (r8 advice).
+        raise ValueError(f"sync marker must be 16 bytes, got {len(sync)}")
     fields = _field_types(schema)
     meta = {"avro.schema": json.dumps(schema).encode(),
             "avro.codec": codec.encode()}
@@ -284,12 +293,20 @@ def make_source():
         def read(self, start):
             b = int(start["b"])
             if b >= len(self.blocks):
+                # The init-time snapshot is stale once a writer appends:
+                # re-skim the block index (O(#blocks) header walk, no
+                # payload decode) so a growing container is actually
+                # followed instead of frozen at stream start (r8 advice).
+                self.blocks = block_index(self.path)
+            if b >= len(self.blocks):
                 return iter([]), start
             rows = read_block(self.path, self.blocks[b][0],
                               self.schema_json, self.codec)
             return iter(rows), {"b": b + 1}
 
         def readBetweenOffsets(self, start, end):
+            if int(end["b"]) > len(self.blocks):
+                self.blocks = block_index(self.path)
             out = []
             for b in range(int(start["b"]), int(end["b"])):
                 out += read_block(self.path, self.blocks[b][0],

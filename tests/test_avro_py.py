@@ -166,3 +166,51 @@ def test_header_parse_is_bounded_even_for_large_files(tmp_path):
     _schema, _codec, _sync, end = read_header(p)
     assert end < 1024
     assert os.path.getsize(p) > 2_000_000
+
+
+def test_bad_sync_length_raises_value_error(tmp_path):
+    """A wrong-length sync marker must raise even under ``python -O``
+    (r9: was a bare assert — stripped asserts would misalign every
+    block offset downstream)."""
+    with pytest.raises(ValueError, match="sync marker"):
+        write_avro(str(tmp_path / "x.avro"), [], SCHEMA, sync=b"short")
+
+
+def test_truncated_boolean_raises_not_false(tmp_path):
+    """A buffer that ends where a boolean byte should be must raise
+    like the varint/struct paths, not silently decode False (r9)."""
+    import io
+
+    from data_eng_iceberg_demo_spark.sources.avro_py import _dec_value
+
+    with pytest.raises(ValueError, match="truncated"):
+        _dec_value(io.BytesIO(b""), "boolean")
+
+
+def test_stream_reader_follows_growing_container(tmp_path):
+    """The streaming face re-skims the block index when its snapshot
+    is exhausted, so blocks appended after stream start are observed
+    without a restart (r9 advice).  Exercised at the reader-class
+    level: appending blocks via a second write_avro of the full record
+    set simulates a growing container."""
+    from data_eng_iceberg_demo_spark.sources.avro_py import make_source
+
+    p = str(tmp_path / "grow.avro")
+    first = [(1, "a", 1.0, True), (2, "b", None, False)]
+    write_avro(p, first, SCHEMA, codec="null", block_rows=1)
+    src = make_source()
+    reader = src({"path": p}).simpleStreamReader(None)
+    off = reader.initialOffset()
+    seen = []
+    for _ in range(3):  # drain the two initial blocks + one empty poll
+        rows, off = reader.read(off)
+        seen += list(rows)
+    assert off == {"b": 2} and len(seen) == 2
+    # writer appends: rewrite the container with one more block
+    grown = first + [(3, "c", 3.0, True)]
+    write_avro(p, grown, SCHEMA, codec="null", block_rows=1)
+    rows, off = reader.read(off)  # stale snapshot → re-skim → new block
+    assert list(rows) == [(3, "c", 3.0, True)] and off == {"b": 3}
+    # readBetweenOffsets replay across the re-skimmed range
+    replay = list(reader.readBetweenOffsets({"b": 0}, {"b": 3}))
+    assert replay == grown

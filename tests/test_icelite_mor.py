@@ -331,3 +331,16 @@ def test_merge_rejects_duplicate_matched_source_keys(spark, tmp_path, mode):
         [("z", 1, "s1"), ("z", 2, "s2")], "k string, v int, w string")
     cow.merge_into(ok, "k", ["v"], mode=mode)
     assert cow.read().filter("k = 'z'").count() == 2
+
+
+@pytest.mark.parametrize("mode", ["copy-on-write", "merge-on-read"])
+def test_merge_cardinality_check_escape_hatch(spark, tmp_path, mode):
+    """``check_cardinality=False`` (r9 advice) skips the pre-merge dup
+    scan for bulk callers with provably unique source keys; the merge
+    result is identical to the checked path."""
+    cow, _ = _null_edge_tables(spark, tmp_path)
+    src = spark.createDataFrame(
+        [("a", 5, "sa"), ("c", 9, "sc")], "k string, v int, w string")
+    cow.merge_into(src, "k", ["v"], mode=mode, check_cardinality=False)
+    got = {(r["k"], r["v"]) for r in cow.read().collect()}
+    assert ("a", 5) in got and ("c", 9) in got
