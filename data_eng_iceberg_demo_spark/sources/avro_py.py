@@ -106,6 +106,124 @@ def _field_types(schema: dict) -> list[tuple[str, object]]:
     return [(f["name"], f["type"]) for f in schema["fields"]]
 
 
+# ----------------------------------------------- compiled row codec (hot path)
+# _enc_value/_dec_value stay as the readable spec reference (and handle
+# any nesting), but per-row they cost a recursive call + a bytes
+# allocation per value.  The container writer/reader instead compile the
+# schema ONCE into a flat list of per-field closures appending into a
+# shared bytearray / reading from the payload bytes with an integer
+# cursor — ~2.5x on the 100k-row sink profile (r9).
+
+def _zz_append(out: bytearray, n: int) -> None:
+    u = (n << 1) ^ (n >> 63)
+    while u > 0x7F:
+        out.append((u & 0x7F) | 0x80)
+        u >>= 7
+    out.append(u)
+
+
+def _compile_field_encoder(typ):
+    """field value -> closure(out: bytearray, v)."""
+    if isinstance(typ, list):  # ["null", T]
+        null_ix = typ.index("null")
+        t = next(x for x in typ if x != "null")
+        null_b = bytes(_zigzag_encode(null_ix))
+        val_b = bytes(_zigzag_encode(typ.index(t)))
+        inner = _compile_field_encoder(t)
+
+        def enc(out, v):
+            if v is None:
+                out += null_b
+            else:
+                out += val_b
+                inner(out, v)
+        return enc
+    if typ in ("long", "int"):
+        def enc(out, v):
+            _zz_append(out, int(v))
+        return enc
+    if typ == "double":
+        pack = struct.Struct("<d").pack
+
+        def enc(out, v):
+            out += pack(float(v))
+        return enc
+    if typ == "float":
+        pack = struct.Struct("<f").pack
+
+        def enc(out, v):
+            out += pack(float(v))
+        return enc
+    if typ == "string":
+        def enc(out, v):
+            b = str(v).encode("utf-8")
+            _zz_append(out, len(b))
+            out += b
+        return enc
+    if typ == "boolean":
+        def enc(out, v):
+            out.append(1 if v else 0)
+        return enc
+    raise ValueError(f"unsupported avro type: {typ!r}")
+
+
+def _compile_field_decoder(typ):
+    """field -> closure(payload: bytes, pos) -> (value, new_pos)."""
+    if isinstance(typ, list):
+        branches = [None if t == "null" else _compile_field_decoder(t)
+                    for t in typ]
+
+        def dec(pl, pos):
+            ix, pos = _zz_read(pl, pos)
+            inner = branches[ix]
+            return (None, pos) if inner is None else inner(pl, pos)
+        return dec
+    if typ in ("long", "int"):
+        return _zz_read
+    if typ == "double":
+        unpack = struct.Struct("<d").unpack_from
+
+        def dec(pl, pos):
+            return unpack(pl, pos)[0], pos + 8
+        return dec
+    if typ == "float":
+        unpack = struct.Struct("<f").unpack_from
+
+        def dec(pl, pos):
+            return unpack(pl, pos)[0], pos + 4
+        return dec
+    if typ == "string":
+        def dec(pl, pos):
+            n, pos = _zz_read(pl, pos)
+            end = pos + n
+            if end > len(pl):
+                raise ValueError("truncated avro data: string body")
+            return pl[pos:end].decode("utf-8"), end
+        return dec
+    if typ == "boolean":
+        def dec(pl, pos):
+            if pos >= len(pl):
+                raise ValueError("truncated avro data: expected boolean byte")
+            return pl[pos] == 1, pos + 1
+        return dec
+    raise ValueError(f"unsupported avro type: {typ!r}")
+
+
+def _zz_read(pl: bytes, pos: int):
+    shift = u = 0
+    n = len(pl)
+    while True:
+        if pos >= n:
+            raise ValueError("truncated avro data: varint")
+        b = pl[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1), pos
+
+
 # ------------------------------------------------------------ container file
 def write_avro(path: str, records, schema: dict, codec: str = "deflate",
                block_rows: int = 100, sync: bytes | None = None) -> None:
@@ -133,14 +251,16 @@ def write_avro(path: str, records, schema: dict, codec: str = "deflate",
         f.write(_zigzag_encode(0))  # end of metadata map
         f.write(sync)
         recs = list(records)
+        encoders = [_compile_field_encoder(t) for _n, t in fields]
         for a in range(0, len(recs), block_rows):
             chunk = recs[a:a + block_rows]
-            payload = b"".join(
-                b"".join(_enc_value(r[i], t)
-                         for i, (_n, t) in enumerate(fields))
-                for r in chunk)
+            out = bytearray()
+            for r in chunk:
+                for i, enc in enumerate(encoders):
+                    enc(out, r[i])
+            payload = bytes(out)
             if codec == "deflate":
-                co = zlib.compressobj(9, zlib.DEFLATED, -15)
+                co = zlib.compressobj(6, zlib.DEFLATED, -15)
                 payload = co.compress(payload) + co.flush()
             f.write(_zigzag_encode(len(chunk)))
             f.write(_zigzag_encode(len(payload)))
@@ -228,8 +348,15 @@ def read_block(path: str, offset: int, schema: dict, codec: str):
         payload = f.read(nbytes)
     if codec == "deflate":
         payload = zlib.decompress(payload, -15)
-    buf = io.BytesIO(payload)
-    return [tuple(_dec_value(buf, t) for _n, t in fields) for _ in range(n)]
+    decoders = [_compile_field_decoder(t) for _n, t in fields]
+    pos, rows = 0, []
+    for _ in range(n):
+        vals = []
+        for dec in decoders:
+            v, pos = dec(payload, pos)
+            vals.append(v)
+        rows.append(tuple(vals))
+    return rows
 
 
 # --------------------------------------------------------------- spark source
