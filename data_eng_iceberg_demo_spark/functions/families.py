@@ -560,3 +560,49 @@ def fn_higher_order(spark, d):
             F.lit(0.0), lambda a, x: a + x), 4).alias("palindrome_dot"),
         F.round(F.array_max(F.transform("qs", lambda x: x * x)), 4)
         .alias("max_sq"))
+
+
+@register(
+    "fn_regexp",
+    oracle="""
+    SELECT doc_id,
+           coalesce(nullif(regexp_extract(text, '[0-9]+'), ''), '-')
+               AS first_num,
+           CAST(len(regexp_extract_all(
+               translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                               'abcdefghijklmnopqrstuvwxyz'),
+               '[a-z]+')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+               AS n_digits,
+           substring(regexp_replace(text, '[0-9]', '#', 'g'), 1, 30)
+               AS masked_head,
+           regexp_matches(text, '^[A-Z]') AS starts_upper
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+)
+def fn_regexp(spark, d):
+    """Regexp function family — extract / extract_all / count / replace /
+    rlike — over document text.  Patterns are kept to the POSIX-class
+    subset where Java regex (Spark) and RE2 (DuckDB) agree; no-match
+    extract normalizes through nullif+coalesce because Spark returns ''
+    where other engines return NULL (divergence catalog §5.2).  Casing
+    uses translate('A-Z','a-z'), never lower(): Unicode case edges
+    (U+0130) differ between engines inside hashed outputs.  All five run
+    as codegen'd JVM expressions in one projection — a single scan pass,
+    no Python."""
+    t = T(spark, d, "documents").filter(F.col("text").isNotNull())
+    lowered = F.translate("text", "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                          "abcdefghijklmnopqrstuvwxyz")
+    return t.select(
+        "doc_id",
+        F.coalesce(F.nullif(F.regexp_extract("text", "[0-9]+", 0),
+                            F.lit("")), F.lit("-")).alias("first_num"),
+        F.size(F.regexp_extract_all(lowered, F.lit("[a-z]+"), F.lit(0)))
+        .cast("bigint").alias("n_words"),
+        F.regexp_count("text", F.lit("[0-9]")).cast("bigint")
+        .alias("n_digits"),
+        F.substring(F.regexp_replace("text", "[0-9]", "#"), 1, 30)
+        .alias("masked_head"),
+        F.col("text").rlike("^[A-Z]").alias("starts_upper"),
+    )

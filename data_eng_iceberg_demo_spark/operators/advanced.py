@@ -818,3 +818,45 @@ def scd2_dimension_merge(spark, d):
                       null_str.alias("valid_to"),
                       F.lit(True).alias("is_current")))
     return untouched.unionByName(closed).unionByName(opened)
+
+
+@register(
+    "dq_freshness",
+    oracle="""
+    WITH latest AS (
+        SELECT event_type, max(date_trunc('second', ts)) AS max_tss,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    ),
+    g AS (SELECT max(max_tss) AS global_max FROM latest)
+    SELECT event_type, CAST(max_tss AS STRING) AS latest_s,
+           date_diff('second', max_tss, g.global_max) // 60
+               AS minutes_behind,
+           date_diff('second', max_tss, g.global_max) // 60 <= 60
+               AS fresh,
+           n_events
+    FROM latest CROSS JOIN g
+    """,
+)
+def dq_freshness(spark, d):
+    """Freshness SLA check: per feed (event_type), how far its newest
+    record lags the newest record anywhere — the first data-quality
+    monitor any ingestion pipeline grows.  One aggregate produces a
+    tiny per-feed relation; the global max joins back as a broadcast
+    scalar, so the whole check adds one map-side join to a scan that
+    was already computing per-feed stats.  At 100 TB the per-partition
+    max comes from parquet footer stats when the table is
+    ingest-partitioned — the scan prunes to metadata."""
+    latest = (T(spark, d, "events")
+              .groupBy("event_type")
+              .agg(F.max(F.date_trunc("second", "ts")).alias("max_tss"),
+                   F.count("*").cast("bigint").alias("n_events")))
+    g = latest.agg(F.max("max_tss").alias("global_max"))
+    behind = (F.unix_timestamp("global_max")
+              - F.unix_timestamp("max_tss")) / 60
+    return (latest.crossJoin(F.broadcast(g))
+            .select("event_type",
+                    F.col("max_tss").cast("string").alias("latest_s"),
+                    F.floor(behind).cast("bigint").alias("minutes_behind"),
+                    (F.floor(behind) <= 60).alias("fresh"),
+                    "n_events"))

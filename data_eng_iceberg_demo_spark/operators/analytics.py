@@ -12,6 +12,7 @@ registry discipline (parquet ns vs Spark µs).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from ..plans.registry import register
 from ._util import T
@@ -473,3 +474,120 @@ def events_rollup_ohlc(spark, d):
                  .alias("open_value"),
                  F.round(F.max(F.when(F.col("rd") == 1, F.col("value"))), 4)
                  .alias("close_value")))
+
+
+@register(
+    "events_gap_fill",
+    oracle="""
+    WITH spine AS (
+        SELECT u.u AS user_id,
+               TIMESTAMP '2024-01-01 00:00:00'
+                   + INTERVAL (m.m) MINUTE AS minute
+        FROM (SELECT unnest(generate_series(0, 9)) AS u) u
+        CROSS JOIN (SELECT unnest(generate_series(0, 179)) AS m) m
+    ),
+    obs AS (
+        SELECT user_id, date_trunc('minute', ts) AS minute,
+               round(sum(value), 2) AS minute_value
+        FROM events
+        WHERE user_id BETWEEN 0 AND 9
+          AND ts < TIMESTAMP '2024-01-01 03:00:00'
+        GROUP BY 1, 2
+    )
+    SELECT s.user_id, CAST(s.minute AS STRING) AS minute_s,
+           o.minute_value,
+           last_value(o.minute_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.minute
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM spine s LEFT JOIN obs o
+      ON s.user_id = o.user_id AND s.minute = o.minute
+    """,
+)
+def events_gap_fill(spark, d):
+    """Time-series gap fill: a dense calendar spine (user x minute over a
+    fixed 3-hour window) left-joined to observed per-minute sums, missing
+    minutes filled by last-observation-carried-forward.  The spine is
+    generated with sequence()+explode — pure metadata, no data shuffle to
+    build it — and LOCF is last(ignorenulls) over a ROWS frame, one
+    window pass per user partition.  At 100 TB the spine stays tiny
+    (users x buckets), the events side is pre-aggregated BEFORE the join,
+    and the fill never widens state beyond one value per partition."""
+    spine = (spark.range(0, 10).withColumnRenamed("id", "user_id")
+             .crossJoin(
+                 spark.range(0, 180).withColumnRenamed("id", "m"))
+             .select("user_id",
+                     (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                      + F.make_interval(mins=F.col("m").cast("int")))
+                     .alias("minute")))
+    obs = (T(spark, d, "events")
+           .filter((F.col("user_id").between(0, 9))
+                   & (F.col("ts")
+                      < F.to_timestamp(F.lit("2024-01-01 03:00:00"))))
+           .groupBy("user_id", F.date_trunc("minute", "ts").alias("minute"))
+           .agg(F.round(F.sum("value"), 2).alias("minute_value")))
+    w = (Window.partitionBy("user_id").orderBy("minute")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (spine.join(obs, ["user_id", "minute"], "left")
+            .select("user_id",
+                    F.col("minute").cast("string").alias("minute_s"),
+                    "minute_value",
+                    F.last("minute_value", ignorenulls=True).over(w)
+                    .alias("filled_value")))
+
+
+@register(
+    "events_max_concurrency",
+    oracle="""
+    WITH sess AS (
+        SELECT event_id, event_type, date_trunc('second', ts) AS s,
+               date_trunc('second', ts)
+                   + INTERVAL (CAST(floor(value * 10) AS INTEGER)) SECOND
+                   AS e
+        FROM events
+    ),
+    pts AS (
+        SELECT event_type, s AS t, 1 AS delta, event_id FROM sess
+        UNION ALL
+        SELECT event_type, e AS t, -1 AS delta, event_id FROM sess
+    ),
+    run AS (
+        SELECT event_type,
+               sum(delta) OVER (
+                   PARTITION BY event_type
+                   ORDER BY t, delta, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS live
+        FROM pts
+    )
+    SELECT event_type, CAST(max(live) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY event_type
+    """,
+)
+def events_max_concurrency(spark, d):
+    """Sweep-line max concurrency: each event opens a session lasting
+    value*10 seconds; +1/-1 boundary points, a running sum per
+    event_type, and the max of that running sum is the peak number of
+    simultaneously open sessions.  Ends sort before starts at the same
+    instant (delta ASC — half-open intervals), and the peak is invariant
+    to ordering within ties, so the hash is stable.  The classic
+    alternative — joining every session against every overlapping
+    session — is O(n x overlap); this is one union + one window pass,
+    partitioned by the series key."""
+    sess = (T(spark, d, "events")
+            .select("event_id", "event_type",
+                    F.date_trunc("second", "ts").alias("s"),
+                    (F.date_trunc("second", "ts")
+                     + F.make_interval(
+                         secs=F.floor(F.col("value") * 10).cast("int")))
+                    .alias("e")))
+    pts = (sess.select("event_type", F.col("s").alias("t"),
+                       F.lit(1).alias("delta"), "event_id")
+           .unionAll(sess.select("event_type", F.col("e").alias("t"),
+                                 F.lit(-1).alias("delta"), "event_id")))
+    w = (Window.partitionBy("event_type")
+         .orderBy("t", "delta", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (pts.withColumn("live", F.sum("delta").over(w))
+            .groupBy("event_type")
+            .agg(F.max("live").cast("bigint").alias("max_concurrent")))

@@ -3119,3 +3119,166 @@ def llm_pmi_collocations(spark, d):
             .join(una, "cur").join(unb, "nxt").join(F.broadcast(tot))
             .select("cur", "nxt", F.col("c2").cast("bigint").alias("c2"),
                     F.round(pmi * 1e6).cast("bigint").alias("pmi_fp6")))
+
+
+@register(
+    "llm_global_shuffle",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS shuffle_key
+        FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(ascii(substring(shuffle_key, 1, 1)) % 8 AS BIGINT)
+               AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY ascii(substring(shuffle_key, 1, 1)) % 8
+               ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def llm_global_shuffle(spark, d):
+    """Deterministic global shuffle for training order: every document
+    gets a content-independent pseudo-random key md5(id:salt), is routed
+    to one of 8 shards by the key's first hex char, and receives its
+    within-shard position.  Changing the salt ('epoch0') re-deals the
+    entire order — the standard epoch-reshuffle trick — while identical
+    inputs always produce the identical order (no rand(), so retries and
+    stragglers are safe).  At 100 TB this is exactly a hash repartition
+    (shard) + per-partition sort (key): one shuffle, no global ordering
+    bottleneck, and shard files stream out in parallel.  md5, not
+    xxhash64: the key must be engine-reproducible, and md5 is the
+    byte-stable hash both engines share (registry discipline §5.3)."""
+    keyed = T(spark, d, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit(":epoch0"))).alias("shuffle_key"))
+    shard = (F.ascii(F.substring("shuffle_key", 1, 1)) % 8)
+    w = Window.partitionBy(shard).orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id", "shuffle_key",
+        shard.cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"))
+
+
+@register(
+    "llm_edit_distance_dedup",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                               'abcdefghijklmnopqrstuvwxyz') AS t
+        FROM documents
+        WHERE text IS NOT NULL AND n_chars BETWEEN 20 AND 400
+    ),
+    bucketed AS (
+        SELECT doc_id, t,
+               substring(t, 1, 12) || ':' ||
+                   CAST(length(t) // 40 AS VARCHAR) AS bucket,
+               row_number() OVER (
+                   PARTITION BY substring(t, 1, 12) || ':' ||
+                       CAST(length(t) // 40 AS VARCHAR)
+                   ORDER BY doc_id) AS rn
+        FROM norm
+    ),
+    capped AS (SELECT * FROM bucketed WHERE rn <= 16)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist
+    FROM capped a JOIN capped b
+      ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.t, b.t) * 5
+          <= greatest(length(a.t), length(b.t))
+    """,
+)
+def llm_edit_distance_dedup(spark, d):
+    """Edit-distance near-dup: candidate pairs come from a cheap
+    blocking key (first 12 normalized chars + length bucket), and only
+    those pairs pay the O(len a x len b) Levenshtein — the classic
+    block-then-verify dedup shape.  Never all-pairs: the equi-join on
+    the blocking key bounds candidates, buckets are capped at 16 docs
+    (rank by doc_id, the DEDUP_DF_CAP discipline mirrored in the
+    oracle), and the distance threshold is relative (dist <= max_len/5,
+    in integer arithmetic so both engines agree exactly).  levenshtein()
+    is a JVM codegen'd builtin in Spark and a native function in DuckDB
+    — the identical metric, so the hash pins the whole pipeline."""
+    norm = (T(spark, d, "documents")
+            .filter(F.col("text").isNotNull()
+                    & F.col("n_chars").between(20, 400))
+            .select("doc_id",
+                    F.translate("text", "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                                "abcdefghijklmnopqrstuvwxyz").alias("t")))
+    # floor-div, NEVER cast(double): DuckDB CAST(1.925 AS BIGINT)
+    # rounds to 2 while Spark truncates to 1 (divergence catalog §5.2)
+    bucket = F.concat(F.substring("t", 1, 12), F.lit(":"),
+                      F.floor(F.length("t") / 40).cast("string"))
+    capped = (norm.withColumn("bucket", bucket)
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("bucket").orderBy("doc_id")))
+              .filter(F.col("rn") <= 16))
+    a = capped.select(F.col("doc_id").alias("doc_a"),
+                      F.col("t").alias("ta"), "bucket")
+    b = capped.select(F.col("doc_id").alias("doc_b"),
+                      F.col("t").alias("tb"), "bucket")
+    dist = F.levenshtein("ta", "tb")
+    return (a.join(b, "bucket")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .filter(dist * 5 <= F.greatest(F.length("ta"),
+                                           F.length("tb")))
+            .select("doc_a", "doc_b",
+                    dist.cast("bigint").alias("edit_dist")))
+
+
+@register(
+    "llm_chat_template",
+    oracle="""
+    WITH turns AS (
+        SELECT source, doc_id, substring(text, 1, 60) AS turn_text,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                   AS rn
+        FROM documents WHERE text IS NOT NULL
+    ),
+    capped AS (
+        SELECT source, doc_id, turn_text, rn,
+               CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END
+                   AS role
+        FROM turns WHERE rn <= 6
+    )
+    SELECT source,
+           string_agg('<|' || role || '|>' || turn_text, '' ORDER BY rn)
+               AS rendered,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(sum(length(turn_text)) AS BIGINT) AS n_chars_text
+    FROM capped GROUP BY source
+    """,
+)
+def llm_chat_template(spark, d):
+    """Chat-template rendering: per-source conversations are assembled
+    from ordered documents (first 6 turns by doc_id), roles alternate
+    user/assistant, and the training string is the ordered concatenation
+    of '<|role|>text' markers — the flatten-to-training-text step every
+    SFT pipeline runs.  listagg WITHIN GROUP gives the ordered
+    aggregation (string_agg ORDER BY in DuckDB); the concat payload per
+    group is bounded by the turn cap x 60-char truncation, so the
+    exchange carries one short string per conversation, never the
+    corpus.  At scale, conversation assembly is one hash partition by
+    conversation key + one ordered aggregate — no collect, no Python."""
+    turns = (T(spark, d, "documents")
+             .filter(F.col("text").isNotNull())
+             .select("source", "doc_id",
+                     F.substring("text", 1, 60).alias("turn_text"))
+             .withColumn("rn", F.row_number().over(
+                 Window.partitionBy("source").orderBy("doc_id")))
+             .filter(F.col("rn") <= 6)
+             .withColumn("role",
+                         F.when(F.col("rn") % 2 == 1, "user")
+                         .otherwise("assistant")))
+    turns.createOrReplaceTempView("chat_turns_v")
+    return spark.sql("""
+        SELECT source,
+               listagg('<|' || role || '|>' || turn_text)
+                   WITHIN GROUP (ORDER BY rn) AS rendered,
+               count(*) AS n_turns,
+               sum(length(turn_text)) AS n_chars_text
+        FROM chat_turns_v GROUP BY source
+    """)

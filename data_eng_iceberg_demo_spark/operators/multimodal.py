@@ -343,3 +343,41 @@ def llm_multimodal_decode_bmp(spark, d):
         decode,
         "doc_id bigint, width int, height int, bpp int, "
         "sum_r bigint, sum_g bigint, sum_b bigint, top_left_b bigint")
+
+
+@register(
+    "llm_multimodal_dedup",
+    oracle="""
+    WITH sigs AS (
+        SELECT doc_id, md5(text) AS payload_sig,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT payload_sig,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(sum(n_bytes) - min(n_bytes) AS BIGINT)
+               AS bytes_reclaimable,
+           count(*) > 1 AS is_dup
+    FROM sigs GROUP BY payload_sig
+    """,
+)
+def llm_multimodal_dedup(spark, d):
+    """Exact dedup over the opaque media column: group by a content
+    digest of the payload BYTES (never the bytes themselves — the
+    shuffle carries 32-hex-char keys, the blobs stay where they were
+    scanned), keep the lowest doc_id as canonical, and report how many
+    bytes deleting the copies reclaims.  This is the media-lake analog
+    of llm_dedup_exact: at 100 TB of images the digest groupBy is the
+    only shuffle, and it moves ~50 bytes per object regardless of object
+    size.  The dedup decision never decodes the payload — byte-identical
+    is the contract (perceptual near-dup is the separate resize/feature
+    path)."""
+    m = _media(spark, d)
+    return (m.groupBy(F.md5("payload").alias("payload_sig"))
+            .agg(F.min("doc_id").cast("bigint").alias("canonical_id"),
+                 F.count("*").cast("bigint").alias("n_copies"),
+                 (F.sum(F.octet_length("payload"))
+                  - F.min(F.octet_length("payload"))).cast("bigint")
+                 .alias("bytes_reclaimable"),
+                 (F.count("*") > 1).alias("is_dup")))
