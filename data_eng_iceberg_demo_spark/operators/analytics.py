@@ -514,8 +514,9 @@ def events_gap_fill(spark, d):
     (users x buckets), the events side is pre-aggregated BEFORE the join,
     and the fill never widens state beyond one value per partition."""
     spine = (spark.range(0, 10).withColumnRenamed("id", "user_id")
-             .crossJoin(
-                 spark.range(0, 180).withColumnRenamed("id", "m"))
+             .select("user_id",
+                     F.explode(F.sequence(F.lit(0), F.lit(179)))
+                     .alias("m"))
              .select("user_id",
                      (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
                       + F.make_interval(mins=F.col("m").cast("int")))
@@ -545,6 +546,7 @@ def events_gap_fill(spark, d):
                    + INTERVAL (CAST(floor(value * 10) AS INTEGER)) SECOND
                    AS e
         FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
     ),
     pts AS (
         SELECT event_type, s AS t, 1 AS delta, event_id FROM sess
@@ -565,16 +567,27 @@ def events_gap_fill(spark, d):
     """,
 )
 def events_max_concurrency(spark, d):
-    """Sweep-line max concurrency: each event opens a session lasting
-    value*10 seconds; +1/-1 boundary points, a running sum per
-    event_type, and the max of that running sum is the peak number of
-    simultaneously open sessions.  Ends sort before starts at the same
-    instant (delta ASC — half-open intervals), and the peak is invariant
-    to ordering within ties, so the hash is stable.  The classic
-    alternative — joining every session against every overlapping
-    session — is O(n x overlap); this is one union + one window pass,
-    partitioned by the series key."""
+    """Sweep-line max concurrency, chunked two-pass form: each event
+    opens a session lasting value*10 seconds; +1/-1 boundary points,
+    and the max of the running delta sum per event_type is the peak
+    number of simultaneously open sessions.  NULL ts/value rows are
+    filtered explicitly on BOTH sides — Spark windows order NULLS FIRST
+    while DuckDB orders NULLS LAST, so an unguarded NULL boundary point
+    diverges the two sweeps (r9 verdict finding #1).
+
+    Scale design: a single running sum partitioned only by event_type
+    is one sequential task per series (~5 tasks over 100 TB).  Instead
+    the sweep runs in two passes: (1) within each (event_type,
+    minute-chunk) a parallel running sum + chunk max + chunk delta
+    total; (2) a prefix sum of chunk totals over the TINY chunk-level
+    relation (#types x #minutes rows) gives the live count entering
+    each chunk, and max(entering + within-chunk max) is exactly the
+    global sweep max because the chunk key floor(epoch/60) is monotone
+    in t and within-chunk order matches the global (t, delta, event_id)
+    order.  Ends sort before starts at the same instant (delta ASC —
+    half-open intervals)."""
     sess = (T(spark, d, "events")
+            .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
             .select("event_id", "event_type",
                     F.date_trunc("second", "ts").alias("s"),
                     (F.date_trunc("second", "ts")
@@ -584,10 +597,21 @@ def events_max_concurrency(spark, d):
     pts = (sess.select("event_type", F.col("s").alias("t"),
                        F.lit(1).alias("delta"), "event_id")
            .unionAll(sess.select("event_type", F.col("e").alias("t"),
-                                 F.lit(-1).alias("delta"), "event_id")))
-    w = (Window.partitionBy("event_type")
-         .orderBy("t", "delta", "event_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (pts.withColumn("live", F.sum("delta").over(w))
+                                 F.lit(-1).alias("delta"), "event_id"))
+           .withColumn("chunk",
+                       F.floor(F.unix_timestamp("t") / F.lit(60))))
+    w_in = (Window.partitionBy("event_type", "chunk")
+            .orderBy("t", "delta", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    chunks = (pts.withColumn("live_in", F.sum("delta").over(w_in))
+              .groupBy("event_type", "chunk")
+              .agg(F.max("live_in").alias("chunk_max"),
+                   F.sum("delta").alias("chunk_total")))
+    w_base = (Window.partitionBy("event_type").orderBy("chunk")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    return (chunks
+            .withColumn("base", F.coalesce(
+                F.sum("chunk_total").over(w_base), F.lit(0)))
             .groupBy("event_type")
-            .agg(F.max("live").cast("bigint").alias("max_concurrent")))
+            .agg(F.max(F.col("base") + F.col("chunk_max"))
+                 .cast("bigint").alias("max_concurrent")))

@@ -146,6 +146,10 @@ _REVERIFY = {
     # green rows certify the old, vacuous-leaning parameters.
     "set_except": 8, "subquery_scalar": 8, "tpch_q7": 8, "tpch_q8": 8,
     "tpch_q11": 8, "llm_decontaminate": 8,
+    # r10: explicit NULL guards added to query AND oracle after the r9
+    # NULL-ordering divergence finding; the r9 green row certifies the
+    # unguarded oracle.
+    "events_max_concurrency": 10,
 }
 
 # Round-8 target window (VERDICT r7 task 3): every name the driver has
@@ -222,7 +226,15 @@ def _ordered_names() -> list[str]:
     in_window = set(window)
     rest_unsampled = [n for n in REGISTRY
                       if n not in in_window and n not in sampled]
-    done = [n for n in REGISTRY if n not in in_window and n in sampled]
+    # Stalest certificate first: with every name now driver-sampled the
+    # tail IS the window, and registration order would re-sample the
+    # same ~50 names forever.  Ordering by last recorded round (ties by
+    # registration order, which Python's stable sort preserves) makes
+    # the driver's window continuously refresh the oldest green rows —
+    # the whole registry re-certifies in ~5 rounds.
+    done = sorted((n for n in REGISTRY
+                   if n not in in_window and n in sampled),
+                  key=lambda n: last_round.get(n, -1))
     return window + rest_unsampled + done
 
 

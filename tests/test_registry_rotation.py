@@ -99,6 +99,25 @@ def test_current_round8_window_fronts_unsampled_and_reverify():
     assert want == set(head)
 
 
+def test_done_tail_ordered_by_staleness():
+    """With the whole registry driver-sampled, the already-verified tail
+    IS the window — ordering it by last recorded round (oldest first)
+    makes the driver's ~50-name sample continuously refresh the stalest
+    certificates instead of re-recording the same registration-order
+    head forever (r9 judge task 5)."""
+    sampled, reverify = _state()
+    order = registry._ordered_names()
+    _, last_round, _ = registry._correctness_history()
+    done = [n for n in order if n in sampled and n not in reverify]
+    rounds = [last_round.get(n, -1) for n in done]
+    assert rounds == sorted(rounds), (
+        "driver-verified tail must be sorted stalest-first")
+    # and with r3-era records on disk, the tail's head must actually be
+    # older than its end (guards against a constant-key degenerate sort)
+    if done and len(set(rounds)) > 1:
+        assert rounds[0] < rounds[-1]
+
+
 def test_oracle_map_is_a_subset_with_identical_order_policy():
     q = registry.query_map()
     o = registry.oracle_map()
