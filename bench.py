@@ -39,13 +39,22 @@ import sys
 import time
 
 
-def host_effective_cores(n: int = 32) -> float:
+def host_effective_cores(n: int = 32) -> tuple[float, float]:
     """Measure how many cores this box ACTUALLY delivers right now: n
-    single-threaded numpy matmul units in parallel vs one serially.
-    This suite runs on a shared host whose capacity swings (observed
-    ~15-32 effective cores across one session, uniformly scaling every
-    per-query time by up to ~1.8x) — recording it with each run lets a
-    reader separate host noise from code regressions."""
+    single-threaded numpy units in parallel vs one serially.  This
+    suite runs on a shared host whose capacity swings (observed ~7-32
+    effective cores across sessions, uniformly scaling every per-query
+    time) — recording it with each run lets a reader separate host
+    noise from code regressions.
+
+    Returns ``(effective_cores, calibration_sec)``.  calibration_sec is
+    the serial wall time of ONE fixed probe unit — an absolute
+    per-core-speed yardstick (r9 verdict task 7): the parallelism ratio
+    alone cannot distinguish "fewer cores delivered" from "every core
+    slower" (r9 recorded HIGHER cores than r8 yet a uniformly 1.12x
+    slower suite).  A drifted calibration_sec with a steady cores
+    figure means per-core throughput moved; both steady means a code
+    regression is real."""
     try:
         from concurrent.futures import ProcessPoolExecutor
 
@@ -57,9 +66,9 @@ def host_effective_cores(n: int = 32) -> float:
         t0 = time.time()
         with ProcessPoolExecutor(n) as ex:
             list(ex.map(_probe_unit, range(n)))
-        return round(n * base / (time.time() - t0), 1)
+        return round(n * base / (time.time() - t0), 1), round(base, 4)
     except Exception:
-        return -1.0
+        return -1.0, -1.0
 
 
 def _probe_unit(_):
@@ -250,7 +259,7 @@ def main() -> None:
             baseline = json.load(f)["queries"]
     except OSError:
         baseline = {}
-    cores_now = host_effective_cores()
+    cores_now, calib_sec = host_effective_cores()
     def flagged():
         return regression_flags(times, baseline, cores_now)
     for _retry in range(2):
@@ -279,6 +288,7 @@ def main() -> None:
         "n_queries": len(times),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
         "host_effective_cores": cores_now,
+        "calibration_sec": calib_sec,
         "warmup": "per-query untimed pass at sf0.001 adjacent to each timed run",
         "skew_demo": demo,
     }
@@ -297,6 +307,7 @@ def main() -> None:
         "queries": {**headline, **slowest},
         "regressions_vs_r01": regressions,
         "host_effective_cores": full["host_effective_cores"],
+        "calibration_sec": calib_sec,
         "skew_demo": demo,
         "queries_file": "BENCH_LOCAL.json",
         "sf": sf,

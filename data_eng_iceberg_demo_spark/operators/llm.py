@@ -3138,23 +3138,38 @@ def llm_pmi_collocations(spark, d):
     FROM keyed
     """,
 )
-def llm_global_shuffle(spark, d):
+def llm_global_shuffle(spark, d, n_shards: int = 8):
     """Deterministic global shuffle for training order: every document
     gets a content-independent pseudo-random key md5(id:salt), is routed
-    to one of 8 shards by the key's first hex char, and receives its
-    within-shard position.  Changing the salt ('epoch0') re-deals the
-    entire order — the standard epoch-reshuffle trick — while identical
-    inputs always produce the identical order (no rand(), so retries and
-    stragglers are safe).  At 100 TB this is exactly a hash repartition
-    (shard) + per-partition sort (key): one shuffle, no global ordering
-    bottleneck, and shard files stream out in parallel.  md5, not
-    xxhash64: the key must be engine-reproducible, and md5 is the
-    byte-stable hash both engines share (registry discipline §5.3)."""
+    to one of n_shards shards by the key's first hex char, and receives
+    its within-shard position.  Changing the salt ('epoch0') re-deals
+    the entire order — the standard epoch-reshuffle trick — while
+    identical inputs always produce the identical order (no rand(), so
+    retries and stragglers are safe).
+
+    n_shards is a PARAMETER sized to the cluster (r9 verdict: a literal
+    8 means 8 sequential rank tasks over corpus/8 each at 100 TB) — in
+    production set it to ~2-4x the executor-core count so every core
+    ranks a bounded slice; the registered query pins 8 only because the
+    oracle SQL must encode the same constant.  The plan is exactly one
+    hash exchange (shard) + per-partition sort+rank: no global ordering
+    bottleneck at any shard count, and shard files stream out in
+    parallel.  md5, not xxhash64: the key must be engine-reproducible,
+    and md5 is the byte-stable hash both engines share (registry
+    discipline §5.3)."""
     keyed = T(spark, d, "documents").select(
         "doc_id",
         F.md5(F.concat(F.col("doc_id").cast("string"),
                        F.lit(":epoch0"))).alias("shuffle_key"))
-    shard = (F.ascii(F.substring("shuffle_key", 1, 1)) % 8)
+    if n_shards == 8:
+        # oracle-pinned form: the registered query's DuckDB SQL encodes
+        # this exact expression, so the default must not drift
+        shard = (F.ascii(F.substring("shuffle_key", 1, 1)) % 8)
+    else:
+        # scale path: one hex char carries only 16 values — a 1000-core
+        # cluster needs more shard entropy, so take 32 bits of the key
+        shard = (F.conv(F.substring("shuffle_key", 1, 8), 16, 10)
+                 .cast("bigint") % n_shards)
     w = Window.partitionBy(shard).orderBy("shuffle_key", "doc_id")
     return keyed.select(
         "doc_id", "shuffle_key",

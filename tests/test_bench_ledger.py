@@ -42,6 +42,38 @@ def test_flag_hygiene():
     assert regression_flags({"q": 2.5}, baseline, 9.0) == ["q"]
 
 
+def test_cores_probe_returns_calibration_yardstick():
+    """host_effective_cores must report BOTH the parallelism ratio and
+    the serial fixed-work calibration time (r9 verdict task 7): the
+    ratio alone can't distinguish 'fewer cores delivered' from 'every
+    core slower' — r9 read MORE cores than r8 yet ran uniformly 1.12x
+    slower.  The probe is real work (~0.5 s serial), so this is the one
+    slow test in the file."""
+    from bench import host_effective_cores
+
+    cores, calib = host_effective_cores(n=2)
+    assert cores > 0.5, cores
+    assert 0.001 < calib < 30.0, calib
+
+
+def test_baseline_ledger_covers_every_registered_name():
+    """BASELINE_QUERIES.json must hold an entry for every registered
+    query — a missing name means regressions_vs_r01 silently cannot
+    flag it (the r8 discipline; re-broken by the 8 r9 additions and
+    re-pinned here so it cannot regress silently again)."""
+    import json
+    import os
+
+    from data_eng_iceberg_demo_spark.plans import registry
+
+    registry._load_all_modules()
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "BASELINE_QUERIES.json")) as f:
+        baseline = json.load(f)["queries"]
+    missing = sorted(set(registry.REGISTRY) - set(baseline))
+    assert not missing, f"names without a baseline entry: {missing}"
+
+
 def test_bad_baseline_cores_sentinel_falls_back_to_raw():
     """A baseline entry that recorded the cores-probe failure sentinel
     (-1.0) must not flip the normalized time negative and permanently

@@ -687,6 +687,36 @@ def test_stratified_sample_pushes_group_limit_below_sort(spark, sf_dir):
     assert node_count(p, "Exchange") == 1
 
 
+def test_chat_template_pushes_turn_cap_below_shuffle(spark, sf_dir):
+    """The rn <= 6 turn cap must plan as WindowGroupLimit (Partial
+    before the source shuffle, Final after), so reducers receive at
+    most 6 turns per conversation — without it the query is a
+    per-source full sort of the corpus at 100 TB (r9 verdict)."""
+    p = plan_of(spark, sf_dir, "llm_chat_template")
+    assert node_count(p, "WindowGroupLimit") == 2
+    assert node_count(p, "Exchange") == 1
+
+
+def test_global_shuffle_one_exchange_and_param_shards(spark, sf_dir):
+    """llm_global_shuffle must stay one hash exchange + per-shard rank
+    (no global sort), and the shard count must be a real parameter: at
+    n_shards=200 the 32-bit-prefix derivation actually spreads docs
+    over ~200 shards (the single-hex-char form would silently cap at
+    16 — the r9 scale-weakness)."""
+    from pyspark.sql import functions as F
+
+    from data_eng_iceberg_demo_spark.operators.llm import llm_global_shuffle
+
+    p = plan_of(spark, sf_dir, "llm_global_shuffle")
+    assert node_count(p, "Exchange") == 1
+    wide = llm_global_shuffle(spark, sf_dir, n_shards=200)
+    stats = wide.agg(F.countDistinct("shard").alias("n"),
+                     F.count("*").alias("rows")).collect()[0]
+    assert stats["n"] > 150, stats
+    base = llm_global_shuffle(spark, sf_dir)
+    assert stats["rows"] == base.count()
+
+
 def test_vocab_coverage_broadcasts_vocab_not_corpus(spark, sf_dir):
     """Pass 2's membership join must broadcast the O(V) vocabulary —
     never shuffle the exploded corpus tokens against it."""
