@@ -3066,6 +3066,97 @@ def llm_bpe_train_merges(spark, d):
         if out else spark.createDataFrame([], "round int, pair string, cnt long")
 
 
+def _bpe_encode_oracle() -> str:
+    """The training unroll (see _bpe_oracle) EXTENDED by one apply:
+    every round's argmax merge is applied — including the last — and
+    the final SELECT emits per-doc stats of the merged token stream.
+    Each replace is guarded with CASE WHEN ... IS NULL so a corpus with
+    no adjacent pairs degrades to the unmerged tokenization exactly
+    like the Spark loop's early break (replace(s, NULL, ..) would
+    otherwise NULL the document)."""
+    sql = ["WITH s0 AS (SELECT doc_id, ' ' || text || ' ' AS s "
+           "FROM documents WHERE text IS NOT NULL)"]
+    for r in range(1, _BPE_ROUNDS + 1):
+        sql.append(f"""
+    , p{r} AS (
+        SELECT w[i] || ' ' || w[i+1] AS pair, count(*) AS cnt
+        FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS w
+              FROM s{r-1}),
+             unnest(generate_series(1, len(w) - 1)) AS t(i)
+        GROUP BY pair
+    ), b{r} AS (SELECT pair, cnt FROM p{r}
+                ORDER BY cnt DESC, pair ASC LIMIT 1)
+    , s{r} AS (
+        SELECT doc_id,
+               CASE WHEN (SELECT pair FROM b{r}) IS NULL THEN s
+                    ELSE replace(s, ' ' || (SELECT pair FROM b{r}) || ' ',
+                                 ' ' || replace((SELECT pair FROM b{r}),
+                                                ' ', chr(31)) || ' ')
+               END AS s
+        FROM s{r-1}
+    )""")
+    sql.append(f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> contains(x, chr(31))))
+                AS BIGINT) AS n_merged,
+           CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+                AS BIGINT) AS n_chars
+    FROM (SELECT doc_id,
+                 list_filter(string_split(s, ' '), x -> x <> '') AS toks
+          FROM s{_BPE_ROUNDS})""")
+    return "".join(sql)
+
+
+@register("llm_bpe_encode", oracle=_bpe_encode_oracle())
+def llm_bpe_encode(spark, d):
+    """BPE ENCODE — the third step of the tokenizer story
+    (llm_bpe_pair_counts -> llm_bpe_train_merges -> here): the trained
+    merge list is applied to every document and the query emits the
+    per-doc token-budget columns downstream mixture/packing queries
+    consume — post-merge token count, how many tokens are merged pairs,
+    and total token characters.  The merge list is re-derived with the
+    training loop (one bounded argmax row per round — the O(1)-driver
+    discipline) so the query is self-contained and exactly
+    oracle-checkable; a production pipeline would instead broadcast a
+    pretrained merge table and run ONLY the apply passes.  Applying a
+    merge is a codegen string replace whose left-to-right
+    non-overlapping semantics Spark and DuckDB share, and the per-doc
+    stats are narrow map-side expressions: at 100 TB encode is
+    _BPE_ROUNDS map passes over the corpus plus the training loop's
+    pair-count shuffles, with nothing corpus-sized ever crossing to the
+    driver."""
+    docs = (T(spark, d, "documents").filter(F.col("text").isNotNull())
+            .select("doc_id", F.concat(F.lit(" "), F.col("text"),
+                                       F.lit(" ")).alias("s")))
+    cur = docs
+    for _r in range(1, _BPE_ROUNDS + 1):
+        toks = F.filter(F.split("s", " "), lambda x: x != "")
+        pairs = cur.select(F.explode(F.zip_with(
+            toks, F.slice(toks, 2, F.size(toks)),
+            lambda a, b: F.concat_ws(" ", a, b))).alias("pair"))
+        pc = (pairs.filter(~F.col("pair").endswith(" ") &
+                           F.col("pair").contains(" "))
+              .groupBy("pair").agg(F.count("*").alias("cnt")))
+        top = (pc.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+               .limit(1).collect())  # one bounded row per round
+        if not top:  # no adjacent pairs anywhere: emit unmerged stats
+            break
+        best = top[0]
+        cur = cur.withColumn("s", F.replace(
+            "s", F.lit(f" {best.pair} "),
+            F.lit(f" {best.pair.replace(' ', _BPE_SEP)} ")))
+    out_toks = F.filter(F.split("s", " "), lambda x: x != "")
+    return cur.select(
+        "doc_id",
+        F.size(out_toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(out_toks, lambda x: x.contains(_BPE_SEP)))
+        .cast("bigint").alias("n_merged"),
+        F.aggregate(F.transform(out_toks, lambda x: F.length(x)),
+                    F.lit(0).cast("bigint"), lambda a, x: a + x)
+        .cast("bigint").alias("n_chars"))
+
+
 @register(
     "llm_pmi_collocations",
     oracle="""
