@@ -413,18 +413,34 @@ def make_source():
             self.path = options["path"]
             self.schema_json, self.codec, _sync, _ = read_header(self.path)
             self.blocks = block_index(self.path)
+            self._size = os.path.getsize(self.path)
 
         def initialOffset(self):
             return {"b": 0}
 
+        def _refresh(self):
+            """Re-skim the block index ONLY when the file grew (r9
+            advice: the caught-up steady state otherwise pays an
+            O(#blocks) header walk on every trigger), and treat a
+            parse failure as 'no new data': racing a writer mid-append
+            exposes a half-flushed tail block whose truncated varints
+            raise ValueError — the next trigger sees it completed.
+            The stale snapshot stays valid either way because blocks
+            are append-only."""
+            try:
+                size = os.path.getsize(self.path)
+                if size != self._size:
+                    self.blocks = block_index(self.path)
+                    self._size = size
+            except (OSError, ValueError):
+                pass
+
         def read(self, start):
             b = int(start["b"])
             if b >= len(self.blocks):
-                # The init-time snapshot is stale once a writer appends:
-                # re-skim the block index (O(#blocks) header walk, no
-                # payload decode) so a growing container is actually
-                # followed instead of frozen at stream start (r8 advice).
-                self.blocks = block_index(self.path)
+                # The init-time snapshot is stale once a writer
+                # appends: follow the growing container (r8 advice)
+                self._refresh()
             if b >= len(self.blocks):
                 return iter([]), start
             rows = read_block(self.path, self.blocks[b][0],
@@ -433,7 +449,7 @@ def make_source():
 
         def readBetweenOffsets(self, start, end):
             if int(end["b"]) > len(self.blocks):
-                self.blocks = block_index(self.path)
+                self._refresh()
             out = []
             for b in range(int(start["b"]), int(end["b"])):
                 out += read_block(self.path, self.blocks[b][0],

@@ -1318,15 +1318,27 @@ class IceliteTable:
         if check_cardinality:
             dup = (source.select(F.col(key).alias("__k"))
                    .filter(F.col("__k").isNotNull())
-                   .groupBy("__k").count().filter(F.col("count") > 1))
-            if dup.limit(1).collect():
-                hit = (dup.join(self.read().select(F.col(key).alias("__k")),
-                                "__k", "left_semi").limit(1).collect())
-                if hit:
-                    raise ValueError(
-                        f"MERGE source has multiple rows for matched key "
-                        f"{hit[0]['__k']!r} "
-                        f"(ANSI MERGE cardinality violation)")
+                   .groupBy("__k").count().filter(F.col("count") > 1)
+                   .persist())
+            try:
+                # count() FORCES full materialization so the semi-join
+                # below reads the same snapshot as this emptiness check
+                # — for a non-deterministic source, two independent
+                # evaluations could disagree and silently skip the ANSI
+                # violation, and the error path paid the source
+                # aggregate twice (r9 advice).  The happy (no-dup) path
+                # still never touches the target.
+                if dup.count():
+                    hit = (dup.join(
+                        self.read().select(F.col(key).alias("__k")),
+                        "__k", "left_semi").limit(1).collect())
+                    if hit:
+                        raise ValueError(
+                            f"MERGE source has multiple rows for "
+                            f"matched key {hit[0]['__k']!r} "
+                            f"(ANSI MERGE cardinality violation)")
+            finally:
+                dup.unpersist()
         if mode in ("merge-on-read", "mor"):
             return self._merge_into_mor(source, key, update_cols,
                                         not_matched_by_source)

@@ -214,3 +214,60 @@ def test_stream_reader_follows_growing_container(tmp_path):
     # readBetweenOffsets replay across the re-skimmed range
     replay = list(reader.readBetweenOffsets({"b": 0}, {"b": 3}))
     assert replay == grown
+
+
+def test_stream_caught_up_poll_skips_reskim(tmp_path, monkeypatch):
+    """Steady-state caught-up polls must NOT pay the O(#blocks) header
+    re-skim (r9 advice): with the file size unchanged, block_index is
+    never called again; once the file grows it is called exactly
+    once."""
+    from data_eng_iceberg_demo_spark.sources import avro_py
+
+    p = str(tmp_path / "poll.avro")
+    first = [(1, "a", 1.0, True)]
+    write_avro(p, first, SCHEMA, codec="null", block_rows=1)
+    reader = avro_py.make_source()({"path": p}).simpleStreamReader(None)
+    rows, off = reader.read(reader.initialOffset())
+    assert list(rows) == first
+    calls = []
+    real = avro_py.block_index
+    monkeypatch.setattr(avro_py, "block_index",
+                        lambda path: calls.append(path) or real(path))
+    for _ in range(5):  # caught up, size unchanged: no index walk
+        rows, off = reader.read(off)
+        assert list(rows) == []
+    assert calls == []
+    write_avro(p, first + [(2, "b", None, False)], SCHEMA,
+               codec="null", block_rows=1)
+    rows, off = reader.read(off)
+    assert list(rows) == [(2, "b", None, False)] and len(calls) == 1
+
+
+def test_stream_half_flushed_tail_reads_as_no_new_data(tmp_path):
+    """Racing a writer mid-append leaves a truncated tail block whose
+    varints fail to parse; the poll must report 'no new data' on the
+    existing snapshot instead of failing the stream, then deliver the
+    block once the writer completes it (r9 advice)."""
+    p = str(tmp_path / "race.avro")
+    first = [(1, "a", 1.0, True)]
+    write_avro(p, first, SCHEMA, codec="null", block_rows=1)
+    reader = make_source_reader(p)
+    rows, off = reader.read(reader.initialOffset())
+    assert list(rows) == first and off == {"b": 1}
+    # a half-flushed tail: size grows but the appended bytes are not a
+    # complete block — the re-skim's varint parse raises internally
+    with open(p, "ab") as f:
+        f.write(b"\xff" * 7)
+    rows, off2 = reader.read(off)
+    assert list(rows) == [] and off2 == off
+    # writer completes: rewrite the container with the full second block
+    write_avro(p, first + [(2, "b", 2.0, False)], SCHEMA,
+               codec="null", block_rows=1)
+    rows, off3 = reader.read(off2)
+    assert list(rows) == [(2, "b", 2.0, False)] and off3 == {"b": 2}
+
+
+def make_source_reader(path):
+    from data_eng_iceberg_demo_spark.sources.avro_py import make_source
+
+    return make_source()({"path": path}).simpleStreamReader(None)
