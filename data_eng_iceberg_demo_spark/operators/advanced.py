@@ -860,3 +860,62 @@ def dq_freshness(spark, d):
                     F.floor(behind).cast("bigint").alias("minutes_behind"),
                     (F.floor(behind) <= 60).alias("fresh"),
                     "n_events"))
+
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority")
+
+
+@register(
+    "dq_profile_columns",
+    oracle="""
+    WITH m AS (
+        SELECT count(*) AS n,
+    """ + ",\n".join(
+        f"count({c}) AS nn_{c}, count(DISTINCT {c}) AS d_{c}"
+        for c in _PROFILE_COLS) + """
+        FROM orders
+    )
+    """ + "\nUNION ALL ".join(
+        f"""SELECT '{c}' AS column_name, CAST(n AS BIGINT) AS n_rows,
+           CAST(n - nn_{c} AS BIGINT) AS n_nulls,
+           CAST(d_{c} AS BIGINT) AS n_distinct,
+           CASE WHEN n = 0 THEN 1.0
+                ELSE round(CAST(nn_{c} AS DOUBLE) / n, 6)
+           END AS fill_ratio FROM m"""
+        for c in _PROFILE_COLS),
+)
+def dq_profile_columns(spark, d):
+    """Whole-table column profile — the first pass any data-quality or
+    schema-inference tool runs: for EVERY column of orders, row count,
+    null count, exact distinct count, and fill ratio, unpivoted to one
+    row per column.  The companion to dq_constraint_check (which
+    asserts specific constraints); this emits the raw per-column
+    statistics a rule engine derives constraints FROM.
+
+    Scale notes: all 6 exact countDistincts run in ONE aggregate pass —
+    Catalyst plans them via Expand (each input row fans to one row per
+    distinct-aggregate before the shuffle), so the shuffle carries
+    ~k x rows of (column, value) pairs; at 100 TB the standard swap is
+    approx_count_distinct (no Expand, one HLL sketch per column,
+    single pass) — exact is used here because the hash oracle needs
+    bit-equal counts.  The unpivot is a stack() over the single
+    aggregate row: pure metadata."""
+    cols = list(_PROFILE_COLS)
+    m = T(spark, d, "orders").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"d_{c}") for c in cols])
+    stacked = m.select(
+        "n",
+        F.expr("stack(" + str(len(cols)) + ", " + ", ".join(
+            f"'{c}', nn_{c}, d_{c}" for c in cols)
+            + ") AS (column_name, nn, n_distinct)"))
+    return stacked.select(
+        "column_name",
+        F.col("n").cast("bigint").alias("n_rows"),
+        (F.col("n") - F.col("nn")).cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.when(F.col("n") == 0, F.lit(1.0))
+        .otherwise(F.round(F.col("nn").cast("double") / F.col("n"), 6))
+        .alias("fill_ratio"))

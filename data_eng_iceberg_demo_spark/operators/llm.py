@@ -2988,6 +2988,78 @@ def llm_embedding_power_iteration(spark, d):
                     F.col("u").cast("bigint").alias("u"))
 
 
+@register(
+    "llm_semantic_cluster_assign",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 64)
+                                        AS BIGINT)) AS q
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), c AS (
+        SELECT vec_id AS cid, q AS cq FROM q ORDER BY vec_id LIMIT 4
+    ), d AS (
+        SELECT q.vec_id, c.cid,
+               list_sum(list_transform(generate_series(1, 64),
+                        i -> (q.q[i] - c.cq[i]) * (q.q[i] - c.cq[i])))
+                   AS dist2
+        FROM q CROSS JOIN c
+    ), r AS (
+        SELECT vec_id, cid, dist2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cid) AS rn
+        FROM d
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+           CAST(dist2 AS BIGINT) AS dist2
+    FROM r WHERE rn = 1
+    """,
+)
+def llm_semantic_cluster_assign(spark, d):
+    """Nearest-centroid assignment — the partition step of semantic
+    dedup / clustered corpus curation (SemDeDup-style): every vector
+    is assigned to the closest of k fixed centroids by squared L2
+    distance, ties to the lowest centroid id.  Centroids here are the
+    k=4 lowest-vec_id vectors (deterministic; a production run would
+    broadcast k-means centroids from a sample) collected as ONE
+    bounded driver round of k rows — the dedup_clusters O(1)-driver
+    discipline.
+
+    Scale shape: the centroids become literal expressions, so the
+    entire assignment is one map-side projection with ZERO exchanges
+    (plan-pinned) — array_min over k (dist2, cid) structs picks the
+    argmin per row without the k-times row multiplication a
+    cross-join+window formulation would shuffle.  Arithmetic is
+    INTEGER-EXACT (the power-iteration discipline): vectors quantize
+    to floor(64·x), diffs are |.|<=2^14 and dist2 <= 64·2^14 — far
+    inside int64 — so the hash carries no float-reassociation risk."""
+    emb = (T(spark, d, "embeddings").filter(F.col("embedding").isNotNull())
+           .select("vec_id", F.transform(
+               "embedding",
+               lambda x: F.floor(x.cast("double") * 64).cast("bigint"))
+               .alias("q")))
+    cents = emb.orderBy("vec_id").limit(4).collect()  # k bounded rows
+    if not cents:
+        return emb.select("vec_id",
+                          F.lit(None).cast("bigint").alias("cluster"),
+                          F.lit(None).cast("bigint").alias("dist2"))
+    options = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with("q",
+                           F.array(*[F.lit(int(v)) for v in c["q"]]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x).alias("dist2"),
+            F.lit(int(c["vec_id"])).cast("bigint").alias("cid"))
+        for c in cents])
+    pick = F.array_min(options)
+    return emb.select("vec_id",
+                      pick["cid"].alias("cluster"),
+                      pick["dist2"].cast("bigint").alias("dist2"))
+
+
 _BPE_SEP = "\x1f"  # joins merged tokens; unit separator, never in fixture text
 _BPE_ROUNDS = 3
 

@@ -717,6 +717,27 @@ def test_global_shuffle_one_exchange_and_param_shards(spark, sf_dir):
     assert stats["rows"] == base.count()
 
 
+def test_cluster_assign_is_one_map_pass(spark, sf_dir):
+    """Nearest-centroid assignment must compile to scan+project with
+    the centroids inlined as literals — ZERO exchanges: the
+    cross-join+window formulation would shuffle k x corpus rows."""
+    p = plan_of(spark, sf_dir, "llm_semantic_cluster_assign")
+    assert "Exchange" not in p, p
+    assert node_count(p, "Scan parquet") == 1
+
+
+def test_profile_columns_single_aggregate_pass(spark, sf_dir):
+    """The whole-table profile computes all 6 exact countDistincts in
+    ONE aggregate pass over ONE scan — never one job per column.  The
+    canonical multi-distinct plan is Expand fan-out -> keyed
+    partial-dedup exchange -> single-partition final exchange: exactly
+    2 exchanges regardless of column count."""
+    p = plan_of(spark, sf_dir, "dq_profile_columns")
+    assert node_count(p, "Expand") >= 1
+    assert node_count(p, "Exchange") == 2
+    assert node_count(p, "Scan parquet") == 1
+
+
 def test_vocab_coverage_broadcasts_vocab_not_corpus(spark, sf_dir):
     """Pass 2's membership join must broadcast the O(V) vocabulary —
     never shuffle the exploded corpus tokens against it."""
