@@ -2989,6 +2989,76 @@ def llm_embedding_power_iteration(spark, d):
 
 
 @register(
+    "llm_source_overlap_matrix",
+    oracle="""
+    WITH w AS (
+        SELECT source, list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS w
+        FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+        SELECT DISTINCT source, md5(array_to_string(w[i:i+4], ' ')) AS h
+        FROM w, unnest(generate_series(1, len(w) - 4)) AS t(i)
+        WHERE len(w) >= 5
+    ), sz AS (
+        SELECT source, count(*) AS n_sh FROM sh GROUP BY source
+    ), pr AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               count(*) AS n_shared
+        FROM sh a JOIN sh b USING (h)
+        WHERE a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(round(CAST(n_shared AS DOUBLE)
+                      / least(sa.n_sh, sb.n_sh) * 1000000) AS BIGINT)
+               AS containment_fp6
+    FROM pr JOIN sz sa ON sa.source = src_a
+            JOIN sz sb ON sb.source = src_b
+    """,
+)
+def llm_source_overlap_matrix(spark, d):
+    """Pairwise source-overlap matrix — the corpus-level
+    generalization of llm_decontaminate's train-vs-eval check: for
+    every pair of sources, how many distinct word 5-gram shingles they
+    share and the containment ratio (shared / smaller side) — the
+    diagnostic that decides which crawls duplicate which before
+    mixture weighting.  The join key is the shingle digest, so sources
+    sharing NO text never meet: per-hash fan-out is bounded by the
+    source count (<= #sources rows per digest), never all-pairs of
+    docs — the same banded shape as the MinHash-LSH family.  Shuffles
+    carry 32-char digests, not text (dedup discipline); containment is
+    one exact integer ratio rounded to fixed-point ppm so both engines
+    feed round() the identical double."""
+    K = 5
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    sh = (T(spark, d, "documents").filter(F.col("text").isNotNull())
+          .select("source", toks.alias("w"))
+          .filter(F.size("w") >= K)
+          .select("source", F.explode(F.transform(
+              F.sequence(F.lit(1), F.size("w") - (K - 1)),
+              lambda i: F.md5(F.concat_ws(
+                  " ", F.slice("w", i, K))))).alias("h"))
+          .distinct())
+    sz = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pr = (a.join(b, "h")
+          .filter(F.col("a.source") < F.col("b.source"))
+          .groupBy(F.col("a.source").alias("src_a"),
+                   F.col("b.source").alias("src_b"))
+          .agg(F.count("*").alias("n_shared")))
+    sa = sz.select(F.col("source").alias("src_a"),
+                   F.col("n_sh").alias("n_a"))
+    sb = sz.select(F.col("source").alias("src_b"),
+                   F.col("n_sh").alias("n_b"))
+    return (pr.join(F.broadcast(sa), "src_a").join(F.broadcast(sb), "src_b")
+            .select("src_a", "src_b",
+                    F.col("n_shared").cast("bigint").alias("n_shared"),
+                    F.round(F.col("n_shared").cast("double")
+                            / F.least("n_a", "n_b") * 1e6)
+                    .cast("bigint").alias("containment_fp6")))
+
+
+@register(
     "llm_semantic_cluster_assign",
     oracle="""
     WITH q AS (

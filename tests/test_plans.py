@@ -298,6 +298,10 @@ _BROADCAST_HINT_OK = {
     ("llm_decontaminate", "documents"):
         "eval side is pinned to 10 benchmark docs by construction; its "
         "distinct 8-grams are the classic decontamination broadcast set",
+    ("llm_source_overlap_matrix", "documents"):
+        "both hinted subtrees are groupBy(source) shingle counts: "
+        "output is bounded by the number of corpus FEEDS (the "
+        "events_anomaly closed-enum class), not document rows",
 }
 
 
