@@ -862,6 +862,81 @@ def dq_freshness(spark, d):
                     "n_events"))
 
 
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    WITH o AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN o_custkey IS NOT NULL
+                         AND c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                   AS orphans
+        FROM orders LEFT JOIN customer c ON o_custkey = c.c_custkey
+    ), l AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN l_orderkey IS NOT NULL
+                         AND k.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                   AS orphans
+        FROM lineitem LEFT JOIN orders k ON l_orderkey = k.o_orderkey
+    )
+    SELECT 'orders.o_custkey -> customer.c_custkey' AS relation,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(coalesce(orphans, 0) AS BIGINT) AS n_orphans,
+           CASE WHEN n = 0 THEN 1.0
+                ELSE round(1.0 - CAST(coalesce(orphans, 0) AS DOUBLE) / n,
+                           6)
+           END AS integrity_ratio
+    FROM o
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders.o_orderkey',
+           CAST(n AS BIGINT), CAST(coalesce(orphans, 0) AS BIGINT),
+           CASE WHEN n = 0 THEN 1.0
+                ELSE round(1.0 - CAST(coalesce(orphans, 0) AS DOUBLE) / n,
+                           6)
+           END
+    FROM l
+    """,
+)
+def dq_referential_integrity(spark, d):
+    """Referential-integrity audit — per foreign-key relation, how many
+    child rows point at a parent that does not exist (the classic
+    join-explosion / silent-row-loss precondition every warehouse DQ
+    gate checks first).  NULL FKs are not orphans (SQL FK semantics).
+
+    Scale shape: each relation is ONE left join + scalar aggregate.
+    The orders->customer probe joins against the customer DIM (Catalyst
+    broadcasts it under the threshold); lineitem->orders is fact-fact,
+    where at 100 TB the join shuffles on the key both tables should
+    already be bucketed by (SURVEY §8's layout discipline) — and the
+    count-only aggregate means the join never materializes payload
+    columns: column pruning reduces both sides to the key."""
+    o = T(spark, d, "orders").select("o_custkey")
+    c = T(spark, d, "customer").select("c_custkey")
+    li = T(spark, d, "lineitem").select("l_orderkey")
+    ok = T(spark, d, "orders").select("o_orderkey")
+
+    def audit(child, fk, parent, pk, label):
+        j = child.join(parent, F.col(fk) == F.col(pk), "left")
+        m = j.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col(fk).isNotNull() & F.col(pk).isNull(), 1)
+                  .otherwise(0)).alias("orphans"))
+        return m.select(
+            F.lit(label).alias("relation"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.coalesce(F.col("orphans"), F.lit(0)).cast("bigint")
+            .alias("n_orphans"),
+            F.when(F.col("n") == 0, F.lit(1.0))
+            .otherwise(F.round(
+                1.0 - F.coalesce(F.col("orphans"), F.lit(0))
+                .cast("double") / F.col("n"), 6))
+            .alias("integrity_ratio"))
+
+    return (audit(o, "o_custkey", c, "c_custkey",
+                  "orders.o_custkey -> customer.c_custkey")
+            .unionAll(audit(li, "l_orderkey", ok, "o_orderkey",
+                            "lineitem.l_orderkey -> orders.o_orderkey")))
+
+
 _PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
                  "o_totalprice", "o_orderdate", "o_orderpriority")
 

@@ -2989,6 +2989,67 @@ def llm_embedding_power_iteration(spark, d):
 
 
 @register(
+    "llm_ngram_novelty",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS w
+        FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(w[i:i+4], ' ')) AS h
+        FROM w, unnest(generate_series(1, len(w) - 4)) AS t(i)
+        WHERE len(w) >= 5
+    ), fst AS (
+        SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(round(CAST(sum(CASE WHEN first_doc = doc_id
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*) * 1000000) AS BIGINT) AS novelty_fp6
+    FROM sh JOIN fst USING (h)
+    GROUP BY doc_id
+    """,
+)
+def llm_ngram_novelty(spark, d):
+    """Per-document n-gram novelty — for each doc, the fraction of its
+    distinct word 5-grams whose FIRST corpus occurrence (min doc_id) is
+    this doc: the cheap memorization/duplication diagnostic behind
+    'how much of this shard is new text' curves, and the attribution
+    rule ('earliest occurrence owns the n-gram') used by
+    copy-detection pipelines.
+
+    Scale shape: shingles travel as md5 digests, never text (dedup
+    discipline); first-occurrence is ONE groupBy(h) min — the same
+    digest-keyed shuffle the distinct already produced, so AQE reuses
+    the partitioning — and the join back on h is co-partitioned.  The
+    novelty ratio is one exact integer ratio rounded to fixed-point
+    ppm, so both engines feed round() the identical double."""
+    K = 5
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    sh = (T(spark, d, "documents").filter(F.col("text").isNotNull())
+          .select("doc_id", toks.alias("w"))
+          .filter(F.size("w") >= K)
+          .select("doc_id", F.explode(F.transform(
+              F.sequence(F.lit(1), F.size("w") - (K - 1)),
+              lambda i: F.md5(F.concat_ws(
+                  " ", F.slice("w", i, K))))).alias("h"))
+          .distinct())
+    fst = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                  .otherwise(0))
+    return (sh.join(fst, "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_ngrams"),
+                 novel.cast("bigint").alias("n_novel"),
+                 F.round(novel.cast("double") / F.count("*") * 1e6)
+                 .cast("bigint").alias("novelty_fp6")))
+
+
+@register(
     "llm_source_overlap_matrix",
     oracle="""
     WITH w AS (

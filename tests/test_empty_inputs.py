@@ -314,3 +314,64 @@ def test_keep_best_excludes_the_capped_identical_family(spark, skew_sf_dir):
         sorted({r.n_members for r in rows})
     hot_ids = {0} | set(range(80000, 80200))
     assert not any(r.canonical_id in hot_ids for r in rows)
+
+
+# --- referential-integrity de-vacuize (r10) --------------------------
+# The driver fixtures are referentially CLEAN (0 orphans at every SF),
+# so dq_referential_integrity's green driver row never exercises the
+# detection arm — the vacuous-green class r7/r8 fought.  This mirror
+# injects known orphans on both relations plus a NULL FK (not an
+# orphan, per SQL FK semantics) and asserts exact counts AND oracle
+# parity on the dirty data.
+
+@pytest.fixture(scope="session")
+def orphans_sf_dir(tmp_path_factory, sf_dir):
+    dst = tmp_path_factory.mktemp("sf_orphans")
+    con = duckdb.connect()
+    con.sql(f"""COPY (
+      SELECT * FROM read_parquet('{sf_dir}/orders.parquet')
+      UNION ALL SELECT 91000001, 888888801, 'O', 1.0,
+                       TIMESTAMP '2024-01-01', '1-URGENT'
+      UNION ALL SELECT 91000002, 888888802, 'F', 2.0,
+                       TIMESTAMP '2024-01-02', '2-HIGH'
+      UNION ALL SELECT 91000003, NULL, 'P', 3.0,
+                       TIMESTAMP '2024-01-03', '3-MEDIUM'
+    ) TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""COPY (
+      SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')
+      UNION ALL
+      SELECT * FROM (
+        SELECT * REPLACE (CAST(777777701 AS BIGINT) AS l_orderkey)
+        FROM read_parquet('{sf_dir}/lineitem.parquet') LIMIT 1)
+    ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)""")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "events", "documents", "embeddings"):
+        con.sql(f"COPY (SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')) "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(dst)
+
+
+def test_referential_integrity_detects_injected_orphans(
+        spark, orphans_sf_dir):
+    rows = {r.relation: r for r in
+            REGISTRY["dq_referential_integrity"].fn(
+                spark, orphans_sf_dir).collect()}
+    o = rows["orders.o_custkey -> customer.c_custkey"]
+    li = rows["lineitem.l_orderkey -> orders.o_orderkey"]
+    # 2 orphaned custkeys; the NULL FK row counts in n_rows, never as
+    # an orphan.  The lineitem orphan's fabricated orderkey also does
+    # not exist in the 3 appended orders rows.
+    assert o.n_orphans == 2, o
+    assert li.n_orphans == 1, li
+    assert o.integrity_ratio < 1.0 and li.integrity_ratio < 1.0
+
+
+def test_referential_integrity_oracle_parity_on_dirty_data(
+        driver_spark, orphans_sf_dir):
+    con = _mirror_duck(orphans_sf_dir)
+    try:
+        _assert_parity("dq_referential_integrity", driver_spark,
+                       orphans_sf_dir, con)
+    finally:
+        con.close()
