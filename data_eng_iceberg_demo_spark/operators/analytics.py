@@ -538,6 +538,53 @@ def events_gap_fill(spark, d):
 
 
 @register(
+    "events_inactivity_churn",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, max(date_trunc('second', ts)) AS last_ts,
+               count(*) AS n_events
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY user_id
+    ), g AS (SELECT max(last_ts) AS gmax FROM u)
+    SELECT user_id, CAST(last_ts AS STRING) AS last_seen_s,
+           CAST(floor(date_diff('second', last_ts, gmax) / 3600.0)
+                AS BIGINT) AS hours_inactive,
+           floor(date_diff('second', last_ts, gmax) / 3600.0) >= 24
+               AS churned,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM u CROSS JOIN g
+    """,
+)
+def events_inactivity_churn(spark, d):
+    """Per-user inactivity / churn flag: each user's last event time
+    vs the newest event anywhere, bucketed to whole hours, churned
+    when >= 24 h silent — the user-grained sibling of dq_freshness's
+    per-feed lag (same scalar-broadcast shape at a much higher key
+    cardinality).  NULL user_id/ts rows are excluded on both sides.
+
+    Shape: one groupBy(user_id) (partial max/count combine map-side,
+    the shuffle carries one row per user), then a 1-row global-max
+    cross join (whitelisted BNLJ scalar class).  At 100 TB the
+    per-user relation is the thing retention dashboards materialize
+    anyway; the lag projection adds no extra pass."""
+    u = (T(spark, d, "events")
+         .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+         .groupBy("user_id")
+         .agg(F.max(F.date_trunc("second", "ts")).alias("last_ts"),
+              F.count("*").cast("bigint").alias("n_events")))
+    g = u.agg(F.max("last_ts").alias("gmax"))
+    hours = F.floor((F.unix_timestamp("gmax")
+                     - F.unix_timestamp("last_ts")) / 3600)
+    return (u.crossJoin(F.broadcast(g))
+            .select("user_id",
+                    F.col("last_ts").cast("string").alias("last_seen_s"),
+                    hours.cast("bigint").alias("hours_inactive"),
+                    (hours >= 24).alias("churned"),
+                    "n_events"))
+
+
+@register(
     "events_max_concurrency",
     oracle="""
     WITH sess AS (

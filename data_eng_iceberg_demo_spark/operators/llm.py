@@ -2989,6 +2989,123 @@ def llm_embedding_power_iteration(spark, d):
 
 
 @register(
+    "llm_mixture_temperature",
+    oracle="""
+    WITH s AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), f AS (
+        SELECT source, n_docs,
+               CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS sqrt_fp6
+        FROM s
+    ), tot AS (SELECT sum(sqrt_fp6) AS z FROM f)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, sqrt_fp6,
+           CAST(round(CAST(sqrt_fp6 AS DOUBLE) / z * 1000000) AS BIGINT)
+               AS weight_ppm
+    FROM f CROSS JOIN tot
+    """,
+)
+def llm_mixture_temperature(spark, d):
+    """Temperature-scaled mixture weights — the multilingual-LM
+    sampling rule (alpha = 0.5 here): each source's epoch weight is
+    n_s^alpha / sum(n_s^alpha), flattening the source distribution so
+    small corpora are oversampled relative to proportional mixing.
+    The companion to llm_dataset_mixture (which APPLIES fixed rates);
+    this computes the rates.
+
+    Float discipline: sqrt(n) is one libm call both engines compute
+    identically from the same integer, immediately pinned to
+    fixed-point micro-units; the normalizer is then an INT64 sum —
+    no float accumulation order anywhere, so the hash is stable (the
+    PMI/fixed-point discipline).  Shape: one groupBy(source) (bounded
+    by feed count) + a 1-row total cross join — whitelisted BNLJ
+    class at worst; corpus touched once."""
+    s = (T(spark, d, "documents").groupBy("source")
+         .agg(F.count("*").alias("n_docs")))
+    f = s.withColumn(
+        "sqrt_fp6",
+        F.round(F.sqrt(F.col("n_docs").cast("double")) * 1e6)
+        .cast("bigint"))
+    tot = f.agg(F.sum("sqrt_fp6").alias("z"))
+    return (f.crossJoin(F.broadcast(tot))
+            .select("source",
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    "sqrt_fp6",
+                    F.round(F.col("sqrt_fp6").cast("double")
+                            / F.col("z") * 1e6)
+                    .cast("bigint").alias("weight_ppm")))
+
+
+@register(
+    "llm_preference_pairs",
+    oracle="""
+    WITH sc AS (
+        SELECT source, doc_id,
+               len(list_distinct(list_filter(string_split(text, ' '),
+                                             x -> x <> ''))) * 1000
+                   + n_chars AS score
+        FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    ), r AS (
+        SELECT source, doc_id, score,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY score DESC, doc_id ASC)
+                   AS rn_top,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY score ASC, doc_id ASC)
+                   AS rn_bot
+        FROM sc
+    )
+    SELECT t.source, t.doc_id AS chosen_doc_id,
+           b.doc_id AS rejected_doc_id,
+           CAST(t.score AS BIGINT) AS chosen_score,
+           CAST(b.score AS BIGINT) AS rejected_score,
+           CAST(t.score - b.score AS BIGINT) AS score_gap
+    FROM (SELECT * FROM r WHERE rn_top = 1) t
+    JOIN (SELECT * FROM r WHERE rn_bot = 1) b USING (source)
+    WHERE t.doc_id <> b.doc_id
+    """,
+)
+def llm_preference_pairs(spark, d):
+    """Preference-pair construction — the DPO/RLHF data-prep step:
+    within each source, pair the highest-quality document (chosen)
+    with the lowest (rejected), under a deterministic integer quality
+    score (distinct-word count x1000 + n_chars — an engine-shared
+    proxy; production plugs in a reward model's scores).  Ties break
+    to the lowest doc_id on BOTH ends; single-doc groups (chosen ==
+    rejected) emit nothing.
+
+    Shape: ONE groupBy(source) holding two struct-extrema — max of
+    (score, -doc_id) and min of (score, doc_id) — so the per-group
+    state is two fixed-width structs combined map-side; no window, no
+    sort, no per-group row fan-out.  At 100 TB with a conversation key
+    instead of source, this is the same single-shuffle aggregate."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    sc = (T(spark, d, "documents")
+          .filter(F.col("text").isNotNull()
+                  & F.col("n_chars").isNotNull())  # NULL score would
+          # hit the engines' opposite NULL orderings (registry
+          # null-guard discipline)
+          .select("source", "doc_id",
+                  (F.size(F.array_distinct(toks)) * 1000
+                   + F.col("n_chars")).alias("score")))
+    agg = (sc.groupBy("source")
+           .agg(F.max(F.struct(F.col("score"),
+                               (-F.col("doc_id")).alias("neg_id")))
+                .alias("top"),
+                F.min(F.struct(F.col("score"), F.col("doc_id")))
+                .alias("bot")))
+    return (agg.select(
+        "source",
+        (-F.col("top.neg_id")).cast("bigint").alias("chosen_doc_id"),
+        F.col("bot.doc_id").cast("bigint").alias("rejected_doc_id"),
+        F.col("top.score").cast("bigint").alias("chosen_score"),
+        F.col("bot.score").cast("bigint").alias("rejected_score"),
+        (F.col("top.score") - F.col("bot.score")).cast("bigint")
+        .alias("score_gap"))
+        .filter(F.col("chosen_doc_id") != F.col("rejected_doc_id")))
+
+
+@register(
     "llm_ngram_novelty",
     oracle="""
     WITH w AS (

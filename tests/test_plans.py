@@ -401,6 +401,8 @@ _BNLJ_OK = {"events_funnel",        # cross of three 1-row stage counts
             "llm_bm25_topk",        # broadcast n_docs/avgdl scalar (1 row)
             "tpch_q22",             # broadcast avg-acctbal scalar
             "dq_freshness",         # broadcast 1-row global-max-ts scalar
+            "llm_mixture_temperature",  # broadcast 1-row normalizer scalar
+            "events_inactivity_churn",  # broadcast 1-row global-max scalar
             # derived partsupp: 1-row supplier-count scalar cross-joined
             # onto part (and q11's 1-row grand-total broadcast)
             "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20"}
