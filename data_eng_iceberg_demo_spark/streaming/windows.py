@@ -149,3 +149,52 @@ def stream_static_join(spark, d):
                 .select("event_id", "event_type", "c_name", "c_mktsegment"))
 
     return run_stream_to_df(spark, d, build, name="stream_static_join")
+
+
+@register(
+    "stream_topk_per_window",
+    oracle="""
+    WITH a AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, date_trunc('second', ts))
+                   AS ws,
+               event_type, count(*) AS cnt
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    ), r AS (
+        SELECT ws, event_type, cnt,
+               row_number() OVER (PARTITION BY ws
+                                  ORDER BY cnt DESC, event_type ASC)
+                   AS rnk
+        FROM a
+    )
+    SELECT CAST(ws AS VARCHAR) AS window_start, event_type,
+           CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 2
+    """,
+)
+def stream_topk_per_window(spark, d):
+    """Per-window top-k: the 2 busiest event types in every 1-hour
+    tumbling window, with their rank — the trending-topics shape.  In
+    production streaming this splits exactly here: the windowed count
+    is the incremental stateful aggregate (update mode, watermark
+    bounds state), and the ranking runs over the AGGREGATED relation in
+    the sink/foreachBatch — which is why the batch form below ranks
+    after the groupBy rather than windowing the raw events.  The rank's
+    input is bounded by |windows x types|, never the event volume, so
+    the per-window sort is metadata-sized at any corpus scale; ties
+    break to event_type ASC for an engine-stable hash."""
+    from pyspark.sql import Window
+
+    e = _events_trunc(spark, d).filter(
+        F.col("tss").isNotNull() & F.col("event_type").isNotNull())
+    agg = (e.groupBy(F.window("tss", "1 hour").alias("w"), "event_type")
+           .agg(F.count("*").alias("cnt")))
+    rnk = F.row_number().over(
+        Window.partitionBy("w").orderBy(F.col("cnt").desc(),
+                                        F.col("event_type").asc()))
+    return (agg.withColumn("rnk", rnk)
+            .filter(F.col("rnk") <= 2)
+            .select(F.col("w.start").cast("string").alias("window_start"),
+                    "event_type", F.col("cnt").cast("bigint").alias("cnt"),
+                    F.col("rnk").cast("bigint").alias("rnk")))
