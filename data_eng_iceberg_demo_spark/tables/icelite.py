@@ -166,11 +166,18 @@ class IceliteCatalog:
 
 
 def _diff_entries(base: list[dict], cur: list[dict]) -> tuple[list, list]:
-    """(added entries, removed paths) taking `base` file entries to `cur`."""
+    """(added entries, removed paths) taking `base` file entries to
+    `cur`.  An entry whose CONTENT changed under the same path (a
+    delete entry pruned to fewer targets by a partial rewrite, its
+    record_count invalidated) is encoded as removed + re-added — a
+    path-only diff would silently resurrect the stale base entry on
+    the next metadata decode (r10: metadata_count subtracted positions
+    of files that had already left the snapshot)."""
     base_by_path = {f["path"]: f for f in base}
-    cur_paths = {f["path"] for f in cur}
-    added = [f for f in cur if f["path"] not in base_by_path]
-    removed = [p for p in base_by_path if p not in cur_paths]
+    cur_by_path = {f["path"]: f for f in cur}
+    added = [f for f in cur if base_by_path.get(f["path"]) != f]
+    removed = [p for p, f in base_by_path.items()
+               if cur_by_path.get(p) != f]
     return added, removed
 
 
@@ -539,7 +546,7 @@ class IceliteTable:
         for d in cur_dels:
             targets = [t for t in d["targets"] if t in kept_paths]
             if targets:
-                kept_dels.append({**d, "targets": targets})
+                kept_dels.append(self._prune_delete_entry(d, targets))
         self._commit_snapshot(meta, "delete", kept + new_files,
                               delete_files=kept_dels)
 
@@ -573,7 +580,7 @@ class IceliteTable:
             self._commit_snapshot(meta, "delete", list(cur["files"]),
                                   delete_files=cur_dels)
             return
-        entry = {"path": out_rel, "targets": sorted(targets)}
+        entry = self._delete_entry(out_rel, out, targets)
         self._commit_snapshot(meta, "delete", list(cur["files"]),
                               delete_files=cur_dels + [entry])
 
@@ -643,7 +650,7 @@ class IceliteTable:
         for d in cur_dels:
             targets = [t for t in d["targets"] if t in kept_paths]
             if targets:
-                kept_dels.append({**d, "targets": targets})
+                kept_dels.append(self._prune_delete_entry(d, targets))
         self._commit_snapshot(meta, "update", kept + new_files,
                               delete_files=kept_dels)
 
@@ -680,10 +687,67 @@ class IceliteTable:
         # scan is a deterministic parquet read of an immutable snapshot
         updated = self._assigned(matches.select(*cols), assignments)
         new_files = self._write_files(updated, meta)
-        entry = {"path": out_rel, "targets": sorted(targets)}
+        entry = self._delete_entry(out_rel, out, targets)
         self._commit_snapshot(meta, "update",
                               list(cur["files"]) + new_files,
                               delete_files=cur_dels + [entry])
+
+    def _delete_entry(self, out_rel: str, out: str,
+                      targets: list[str]) -> dict:
+        """Manifest entry for a position-delete file, carrying the
+        file's footer row count so COUNT(*) stays answerable from
+        metadata alone (metadata_count).  Safe to subtract because
+        icelite delete positions are exact and never duplicated: the
+        matching scan runs WITH existing delete files applied, so an
+        already-masked row can never re-enter a later delete file."""
+        import glob
+
+        n: int | None = 0
+        try:
+            import pyarrow.parquet as pq
+
+            for p in sorted(glob.glob(os.path.join(out, "*.parquet"))):
+                n += pq.read_metadata(p).num_rows
+        except Exception:
+            n = None
+        entry = {"path": out_rel, "targets": sorted(targets)}
+        if n is not None:
+            entry["record_count"] = n
+        return entry
+
+    @staticmethod
+    def _prune_delete_entry(d: dict, targets: list[str]) -> dict:
+        """A delete entry whose target list shrank (compaction / CoW
+        rewrite dropped some of its files) keeps masking the surviving
+        targets, but its stored row count now OVERCOUNTS (some
+        positions belonged to removed files) — drop it so
+        metadata_count falls back to a scan instead of lying."""
+        out = {**d, "targets": targets}
+        if targets != d["targets"]:
+            out.pop("record_count", None)
+        return out
+
+    def metadata_count(self, version: int | None = None) -> int | None:
+        """COUNT(*) answered from manifest entries alone — the Iceberg
+        metadata-only count pushdown (no data file is opened): sum of
+        data-file footer record_counts minus position-delete-file row
+        counts.  Returns None when any entry lacks a count (a delete
+        file whose target list was pruned, or a pre-upgrade manifest) —
+        callers fall back to a data scan.  At 100 TB this turns the
+        most common audit query into an O(#files) driver-side walk."""
+        snap = self._snapshot(self.meta, version)
+        total = 0
+        for f in snap["files"]:
+            rc = f.get("record_count")
+            if rc is None:
+                return None
+            total += rc
+        for dfe in snap.get("delete_files", []):
+            rc = dfe.get("record_count")
+            if rc is None:
+                return None
+            total -= rc
+        return total
 
     def _rel_data_paths(self, uris: list[str]) -> list[str]:
         """Normalize `_metadata.file_path` URIs to tdir-relative paths
@@ -1417,7 +1481,7 @@ class IceliteTable:
         new_files = self._write_files(updated.unionByName(inserts), meta)
         files = list(cur["files"]) + new_files
         if targets:
-            entry = {"path": out_rel, "targets": sorted(targets)}
+            entry = self._delete_entry(out_rel, out, targets)
             self._commit_snapshot(meta, "merge", files,
                                   delete_files=cur_dels + [entry])
         else:
@@ -1661,8 +1725,15 @@ class IceliteTable:
                           if f["path"] not in sel_paths]
             kept_paths = {f["path"] for f in kept_files}
             all_dels = snap.get("delete_files", [])
-            kept_dels = [d for d in all_dels
-                         if any(t in kept_paths for t in d["targets"])]
+            # prune dangling targets (their files were rewritten with
+            # deletes applied) and invalidate the shrunk entries' row
+            # counts — a kept count over a pruned list would make
+            # metadata_count subtract rows that no longer exist
+            kept_dels = []
+            for d in all_dels:
+                targets = [t for t in d["targets"] if t in kept_paths]
+                if targets:
+                    kept_dels.append(self._prune_delete_entry(d, targets))
             if not selected:  # nothing to rewrite: no-op
                 return
             df = self._read_files(selected, meta, delete_files=all_dels)

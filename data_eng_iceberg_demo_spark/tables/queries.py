@@ -454,6 +454,37 @@ def table_expire_snapshots(spark, d):
 
 
 @register(
+    "table_metadata_count",
+    oracle=f"""
+    SELECT 'after_insert' AS stage, COUNT(*) AS n_rows
+    FROM ({_CSV_ORACLE_BASE})
+    UNION ALL
+    SELECT 'after_mor_delete', COUNT(*)
+    FROM ({_CSV_ORACLE_BASE}) WHERE uf <> 'SP'
+    """,
+)
+def table_metadata_count(spark, d):
+    """Metadata-only COUNT(*) — the Iceberg count pushdown that answers
+    the most common audit query from manifest entries alone, zero data
+    files opened: sum of data-file footer record_counts minus
+    position-delete-file row counts.  Exercised across a MoR DELETE so
+    the subtraction arm is real (a CoW-only table would make it
+    vacuous): after the delete, the count comes from data-file totals
+    minus the delete file's footer count; the pytest suite additionally
+    pins that compaction-pruned delete entries invalidate their counts
+    (metadata_count falls back to None) rather than lie.  The manifest
+    walk is driver-side O(#files); the 2-row result is built with
+    createDataFrame — no scan in the plan at all."""
+    t = _fresh_table(spark, n_batches=2)
+    n0 = t.metadata_count()
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    n1 = t.metadata_count()
+    return spark.createDataFrame(
+        [("after_insert", n0), ("after_mor_delete", n1)],
+        "stage string, n_rows long")
+
+
+@register(
     "table_partitions_meta",
     oracle=f"""
     SELECT substr(data_criacao_s, 1, 10) AS part_value,

@@ -344,3 +344,63 @@ def test_merge_cardinality_check_escape_hatch(spark, tmp_path, mode):
     cow.merge_into(src, "k", ["v"], mode=mode, check_cardinality=False)
     got = {(r["k"], r["v"]) for r in cow.read().collect()}
     assert ("a", 5) in got and ("c", 9) in got
+
+
+def test_metadata_count_tracks_inserts_deletes_and_updates(spark, tmp_path):
+    """COUNT(*) from manifests alone (r10): data-file footer totals
+    minus position-delete row counts, correct across append, MoR
+    delete (row count shrinks), and MoR update (delete file + rewrite
+    appends — net row count unchanged).  Always cross-checked against
+    the actual scan."""
+    t = _fresh(spark, tmp_path, "db.mc")
+    n = t.read().count()
+    assert t.metadata_count() == n
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    n2 = t.read().count()
+    assert n2 < n and t.metadata_count() == n2
+    t.update_where("uf = 'RJ'", {"quantidade": "quantidade + 1"},
+                   mode="merge-on-read")
+    assert t.metadata_count() == n2 == t.read().count()
+    # time-travel: the metadata count is per-snapshot
+    assert t.metadata_count(version=1) == n
+
+
+def test_metadata_count_invalidates_on_pruned_delete_entries(
+        spark, tmp_path):
+    """A delete entry whose target list shrank during a PARTIAL rewrite
+    must drop its stored row count — subtracting it would remove rows
+    that no longer exist — so metadata_count reports None (fall back to
+    a scan) while reads stay correct.  Exercised through the real
+    filtered-compaction path, not by hand-editing metadata."""
+    from data_eng_iceberg_demo_spark.tables.icelite import IceliteCatalog
+    from data_eng_iceberg_demo_spark.tables.queries import _typed_pedidos
+
+    cat = IceliteCatalog(spark, str(tmp_path))
+    t = cat.create_table("db.mcprune", PEDIDOS_SCHEMA)
+    df = _typed_pedidos(spark)
+    # two range-disjoint files so where_range can rewrite exactly one
+    t.insert(df.filter("id_cliente < 500"))
+    t.insert(df.filter("id_cliente >= 500"))
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    d = t.meta["snapshots"][-1]["delete_files"][0]
+    assert d.get("record_count", 0) > 0
+    assert len(d["targets"]) >= 2, d["targets"]
+    n_live = t.read().count()
+    assert t.metadata_count() == n_live
+
+    # unit seam first: same targets keep the count, a strict subset
+    # drops it
+    same = t._prune_delete_entry(d, list(d["targets"]))
+    assert same.get("record_count") == d["record_count"]
+    assert "record_count" not in t._prune_delete_entry(
+        d, d["targets"][:1])
+
+    # real path: compact only the low half; the delete entry survives
+    # pruned to the kept file, its count invalidated
+    t.rewrite_data_files(where_range=("id_cliente", 0, 499))
+    snap = t.meta["snapshots"][-1]
+    dels = snap["delete_files"]
+    assert dels, "delete entry for the kept file must survive"
+    assert all("record_count" not in e for e in dels), dels
+    assert t.metadata_count() is None
+    assert t.read().count() == n_live
