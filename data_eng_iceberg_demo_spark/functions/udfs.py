@@ -11,6 +11,8 @@ mirrored in plain oracle SQL so the driver hash-checks the results.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql.functions import pandas_udf
@@ -521,3 +523,48 @@ def udf_cogrouped_map_arrow(spark, d):
     return c.groupBy("k").cogroup(s.groupBy("k")).applyInArrow(
         both, schema="n_nationkey int, n_customers bigint, "
                      "n_suppliers bigint")
+
+
+# Iterator variant declared at module scope for the same warm-up-identity
+# reason as the scalar UDFs above.  The Iterator type hints are LOAD-
+# BEARING: pandas_udf infers SQL_SCALAR_PANDAS_ITER_UDF from them —
+# without hints the function is treated as Series->Series and the
+# worker rejects the generator return.
+@pandas_udf(LongType())
+def _price_band_iter(it: "Iterator[pd.Series]") -> "Iterator[pd.Series]":
+    """Iterator[pd.Series] -> Iterator[pd.Series]: the one-time block
+    before the loop runs ONCE PER TASK, not once per Arrow batch — the
+    production pattern for amortizing an expensive init (model /
+    tokenizer / lookup load) across every batch the task processes.
+    Here the 'expensive init' is a tiny cutoff array; the contract
+    under test is the execution shape, not the payload."""
+    import numpy as np
+
+    cuts = np.array([100000.0, 300000.0])  # per-task init
+    for prices in it:
+        yield pd.Series(
+            np.searchsorted(cuts, prices.to_numpy(), side="right") + 1
+        ).astype("int64")
+
+
+@register(
+    "udf_pandas_iter",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_totalprice >= 300000 THEN 3
+                     WHEN o_totalprice >= 100000 THEN 2
+                     ELSE 1 END AS BIGINT) AS band
+    FROM orders
+    """,
+)
+def udf_pandas_iter(spark, d):
+    """Iterator-of-Series pandas UDF (SQL_SCALAR_PANDAS_ITER_UDF): same
+    Arrow batch transport as the scalar variant, but the Python
+    function sees the WHOLE task's batch stream, so per-task setup
+    happens once instead of per batch — at 100 TB with a real model in
+    the init block this is the difference between loading it per ~10k
+    rows and per task.  searchsorted(side='right') reproduces the
+    closed-lower-bound CASE semantics exactly (>= at both cutoffs)."""
+    o = T(spark, d, "orders")
+    return o.select("o_orderkey",
+                    _price_band_iter("o_totalprice").alias("band"))
