@@ -538,6 +538,69 @@ def events_gap_fill(spark, d):
 
 
 @register(
+    "events_funnel_windowed",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(date_trunc('second', ts)) AS t_signup
+        FROM events
+        WHERE event_type = 'signup'
+          AND user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id, min(date_trunc('second', e.ts)) AS t_purchase
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+          AND date_trunc('second', e.ts) > s.t_signup
+          AND date_trunc('second', e.ts)
+              <= s.t_signup + INTERVAL 120 MINUTE
+        GROUP BY e.user_id
+    )
+    SELECT s.user_id, CAST(s.t_signup AS STRING) AS t_signup_s,
+           p.user_id IS NOT NULL AS converted,
+           CAST(floor(date_diff('second', s.t_signup, p.t_purchase)
+                      / 60.0) AS BIGINT) AS mins_to_convert
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def events_funnel_windowed(spark, d):
+    """Time-bound conversion funnel — signup followed by a purchase
+    within a 2-hour attribution window of the FIRST signup: the form
+    product analytics actually ships (events_funnel is the unbounded
+    ordered variant).  120 minutes, not the classic 30: the synthetic
+    event stream's inter-purchase gaps make a 30-minute window
+    vacuous at sf0.01 (zero conversions — the arm the driver hashes
+    would never exercise); 2 h converts 2/3/52 users at the three SFs
+    while staying selective.  Emits per-user conversion detail
+    (flag + whole-minute latency) rather than bare stage counts, so
+    downstream latency histograms need no second scan.
+
+    Shape: both stages are min-aggregates keyed on user_id and every
+    join shares that one partitioning — the window bound is a residual
+    filter on the already-joined rows, adding no extra shuffle.  At
+    100 TB the purchase side is pre-filtered by event_type before the
+    join, so the shuffle carries only the funnel-relevant slice."""
+    e = (T(spark, d, "events")
+         .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+         .select("user_id", "event_type",
+                 F.date_trunc("second", "ts").alias("tss")))
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("tss").alias("t_signup")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(s, "user_id")
+         .filter((F.col("tss") > F.col("t_signup"))
+                 & (F.col("tss") <= F.col("t_signup")
+                    + F.make_interval(mins=F.lit(120))))
+         .groupBy("user_id").agg(F.min("tss").alias("t_purchase")))
+    return (s.join(p, "user_id", "left")
+            .select("user_id",
+                    F.col("t_signup").cast("string").alias("t_signup_s"),
+                    F.col("t_purchase").isNotNull().alias("converted"),
+                    F.floor((F.unix_timestamp("t_purchase")
+                             - F.unix_timestamp("t_signup")) / 60)
+                    .cast("bigint").alias("mins_to_convert")))
+
+
+@register(
     "events_inactivity_churn",
     oracle="""
     WITH u AS (
