@@ -2989,6 +2989,61 @@ def llm_embedding_power_iteration(spark, d):
 
 
 @register(
+    "llm_token_budget_histogram",
+    oracle="""
+    WITH tok AS (
+        SELECT len(list_filter(string_split(text, ' '),
+                               x -> x <> '')) AS n
+        FROM documents WHERE text IS NOT NULL
+    ), b AS (
+        SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS k,
+               count(*) AS c, sum(n) AS s
+        FROM tok WHERE n >= 1 GROUP BY 1
+    ), tot AS (SELECT sum(c) AS tc FROM b)
+    SELECT CAST(1 << k AS BIGINT) AS bucket_lo,
+           CAST(c AS BIGINT) AS n_docs,
+           CAST(s AS BIGINT) AS n_tokens,
+           CAST(round(CAST(sum(c) OVER (ORDER BY k
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / tc * 1000000) AS BIGINT) AS cum_docs_ppm
+    FROM b CROSS JOIN tot
+    """,
+)
+def llm_token_budget_histogram(spark, d):
+    """Token-budget histogram — per power-of-two length bucket, doc
+    and token counts plus the cumulative doc share: the curve that
+    answers 'what context window covers X% of the corpus' and sizes
+    packing/truncation budgets before a training run.
+
+    Exact-arithmetic notes: the bucket is floor(log2(n)) computed as
+    length(bin(n)) - 1 — pure INTEGER string length, because both
+    engines implement log2 as ln(n)/ln(2) whose float error flips
+    exact powers of two down a bucket.  The cumulative share is an
+    integer-ratio double rounded to ppm (the fixed-point discipline).
+    Shape: one narrow map + one ~10-row bucket aggregate; the window
+    and the 1-row total broadcast run over the bucket relation, never
+    the corpus."""
+    tok = (T(spark, d, "documents").filter(F.col("text").isNotNull())
+           .select(F.size(F.filter(F.split("text", " "),
+                                   lambda x: x != "")).alias("n"))
+           .filter(F.col("n") >= 1))
+    b = (tok.select((F.length(F.bin("n")) - 1).cast("bigint").alias("k"),
+                    "n")
+         .groupBy("k").agg(F.count("*").alias("c"), F.sum("n").alias("s")))
+    tot = b.agg(F.sum("c").alias("tc"))
+    w = (Window.orderBy("k")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (b.crossJoin(F.broadcast(tot))
+            .select(F.expr("shiftleft(1L, CAST(k AS INT))")
+                    .cast("bigint").alias("bucket_lo"),
+                    F.col("c").cast("bigint").alias("n_docs"),
+                    F.col("s").cast("bigint").alias("n_tokens"),
+                    F.round(F.sum("c").over(w).cast("double")
+                            / F.col("tc") * 1e6)
+                    .cast("bigint").alias("cum_docs_ppm")))
+
+
+@register(
     "llm_mixture_temperature",
     oracle="""
     WITH s AS (

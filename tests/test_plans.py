@@ -402,6 +402,7 @@ _BNLJ_OK = {"events_funnel",        # cross of three 1-row stage counts
             "tpch_q22",             # broadcast avg-acctbal scalar
             "dq_freshness",         # broadcast 1-row global-max-ts scalar
             "llm_mixture_temperature",  # broadcast 1-row normalizer scalar
+            "llm_token_budget_histogram",  # broadcast 1-row doc-total scalar
             "events_inactivity_churn",  # broadcast 1-row global-max scalar
             # derived partsupp: 1-row supplier-count scalar cross-joined
             # onto part (and q11's 1-row grand-total broadcast)
