@@ -3160,6 +3160,24 @@ def llm_preference_pairs(spark, d):
         .filter(F.col("chosen_doc_id") != F.col("rejected_doc_id")))
 
 
+def _word_shingles(spark, d, key_col: str, k: int):
+    """Distinct (key, md5-word-k-gram) relation over documents — the
+    shared shingling front of llm_source_overlap_matrix and
+    llm_ngram_novelty (one definition so the Spark side and the
+    DuckDB oracles cannot drift independently; llm_decontaminate keeps
+    its own raw-text 8-gram form, which is a different contract).
+    Shingles leave this function as 32-char digests, never text."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    return (T(spark, d, "documents").filter(F.col("text").isNotNull())
+            .select(key_col, toks.alias("w"))
+            .filter(F.size("w") >= k)
+            .select(key_col, F.explode(F.transform(
+                F.sequence(F.lit(1), F.size("w") - (k - 1)),
+                lambda i: F.md5(F.concat_ws(
+                    " ", F.slice("w", i, k))))).alias("h"))
+            .distinct())
+
+
 @register(
     "llm_ngram_novelty",
     oracle="""
@@ -3200,16 +3218,7 @@ def llm_ngram_novelty(spark, d):
     the partitioning — and the join back on h is co-partitioned.  The
     novelty ratio is one exact integer ratio rounded to fixed-point
     ppm, so both engines feed round() the identical double."""
-    K = 5
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    sh = (T(spark, d, "documents").filter(F.col("text").isNotNull())
-          .select("doc_id", toks.alias("w"))
-          .filter(F.size("w") >= K)
-          .select("doc_id", F.explode(F.transform(
-              F.sequence(F.lit(1), F.size("w") - (K - 1)),
-              lambda i: F.md5(F.concat_ws(
-                  " ", F.slice("w", i, K))))).alias("h"))
-          .distinct())
+    sh = _word_shingles(spark, d, "doc_id", 5)
     fst = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
                   .otherwise(0))
@@ -3262,16 +3271,7 @@ def llm_source_overlap_matrix(spark, d):
     carry 32-char digests, not text (dedup discipline); containment is
     one exact integer ratio rounded to fixed-point ppm so both engines
     feed round() the identical double."""
-    K = 5
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    sh = (T(spark, d, "documents").filter(F.col("text").isNotNull())
-          .select("source", toks.alias("w"))
-          .filter(F.size("w") >= K)
-          .select("source", F.explode(F.transform(
-              F.sequence(F.lit(1), F.size("w") - (K - 1)),
-              lambda i: F.md5(F.concat_ws(
-                  " ", F.slice("w", i, K))))).alias("h"))
-          .distinct())
+    sh = _word_shingles(spark, d, "source", 5)
     sz = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     pr = (a.join(b, "h")

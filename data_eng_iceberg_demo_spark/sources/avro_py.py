@@ -412,8 +412,13 @@ def make_source():
         def __init__(self, options):
             self.path = options["path"]
             self.schema_json, self.codec, _sync, _ = read_header(self.path)
-            self.blocks = block_index(self.path)
+            # size BEFORE index: if a writer appends between the two
+            # calls, the recorded size is stale-LOW, so the next poll's
+            # getsize() differs and _refresh re-skims.  The opposite
+            # order would record the grown size against the pre-growth
+            # index and freeze the stream at the stale snapshot.
             self._size = os.path.getsize(self.path)
+            self.blocks = block_index(self.path)
 
         def initialOffset(self):
             return {"b": 0}

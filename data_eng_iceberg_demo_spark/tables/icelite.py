@@ -1465,8 +1465,15 @@ class IceliteTable:
         batch = uuid.uuid4().hex[:12]
         out_rel = os.path.join("deletes", batch)
         out = os.path.join(self.tdir, out_rel)
+        # distinct(): duplicate MATCHED source keys (reachable via the
+        # check_cardinality=False escape hatch) fan one target row out
+        # to several joined rows — writing the same (file, pos) twice
+        # would make the delete file's record_count overcount and
+        # metadata_count() silently undercount (reads stay correct,
+        # masking dedupes; the COUNT pushdown would not)
         (masked.select(F.col("__file").alias("file_path"),
                        F.col("__pos").alias("pos"))
+         .distinct()
          .coalesce(1).write.mode("overwrite").parquet(out))
         written = self.spark.read.parquet(out)
         targets = self._rel_data_paths(

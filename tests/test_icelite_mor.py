@@ -404,3 +404,27 @@ def test_metadata_count_invalidates_on_pruned_delete_entries(
     assert all("record_count" not in e for e in dels), dels
     assert t.metadata_count() is None
     assert t.read().count() == n_live
+
+
+def test_metadata_count_survives_duplicate_matched_merge_keys(
+        spark, tmp_path):
+    """Duplicate MATCHED source keys (reachable via the
+    check_cardinality=False escape hatch) fan one target row out to
+    several joined rows in the MoR merge; the masked (file, pos)
+    projection is distinct()-ed before the delete file is written so
+    its record_count stays exact and the metadata-only COUNT(*) agrees
+    with the scan (r10 review finding)."""
+    import pyspark.sql.functions as F
+
+    t = _fresh(spark, tmp_path, "db.dupmerge")
+    n = t.read().count()
+    one = t.read().limit(1).collect()[0]
+    src = spark.createDataFrame(
+        [one, one], schema=t.read().schema).withColumn(
+        "quantidade", F.lit(7).cast("int"))
+    t.merge_into(src, key="id_pedido", update_cols=["quantidade"],
+                 mode="merge-on-read", check_cardinality=False)
+    assert t.read().count() == t.metadata_count() == n + 1
+    # the one masked row is recorded once, not once per source dup
+    d = t.meta["snapshots"][-1]["delete_files"][0]
+    assert d["record_count"] == 1, d
