@@ -265,6 +265,98 @@ _COSINE_ORACLE = """
 """
 
 
+@register(
+    "llm_hard_negatives",
+    oracle="""
+    WITH nz AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+          AND len(list_filter(embedding, x -> x <> 0)) > 0
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+          FROM nz WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, embedding AS ce, label AS cl FROM nz),
+    pos AS (
+        SELECT qid, cid, ql, cl, qe, ce,
+               unnest(generate_series(1, 64)) AS i
+        FROM q, c WHERE qid <> cid
+    ), dots AS (
+        SELECT qid, cid, ql, cl,
+               sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dot,
+               sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS qq,
+               sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS cc
+        FROM pos GROUP BY qid, cid, ql, cl
+    ), sims AS (
+        SELECT qid, cid, ql, cl,
+               round(dot / (sqrt(qq) * sqrt(cc)), 4) + 0 AS cosine
+        FROM dots
+    ), ranked AS (
+        SELECT qid, cid, cosine, ql = cl AS same,
+               row_number() OVER (PARTITION BY qid, ql = cl
+                                  ORDER BY cosine DESC, cid ASC) AS rnk
+        FROM sims
+    )
+    SELECT qid, 'pos' AS kind, CAST(rnk AS BIGINT) AS rnk, cid, cosine
+    FROM ranked WHERE same AND rnk <= 1
+    UNION ALL
+    SELECT qid, 'neg', CAST(rnk AS BIGINT), cid, cosine
+    FROM ranked WHERE NOT same AND rnk <= 3
+    """,
+)
+def llm_hard_negatives(spark, d):
+    """Hard-negative mining — the contrastive-retrieval data-prep op:
+    for each query vector, the single most similar SAME-label vector
+    (the positive) and the 3 most similar WRONG-label vectors (the
+    hard negatives a contrastive loss learns most from; random
+    negatives are too easy).  Labels ride the embeddings fixture.
+
+    Shape: identical to llm_similarity_topk's broadcast-query
+    brute-force (the correctness baseline — at 100 TB the candidate
+    side is pre-pruned by LSH buckets / IVF cells first, see
+    llm_similarity_lsh), plus ONE extra partition key: ranking
+    partitions on (qid, same-label), so positives and negatives rank
+    in the same window pass without a second scan.  Cosine rounds to
+    4dp before ranking (engine-stable), ties to lowest cid."""
+    from pyspark.sql import Window
+
+    emb = (T(spark, d, "embeddings")
+           .filter(F.col("embedding").isNotNull()
+                   & F.col("label").isNotNull())
+           .select("vec_id", "label",
+                   F.col("embedding").cast("array<double>").alias("e")))
+    with_norm = emb.withColumn(
+        "norm", F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
+                                   F.lit(0.0), lambda a, x: a + x))
+    ).filter(F.col("norm") > 0)
+    q = (with_norm.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                 F.col("norm").alias("qnorm"),
+                 F.col("label").alias("ql")))
+    c = with_norm.select(F.col("vec_id").alias("cid"),
+                         F.col("e").alias("ce"),
+                         F.col("norm").alias("cnorm"),
+                         F.col("label").alias("cl"))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("qid") != F.col("cid"))
+    sims = pairs.withColumn(
+        "dot", F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y),
+                           F.lit(0.0), lambda a, x: a + x)
+    ).select(
+        "qid", "cid", (F.col("ql") == F.col("cl")).alias("same"),
+        (F.round(F.col("dot") / (F.col("qnorm") * F.col("cnorm")), 4)
+         + F.lit(0.0)).alias("cosine"))
+    w = (Window.partitionBy("qid", "same")
+         .orderBy(F.col("cosine").desc(), F.col("cid").asc()))
+    ranked = sims.withColumn("rnk", F.row_number().over(w))
+    keep = ((F.col("same") & (F.col("rnk") <= 1))
+            | (~F.col("same") & (F.col("rnk") <= 3)))
+    return (ranked.filter(keep)
+            .select("qid",
+                    F.when(F.col("same"), "pos").otherwise("neg")
+                    .alias("kind"),
+                    F.col("rnk").cast("bigint").alias("rnk"),
+                    "cid", "cosine"))
+
+
 @register("llm_similarity_topk", oracle=_COSINE_ORACLE)
 def llm_similarity_topk(spark, d):
     """Brute-force cosine top-10 for 5 query vectors — the correctness

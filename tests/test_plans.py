@@ -287,6 +287,9 @@ _BROADCAST_HINT_OK = {
     ("llm_similarity_topk", "embeddings"):
         "query side is pinned to 5 vec_ids by construction — the ANN "
         "contract is a tiny query set probing a huge corpus",
+    ("llm_hard_negatives", "embeddings"):
+        "query side is pinned to 5 vec_ids by construction — the same "
+        "tiny-query-set contract as llm_similarity_topk, with labels",
     ("llm_similarity_lsh", "embeddings"):
         "both hinted subtrees are pinned to 5 vec_ids by construction: "
         "the probe list (5 queries x 8 tables x 9 probes = 360 fixed-"
@@ -392,6 +395,7 @@ _BNLJ_OK = {"events_funnel",        # cross of three 1-row stage counts
             "join_cross_limited",   # the intentional limited cross join
             "llm_dedup_embedding",  # block-pair theta join (n_blocks rows)
             "llm_similarity_topk",  # 5-row broadcast query side
+            "llm_hard_negatives",   # same 5-row broadcast query side
             "llm_similarity_funnel",  # same 5-row broadcast query side
             "llm_tfidf_terms",      # broadcast corpus-size scalar
             "llm_unigram_logprob",  # broadcast corpus-total scalar (1 row)
