@@ -26,7 +26,7 @@ from ..plans.registry import register
            lower(c_mktsegment) AS seg_lower,
            substring(c_name, 10, 9) AS digits_part,
            length(c_name) AS name_len,
-           concat(c_mktsegment, ':', c_name) AS seg_name,
+           c_mktsegment || ':' || c_name AS seg_name,
            trim('  ' || c_mktsegment || ' ') AS seg_trim,
            lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad,
            string_split(c_name, '#')[2] AS name_num,
@@ -517,7 +517,9 @@ def fn_aes_roundtrip(spark, d):
     WITH per_order AS (
         SELECT l_orderkey,
                list_sort(list(CAST(l_quantity AS DOUBLE))) AS qs
-        FROM lineitem GROUP BY l_orderkey
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL
+        GROUP BY l_orderkey
     )
     SELECT l_orderkey,
            round(list_sum(qs), 4) AS total_qty,
@@ -543,7 +545,12 @@ def fn_higher_order(spark, d):
     quantities are small integers in doubles anyway).  Narrow after
     one groupBy: the collect_list and all six lambdas ride a single
     shuffle."""
+    # NULL quantities filtered BEFORE the group on both sides: Spark's
+    # collect_list skips NULLs (empty array -> fold yields 0.0) while
+    # DuckDB's list() keeps them (list_sum -> NULL) — without the
+    # guard an all-NULL group diverges (r10 TPC-H null-mirror finding)
     qs = (T(spark, d, "lineitem")
+          .filter(F.col("l_quantity").isNotNull())
           .groupBy("l_orderkey")
           .agg(F.sort_array(F.collect_list(
               F.col("l_quantity").cast("double"))).alias("qs")))

@@ -83,8 +83,13 @@ def window_lag_lead(spark, d):
 )
 def window_running_frame(spark, d):
     """Running sum + 3-row moving average — streaming frames, O(1) state
-    per row after the partition sort."""
-    order = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    per row after the partition sort.  asc_nulls_last pins the order of
+    NULL dates to DuckDB's ASC default (NULLS LAST) — Spark defaults to
+    NULLS FIRST, which shifts every running value in a partition with a
+    NULL date (r10 TPC-H null-mirror finding; ROWS frames are
+    position-sensitive, unlike the RANGE frame next door)."""
+    order = [F.col("o_orderdate").asc_nulls_last(),
+             F.col("o_orderkey").asc()]
     w_run = (Window.partitionBy("o_custkey").orderBy(*order)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     w_mov = (Window.partitionBy("o_custkey").orderBy(*order)

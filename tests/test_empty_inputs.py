@@ -375,3 +375,75 @@ def test_referential_integrity_oracle_parity_on_dirty_data(
                        orphans_sf_dir, con)
     finally:
         con.close()
+
+
+# --- TPC-H-side null mirror (r10) ------------------------------------
+# The original null mirror injects only into documents/embeddings/
+# events, so the relational family (tpch_/agg_/join_/window_/...) had
+# never run against NULL-bearing base tables — its green rows were
+# null-vacuous.  This mirror plants NULLs in the join keys, filter
+# columns, aggregate inputs and order keys of the four relational
+# tables and replays the full oracle comparison.
+
+@pytest.fixture(scope="session")
+def tpch_nulls_sf_dir(tmp_path_factory, sf_dir):
+    dst = tmp_path_factory.mktemp("sf_tpch_nulls")
+    con = duckdb.connect()
+    con.sql(f"""COPY (
+      SELECT * FROM read_parquet('{sf_dir}/orders.parquet')
+      UNION ALL SELECT 95000001, NULL, 'O', 1234.56,
+                       TIMESTAMP '2024-02-01', '1-URGENT'
+      UNION ALL SELECT 95000002, 1, NULL, NULL, NULL, NULL
+    ) TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""COPY (
+      SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')
+      UNION ALL SELECT 95000001, 1, 1, 1, NULL, NULL, NULL, NULL,
+                       NULL, NULL, NULL
+      UNION ALL SELECT NULL, 2, 2, 1, CAST(5 AS BIGINT), 100.0, 0.05,
+                       0.02, 'N', 'O', TIMESTAMP '2024-02-02'
+    ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""COPY (
+      SELECT * FROM read_parquet('{sf_dir}/customer.parquet')
+      UNION ALL SELECT 95000001, NULL, NULL, NULL, NULL
+    ) TO '{dst}/customer.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""COPY (
+      SELECT * FROM read_parquet('{sf_dir}/part.parquet')
+      UNION ALL SELECT 95000001, NULL, NULL, NULL, NULL, NULL
+    ) TO '{dst}/part.parquet' (FORMAT PARQUET)""")
+    for t in ("region", "nation", "supplier", "events", "documents",
+              "embeddings"):
+        con.sql(f"COPY (SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')) "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(dst)
+
+
+@pytest.fixture(scope="session")
+def tpch_nulls_duck(tpch_nulls_sf_dir):
+    con = _mirror_duck(tpch_nulls_sf_dir)
+    yield con
+    con.close()
+
+
+TPCH_NULL_FAMILY = sorted(
+    n for n in REGISTRY
+    if REGISTRY[n].oracle is not None
+    and n.startswith(("tpch_", "agg_", "join_", "subquery_", "topk_",
+                      "limit_", "sort_", "set_", "distinct_", "filter_",
+                      "project_", "pivot_", "unpivot_", "sample_",
+                      "cte_", "scd2_", "window_", "dq_", "fn_"))
+    # events-based or own-fixture queries are covered by the original
+    # mirrors; transpose's schema is data-dependent (see EMPTY_PARITY)
+    and not n.startswith(("join_asof", "join_interval"))
+    and n != "project_transpose")
+
+
+@pytest.mark.parametrize("name", TPCH_NULL_FAMILY)
+def test_tpch_null_rows_match_oracle(driver_spark, tpch_nulls_sf_dir,
+                                     tpch_nulls_duck, name):
+    """NULL keys, filters, measures and order columns in the
+    relational base tables: both engines must agree exactly — a
+    null-ordering or null-comparison divergence fails here instead of
+    surfacing as a driver hash flake on some future fixture."""
+    _assert_parity(name, driver_spark, tpch_nulls_sf_dir,
+                   tpch_nulls_duck)
