@@ -3688,10 +3688,11 @@ def llm_pmi_collocations(spark, d):
         FROM documents
     )
     SELECT doc_id, shuffle_key,
-           CAST(ascii(substring(shuffle_key, 1, 1)) % 8 AS BIGINT)
+           CAST(concat('0x', substring(shuffle_key, 1, 8)) AS BIGINT) % 8
                AS shard,
            CAST(row_number() OVER (
-               PARTITION BY ascii(substring(shuffle_key, 1, 1)) % 8
+               PARTITION BY CAST(concat('0x', substring(shuffle_key, 1, 8))
+                                 AS BIGINT) % 8
                ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
     FROM keyed
     """,
@@ -3719,15 +3720,14 @@ def llm_global_shuffle(spark, d, n_shards: int = 8):
         "doc_id",
         F.md5(F.concat(F.col("doc_id").cast("string"),
                        F.lit(":epoch0"))).alias("shuffle_key"))
-    if n_shards == 8:
-        # oracle-pinned form: the registered query's DuckDB SQL encodes
-        # this exact expression, so the default must not drift
-        shard = (F.ascii(F.substring("shuffle_key", 1, 1)) % 8)
-    else:
-        # scale path: one hex char carries only 16 values — a 1000-core
-        # cluster needs more shard entropy, so take 32 bits of the key
-        shard = (F.conv(F.substring("shuffle_key", 1, 8), 16, 10)
-                 .cast("bigint") % n_shards)
+    # one shard expression for every n_shards (r10 advice: the old
+    # ascii-of-first-hex-char default and the conv() scale branch could
+    # drift apart unnoticed because the registry pins n_shards=8): 32
+    # bits of key entropy mod n_shards serves a 1000-core cluster and
+    # the oracle-pinned 8 alike — DuckDB mirrors it as
+    # CAST(concat('0x', substring(key,1,8)) AS BIGINT) % 8
+    shard = (F.conv(F.substring("shuffle_key", 1, 8), 16, 10)
+             .cast("bigint") % n_shards)
     w = Window.partitionBy(shard).orderBy("shuffle_key", "doc_id")
     return keyed.select(
         "doc_id", "shuffle_key",

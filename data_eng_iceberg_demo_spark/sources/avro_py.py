@@ -455,6 +455,15 @@ def make_source():
         def readBetweenOffsets(self, start, end):
             if int(end["b"]) > len(self.blocks):
                 self._refresh()
+            if int(end["b"]) > len(self.blocks):
+                # r10 advice: _refresh() treats a racing/truncated file
+                # as 'no new data', so a committed end offset can still
+                # point past the re-skimmed index — fail the replay
+                # loudly instead of leaking a bare IndexError
+                raise ValueError(
+                    f"avro replay offset {int(end['b'])} beyond the "
+                    f"{len(self.blocks)} indexed blocks of {self.path}; "
+                    "file truncated or index refresh failed")
             out = []
             for b in range(int(start["b"]), int(end["b"])):
                 out += read_block(self.path, self.blocks[b][0],
