@@ -3855,3 +3855,96 @@ def llm_chat_template(spark, d):
                sum(length(turn_text)) AS n_chars_text
         FROM chat_turns_v GROUP BY source
     """)
+
+
+# --- incremental ANN maintenance (r10 verdict task 4) -----------------------
+
+_EMB_TBL_TPL: dict[str, str] = {}
+
+
+def _embeddings_icelite(spark, d):
+    """The embeddings corpus as a 2-append-snapshot icelite table:
+    snapshot 1 holds vec_id % 4 != 0 (the indexed base corpus),
+    snapshot 2 appends the rest (the newly ingested batch).  Built once
+    per (process, sf_dir) and read-only thereafter — no registered
+    query mutates it, so runs can share the template directory the way
+    _fresh_table shares its hardlink source."""
+    import os
+
+    from ..scratch import scratch_dir
+    from ..tables.icelite import IceliteCatalog, IceliteTable
+
+    tpl = _EMB_TBL_TPL.get(d)
+    if tpl is None:
+        tpl = scratch_dir("icelite_emb_")
+        cat = IceliteCatalog(spark, tpl)
+        emb = T(spark, d, "embeddings")
+        t = cat.create_table("db.embeddings", emb.schema)
+        t.insert(emb.filter(F.col("vec_id") % 4 != 0))
+        t.insert(emb.filter(F.col("vec_id") % 4 == 0))
+        _EMB_TBL_TPL[d] = tpl
+    return IceliteTable(spark, os.path.join(tpl, "db", "embeddings"))
+
+
+def _cosine_prep(df):
+    """vec_id/embedding -> (vec_id, e:array<double>, norm), NULL and
+    zero-norm vectors excluded (cosine undefined) — the shared entry
+    shape of every cosine arm, kept identical to llm_similarity_topk so
+    the merged incremental result stays hash-equal to the one-shot
+    brute force."""
+    return (df.select("vec_id",
+                      F.col("embedding").cast("array<double>").alias("e"))
+            .filter(F.col("e").isNotNull())
+            .withColumn("norm", F.sqrt(F.aggregate(
+                F.transform("e", lambda x: x * x),
+                F.lit(0.0), lambda a, x: a + x)))
+            .filter(F.col("norm") > 0))
+
+
+@register("llm_similarity_incremental", oracle=_COSINE_ORACLE)
+def llm_similarity_incremental(spark, d):
+    """Incremental top-k maintenance: the brute-force cosine top-10
+    (llm_similarity_topk's exact semantics) is first computed over
+    snapshot 1 of an icelite embeddings table, then REFRESHED for the
+    newly appended batch using ONLY read_changes(1) — the files
+    snapshot 2 added — by unioning the stored prior top-10 with the
+    delta-only top-10 and re-ranking.  Per-arm top-10 under the same
+    total order (cosine desc, cid asc) makes the merge exact: the
+    global top-10 is always contained in the union of the arms' top-10s.
+    The refreshed result must hash-equal the from-scratch top-10 over
+    the whole corpus (the oracle).  At 100 TB this is the O(delta) index
+    maintenance path every embedding store needs: the base corpus is
+    never rescanned on ingest (tests/test_plans.py pins via inputFiles()
+    that the refresh arm reads zero snapshot-1 files), and the merge
+    shuffles |queries| x 20 rows, not the corpus."""
+    t = _embeddings_icelite(spark, d)
+    q = (_cosine_prep(T(spark, d, "embeddings"))
+         .filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                 F.col("norm").alias("qnorm")))
+
+    def topk(cand):
+        c = cand.select(F.col("vec_id").alias("cid"),
+                        F.col("e").alias("ce"),
+                        F.col("norm").alias("cnorm"))
+        pairs = (F.broadcast(q).crossJoin(c)
+                 .filter(F.col("qid") != F.col("cid")))
+        dotted = pairs.withColumn(
+            "dot", F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y),
+                               F.lit(0.0), lambda a, x: a + x))
+        sims = dotted.select(
+            "qid", "cid",
+            (F.round(F.col("dot") / (F.col("qnorm") * F.col("cnorm")), 4)
+             + F.lit(0.0)).alias("cosine"))
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cosine").desc(), F.col("cid").asc())
+        return (sims.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 10).select("qid", "cid", "cosine"))
+
+    prior = topk(_cosine_prep(t.read(version=1)))
+    fresh = topk(_cosine_prep(t.read_changes(from_version=1)))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("cid").asc())
+    return (prior.unionByName(fresh)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10).select("qid", "cid", "cosine"))

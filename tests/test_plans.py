@@ -397,6 +397,7 @@ _BNLJ_OK = {"events_funnel",        # cross of three 1-row stage counts
             "llm_similarity_topk",  # 5-row broadcast query side
             "llm_hard_negatives",   # same 5-row broadcast query side
             "llm_similarity_funnel",  # same 5-row broadcast query side
+            "llm_similarity_incremental",  # same 5-row broadcast query side
             "llm_tfidf_terms",      # broadcast corpus-size scalar
             "llm_unigram_logprob",  # broadcast corpus-total scalar (1 row)
             "llm_perplexity_bucket",  # broadcast n-docs + 2-cutoff scalars
@@ -782,3 +783,30 @@ def test_power_iteration_broadcasts_the_64_row_vector(spark, sf_dir):
     p = plan_of(spark, sf_dir, "llm_embedding_power_iteration")
     assert node_count(p, "BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in p
+
+
+def test_similarity_incremental_refresh_reads_delta_only(spark, sf_dir):
+    """The incremental-ANN refresh contract: with the prior top-k
+    materialized (as a stored result table would be), the refresh —
+    delta top-k over read_changes(1) merged with the prior — must read
+    ZERO snapshot-1 data files.  inputFiles() is the ground truth the
+    plan string can't fudge; the registered query's base arm is the
+    initial build, not the steady-state refresh."""
+    from pyspark.sql import functions as F
+
+    from data_eng_iceberg_demo_spark.operators.llm import (
+        _cosine_prep, _embeddings_icelite, llm_similarity_incremental)
+
+    t = _embeddings_icelite(spark, sf_dir)
+    snap1 = {f["path"] for f in t._snapshot(t.meta, 1)["files"]}
+    delta = t.read_changes(from_version=1)
+    dfiles = set(delta.inputFiles())
+    assert dfiles, "delta arm scans no files at all?"
+    assert not any(f.endswith(p) for f in dfiles for p in snap1), (
+        "refresh arm rescans snapshot-1 (base corpus) files")
+    # and the registered merge is exact: equals the one-shot brute force
+    merged = llm_similarity_incremental(spark, sf_dir)
+    from data_eng_iceberg_demo_spark.operators.llm import llm_similarity_topk
+    one_shot = llm_similarity_topk(spark, sf_dir)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, one_shot.collect()))
