@@ -381,3 +381,121 @@ def llm_multimodal_dedup(spark, d):
                   - F.min(F.octet_length("payload"))).cast("bigint")
                  .alias("bytes_reclaimable"),
                  (F.count("*") > 1).alias("is_dup")))
+
+
+def encode_wav(doc_id: int, n_samples: int = 64, rate: int = 8000) -> bytes:
+    """A REAL audio codec, pure stdlib: write a 16-bit mono PCM WAV
+    (RIFF/WAVE container via the ``wave`` module) whose samples derive
+    deterministically from doc_id.  Samples span the signed range
+    (-2048..2047), so a decoder that reads them unsigned or big-endian
+    gets wildly different sums."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join(
+            struct.pack("<h", ((doc_id * 37 + i * 19) % 4096) - 2048)
+            for i in range(n_samples)))
+    return buf.getvalue()
+
+
+def decode_wav(buf: bytes):
+    """Parse the RIFF/WAVE container for real — by hand, not through the
+    ``wave`` module that wrote it, so the roundtrip actually proves the
+    container layout: RIFF magic, chunk walk, fmt (PCM tag, channels,
+    rate, bits), data chunk of little-endian int16 frames.  Returns
+    (n_channels, rate, bits, n_samples, sum_samples, sum_abs, peak,
+    first_sample)."""
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = buf[pos:pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)          # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, n_channels, rate, _byte_rate, _align, bits = fmt
+    if tag != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV encoding tag={tag} bits={bits}")
+    samples = struct.unpack(f"<{len(data) // 2}h", data)
+    return (n_channels, rate, bits, len(samples) // n_channels,
+            sum(samples), sum(abs(s) for s in samples),
+            max(abs(s) for s in samples) if samples else 0,
+            samples[0] if samples else 0)
+
+
+@register(
+    "llm_multimodal_decode_wav",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, ((doc_id * 37 + i * 19) % 4096) - 2048 AS v
+        FROM documents CROSS JOIN range(0, 64) t(i)
+    )
+    SELECT doc_id, 1 AS n_channels, 8000 AS sample_rate, 16 AS bits,
+           64 AS n_samples,
+           CAST(8000 AS BIGINT) AS duration_us,
+           CAST(sum(v) AS BIGINT) AS sum_samples,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           CAST((doc_id * 37) % 4096 - 2048 AS BIGINT) AS first_sample
+    FROM s GROUP BY doc_id
+    """,
+)
+def llm_multimodal_decode_wav(spark, d):
+    """End-to-end REAL audio codec over the binary column (the BMP
+    discipline extended to audio, r10 verdict task 5): an encode
+    mapInPandas stage writes each doc a 16-bit mono PCM WAV through the
+    stdlib ``wave`` writer, a decode stage re-parses the RIFF container
+    BY HAND (magic, chunk walk, fmt tag, LE int16 data frames) and
+    extracts format fields, exact integer sample statistics and the
+    µs duration.  The oracle recomputes every statistic in closed form
+    from doc_id, so endianness, signedness, chunk-offset or
+    frame-count bugs fail the hash.  Integer sums only — no float.
+
+    Scale shape: two chained mapInPandas stages, zero shuffle — encode
+    and decode fuse into one Arrow-batched pass; audio bytes never
+    leave the executor (same contract as llm_multimodal_decode_bmp)."""
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(lambda i: encode_wav(int(i))),
+            })
+
+    def decode(batches):
+        for pdf in batches:
+            dec = pdf["payload"].map(decode_wav)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_channels": dec.map(lambda t: t[0]).astype("int32"),
+                "sample_rate": dec.map(lambda t: t[1]).astype("int32"),
+                "bits": dec.map(lambda t: t[2]).astype("int32"),
+                "n_samples": dec.map(lambda t: t[3]).astype("int32"),
+                "duration_us": dec.map(
+                    lambda t: t[3] * 1_000_000 // t[1]).astype("int64"),
+                "sum_samples": dec.map(lambda t: t[4]).astype("int64"),
+                "sum_abs": dec.map(lambda t: t[5]).astype("int64"),
+                "peak": dec.map(lambda t: t[6]).astype("int64"),
+                "first_sample": dec.map(lambda t: t[7]).astype("int64"),
+            })
+
+    docs = T(spark, d, "documents").select("doc_id")
+    media = docs.mapInPandas(encode, "doc_id bigint, payload binary")
+    return media.mapInPandas(
+        decode,
+        "doc_id bigint, n_channels int, sample_rate int, bits int, "
+        "n_samples int, duration_us bigint, sum_samples bigint, "
+        "sum_abs bigint, peak bigint, first_sample bigint")

@@ -186,3 +186,37 @@ def test_asof_union_window_matches_brute_force(spark):
         assert got_n == brute_nearest(events, orders), "nearest"
 
     check()
+
+
+@given(doc_id=st.integers(min_value=0, max_value=2**31 - 1),
+       n_samples=st.integers(min_value=1, max_value=257),
+       rate=st.sampled_from([8000, 16000, 22050, 44100]))
+@settings(max_examples=200, deadline=None)
+def test_wav_roundtrip_any_shape(doc_id, n_samples, rate):
+    """decode(encode(x)) must recover the format fields and the exact
+    integer sample statistics for every sample count and common rate —
+    the hand-written RIFF parser against the stdlib wave writer."""
+    from data_eng_iceberg_demo_spark.operators.multimodal import (decode_wav,
+                                                                  encode_wav)
+
+    buf = encode_wav(doc_id, n_samples, rate)
+    ch, r, bits, n, s_sum, s_abs, peak, first = decode_wav(buf)
+    ref = [((doc_id * 37 + i * 19) % 4096) - 2048 for i in range(n_samples)]
+    assert (ch, r, bits, n) == (1, rate, 16, n_samples)
+    assert s_sum == sum(ref)
+    assert s_abs == sum(abs(v) for v in ref)
+    assert peak == max(abs(v) for v in ref)
+    assert first == ref[0]
+    # container size: 44-byte canonical RIFF/fmt/data headers + frames
+    assert len(buf) == 44 + 2 * n_samples
+
+
+def test_wav_decoder_rejects_non_wav():
+    import pytest
+
+    from data_eng_iceberg_demo_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxJUNK")
+    with pytest.raises(ValueError):
+        decode_wav(b"not audio at all")

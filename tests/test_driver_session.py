@@ -93,6 +93,7 @@ def test_round5_queries_on_bare_session(bare_spark, sf_dir, name):
     "agg_mode_median", "llm_repetition_filter", "dq_constraint_check",
     "llm_bpe_pair_counts", "join_interval_bucketed", "llm_dedup_cross_source",
     "scd2_dimension_merge", "llm_multimodal_decode_bmp",
+    "llm_multimodal_decode_wav", "llm_similarity_incremental",
     "table_partition_spec_evolution", "events_transition_matrix",
     "fn_try_family", "events_attribution", "window_time_range_frame",
     "agg_regression_family", "window_count_distinct", "events_rolling_dau",

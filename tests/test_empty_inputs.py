@@ -33,6 +33,7 @@ SAMPLE = [
     "join_inner_equi", "join_asof", "join_interval_bucketed",
     "subquery_not_in", "dq_constraint_check", "events_funnel",
     "events_anomaly", "scd2_dimension_merge", "llm_multimodal_decode_bmp",
+    "llm_multimodal_decode_wav", "llm_similarity_incremental",
     "llm_train_test_split", "llm_dataset_mixture", "llm_decontaminate",
     "llm_pack_sequences", "llm_docs_to_chunks", "llm_winnow_fingerprint",
     "llm_dedup_incremental", "llm_unigram_logprob", "sort_multikey_nulls",
