@@ -64,6 +64,12 @@ def _enc_value(v, typ):
             return _zigzag_encode(typ.index("null"))
         t = next(t for t in typ if t != "null")
         return _zigzag_encode(typ.index(t)) + _enc_value(v, t)
+    if isinstance(typ, dict) and typ.get("type") == "record":
+        # nested record: concatenation of its fields in declared order
+        # (the Iceberg manifest shape — data_file inside manifest_entry);
+        # v is a dict keyed by field name
+        return b"".join(_enc_value(v[f["name"]], f["type"])
+                        for f in typ["fields"])
     if typ in ("long", "int"):
         return _zigzag_encode(int(v))
     if typ == "double":
@@ -82,6 +88,9 @@ def _dec_value(buf: io.BytesIO, typ):
     if isinstance(typ, list):
         branch = typ[_zigzag_decode(buf)]
         return None if branch == "null" else _dec_value(buf, branch)
+    if isinstance(typ, dict) and typ.get("type") == "record":
+        return {f["name"]: _dec_value(buf, f["type"])
+                for f in typ["fields"]}
     if typ in ("long", "int"):
         return _zigzag_decode(buf)
     if typ == "double":
@@ -164,6 +173,14 @@ def _compile_field_encoder(typ):
         def enc(out, v):
             out.append(1 if v else 0)
         return enc
+    if isinstance(typ, dict) and typ.get("type") == "record":
+        names = [f["name"] for f in typ["fields"]]
+        encs = [_compile_field_encoder(f["type"]) for f in typ["fields"]]
+
+        def enc(out, v):
+            for name, e in zip(names, encs):
+                e(out, v[name])
+        return enc
     raise ValueError(f"unsupported avro type: {typ!r}")
 
 
@@ -205,6 +222,16 @@ def _compile_field_decoder(typ):
             if pos >= len(pl):
                 raise ValueError("truncated avro data: expected boolean byte")
             return pl[pos] == 1, pos + 1
+        return dec
+    if isinstance(typ, dict) and typ.get("type") == "record":
+        names = [f["name"] for f in typ["fields"]]
+        decs = [_compile_field_decoder(f["type"]) for f in typ["fields"]]
+
+        def dec(pl, pos):
+            v = {}
+            for name, d in zip(names, decs):
+                v[name], pos = d(pl, pos)
+            return v, pos
         return dec
     raise ValueError(f"unsupported avro type: {typ!r}")
 

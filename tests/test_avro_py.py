@@ -271,3 +271,63 @@ def make_source_reader(path):
     from data_eng_iceberg_demo_spark.sources.avro_py import make_source
 
     return make_source()({"path": path}).simpleStreamReader(None)
+
+
+# ---- nested records (the Iceberg manifest shape: manifest_entry holds
+# a data_file record which itself holds a partition record) -----------
+
+NESTED_SCHEMA = {"type": "record", "name": "entry", "fields": [
+    {"name": "status", "type": "int"},
+    {"name": "snap", "type": ["null", "long"]},
+    {"name": "data_file", "type": {
+        "type": "record", "name": "df", "fields": [
+            {"name": "path", "type": "string"},
+            {"name": "part", "type": {
+                "type": "record", "name": "p", "fields": [
+                    {"name": "day", "type": ["null", "string"]}]}},
+            {"name": "rows", "type": "long"},
+        ]}},
+]}
+
+nested_rec = st.tuples(
+    st.integers(min_value=0, max_value=2),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=2 ** 40)),
+    st.fixed_dictionaries({
+        "path": st.text(max_size=20),
+        "part": st.fixed_dictionaries(
+            {"day": st.one_of(st.none(), st.text(max_size=10))}),
+        "rows": st.integers(min_value=0, max_value=2 ** 40),
+    }),
+)
+
+
+@given(recs=st.lists(nested_rec, max_size=25),
+       codec=st.sampled_from(["null", "deflate"]))
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_roundtrip_nested_records(tmp_path_factory, recs, codec):
+    """Nested records roundtrip exactly through BOTH codec paths (the
+    container uses the compiled closures; the reference _enc/_dec pair
+    must agree byte-for-byte)."""
+    p = str(tmp_path_factory.mktemp("avro") / "n.avro")
+    write_avro(p, recs, NESTED_SCHEMA, codec=codec, block_rows=5)
+    assert _read_all(p) == list(recs)
+
+
+def test_nested_record_reference_codec_agrees():
+    import io
+
+    from data_eng_iceberg_demo_spark.sources.avro_py import (
+        _compile_field_decoder, _compile_field_encoder, _dec_value,
+        _enc_value)
+
+    typ = NESTED_SCHEMA["fields"][2]["type"]
+    v = {"path": "data/a.parquet", "part": {"day": "2024-01-01"},
+         "rows": 42}
+    ref = _enc_value(v, typ)
+    out = bytearray()
+    _compile_field_encoder(typ)(out, v)
+    assert bytes(out) == ref
+    assert _dec_value(io.BytesIO(ref), typ) == v
+    got, pos = _compile_field_decoder(typ)(ref, 0)
+    assert got == v and pos == len(ref)

@@ -1,0 +1,207 @@
+"""Write-side Iceberg v2 metadata emitter (r10 verdict task 6).
+
+The interop gap: icelite's own snapshot JSON is not the Iceberg spec,
+and offline no Iceberg runtime jar exists to write the real thing
+(SURVEY §0).  `export_iceberg_metadata` emits spec-shaped
+vN.metadata.json + manifest-list/manifest Avro files alongside.  These
+tests pin the STRUCTURE against the spec's required keys — every Avro
+file also roundtrips through the stdlib codec's own reader, and
+file/row accounting is cross-checked against icelite's ground truth.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from data_eng_iceberg_demo_spark.sources.avro_py import (block_index,
+                                                         read_block,
+                                                         read_header)
+from data_eng_iceberg_demo_spark.tables.iceberg_export import (
+    export_iceberg_metadata)
+from data_eng_iceberg_demo_spark.tables.icelite import IceliteCatalog
+from data_eng_iceberg_demo_spark.tables.queries import (PEDIDOS_SCHEMA,
+                                                        _typed_pedidos)
+
+# spec: required TableMetadata fields for format-version 2
+_REQUIRED_V2_KEYS = {
+    "format-version", "table-uuid", "location", "last-sequence-number",
+    "last-updated-ms", "last-column-id", "schemas", "current-schema-id",
+    "partition-specs", "default-spec-id", "last-partition-id",
+    "sort-orders", "default-sort-order-id", "snapshots", "snapshot-log",
+    "current-snapshot-id", "refs",
+}
+
+_DATA_FILE_REQUIRED = {"content", "file_path", "file_format", "partition",
+                       "record_count", "file_size_in_bytes"}
+
+
+def _read_avro_rows(path):
+    schema, codec, _sync, _pos = read_header(path)
+    rows = []
+    for off, _n, _nb in block_index(path):
+        rows.extend(read_block(path, off, schema, codec))
+    return schema, rows
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    cat = IceliteCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.pedidos", PEDIDOS_SCHEMA)
+    t.insert(_typed_pedidos(spark))
+    t.insert(_typed_pedidos(spark).limit(3))
+    return t
+
+
+def test_metadata_json_required_keys_and_pointer(table):
+    md_path = export_iceberg_metadata(table)
+    with open(md_path) as f:
+        md = json.load(f)
+    assert _REQUIRED_V2_KEYS <= set(md)
+    assert md["format-version"] == 2
+    # HadoopTableOperations pointer agrees with the version file name
+    hint = open(os.path.join(os.path.dirname(md_path),
+                             "version-hint.text")).read().strip()
+    assert md_path.endswith(f"v{hint}.metadata.json")
+    # refs/main and current-snapshot-id point at icelite's current
+    assert md["refs"]["main"]["snapshot-id"] == md["current-snapshot-id"]
+    assert md["current-snapshot-id"] == table.meta["current_snapshot"]
+    # snapshot-log is time-ordered and 1:1 with snapshots
+    log = md["snapshot-log"]
+    assert [e["snapshot-id"] for e in log] == \
+        [s["snapshot-id"] for s in md["snapshots"]]
+    assert all(a["timestamp-ms"] <= b["timestamp-ms"]
+               for a, b in zip(log, log[1:]))
+
+
+def test_schema_field_ids_unique_and_complete(table):
+    md_path = export_iceberg_metadata(table)
+    md = json.load(open(md_path))
+    cur = [s for s in md["schemas"]
+           if s["schema-id"] == md["current-schema-id"]]
+    assert len(cur) == 1
+    ids = [f["id"] for f in cur[0]["fields"]]
+    assert len(ids) == len(set(ids))  # spec: unique within a schema
+    assert md["last-column-id"] >= max(ids)
+    names = [f["name"] for f in cur[0]["fields"]]
+    assert names == [f.name for f in PEDIDOS_SCHEMA.fields]
+    # decimal / timestamptz mappings survive
+    types = {f["name"]: f["type"] for f in cur[0]["fields"]}
+    assert types["valor_unitario"] == "decimal(10, 2)"
+    assert types["data_criacao"] == "timestamptz"
+
+
+def test_manifest_list_roundtrips_and_accounts(table):
+    md_path = export_iceberg_metadata(table)
+    md = json.load(open(md_path))
+    assert len(md["snapshots"]) == 2
+    for snap in md["snapshots"]:
+        schema, rows = _read_avro_rows(snap["manifest-list"])
+        assert schema["name"] == "manifest_file"
+        cols = [f["name"] for f in schema["fields"]]
+        assert {"manifest_path", "manifest_length", "content",
+                "sequence_number", "added_snapshot_id"} <= set(cols)
+        for row in rows:
+            mf = dict(zip(cols, row))
+            assert os.path.getsize(mf["manifest_path"]) == \
+                mf["manifest_length"]
+            assert mf["added_snapshot_id"] == snap["snapshot-id"]
+            assert mf["sequence_number"] == snap["sequence-number"]
+
+
+def test_manifest_entries_match_icelite_ground_truth(table):
+    md_path = export_iceberg_metadata(table)
+    md = json.load(open(md_path))
+    meta = table.meta
+    truth = {s["id"]: s for s in meta["snapshots"]}
+    for snap in md["snapshots"]:
+        _schema, mrows = _read_avro_rows(snap["manifest-list"])
+        live_paths, live_rows = set(), 0
+        for (mf_path, *_rest) in mrows:
+            eschema, erows = _read_avro_rows(mf_path)
+            cols = [f["name"] for f in eschema["fields"]]
+            for row in erows:
+                e = dict(zip(cols, row))
+                assert e["status"] in (0, 1, 2)
+                df = e["data_file"]
+                assert _DATA_FILE_REQUIRED <= set(df)
+                assert os.path.isfile(df["file_path"])
+                assert df["file_size_in_bytes"] == \
+                    os.path.getsize(df["file_path"])
+                # EXISTING entries carry explicit origin numbers (spec:
+                # null inheritance is only legal for ADDED)
+                assert e["snapshot_id"] is not None
+                if e["status"] == 0:
+                    assert e["snapshot_id"] < snap["snapshot-id"]
+                if df["content"] == 0 and e["status"] != 2:
+                    live_paths.add(df["file_path"])
+                    live_rows += df["record_count"]
+        s = truth[snap["snapshot-id"]]
+        tdir = os.path.abspath(table.tdir)
+        assert live_paths == {os.path.join(tdir, f["path"])
+                              for f in s["files"]}
+        assert live_rows == sum(f["record_count"] for f in s["files"])
+
+
+def test_mor_delete_manifest_content_flag(spark, tmp_path):
+    cat = IceliteCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.mor", PEDIDOS_SCHEMA)
+    t.insert(_typed_pedidos(spark))
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    md = json.load(open(export_iceberg_metadata(t)))
+    last = md["snapshots"][-1]
+    assert last["summary"]["operation"] == "delete"
+    _schema, mrows = _read_avro_rows(last["manifest-list"])
+    contents = sorted(r[3] for r in mrows)  # manifest_file.content
+    assert contents == [0, 1]  # one data + one deletes manifest
+    del_mf = next(r[0] for r in mrows if r[3] == 1)
+    eschema, erows = _read_avro_rows(del_mf)
+    cols = [f["name"] for f in eschema["fields"]]
+    for row in erows:
+        e = dict(zip(cols, row))
+        assert e["data_file"]["content"] == 1  # position deletes
+        assert os.path.isfile(e["data_file"]["file_path"])
+
+
+def test_partitioned_table_spec_and_values(spark, tmp_path):
+    cat = IceliteCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.part", PEDIDOS_SCHEMA)
+    t.set_partition_days("data_criacao")
+    t.insert(_typed_pedidos(spark))
+    md = json.load(open(export_iceberg_metadata(t)))
+    assert md["default-spec-id"] == 1
+    spec = next(s for s in md["partition-specs"] if s["spec-id"] == 1)
+    [field] = spec["fields"]
+    assert field["transform"] == "day"  # spec name, not Spark's days()
+    assert field["field-id"] == 1000
+    src = next(f for f in md["schemas"][0]["fields"]
+               if f["name"] == "data_criacao")
+    assert field["source-id"] == src["id"]
+    # partition struct r102 carries the day value per data file
+    snap = md["snapshots"][-1]
+    _s, mrows = _read_avro_rows(snap["manifest-list"])
+    eschema, erows = _read_avro_rows(mrows[0][0])
+    part_field = next(f for f in eschema["fields"]
+                      if f["name"] == "data_file")
+    r102 = next(f for f in part_field["type"]["fields"]
+                if f["name"] == "partition")
+    assert [f["name"] for f in r102["type"]["fields"]] == ["p_day"]
+    cols = [f["name"] for f in eschema["fields"]]
+    vals = {dict(zip(cols, r))["data_file"]["partition"]["p_day"]
+            for r in erows}
+    assert vals  # at least one partition value, all day strings
+    assert all(v and len(v) == 10 for v in vals)
+
+
+def test_reexport_is_idempotent_projection(table):
+    p1 = export_iceberg_metadata(table)
+    md1 = json.load(open(p1))
+    p2 = export_iceberg_metadata(table)
+    md2 = json.load(open(p2))
+    assert p1 == p2  # same version file — icelite is the source of truth
+    assert md1 == md2  # deterministic (uuid5 names, no wall clock)
