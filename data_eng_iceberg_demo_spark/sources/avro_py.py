@@ -429,8 +429,11 @@ def make_source():
 
     class PyAvroStreamReader(SimpleDataSourceStreamReader):
         """Streaming face of the container: the offset is the next
-        BLOCK index, each micro-batch replays exactly one block, and
-        end-of-data is reported by returning the start offset
+        BLOCK index; each micro-batch consumes every block available
+        at poll time (the file source's maxFilesPerTrigger-unset
+        analogue), or at most ``maxBlocksPerTrigger`` when set — paced
+        replay for backpressure without changing the offset algebra.
+        End-of-data is reported by returning the start offset
         unchanged.  Because a block's rows are a pure function of
         (file, block offset), replaying a batch after failure yields
         identical rows — exactly-once without source-side state, the
@@ -438,6 +441,10 @@ def make_source():
 
         def __init__(self, options):
             self.path = options["path"]
+            # 0 = unbounded (consume everything available per trigger)
+            self.max_blocks = int(options.get("maxBlocksPerTrigger",
+                                              options.get(
+                                                  "maxblockspertrigger", 0)))
             self.schema_json, self.codec, _sync, _ = read_header(self.path)
             # size BEFORE index: if a writer appends between the two
             # calls, the recorded size is stale-LOW, so the next poll's
@@ -475,9 +482,14 @@ def make_source():
                 self._refresh()
             if b >= len(self.blocks):
                 return iter([]), start
-            rows = read_block(self.path, self.blocks[b][0],
-                              self.schema_json, self.codec)
-            return iter(rows), {"b": b + 1}
+            hi = len(self.blocks)
+            if self.max_blocks:
+                hi = min(hi, b + self.max_blocks)
+            rows = []
+            for i in range(b, hi):
+                rows += read_block(self.path, self.blocks[i][0],
+                                   self.schema_json, self.codec)
+            return iter(rows), {"b": hi}
 
         def readBetweenOffsets(self, start, end):
             if int(end["b"]) > len(self.blocks):

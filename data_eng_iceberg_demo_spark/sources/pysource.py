@@ -250,7 +250,7 @@ def scan_python_datasource(spark, d):
 def stream_python_datasource(spark, d):
     """readStream through the custom Python data source (Spark 4
     streaming DataSource API): 300 rows arrive as index-offset
-    micro-batches of 100 and drain into a memory sink.  The union of all
+    micro-batches of 150 and drain into a memory sink.  The union of all
     micro-batches must equal the batch scan of the same index range —
     the oracle replays the counter function in SQL, so the offset
     bookkeeping (no gap, no overlap, stop at end) is what's actually
@@ -261,7 +261,7 @@ def stream_python_datasource(spark, d):
 
     with _pinned_session(spark, SyntheticEventsSource) as sess:
         stream = (sess.readStream.format("synthetic_events")
-                  .option("rows", "300").option("batch_rows", "100").load())
+                  .option("rows", "300").option("batch_rows", "150").load())
         qname = f"py_stream_{_uuid.uuid4().hex[:8]}"
         q = (stream.writeStream.format("memory").queryName(qname)
              .outputMode("append").trigger(processingTime="0 seconds").start())
@@ -609,11 +609,14 @@ def sink_avro_roundtrip(spark, d):
 )
 def stream_avro_python(spark, d):
     """readStream over the Avro container (the streaming face of
-    scan_avro_python): the offset is the next BLOCK index, each
-    micro-batch replays exactly one 100-row block, and the union of
-    the six micro-batches must equal the batch scan of the same file —
-    same oracle, so the offset bookkeeping (no gap, no overlap, stop
-    at end, exactly-once block replay) is what's under the hash.  The
+    scan_avro_python): the offset is the next BLOCK index;
+    maxBlocksPerTrigger=3 paces the 6-block container into two
+    micro-batches whose union must equal the batch scan of the same
+    file — same oracle, so the offset bookkeeping (no gap, no overlap
+    at the batch boundary, stop at end, exactly-once block replay) is
+    what's under the hash.  One-block-per-trigger pacing is pinned at
+    the reader level in tests/test_avro_py.py; unset, a trigger drains
+    everything available (the maxFilesPerTrigger-unset analogue).  The
     block-as-offset scheme is how a production tailer follows a
     growing container: new blocks appended after the sync marker
     become new offsets with no rewind."""
@@ -626,7 +629,8 @@ def stream_avro_python(spark, d):
     path = _avro_fixture_path()
     with _pinned_session(spark, _PYAVRO_CLS[0]) as sess:
         stream = (sess.readStream.format("pyavro")
-                  .option("path", path).load())
+                  .option("path", path)
+                  .option("maxBlocksPerTrigger", "3").load())
         qname = f"avro_stream_{_uuid.uuid4().hex[:8]}"
         q = (stream.writeStream.format("memory").queryName(qname)
              .outputMode("append").trigger(processingTime="0 seconds")

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
 
 import numpy as np
 import pandas as pd
@@ -68,7 +67,7 @@ def _state_session(spark, n: int = 8):
     return iso
 
 
-def _events_stream(spark, d, path=None):
+def _events_stream(spark, d, path=None, max_files=None):
     """readStream over the events parquet (schema from a batch peek of the
     raw file — ts arrives as int64 nanos, converted to µs timestamp).
     The file source wants a directory, so the single fixture file is
@@ -90,7 +89,10 @@ def _events_stream(spark, d, path=None):
     from ..session import ensure_session_defaults
     ensure_session_defaults(spark)
     raw_schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(raw_schema).parquet(path)
+    reader = spark.readStream.schema(raw_schema)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files))
+    stream = reader.parquet(path)
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn(
@@ -98,6 +100,27 @@ def _events_stream(spark, d, path=None):
     elif ts_type == "timestamp_ntz":
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
+
+
+def _events_plus(spark, d, tag: str, extra_build) -> str:
+    """Staged stream-input dir holding the fixture events.parquet as a
+    SYMLINK (never copied — the 100k-row re-write was the dominant
+    per-run cost of the dedup/replay streams) plus extra raw-schema
+    file(s) built once by ``extra_build(raw_df, dir)``.  Projections
+    belong stream-side; only genuinely extra rows (duplicate replays)
+    are materialized, so staging cost is O(replay), not O(corpus).
+    Extra files are written first (Spark's overwrite clears the dir),
+    and their just-now mtimes sort AFTER the fixture file under the
+    file source's mtime ordering — replays always land in a later or
+    equal batch, matching the real tail-of-stream arrival order."""
+    def _stage(p):
+        from ..session import ensure_session_defaults
+        ensure_session_defaults(spark)  # nanos fixtures need nanosAsLong
+        raw = spark.read.parquet(os.path.join(d, "events.parquet"))
+        extra_build(raw, p)
+        os.symlink(os.path.join(d, "events.parquet"),
+                   os.path.join(p, "events.parquet"))
+    return _staged_input(tag, d, _stage)
 
 
 def run_stream_to_df(spark, d, build, name, output_mode="append", options=None):
@@ -159,26 +182,43 @@ def stream_watermark_late(spark, d):
         "event_id", "user_id", "event_type", "value",
         F.date_trunc("second", "ts").alias("tss"))
     day1 = e.filter(F.col("tss") < "2024-01-02")
-    later = e.filter((F.col("tss") >= "2024-01-05") & (F.col("tss") < "2024-01-08"))
-    late_replay = day1.filter(F.col("tss") < "2024-01-01 12:00:00")
 
     def _stage(tmp):
-        for i, batch in enumerate([day1, later, late_replay]):
-            fpath = os.path.join(tmp, f"batch{i}")
-            batch.coalesce(1).write.mode("overwrite").parquet(fpath)
+        # ONE scan + one partitionBy write stages all three batches
+        # (the old per-batch coalesce writes re-scanned events 3x):
+        # day1 rows tag 0, 'later' rows tag 1, and day1 MORNING rows
+        # additionally tag 2 via explode — the late replay
+        tagged = (e.filter((F.col("tss") < "2024-01-02")
+                           | ((F.col("tss") >= "2024-01-05")
+                              & (F.col("tss") < "2024-01-08")))
+                  .select("*", F.explode(
+                      F.when(F.col("tss") < "2024-01-01 12:00:00",
+                             F.array(F.lit(0), F.lit(2)))
+                      .when(F.col("tss") < "2024-01-02",
+                            F.array(F.lit(0)))
+                      .otherwise(F.array(F.lit(1)))).alias("batch")))
+        staging = os.path.join(tmp, "parts")
+        (tagged.coalesce(1).write.partitionBy("batch")
+         .mode("overwrite").parquet(staging))
         # one file per batch dir; flatten into src with ordered mtimes
         s = os.path.join(tmp, "src")
         os.makedirs(s, exist_ok=True)
         t0 = 1_700_000_000
         for i in range(3):
-            bdir = os.path.join(tmp, f"batch{i}")
+            bdir = os.path.join(staging, f"batch={i}")
+            if not os.path.isdir(bdir):
+                # zero-row mirror: partitionBy wrote no dir for this
+                # tag — stage a schema'd EMPTY file (the per-batch
+                # writes this replaced always produced one)
+                bdir = os.path.join(tmp, f"empty{i}")
+                e.limit(0).coalesce(1).write.mode("overwrite").parquet(bdir)
             part = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
             dst = os.path.join(s, f"{i:02d}.parquet")
             os.replace(os.path.join(bdir, part), dst)
             os.utime(dst, (t0 + i, t0 + i))
 
     src = os.path.join(_staged_input("wm_late_", d, _stage), "src")
-    schema = day1.schema
+    schema = day1.schema  # partitionBy strips `batch`: files hold e's cols
     iso = _state_session(spark, 8)
     stream = (iso.readStream.schema(schema)
               .option("maxFilesPerTrigger", "1").parquet(src))
@@ -203,17 +243,18 @@ def stream_watermark_late(spark, d):
 )
 def stream_dedup_keyed(spark, d):
     """Streaming dropDuplicates on the event key within a watermark.  The
-    input stream is events ∪ an exact-duplicate replay of 100 events; the
+    input stream is events plus an exact-duplicate replay of 100 raw
+    events (staged as a tiny extra file beside a SYMLINK of the fixture
+    — staging is O(replay), the projection runs stream-side); the
     deduplicated output equals the original table (hash oracle)."""
-    e = T(spark, d, "events").select(
-        "event_id", "event_type", "value", F.date_trunc("second", "ts").alias("tss"))
-    dupes = e.orderBy("event_id").limit(100)
-
-    tmp = _staged_input("dedup_keyed_", d, lambda p: (
-        e.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(p)))
+    tmp = _events_plus(spark, d, "dedup_keyed_", lambda raw, p: (
+        raw.orderBy("event_id").limit(100).coalesce(1)
+        .write.mode("overwrite").parquet(p)))
 
     iso = _state_session(spark, 8)
-    stream = iso.readStream.schema(e.schema).parquet(tmp)
+    stream = _events_stream(iso, d, path=tmp).select(
+        "event_id", "event_type", "value",
+        F.date_trunc("second", "ts").alias("tss"))
     deduped = (stream.withWatermark("tss", "1 hour")
                .dropDuplicates(["event_id"])
                .select("event_id", "event_type", F.round("value", 2).alias("value_r")))
@@ -349,27 +390,21 @@ def stream_stream_join(spark, d):
     a stream-stream join runnable forever at 100 TB/day (state is
     O(rate x horizon), not O(history)).  Inner joins emit eagerly, so
     with availableNow the result equals the batch interval join (hash
-    oracle)."""
-    import tempfile as _tf
-
-    e = T(spark, d, "events").select(
+    oracle).  Both sides are stream-side filters over ONE streaming
+    scan of the fixture (a streaming self-join): no pre-staged
+    per-side files — the production shape, where views and clicks are
+    routed out of a single firehose, and zero batch-write setup cost
+    per run."""
+    iso = _state_session(spark, 8)
+    base = _events_stream(iso, d).select(
         "event_id", "user_id", "event_type",
         F.date_trunc("second", "ts").alias("tss"))
-    views_dir = scratch_dir("ss_views_")
-    clicks_dir = scratch_dir("ss_clicks_")
-    e.filter("event_type = 'view'").coalesce(1) \
-        .write.mode("overwrite").parquet(views_dir)
-    e.filter("event_type = 'click'").coalesce(1) \
-        .write.mode("overwrite").parquet(clicks_dir)
-
-    schema = e.schema
-    iso = _state_session(spark, 8)
-    views = (iso.readStream.schema(schema).parquet(views_dir)
+    views = (base.filter("event_type = 'view'")
              .withWatermark("tss", "1 hour")
              .select(F.col("event_id").alias("view_id"),
                      F.col("user_id").alias("v_user"),
                      F.col("tss").alias("v_tss")))
-    clicks = (iso.readStream.schema(schema).parquet(clicks_dir)
+    clicks = (base.filter("event_type = 'click'")
               .withWatermark("tss", "1 hour")
               .select(F.col("event_id").alias("click_id"),
                       F.col("user_id").alias("c_user"),
@@ -403,32 +438,20 @@ def stream_foreach_batch_merge(spark, d):
     snapshot table keyed by event_id, so replayed events overwrite
     instead of duplicating — the streaming-lakehouse CDC pattern
     (micro-batch writes, table-format commit protocol, exactly-once
-    effect from idempotent merge).  Input replays 100 events across
-    later batches; the final table equals the distinct event set (hash
-    oracle).  At scale each merge is one co-partitioned shuffle per
-    batch and one snapshot commit."""
-    import tempfile as _tf
-
+    effect from idempotent merge).  Input replays 100 raw events in a
+    LATER batch (tiny staged file beside a fixture symlink —
+    maxFilesPerTrigger=1 + mtime ordering put the fixture first; the
+    value_r projection runs stream-side); the final table equals the
+    distinct event set (hash oracle).  At scale each merge is one
+    co-partitioned shuffle per batch and one snapshot commit."""
     from pyspark.sql.types import (DoubleType, LongType, StringType,
                                    StructField, StructType)
 
     from ..tables.icelite import IceliteCatalog
 
-    e = T(spark, d, "events").select(
-        "event_id", "event_type", F.round("value", 2).alias("value_r"))
-    replay = e.orderBy("event_id").limit(100)
-
-    def _stage(src):
-        t0 = 1_700_000_000
-        for i, batch in enumerate([e, replay]):
-            bdir = scratch_dir("fbm_b_")
-            batch.coalesce(1).write.mode("overwrite").parquet(bdir)
-            part = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
-            dst = os.path.join(src, f"{i:02d}.parquet")
-            os.replace(os.path.join(bdir, part), dst)
-            os.utime(dst, (t0 + i, t0 + i))
-
-    src = _staged_input("fbm_src_", d, _stage)
+    src = _events_plus(spark, d, "fbm_src_", lambda raw, p: (
+        raw.orderBy("event_id").limit(100).coalesce(1)
+        .write.mode("overwrite").parquet(p)))
 
     schema = StructType([
         StructField("event_id", LongType()),
@@ -443,8 +466,8 @@ def stream_foreach_batch_merge(spark, d):
                          key="event_id",
                          update_cols=["event_type", "value_r"])
 
-    stream = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", "1").parquet(src))
+    stream = _events_stream(spark, d, path=src, max_files=1).select(
+        "event_id", "event_type", F.round("value", 2).alias("value_r"))
     q = (stream.writeStream.foreachBatch(merge_batch)
          .trigger(availableNow=True).start())
     q.awaitTermination()
@@ -463,18 +486,17 @@ def stream_dedup_within_watermark(spark, d):
     keeps EVERY key's state forever), state for a key is evicted once the
     watermark passes its event time — the state store stays bounded by
     the watermark horizon, which is what makes keyed dedup viable on an
-    unbounded 100 TB/day stream.  Input is events ∪ a 100-event replay
-    inside the horizon; output equals the original table."""
-    e = T(spark, d, "events").select(
-        "event_id", "event_type", "value",
-        F.date_trunc("second", "ts").alias("tss"))
-    dupes = e.orderBy("event_id").limit(100)
-
-    tmp = _staged_input("dedup_wm_", d, lambda p: (
-        e.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(p)))
+    unbounded 100 TB/day stream.  Input is events plus a 100-event raw
+    replay inside the horizon (tiny staged file + fixture symlink, the
+    projection stream-side); output equals the original table."""
+    tmp = _events_plus(spark, d, "dedup_wm_", lambda raw, p: (
+        raw.orderBy("event_id").limit(100).coalesce(1)
+        .write.mode("overwrite").parquet(p)))
 
     iso = _state_session(spark, 8)
-    stream = iso.readStream.schema(e.schema).parquet(tmp)
+    stream = _events_stream(iso, d, path=tmp).select(
+        "event_id", "event_type", "value",
+        F.date_trunc("second", "ts").alias("tss"))
     deduped = (stream.withWatermark("tss", "1 hour")
                .dropDuplicatesWithinWatermark(["event_id"])
                .select("event_id", "event_type",
@@ -505,20 +527,39 @@ def stream_file_sink_exactly_once(spark, d):
     duplicates and no gaps — even though run 2's source directory
     contained every file.  This is the restart-safety every production
     pipeline leans on; checkpoint + sink live in scratch per call, so
-    repeated runs in one process stay independent."""
+    repeated runs in one process stay independent.  The two half files
+    are staged ONCE in a single partitionBy pass (they're a pure
+    function of the fixture); each run hardlinks them into its fresh
+    source dir, so per-run cost is the two streaming runs, not two
+    batch writes."""
     e = T(spark, d, "events").select(
         "event_id", "event_type", F.round("value", 2).alias("value_r"),
         F.date_trunc("second", "ts").alias("tss"))
-    half = e.filter(F.col("event_id") % 2 == 0)
-    rest = e.filter(F.col("event_id") % 2 == 1)
+
+    def _stage(p):
+        (e.withColumn("par", (F.col("event_id") % 2).cast("int"))
+         .coalesce(1).write.partitionBy("par").mode("overwrite").parquet(p))
+        for par in (0, 1):
+            pdir = os.path.join(p, f"par={par}")
+            if not os.path.isdir(pdir):
+                # zero-row mirror: keep a schema'd empty half so the
+                # sink still commits typed (empty) output per run
+                e.limit(0).coalesce(1).write.mode("overwrite").parquet(pdir)
+
+    staged = _staged_input("eo_halves_", d, _stage)
+
+    def _part(par):
+        pdir = os.path.join(staged, f"par={par}")
+        return os.path.join(pdir, next(f for f in os.listdir(pdir)
+                                       if f.endswith(".parquet")))
 
     src = scratch_dir("eo_src_")
     sink = scratch_dir("eo_sink_")
     ckpt = scratch_dir("eo_ckpt_")
-    half.coalesce(1).write.mode("append").parquet(src)
+    os.link(_part(0), os.path.join(src, "00.parquet"))
 
     iso = _state_session(spark, 8)
-    schema = e.schema
+    schema = e.schema  # partitionBy strips `par`; files hold e's columns
 
     def run_once():
         q = (iso.readStream.schema(schema).parquet(src)
@@ -529,6 +570,6 @@ def stream_file_sink_exactly_once(spark, d):
         q.awaitTermination()
 
     run_once()                                   # consumes the even half
-    rest.coalesce(1).write.mode("append").parquet(src)
+    os.link(_part(1), os.path.join(src, "01.parquet"))
     run_once()                                   # same checkpoint: delta only
     return iso.read.parquet(sink)

@@ -331,3 +331,31 @@ def test_nested_record_reference_codec_agrees():
     assert _dec_value(io.BytesIO(ref), typ) == v
     got, pos = _compile_field_decoder(typ)(ref, 0)
     assert got == v and pos == len(ref)
+
+
+def test_stream_reader_max_blocks_per_trigger(tmp_path):
+    """Pacing contract: unset, one poll drains every available block;
+    maxBlocksPerTrigger=N consumes at most N per poll with the offset
+    advancing exactly to the consumed boundary (no gap, no overlap)."""
+    from data_eng_iceberg_demo_spark.sources.avro_py import make_source
+
+    p = str(tmp_path / "pace.avro")
+    recs = [(i, f"r{i}", float(i), i % 2 == 0) for i in range(6)]
+    write_avro(p, recs, SCHEMA, codec="null", block_rows=2)  # 3 blocks
+
+    src = make_source()
+    greedy = src({"path": p}).simpleStreamReader(None)
+    rows, off = greedy.read(greedy.initialOffset())
+    assert list(rows) == recs and off == {"b": 3}  # all blocks, one poll
+
+    paced = src({"path": p, "maxBlocksPerTrigger": "1"}) \
+        .simpleStreamReader(None)
+    off, seen = paced.initialOffset(), []
+    for expect in (1, 2, 3):  # one block per poll
+        rows, off = paced.read(off)
+        rows = list(rows)
+        assert len(rows) == 2 and off == {"b": expect}
+        seen += rows
+    assert seen == recs
+    rows, off = paced.read(off)  # caught up: start offset unchanged
+    assert list(rows) == [] and off == {"b": 3}

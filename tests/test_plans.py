@@ -305,6 +305,10 @@ _BROADCAST_HINT_OK = {
         "both hinted subtrees are groupBy(source) shingle counts: "
         "output is bounded by the number of corpus FEEDS (the "
         "events_anomaly closed-enum class), not document rows",
+    ("llm_similarity_incremental", "embeddings"):
+        "query side is pinned to 5 vec_ids by construction — the same "
+        "tiny-query-set contract as llm_similarity_topk, broadcast once "
+        "per arm (prior snapshot + CDC delta)",
 }
 
 
