@@ -45,7 +45,8 @@ import json
 import os
 import uuid
 
-from ..sources.avro_py import write_avro
+from ..sources.avro_py import (block_index, read_block, read_header,
+                               write_avro)
 
 # --- spec type mapping ------------------------------------------------------
 
@@ -327,3 +328,68 @@ def export_iceberg_metadata(table) -> str:
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write(str(version))
     return md_path
+
+
+# --- spec-side reader (the interop proof) -----------------------------------
+
+def _avro_rows(path: str) -> list[dict]:
+    schema, codec, _sync, _pos = read_header(path)
+    cols = [f["name"] for f in schema["fields"]]
+    out = []
+    for off, _n, _nb in block_index(path):
+        out += [dict(zip(cols, r))
+                for r in read_block(path, off, schema, codec)]
+    return out
+
+
+def read_iceberg_table(spark, table_location: str):
+    """Read a table from the EXPORTED spec metadata alone — no icelite
+    involvement: version-hint.text -> vN.metadata.json ->
+    current-snapshot-id -> manifest-list Avro -> manifest Avro ->
+    parquet data files, minus position-delete (content=1) rows.  This
+    is the planning walk any spec reader (Trino/DuckDB/Spark+Iceberg)
+    performs, so a hash match against the table's expected content is
+    the write-side emitter's end-to-end interop proof.  Scope matches
+    the emitter: parquet files, position deletes, current snapshot.
+
+    Scale shape: the metadata walk is a driver-side O(#files) manifest
+    decode (exactly Iceberg's own planning cost); data and delete files
+    are handed to ONE distributed parquet scan each, deletes subtracted
+    by a (file, pos) anti-join that Spark broadcasts at runtime when
+    small (no hint: delete volume is unbounded by policy)."""
+    import pyspark.sql.functions as F
+
+    mdir = os.path.join(table_location, "metadata")
+    with open(os.path.join(mdir, "version-hint.text")) as f:
+        version = int(f.read().strip())
+    md = json.load(open(os.path.join(mdir, f"v{version}.metadata.json")))
+    cur = md["current-snapshot-id"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == cur)
+
+    data_files, delete_files = [], []
+    for mf in _avro_rows(snap["manifest-list"]):
+        for e in _avro_rows(mf["manifest_path"]):
+            if e["status"] == 2:  # DELETED entries no longer contribute
+                continue
+            dfile = e["data_file"]
+            (delete_files if dfile["content"] == 1
+             else data_files).append(dfile["file_path"])
+
+    df = spark.read.parquet(*data_files)
+    if not delete_files:
+        return df
+
+    def _norm(col):
+        # _metadata.file_path is a file: URI; position-delete files
+        # store the same URI form, but normalize both sides anyway
+        return F.regexp_replace(col, "^file:/+", "/")
+
+    staged = df.select(
+        "*", _norm(F.col("_metadata.file_path")).alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"))
+    dels = (spark.read.parquet(*delete_files)
+            .select(_norm(F.col("file_path")).alias("__dfile"),
+                    F.col("pos").alias("__dpos")))
+    cond = ((staged["__file"] == dels["__dfile"])
+            & (staged["__pos"] == dels["__dpos"]))
+    return staged.join(dels, cond, "left_anti").drop("__file", "__pos")

@@ -481,6 +481,48 @@ class IceliteTable:
         self._commit_snapshot(meta, "append", cur_files + new_files,
                               delete_files=cur_dels)
 
+    def add_files(self, paths: list[str]) -> int:
+        """Iceberg's ``CALL system.add_files`` / in-place migrate analog:
+        register EXISTING parquet files into the table by METADATA ONLY —
+        zero bytes move or rewrite, which is the only viable way to adopt
+        a 100 TB directory into a table format.  Files are recorded by
+        absolute path (they live outside the table dir and are never
+        touched by compaction-free maintenance here), tagged with the
+        current schema version, with footer stats harvested exactly like
+        _write_files' own output — so metadata_count and stats-range
+        pruning work on imported files too.  Each file must carry every
+        current column by name (checked against its footer before the
+        commit; a missing column would otherwise surface as a read-time
+        AnalysisException long after the import)."""
+        meta = self.meta
+        fields = self._schema_fields(meta, meta["current_schema"])
+        name_to_id = {f["name"]: f["id"] for f in fields}
+        new = []
+        for p in paths:
+            full = os.path.abspath(p)
+            try:
+                import pyarrow.parquet as pq
+
+                have = set(pq.read_schema(full).names)
+                missing = [f["name"] for f in fields if f["name"] not in have]
+                if missing:
+                    raise ValueError(
+                        f"add_files: {full} lacks table columns {missing}")
+            except ImportError:
+                pass  # no pyarrow: defer to read-time resolution
+            new.append({"path": full,
+                        "schema_version": meta["current_schema"],
+                        "partition": None, "spec_key": None,
+                        **_footer_entry(full, name_to_id)})
+        cur_files, cur_dels = [], []
+        if meta["current_snapshot"] is not None:
+            cur = self._snapshot(meta, None)
+            cur_files = cur["files"]
+            cur_dels = cur.get("delete_files", [])
+        self._commit_snapshot(meta, "append", cur_files + new,
+                              delete_files=cur_dels)
+        return len(new)
+
     def set_property(self, key: str, value: str) -> None:
         """ALTER TABLE ... SET TBLPROPERTIES — e.g. Iceberg's
         ``write.delete.mode`` = merge-on-read, which delete_where honors

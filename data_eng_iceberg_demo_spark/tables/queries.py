@@ -850,3 +850,64 @@ def table_files_meta(spark, d):
     return spark.createDataFrame(
         rows, "part_value string, record_count bigint, "
               "q_min bigint, q_max bigint")
+
+
+@register(
+    "table_add_files_import",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY source
+    """,
+)
+def table_add_files_import(spark, d):
+    """Iceberg ``CALL system.add_files`` / in-place migrate (r11): an
+    EXISTING parquet file (the documents fixture) is adopted into a
+    fresh icelite table by metadata only — zero bytes copied or
+    rewritten, the only viable way to bring a 100 TB directory under a
+    table format.  The imported file is registered by absolute path
+    with footer stats harvested like native writes (so metadata-only
+    COUNT(*) and stats pruning work on it), and the table read-back
+    aggregates to the fixture's own numbers (hash oracle).  The
+    zero-copy contract is pytest-pinned: the table dir gains no parquet
+    and the read plans exactly the fixture file
+    (tests/test_icelite.py::test_add_files_is_metadata_only)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    cat = IceliteCatalog(spark, scratch_dir("addfiles_"))
+    cat.create_namespace("db")
+    t = cat.create_table("db.docs_imported", StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]))
+    import os
+    t.add_files([os.path.join(d, "documents.parquet")])
+    return (t.read().groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("sum_chars")))
+
+
+@register(
+    "table_iceberg_export_read",
+    oracle=f"SELECT * FROM ({_CSV_ORACLE_BASE}) WHERE uf <> 'SP'",
+)
+def table_iceberg_export_read(spark, d):
+    """Iceberg-spec metadata roundtrip (r11): the table (insert + one
+    MoR DELETE, so position deletes are live) is exported as spec v2
+    metadata (vN.metadata.json + manifest-list/manifest Avro,
+    tables/iceberg_export.py) and read back by a reader that walks
+    ONLY the exported spec artifacts — version-hint -> metadata.json ->
+    manifest list -> manifests -> parquet files minus content=1
+    position-delete rows, never icelite's own format.  A hash match
+    against the CSV-filtered oracle proves the emitted metadata
+    completely and correctly describes the table — the write-side
+    interop contract a Trino/DuckDB/Spark-Iceberg reader relies on."""
+    from .iceberg_export import export_iceberg_metadata, read_iceberg_table
+
+    t = _fresh_table(spark)
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    export_iceberg_metadata(t)
+    return _as_output(read_iceberg_table(spark, t.tdir))

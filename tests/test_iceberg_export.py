@@ -205,3 +205,27 @@ def test_reexport_is_idempotent_projection(table):
     md2 = json.load(open(p2))
     assert p1 == p2  # same version file — icelite is the source of truth
     assert md1 == md2  # deterministic (uuid5 names, no wall clock)
+
+
+def test_spec_reader_roundtrips_table_content(spark, tmp_path):
+    """read_iceberg_table consumes ONLY the exported spec artifacts and
+    must reproduce the table: appends, MoR position deletes, and the
+    partitioned layout all come back equal to icelite's own read."""
+    from data_eng_iceberg_demo_spark.tables.iceberg_export import (
+        read_iceberg_table)
+
+    cat = IceliteCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.rt", PEDIDOS_SCHEMA)
+    t.set_partition_days("data_criacao")
+    t.insert(_typed_pedidos(spark))
+    t.insert(_typed_pedidos(spark).limit(7))
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    export_iceberg_metadata(t)
+
+    def rows(df):
+        return sorted(map(tuple, df.select("id_pedido", "uf", "quantidade")
+                          .collect()))
+
+    got = read_iceberg_table(spark, t.tdir)
+    assert rows(got) == rows(t.read())

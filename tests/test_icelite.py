@@ -785,3 +785,54 @@ def test_to_iceberg_ddl_staged_export_preserves_partition_dirs(spark, table):
     assert spec_name in got.columns  # partition discovery works
     assert got.count() == before - n_sp == table.read().count()
     assert got.filter("uf = 'SP'").count() == 0
+
+
+def test_add_files_is_metadata_only(spark, tmp_path):
+    """add_files (Iceberg CALL system.add_files / migrate analog, r11):
+    adopting an existing parquet file is METADATA ONLY — no bytes land
+    under the table dir, the read plans exactly the imported file, and
+    footer stats make metadata-only COUNT(*) work on imported files."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    fixture = "/root/testdata/sf0.001/documents.parquet"
+    cat = IceliteCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.imported", StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]))
+    assert t.add_files([fixture]) == 1
+
+    # zero copy: the table tree holds metadata only, no parquet
+    copied = [f for root, _d, fs in os.walk(t.tdir)
+              for f in fs if f.endswith(".parquet")]
+    assert copied == []
+    # the read plans exactly the fixture file
+    df = t.read()
+    assert [p.replace("file:", "").replace("///", "/")
+            for p in df.inputFiles()] == [fixture]
+    n = df.count()
+    assert n == spark.read.parquet(fixture).count()
+    # footer stats were harvested: COUNT(*) answerable from metadata
+    assert t.metadata_count() == n
+    # a second native insert coexists with the imported file
+    t.insert(df.limit(5))
+    assert t.read().count() == n + 5
+
+
+def test_add_files_rejects_missing_columns(spark, tmp_path):
+    """Schema compatibility is checked at import time, not first read."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cat = IceliteCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.bad", StructType([
+        StructField("doc_id", LongType()),
+        StructField("no_such_column", LongType()),
+    ]))
+    with pytest.raises(ValueError, match="no_such_column"):
+        t.add_files(["/root/testdata/sf0.001/documents.parquet"])
