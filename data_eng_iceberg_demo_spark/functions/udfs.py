@@ -568,3 +568,60 @@ def udf_pandas_iter(spark, d):
     o = T(spark, d, "orders")
     return o.select("o_orderkey",
                     _price_band_iter("o_totalprice").alias("band"))
+
+
+@register(
+    "udtf_table_argument",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events GROUP BY event_type
+    """,
+)
+def udtf_table_argument(spark, d):
+    """Python UDTF with a TABLE argument + PARTITION BY (Spark 4): the
+    function consumes WHOLE ROWS of a relation instead of scalar
+    columns, and PARTITION BY routes one UDTF instance per key — eval
+    streams the partition's rows, terminate() emits its summary.  This
+    is the API for per-group algorithms that don't fit an aggregate
+    signature (sessionizers, sequence models, samplers); here a
+    per-event-type (count, cents-sum) proves the lifecycle against the
+    plain GROUP BY oracle.  Values sum as half-up-rounded INT cents —
+    double addition is order-dependent and a partitioned UDTF gives no
+    order guarantee, so only an integer sum is hash-stable.  An
+    all-NULL partition yields NULL cents to match SQL SUM.
+
+    Scale shape: PARTITION BY is one hash shuffle on the key (same as
+    the aggregate it mirrors); the Python worker sees each partition as
+    an Arrow row stream, state is one (count, sum) pair per instance —
+    O(1) memory regardless of partition size."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_type string, n bigint, cents bigint")
+    class PerTypeSummary:
+        def __init__(self):
+            self._key = None
+            self._n = 0
+            self._cents = 0
+            self._nn = 0
+
+        def eval(self, row):
+            self._key = row["event_type"]
+            self._n += 1
+            v = row["value"]
+            if v is not None:
+                import math
+                self._cents += int(math.floor(v * 100 + 0.5))
+                self._nn += 1
+
+        def terminate(self):
+            yield self._key, self._n, (self._cents if self._nn else None)
+
+    spark.udtf.register("per_type_summary_udtf", PerTypeSummary)
+    (T(spark, d, "events").select("event_type", "value")
+     .createOrReplaceTempView("ev_tblarg"))
+    return spark.sql("""
+        SELECT event_type, n, cents
+        FROM per_type_summary_udtf(TABLE(ev_tblarg) PARTITION BY event_type)
+    """)

@@ -3948,3 +3948,148 @@ def llm_similarity_incremental(spark, d):
     return (prior.unionByName(fresh)
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 10).select("qid", "cid", "cosine"))
+
+
+# --- Bloom-filter ingest dedup (r11) ----------------------------------------
+
+_BLOOM_M = 4096   # bits; FP rate at fixture fill (~3k set bits) ~ (0.75)^3
+_BLOOM_WINDOWS = (1, 9, 17)  # three independent 32-bit md5 windows
+
+
+def _duck_md5_window(col: str, offset: int) -> str:
+    """DuckDB SQL for the 32-bit integer held in 8 hex chars of
+    md5(col) starting at 1-based `offset` — the cross-engine twin of
+    Spark's conv(substring(md5(col), offset, 8), 16, 10)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({col}),{offset + j},1))-1)"
+        f"*{16 ** (7 - j)}" for j in range(8)) + ")"
+
+
+_BLOOM_ORACLE = f"""
+WITH pos AS (
+    SELECT doc_id, doc_id % 10 <> 0 AS in_base, unnest([
+        {", ".join(f"{_duck_md5_window('text', o)} % {_BLOOM_M}"
+                   for o in _BLOOM_WINDOWS)}
+    ]) AS bit
+    FROM documents WHERE text IS NOT NULL
+),
+base_bits AS (SELECT DISTINCT bit FROM pos WHERE in_base),
+hits AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS k_hits
+    FROM pos JOIN base_bits USING (bit) GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(k_hits, 0) = {len(_BLOOM_WINDOWS)} AS maybe_dup
+FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+LEFT JOIN hits USING (doc_id)
+"""
+
+
+@register("llm_dedup_bloom", oracle=_BLOOM_ORACLE)
+def llm_dedup_bloom(spark, d):
+    """Bloom-filter ingest prefilter — the membership test every
+    streaming dedup pipeline runs BEFORE any expensive verification: a
+    4096-bit Bloom filter (k=3, deterministic md5-window hashes)
+    is built over the base corpus's text, and each incoming doc (here:
+    the full fixture replayed, so ~90% are true dupes of the base and
+    the doc_id%10==0 tail is genuinely new) is flagged maybe_dup iff
+    ALL three of its bit positions are set.  No false negatives by
+    construction (a true dupe hashes to set bits), false positives are
+    the documented trade (FP odds at this fill ~40%; m scales with
+    corpus size in production).  Deterministic md5 bits make the whole
+    filter REPLAYABLE IN SQL, so unlike a real bitset this registered
+    form is hash-oracled end to end.
+
+    Scale shape: the filter itself is an aggregate DISTINCT over at
+    most m=4096 bit values — bounded by the filter WIDTH (not the
+    corpus) by pigeonhole — so Spark auto-broadcasts it (no hint
+    needed, no OOM possible); the incoming batch is touched once, 3
+    generated ints per doc, zero raw-text shuffle.  At 100 TB the same
+    plan holds with m sized to the corpus (e.g. 2^33 bits = 1 GiB
+    bitmap aggregated via bitmap_or_agg; exact verification of the
+    maybe_dup survivors is llm_dedup_incremental's inverted index)."""
+    docs = (T(spark, d, "documents")
+            .filter(F.col("text").isNotNull()))
+    h = F.md5("text")
+    bits = F.array(*[
+        (F.conv(F.substring(h, o, 8), 16, 10).cast("long")
+         % _BLOOM_M).alias(f"p{i}")
+        for i, o in enumerate(_BLOOM_WINDOWS)])
+    pos = docs.select("doc_id", (F.col("doc_id") % 10 != 0).alias("in_base"),
+                      F.explode(bits).alias("bit"))
+    base_bits = pos.filter("in_base").select("bit").distinct()
+    hits = (pos.join(base_bits, "bit")
+            .groupBy("doc_id").agg(F.count("*").alias("k_hits")))
+    return (docs.select("doc_id").join(hits, "doc_id", "left")
+            .select("doc_id",
+                    (F.coalesce("k_hits", F.lit(0))
+                     == len(_BLOOM_WINDOWS)).alias("maybe_dup")))
+
+
+# --- DSIR-style importance resampling (r11) ---------------------------------
+
+_DSIR_ORACLE = f"""
+WITH f AS (
+    SELECT doc_id, n_chars,
+           CAST(floor(len(string_split(text, ' ')) / 15.0) AS INT) AS fb,
+           {_duck_md5_window('text', 17)} AS u32
+    FROM documents WHERE text IS NOT NULL
+),
+b AS (
+    SELECT fb, CAST(count(*) AS BIGINT) AS r_cnt,
+           CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+               AS t_cnt
+    FROM f GROUP BY fb
+),
+w AS (
+    SELECT fb, r_cnt, t_cnt,
+           SUM(r_cnt) OVER () AS r_tot, SUM(t_cnt) OVER () AS t_tot
+    FROM b
+)
+SELECT f.doc_id, f.fb,
+       f.u32 * w.r_cnt * w.t_tot < 4294967296 * w.t_cnt * w.r_tot
+           AS accept
+FROM f JOIN w USING (fb)
+"""
+
+
+@register("llm_importance_resampling", oracle=_DSIR_ORACLE)
+def llm_importance_resampling(spark, d):
+    """DSIR-style importance resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): select
+    raw-corpus docs whose FEATURES look like a target set's, by
+    accepting each doc with probability min(1, p_target(f)/p_raw(f))
+    of its feature bucket.  Feature = token-count bucket (floor(n/15),
+    7 buckets at every fixture SF — probed non-degenerate: weights
+    span 0, partial, and capped-1); target = docs with n_chars >= 300,
+    so the resample shifts mass toward long-doc buckets.  Acceptance
+    u < w uses the 32-bit md5(text) window as u — deterministic,
+    content-keyed (a re-ingested doc gets the same verdict), and the
+    comparison is INTEGER cross-multiplied (u32*r_cnt*t_tot <
+    2^32*t_cnt*r_tot), so both engines decide ties identically with
+    zero float divides.  Magnitudes fit bigint up to ~1e8 docs; at
+    corpus scale promote to decimal(38,0).
+
+    Scale shape: one groupBy over the feature bucket (≤7 rows), totals
+    via an unpartitioned window over THAT 7-row aggregate (never the
+    corpus), bucket weights auto-broadcast back onto the single corpus
+    pass.  Zero raw-text shuffle; the only corpus-wide work is the
+    token count and one md5."""
+    docs = (T(spark, d, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "n_chars",
+                    F.floor(F.size(F.split("text", " ")) / 15.0)
+                    .cast("int").alias("fb"),
+                    F.conv(F.substring(F.md5("text"), 17, 8), 16, 10)
+                    .cast("long").alias("u32")))
+    b = docs.groupBy("fb").agg(
+        F.count("*").alias("r_cnt"),
+        F.count_if(F.col("n_chars") >= 300).alias("t_cnt"))
+    wall = Window.partitionBy()
+    w = b.select("fb", "r_cnt", "t_cnt",
+                 F.sum("r_cnt").over(wall).alias("r_tot"),
+                 F.sum("t_cnt").over(wall).alias("t_tot"))
+    joined = docs.join(w, "fb")
+    accept = (F.col("u32") * F.col("r_cnt") * F.col("t_tot")
+              < F.lit(4294967296) * F.col("t_cnt") * F.col("r_tot"))
+    return joined.select("doc_id", F.col("fb").cast("int").alias("fb"),
+                         accept.alias("accept"))
