@@ -467,3 +467,38 @@ def agg_bitmap_distinct(spark, d):
                        .alias("c")))
     return (per_bucket.groupBy("o_orderpriority")
             .agg(F.sum("c").cast("bigint").alias("n_custs")))
+
+
+@register(
+    "agg_min_by_max_by",
+    oracle="""
+    WITH keyed AS (
+        SELECT o_orderpriority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   * 10000000 + o_orderkey % 10000000 AS v,
+               o_orderkey
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           arg_min(o_orderkey, v) AS cheapest_order,
+           arg_max(o_orderkey, v) AS priciest_order
+    FROM keyed GROUP BY o_orderpriority
+    """,
+)
+def agg_min_by_max_by(spark, d):
+    """min_by / max_by (argmin/argmax aggregates, Spark 3.3+ — DuckDB's
+    arg_min/arg_max): per priority class, WHICH order is cheapest /
+    priciest.  The comparison value packs (cents, orderkey) into one
+    bigint because min_by over a tie picks an arbitrary winner on both
+    engines — duplicated totalprices would hash-flicker; the integer
+    pack makes the extremum unique and the rounding half-up explicit
+    (the udtf_table_argument cents discipline).  One partial+final
+    aggregate, no window, no join — the struct-extrema groupBy shape
+    at its simplest."""
+    keyed = T(spark, d, "orders").select(
+        "o_orderpriority", "o_orderkey",
+        (F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+         * 10000000 + F.col("o_orderkey") % 10000000).alias("v"))
+    return (keyed.groupBy("o_orderpriority")
+            .agg(F.min_by("o_orderkey", "v").alias("cheapest_order"),
+                 F.max_by("o_orderkey", "v").alias("priciest_order")))

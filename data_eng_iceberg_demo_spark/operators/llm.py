@@ -3429,14 +3429,24 @@ def llm_semantic_cluster_assign(spark, d):
     INTEGER-EXACT (the power-iteration discipline): vectors quantize
     to floor(64·x), diffs are |.|<=2^14 and dist2 <= 64·2^14 — far
     inside int64 — so the hash carries no float-reassociation risk."""
+    asg = _quantized_cluster_assign(spark, d)
+    return asg.select("vec_id", "cluster", "dist2")
+
+
+def _quantized_cluster_assign(spark, d, k: int = 4):
+    """Shared quantize + nearest-centroid step (llm_semantic_cluster_
+    assign and llm_semdedup): (vec_id, q, cluster, dist2) with q =
+    floor(64·x) integer vectors and centroids = the k lowest-vec_id
+    vectors inlined as literals (one bounded k-row driver collect,
+    zero-exchange assignment — see llm_semantic_cluster_assign)."""
     emb = (T(spark, d, "embeddings").filter(F.col("embedding").isNotNull())
            .select("vec_id", F.transform(
                "embedding",
                lambda x: F.floor(x.cast("double") * 64).cast("bigint"))
                .alias("q")))
-    cents = emb.orderBy("vec_id").limit(4).collect()  # k bounded rows
+    cents = emb.orderBy("vec_id").limit(k).collect()  # k bounded rows
     if not cents:
-        return emb.select("vec_id",
+        return emb.select("vec_id", "q",
                           F.lit(None).cast("bigint").alias("cluster"),
                           F.lit(None).cast("bigint").alias("dist2"))
     options = F.array(*[
@@ -3450,7 +3460,7 @@ def llm_semantic_cluster_assign(spark, d):
             F.lit(int(c["vec_id"])).cast("bigint").alias("cid"))
         for c in cents])
     pick = F.array_min(options)
-    return emb.select("vec_id",
+    return emb.select("vec_id", "q",
                       pick["cid"].alias("cluster"),
                       pick["dist2"].cast("bigint").alias("dist2"))
 
@@ -4093,3 +4103,120 @@ def llm_importance_resampling(spark, d):
               < F.lit(4294967296) * F.col("t_cnt") * F.col("r_tot"))
     return joined.select("doc_id", F.col("fb").cast("int").alias("fb"),
                          accept.alias("accept"))
+
+
+# --- SemDeDup: cluster-then-dedup (r11) -------------------------------------
+
+_SEMDEDUP_ORACLE = """
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 64)
+                                    AS BIGINT)) AS q
+    FROM embeddings WHERE embedding IS NOT NULL
+), c AS (
+    SELECT vec_id AS cid, q AS cq FROM q ORDER BY vec_id LIMIT 4
+), dist AS (
+    SELECT q.vec_id, c.cid,
+           list_sum(list_transform(generate_series(1, 64),
+                    i -> (q.q[i] - c.cq[i]) * (q.q[i] - c.cq[i])))
+               AS dist2
+    FROM q CROSS JOIN c
+), asg AS (
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cid) AS rn
+        FROM dist) WHERE rn = 1
+), pairs AS (
+    SELECT b.vec_id AS dup_id
+    FROM asg a JOIN asg b ON a.cluster = b.cluster
+                         AND a.vec_id < b.vec_id
+    JOIN q qa ON qa.vec_id = a.vec_id
+    JOIN q qb ON qb.vec_id = b.vec_id
+    WHERE list_sum(list_transform(generate_series(1, 64),
+                                  i -> qa.q[i] * qb.q[i])) > 0
+      AND list_sum(list_transform(generate_series(1, 64),
+                                  i -> qa.q[i] * qb.q[i]))
+          * list_sum(list_transform(generate_series(1, 64),
+                                    i -> qa.q[i] * qb.q[i])) * 10000
+          >= 1600 * list_sum(list_transform(qa.q, x -> x * x))
+                  * list_sum(list_transform(qb.q, x -> x * x))
+)
+SELECT asg.vec_id, CAST(cluster AS BIGINT) AS cluster,
+       asg.vec_id IN (SELECT dup_id FROM pairs) AS is_dup
+FROM asg
+"""
+
+
+@register("llm_semdedup", oracle=_SEMDEDUP_ORACLE)
+def llm_semdedup(spark, d):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space, then mark within-cluster semantic near-duplicates
+    — a vector is a dup iff a LOWER-id vector in ITS OWN cluster has
+    cosine ≥ 0.40 (keep-first, the llm_dedup_near rule).  Clustering
+    bounds the quadratic term: pairs are only formed inside a cluster,
+    never across the corpus — exactly why the published method scales
+    where all-pairs cosine cannot.  Threshold probed non-degenerate on
+    the fixtures (26/403 dup pairs at sf0.01/0.1; τ=0.45 leaves single
+    digits, τ=0.30 sweeps in 400+).
+
+    Exactness: vectors quantize to floor(64·x) ints (the cluster-assign
+    discipline) and cosine ≥ τ is decided as dot>0 AND
+    dot²·10⁴ ≥ τ²10⁴·|a|²·|b|² — all int64 (|q|≤2^7, dims 64 →
+    dot² ≤ 2^36·10⁴), zero float divides, both engines decide ties
+    identically.
+
+    Scale shape: assignment is the zero-exchange literal-centroid scan;
+    pairs use the llm_dedup_embedding BLOCKED kernel inside each
+    cluster — members sub-block by vec_id%8, unordered block pairs
+    join on the cluster key (equi, then blk_a<=blk_b filter), and each
+    block pair runs ONE numpy int64 gemm in mapInPandas (a per-pair
+    Catalyst HOF fold measured 6x slower at sf0.1, and a bare
+    cluster-key join capped parallelism at k=4 tasks — the 144
+    block-pair rows repartition across all cores).  Per-task memory is
+    two blocks, never a cluster; k and the block count tune both
+    (SemDeDup runs k in the tens of thousands at web scale, so
+    clusters stay small).  The dup flag rejoins by vec_id."""
+    import numpy as np
+
+    asg = _quantized_cluster_assign(spark, d)
+    blocked = (asg.groupBy(
+        "cluster", F.pmod("vec_id", F.lit(8)).cast("int").alias("blk"))
+        .agg(F.collect_list(F.struct("vec_id", "q")).alias("vecs")))
+    a = blocked.select(F.col("cluster").alias("cl"),
+                       F.col("blk").alias("blk_a"),
+                       F.col("vecs").alias("va"))
+    b = blocked.select(F.col("cluster").alias("cl"),
+                       F.col("blk").alias("blk_b"),
+                       F.col("vecs").alias("vb"))
+    bp = (a.join(b, "cl").filter(F.col("blk_a") <= F.col("blk_b"))
+          .repartition(32))
+
+    def block_dups(batches):
+        for pdf in batches:
+            out = [np.array([], dtype=np.int64)]
+            for va, vb in zip(pdf["va"], pdf["vb"]):
+                ia = np.array([r["vec_id"] for r in va], dtype=np.int64)
+                ib = np.array([r["vec_id"] for r in vb], dtype=np.int64)
+                ma = np.array([r["q"] for r in va], dtype=np.int64)
+                mb = np.array([r["q"] for r in vb], dtype=np.int64)
+                dot = ma @ mb.T  # exact: int64 gemm, |dot| <= 64*2^14
+                na, nb = (ma * ma).sum(1), (mb * mb).sum(1)
+                sim = (dot > 0) & (dot * dot * 10000
+                                   >= 1600 * na[:, None] * nb[None, :])
+                ii, jj = np.nonzero(sim)
+                # dup = the HIGHER id of each similar pair; same-block
+                # matrices hold both orderings, cross-block each pair
+                # once — taking both masks covers both layouts (the
+                # overlap dedups in the distinct below)
+                out.append(ib[jj][ia[ii] < ib[jj]])
+                out.append(ia[ii][ia[ii] > ib[jj]])
+            yield pd.DataFrame({"vec_id": np.concatenate(out)})
+
+    dups = (bp.mapInPandas(block_dups, "vec_id bigint").distinct()
+            .withColumn("is_dup", F.lit(True)))
+    return (asg.select("vec_id", "cluster").join(dups, "vec_id", "left")
+            .select("vec_id", "cluster",
+                    F.coalesce("is_dup", F.lit(False)).alias("is_dup")))

@@ -701,3 +701,28 @@ def scan_parquet_metadata_cols(spark, d):
                     F.col("_metadata.file_name").alias("file_name"),
                     F.col("_metadata.row_index").alias("row_index"))
             .filter(F.col("row_index") % 1000 == 0))
+
+
+@register(
+    "sink_parquet_zstd",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_totalprice > 1000.0
+    """,
+)
+def sink_parquet_zstd(spark, d):
+    """Parquet sink with ZSTD column compression — the codec every
+    100 TB warehouse actually deploys (2-3x smaller than snappy at
+    similar scan cost, so the cluster-wide IO bill drops with it).
+    Spark passes the codec through to parquet-mr per column chunk; the
+    read-back hash-matches the source oracle, proving compression is
+    transparent to values, and the footer's declared codec is
+    pytest-pinned (tests/test_scratch… relational sink suite) so a
+    silent fallback to uncompressed can't pass."""
+    out = scratch_dir("sink_zstd_")
+    df = (T(spark, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+                  "o_orderpriority")
+          .filter(F.col("o_totalprice") > 1000.0))
+    df.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    return spark.read.parquet(out)
