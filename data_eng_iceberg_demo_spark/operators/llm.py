@@ -4220,3 +4220,174 @@ def llm_semdedup(spark, d):
     return (asg.select("vec_id", "cluster").join(dups, "vec_id", "left")
             .select("vec_id", "cluster",
                     F.coalesce("is_dup", F.lit(False)).alias("is_dup")))
+
+
+# --- Product Quantization ANN (r11) -----------------------------------------
+
+# unit-normalized 6-bit quantization: both engines compute the same IEEE
+# doubles for norm/divide (left-to-right sums over the same array), so
+# floor lands identically — the determinism argument every round() oracle
+# in this file already relies on
+_PQ_QV = """list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * 64
+              / sqrt(list_sum(list_transform(embedding,
+                     y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+         AS BIGINT))"""
+
+_PQ_ORACLE = f"""
+WITH raw AS (
+    SELECT vec_id, {_PQ_QV} AS qv,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+      AND list_sum(list_transform(embedding,
+                   y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0
+), cb AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qv AS cv
+    FROM raw ORDER BY vec_id LIMIT 8
+), sub AS (SELECT unnest(generate_series(0, 7)) AS s),
+codes AS (
+    SELECT v.vec_id, sub.s,
+           CAST(MIN(
+               list_sum(list_transform(generate_series(1, 8),
+                        t -> (v.qv[sub.s * 8 + t] - cb.cv[sub.s * 8 + t])
+                           * (v.qv[sub.s * 8 + t] - cb.cv[sub.s * 8 + t])))
+               * 8 + cb.j) % 8 AS BIGINT) AS code
+    FROM raw v CROSS JOIN sub CROSS JOIN cb
+    GROUP BY v.vec_id, sub.s
+), adc AS (
+    SELECT qr.vec_id AS qid, c.vec_id AS cid,
+           SUM(list_sum(list_transform(generate_series(1, 8),
+                    t -> (qr.qv[c.s * 8 + t] - cb.cv[c.s * 8 + t])
+                       * (qr.qv[c.s * 8 + t] - cb.cv[c.s * 8 + t]))))
+               AS pq_dist2
+    FROM (SELECT * FROM raw WHERE vec_id < 5) qr
+    JOIN codes c ON c.vec_id <> qr.vec_id
+    JOIN cb ON cb.j = c.code
+    GROUP BY qr.vec_id, c.vec_id
+), shortlist AS (
+    SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY pq_dist2, cid) AS rn
+        FROM adc) WHERE rn <= 100
+), rerank AS (
+    SELECT s.qid, s.cid,
+           round(list_sum(list_transform(generate_series(1, 64),
+                          i -> a.e[i] * b.e[i]))
+                 / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 4)
+               + 0 AS cosine
+    FROM shortlist s
+    JOIN raw a ON a.vec_id = s.qid
+    JOIN raw b ON b.vec_id = s.cid
+)
+SELECT qid, cid, cosine FROM (
+    SELECT qid, cid, cosine,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, cid) AS rn
+    FROM rerank) WHERE rn <= 10
+"""
+
+
+@register("llm_similarity_pq", oracle=_PQ_ORACLE)
+def llm_similarity_pq(spark, d):
+    """ANN scale path #4 — Product Quantization with refine (Jégou et
+    al. 2011; the faiss PQ / IVFADC-refine shape): unit-normalized
+    vectors quantize to 6-bit ints and split into 8 subspaces of 8
+    dims; each subspace gets an 8-entry codebook (sub-vectors of the 8
+    lowest-id vectors — deterministic, the cluster-assign centroid
+    discipline), collapsing the CORPUS to 8 codes = 24 bits per vector.
+    Queries rank candidates by Asymmetric Distance Computation — one
+    8x8 table of exact integer sub-distances per query, 8 LUT adds per
+    candidate instead of 64 multiplies — keep the top-100 shortlist,
+    then re-rank JUST the shortlist by exact cosine and emit the
+    top-10.  Every stage is deterministic (integer encode with
+    ties-to-lowest-code, integer ADC, 4dp-rounded re-rank with cid
+    tiebreak), so unlike the rows-only IVF entry the whole pipeline is
+    hash-oracled.  Recall vs the full exact top-10 is pinned in
+    tests/test_llm_dedup.py (random near-orthogonal fixtures are PQ's
+    worst case; real embedding corpora cluster).
+
+    Scale shape: the codebook is DATA broadcast onto an exploded
+    (vector, subspace) relation — one tiny equi-join, not a literal
+    expression tree (the literal-inlined first cut compiled a 64-fold
+    tree costing ~5 s of planning alone); the per-query LUT (8x8 = 64
+    rows/query) broadcasts onto the corpus codes as a (s, code)
+    equi-join, so per-candidate ADC work is 8 integer lookups — the
+    memory-bandwidth shape that scans billions of codes; the exact
+    re-rank touches 100 rows per query, never the corpus.  At 100 TB
+    codebooks come from sampled k-means (256 codes = 8 bits/subspace),
+    codes live in a slim column, and an IVF coarse stage prunes before
+    ADC (IVFADC)."""
+    norm2 = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x)
+    raw = (T(spark, d, "embeddings").filter(F.col("embedding").isNotNull())
+           .withColumn("n2", norm2).filter(F.col("n2") > 0)
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("e"),
+                   F.transform(
+                       "embedding",
+                       lambda x: F.floor(x.cast("double") * 64
+                                         / F.sqrt(F.col("n2")))
+                       .cast("bigint")).alias("qv")))
+
+    def _subspaces(df, idcol):
+        # (id, s, sv): one row per 8-dim subspace slice
+        return df.select(
+            F.col("vec_id").alias(idcol),
+            F.posexplode(F.array(*[F.slice("qv", s * 8 + 1, 8)
+                                   for s in range(8)])).alias("s", "sv"))
+
+    # codebook as DATA, not literals (the literal-inlined form compiled
+    # a 64-fold expression tree that cost ~5 s of planning alone):
+    # entry j of subspace s = sub-vector of the j-th lowest-id vector
+    wj = Window.orderBy("vec_id")  # 8 rows: trivial single-partition sort
+    cb = _subspaces(
+        raw.orderBy("vec_id").limit(8)
+           .withColumn("j", F.row_number().over(wj) - 1)
+           .withColumn("vec_id", F.col("j")), "j") \
+        .select("j", "s", F.col("sv").alias("cv"))
+
+    # exact integer L2^2 of every (vector-subspace, codebook-entry) pair
+    d2 = F.aggregate(F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+                     F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    corpus_d2 = (_subspaces(raw, "cid").join(F.broadcast(cb), "s")
+                 .select("cid", "s", "j", d2.alias("d2")))
+    # encode: argmin entry per (vector, subspace), ties -> lowest j
+    codes = (corpus_d2.groupBy("cid", "s")
+             .agg(F.min(F.struct("d2", "j"))["j"].alias("code")))
+
+    # query-side ADC lookup table, long form: (qid, s, j, d2)
+    lut = (_subspaces(raw.filter(F.col("vec_id") < 5), "qid")
+           .join(F.broadcast(cb), "s")
+           .select("qid", "s", "j", d2.alias("d2")))
+
+    # ADC: 8 integer lookups per (query, candidate) via one equi-join
+    adc = (codes.join(F.broadcast(lut),
+                      (codes["s"] == lut["s"]) & (codes["code"] == lut["j"]))
+           .filter(F.col("qid") != F.col("cid"))
+           .groupBy("qid", "cid").agg(F.sum("d2").alias("pq_dist2")))
+    w_adc = Window.partitionBy("qid").orderBy(F.col("pq_dist2").asc(),
+                                              F.col("cid").asc())
+    shortlist = (adc.withColumn("rn", F.row_number().over(w_adc))
+                 .filter(F.col("rn") <= 100).select("qid", "cid"))
+
+    qe = raw.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+    ce = raw.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    dot = F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+
+    def nrm(c):
+        return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                                  F.lit(0.0), lambda a, x: a + x))
+
+    rerank = (F.broadcast(shortlist).join(qe, "qid").join(ce, "cid")
+              .select("qid", "cid",
+                      (F.round(dot / (nrm("qe") * nrm("ce")), 4)
+                       + F.lit(0.0)).alias("cosine")))
+    w_fin = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                              F.col("cid").asc())
+    return (rerank.withColumn("rn", F.row_number().over(w_fin))
+            .filter(F.col("rn") <= 10).select("qid", "cid", "cosine"))
