@@ -4391,3 +4391,84 @@ def llm_similarity_pq(spark, d):
                                               F.col("cid").asc())
     return (rerank.withColumn("rn", F.row_number().over(w_fin))
             .filter(F.col("rn") <= 10).select("qid", "cid", "cosine"))
+
+
+# --- Kneser-Ney smoothed bigram scoring (r11) -------------------------------
+
+_KN_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, w[i] AS cur, w[i+1] AS nxt
+    FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                 unnest(generate_series(1,
+                        len(string_split(text, ' ')) - 1)) AS i
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 2)
+), big AS (
+    SELECT cur, nxt, CAST(count(*) AS DOUBLE) AS c2
+    FROM tok GROUP BY cur, nxt
+), uni AS (
+    SELECT cur, CAST(sum(c2) AS DOUBLE) AS c1,
+           CAST(count(*) AS DOUBLE) AS n_follow
+    FROM big GROUP BY cur
+), cont AS (
+    SELECT nxt, CAST(count(*) AS DOUBLE) AS n_prec FROM big GROUP BY nxt
+), tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM big)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CAST(round(
+           ln((c2 - 0.75) / c1
+              + ((0.75 * n_follow) / c1) * (n_prec / t)) * 1000000)
+           AS BIGINT)) AS BIGINT) AS kn_logprob_fp6
+FROM tok JOIN big USING (cur, nxt) JOIN uni USING (cur)
+         JOIN cont USING (nxt) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+@register("llm_bigram_kneser_ney", oracle=_KN_ORACLE)
+def llm_bigram_kneser_ney(spark, d):
+    """Kneser-Ney smoothed bigram scoring (Kneser & Ney 1995; the
+    standard n-gram LM smoothing, and the model behind KenLM-style
+    perplexity filters): P(nxt|cur) = max(c(cur,nxt)-D, 0)/c(cur) +
+    D·N1+(cur·)/c(cur) · N1+(·nxt)/|bigram types|, with absolute
+    discount D=0.75 and the CONTINUATION probability replacing the raw
+    unigram in the backoff — the insight that makes KN the default
+    (how many contexts a word follows, not how often it occurs).
+    Scoring the corpus's own text means every bigram is observed
+    (c2 ≥ 1 > D), so the discounted term never clamps.  Per-doc totals
+    accumulate as FIXED-POINT micro-nats (the llm_bigram_logprob
+    discipline): both engines build the identical arithmetic expression
+    over the same integer counts, round each pair's ln to 1e-6, and sum
+    BIGINTs — order-independent, zero reassociation risk.
+
+    Scale shape: bigram counts shuffle on the pair; the conditional
+    join on the predecessor and the continuation join on the successor
+    both stay shuffle-based (vocabulary scales with the corpus — no
+    broadcast hint by policy); only the 1-row type-count broadcasts."""
+    docs = (T(spark, d, "documents")
+            .select("doc_id", F.split("text", " ").alias("w"))
+            .filter(F.size("w") >= 2))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("w"), i).alias("cur"),
+                F.element_at(F.col("w"), i + 1).alias("nxt")))).alias("p")
+    ).select("doc_id", "p.cur", "p.nxt")
+    big = tok.groupBy("cur", "nxt").agg(
+        F.count("*").cast("double").alias("c2"))
+    uni = big.groupBy("cur").agg(
+        F.sum("c2").cast("double").alias("c1"),
+        F.count("*").cast("double").alias("n_follow"))
+    cont = big.groupBy("nxt").agg(
+        F.count("*").cast("double").alias("n_prec"))
+    tot = big.agg(F.count("*").cast("double").alias("t"))
+    lp = F.log((F.col("c2") - 0.75) / F.col("c1")
+               + ((0.75 * F.col("n_follow")) / F.col("c1"))
+               * (F.col("n_prec") / F.col("t")))
+    return (tok.join(big, ["cur", "nxt"]).join(uni, "cur")
+            .join(cont, "nxt").join(F.broadcast(tot))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum(F.round(lp * 1e6).cast("bigint"))
+                 .alias("kn_logprob_fp6")))
