@@ -570,6 +570,31 @@ def udf_pandas_iter(spark, d):
                     _price_band_iter("o_totalprice").alias("band"))
 
 
+class PerTypeSummary:
+    """Per-partition (count, int-cents sum) summarizer for the
+    TABLE-argument UDTF below — module-scope so the all-NULL-partition
+    regression test pins THIS class, not a copy (r11 review).  An
+    all-NULL partition must yield a NULL sum like SQL's SUM."""
+
+    def __init__(self):
+        self._key = None
+        self._n = 0
+        self._cents = 0
+        self._nn = 0
+
+    def eval(self, row):
+        self._key = row["event_type"]
+        self._n += 1
+        v = row["value"]
+        if v is not None:
+            import math
+            self._cents += int(math.floor(v * 100 + 0.5))
+            self._nn += 1
+
+    def terminate(self):
+        yield self._key, self._n, (self._cents if self._nn else None)
+
+
 @register(
     "udtf_table_argument",
     oracle="""
@@ -598,27 +623,8 @@ def udtf_table_argument(spark, d):
     O(1) memory regardless of partition size."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="event_type string, n bigint, cents bigint")
-    class PerTypeSummary:
-        def __init__(self):
-            self._key = None
-            self._n = 0
-            self._cents = 0
-            self._nn = 0
-
-        def eval(self, row):
-            self._key = row["event_type"]
-            self._n += 1
-            v = row["value"]
-            if v is not None:
-                import math
-                self._cents += int(math.floor(v * 100 + 0.5))
-                self._nn += 1
-
-        def terminate(self):
-            yield self._key, self._n, (self._cents if self._nn else None)
-
-    spark.udtf.register("per_type_summary_udtf", PerTypeSummary)
+    spark.udtf.register("per_type_summary_udtf", udtf(
+        PerTypeSummary, returnType="event_type string, n bigint, cents bigint"))
     (T(spark, d, "events").select("event_type", "value")
      .createOrReplaceTempView("ev_tblarg"))
     return spark.sql("""

@@ -475,7 +475,7 @@ def agg_bitmap_distinct(spark, d):
     WITH keyed AS (
         SELECT o_orderpriority,
                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                   * 10000000 + o_orderkey % 10000000 AS v,
+                   * 1000000000 + o_orderkey % 1000000000 AS v,
                o_orderkey
         FROM orders
     )
@@ -492,13 +492,15 @@ def agg_min_by_max_by(spark, d):
     bigint because min_by over a tie picks an arbitrary winner on both
     engines — duplicated totalprices would hash-flicker; the integer
     pack makes the extremum unique and the rounding half-up explicit
-    (the udtf_table_argument cents discipline).  One partial+final
-    aggregate, no window, no join — the struct-extrema groupBy shape
-    at its simplest."""
+    (the udtf_table_argument cents discipline).  The 1e9 tiebreak slot
+    keeps orderkeys unique through TPC-H ~SF100 (6e8 keys) while cents
+    (≤6e7) x 1e9 stays inside int64; beyond that widen to
+    decimal(38,0).  One partial+final aggregate, no window, no join —
+    the struct-extrema groupBy shape at its simplest."""
     keyed = T(spark, d, "orders").select(
         "o_orderpriority", "o_orderkey",
         (F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
-         * 10000000 + F.col("o_orderkey") % 10000000).alias("v"))
+         * 1000000000 + F.col("o_orderkey") % 1000000000).alias("v"))
     return (keyed.groupBy("o_orderpriority")
             .agg(F.min_by("o_orderkey", "v").alias("cheapest_order"),
                  F.max_by("o_orderkey", "v").alias("priciest_order")))

@@ -365,31 +365,11 @@ def llm_similarity_topk(spark, d):
     vec_id tiebreak.  Scale path: llm_similarity_lsh (bucketed candidates);
     at 100 TB the query side stays broadcast and the candidate side is
     pruned by LSH buckets before any dot product."""
-    from pyspark.sql import Window
-
-    emb = (T(spark, d, "embeddings")
-           .select("vec_id",
-                   F.col("embedding").cast("array<double>").alias("e"))
-           .filter(F.col("e").isNotNull()))
-    with_norm = emb.withColumn(
-        "norm", F.sqrt(F.aggregate(F.transform("e", lambda x: x * x),
-                                   F.lit(0.0), lambda a, x: a + x))
-    ).filter(F.col("norm") > 0)  # cosine undefined for the zero vector
-    q = (with_norm.filter(F.col("vec_id") < 5)
+    emb = _cosine_prep(T(spark, d, "embeddings"))
+    q = (emb.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
                  F.col("norm").alias("qnorm")))
-    c = with_norm.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
-                         F.col("norm").alias("cnorm"))
-    pairs = F.broadcast(q).crossJoin(c).filter(F.col("qid") != F.col("cid"))
-    dotted = pairs.withColumn(
-        "dot", F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y),
-                           F.lit(0.0), lambda a, x: a + x))
-    sims = dotted.select(
-        "qid", "cid",
-        (F.round(F.col("dot") / (F.col("qnorm") * F.col("cnorm")), 4) + F.lit(0.0)).alias("cosine"))
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
-    return (sims.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 10).select("qid", "cid", "cosine"))
+    return _cosine_topk10(q, emb)
 
 
 # --- sign-projection LSH ANN ----------------------------------------------
@@ -3911,6 +3891,30 @@ def _cosine_prep(df):
             .filter(F.col("norm") > 0))
 
 
+def _cosine_topk10(q, cand):
+    """Broadcast query set × prepped candidates → per-query top-10 by
+    (4dp-rounded cosine desc, cid asc) — the shared ranking arm of
+    llm_similarity_topk and llm_similarity_incremental.  The
+    incremental merge is hash-equal to the one-shot brute force ONLY
+    while both arms rank with byte-identical expressions, so both
+    queries call this one function instead of keeping copies that
+    could drift (r11 review)."""
+    c = cand.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+                    F.col("norm").alias("cnorm"))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("qid") != F.col("cid"))
+    dotted = pairs.withColumn(
+        "dot", F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y),
+                           F.lit(0.0), lambda a, x: a + x))
+    sims = dotted.select(
+        "qid", "cid",
+        (F.round(F.col("dot") / (F.col("qnorm") * F.col("cnorm")), 4)
+         + F.lit(0.0)).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("cid").asc())
+    return (sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10).select("qid", "cid", "cosine"))
+
+
 @register("llm_similarity_incremental", oracle=_COSINE_ORACLE)
 def llm_similarity_incremental(spark, d):
     """Incremental top-k maintenance: the brute-force cosine top-10
@@ -3933,26 +3937,8 @@ def llm_similarity_incremental(spark, d):
          .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
                  F.col("norm").alias("qnorm")))
 
-    def topk(cand):
-        c = cand.select(F.col("vec_id").alias("cid"),
-                        F.col("e").alias("ce"),
-                        F.col("norm").alias("cnorm"))
-        pairs = (F.broadcast(q).crossJoin(c)
-                 .filter(F.col("qid") != F.col("cid")))
-        dotted = pairs.withColumn(
-            "dot", F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y),
-                               F.lit(0.0), lambda a, x: a + x))
-        sims = dotted.select(
-            "qid", "cid",
-            (F.round(F.col("dot") / (F.col("qnorm") * F.col("cnorm")), 4)
-             + F.lit(0.0)).alias("cosine"))
-        w = Window.partitionBy("qid").orderBy(
-            F.col("cosine").desc(), F.col("cid").asc())
-        return (sims.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= 10).select("qid", "cid", "cosine"))
-
-    prior = topk(_cosine_prep(t.read(version=1)))
-    fresh = topk(_cosine_prep(t.read_changes(from_version=1)))
+    prior = _cosine_topk10(q, _cosine_prep(t.read(version=1)))
+    fresh = _cosine_topk10(q, _cosine_prep(t.read_changes(from_version=1)))
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("cid").asc())
     return (prior.unionByName(fresh)
@@ -3969,10 +3955,11 @@ _BLOOM_WINDOWS = (1, 9, 17)  # three independent 32-bit md5 windows
 def _duck_md5_window(col: str, offset: int) -> str:
     """DuckDB SQL for the 32-bit integer held in 8 hex chars of
     md5(col) starting at 1-based `offset` — the cross-engine twin of
-    Spark's conv(substring(md5(col), offset, 8), 16, 10)."""
-    return "(" + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5({col}),{offset + j},1))-1)"
-        f"*{16 ** (7 - j)}" for j in range(8)) + ")"
+    Spark's conv(substring(md5(col), offset, 8), 16, 10).  The 0x-cast
+    form (verified equal to conv by execution) replaces an 8-term
+    strpos polynomial (r11 review: llm_global_shuffle's oracle already
+    used this shape)."""
+    return f"CAST(concat('0x', substr(md5({col}), {offset}, 8)) AS BIGINT)"
 
 
 _BLOOM_ORACLE = f"""
@@ -4056,8 +4043,8 @@ w AS (
     FROM b
 )
 SELECT f.doc_id, f.fb,
-       f.u32 * w.r_cnt * w.t_tot < 4294967296 * w.t_cnt * w.r_tot
-           AS accept
+       CAST(f.u32 AS HUGEINT) * w.r_cnt * w.t_tot
+           < CAST(4294967296 AS HUGEINT) * w.t_cnt * w.r_tot AS accept
 FROM f JOIN w USING (fb)
 """
 
@@ -4076,8 +4063,11 @@ def llm_importance_resampling(spark, d):
     content-keyed (a re-ingested doc gets the same verdict), and the
     comparison is INTEGER cross-multiplied (u32*r_cnt*t_tot <
     2^32*t_cnt*r_tot), so both engines decide ties identically with
-    zero float divides.  Magnitudes fit bigint up to ~1e8 docs; at
-    corpus scale promote to decimal(38,0).
+    zero float divides.  The three-way product is computed in WIDE
+    integers (decimal(38,0) here, HUGEINT in the oracle): in int64 it
+    would wrap silently at ~46k docs in one bucket (4.3e9·N² vs 2^63 —
+    Spark non-ANSI wraps where DuckDB errors, the worst divergence
+    class; r11 review corrected an earlier ~1e8 claim).
 
     Scale shape: one groupBy over the feature bucket (≤7 rows), totals
     via an unpartitioned window over THAT 7-row aggregate (never the
@@ -4099,8 +4089,9 @@ def llm_importance_resampling(spark, d):
                  F.sum("r_cnt").over(wall).alias("r_tot"),
                  F.sum("t_cnt").over(wall).alias("t_tot"))
     joined = docs.join(w, "fb")
-    accept = (F.col("u32") * F.col("r_cnt") * F.col("t_tot")
-              < F.lit(4294967296) * F.col("t_cnt") * F.col("r_tot"))
+    wide = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    accept = (wide(F.col("u32")) * F.col("r_cnt") * F.col("t_tot")
+              < wide(F.lit(4294967296)) * F.col("t_cnt") * F.col("r_tot"))
     return joined.select("doc_id", F.col("fb").cast("int").alias("fb"),
                          accept.alias("accept"))
 

@@ -253,10 +253,14 @@ def _zz_read(pl: bytes, pos: int):
 
 # ------------------------------------------------------------ container file
 def write_avro(path: str, records, schema: dict, codec: str = "deflate",
-               block_rows: int = 100, sync: bytes | None = None) -> None:
+               block_rows: int = 100, sync: bytes | None = None,
+               extra_meta: dict | None = None) -> None:
     """Write an Avro Object Container File (codec ``null`` or
     ``deflate``).  ``sync`` defaults to a deterministic marker so the
-    same records produce the same bytes."""
+    same records produce the same bytes.  ``extra_meta`` adds key-value
+    pairs to the container's metadata map (str -> str/bytes) — Iceberg
+    manifests carry their table schema/partition-spec/format-version
+    there, required by real spec readers."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec: {codec}")
     sync = sync or b"pyavro-sync-16bb"
@@ -268,6 +272,8 @@ def write_avro(path: str, records, schema: dict, codec: str = "deflate",
     fields = _field_types(schema)
     meta = {"avro.schema": json.dumps(schema).encode(),
             "avro.codec": codec.encode()}
+    for k, v in (extra_meta or {}).items():
+        meta[k] = v if isinstance(v, bytes) else str(v).encode()
     with open(path, "wb") as f:
         f.write(_MAGIC)
         f.write(_zigzag_encode(len(meta)))

@@ -243,16 +243,42 @@ def export_iceberg_metadata(table) -> str:
                              "file_size_in_bytes": size}))
             return out
 
+        # schema in force when this snapshot committed: the newest
+        # schema any of its files was written under (icelite records
+        # schema_version per file; a constant current-schema stamp
+        # would make external time travel project post-evolution
+        # columns onto pre-evolution files)
+        snap_schema_id = max(
+            (f.get("schema_version", 0)
+             for f in s["files"] + s.get("delete_files", [])),
+            default=meta["current_schema"])
+        snap_schema = next(sc for sc in schemas
+                           if sc["schema-id"] == snap_schema_id)
+        # spec: real readers require these key-value properties to open
+        # a manifest (ManifestReader fails without them)
+        mf_meta = {
+            "schema": json.dumps(snap_schema),
+            "schema-id": str(snap_schema_id),
+            "partition-spec": json.dumps(
+                _spec_fields(spec) if spec else []),
+            "partition-spec-id": str(spec_id),
+            "format-version": "2",
+        }
+
         manifests = []
         added = [f for f in s["files"] if f["path"] not in parent_paths]
         existing = [f for f in s["files"] if f["path"] in parent_paths]
+        data_entries = ([t for e in added for t in _entries(e, 1, 0)]
+                        + [t for e in existing for t in _entries(e, 0, 0)])
         data_mf = os.path.join(
             mdir, f"manifest-{sid}-{uuid.uuid5(uuid.NAMESPACE_URL, f'{tdir}:{sid}:data').hex[:12]}.avro")
-        write_avro(data_mf,
-                   [t for e in added for t in _entries(e, 1, 0)]
-                   + [t for e in existing for t in _entries(e, 0, 0)],
-                   entry_schema, codec="deflate")
-        manifests.append((data_mf, 0, len(added), len(existing), 0,
+        write_avro(data_mf, data_entries, entry_schema, codec="deflate",
+                   extra_meta={**mf_meta, "content": "data"})
+        # spec: min_sequence_number = minimum data sequence of all live
+        # entries (EXISTING entries carry their ORIGIN sequence; writing
+        # the current one would let readers wrongly prune older deletes)
+        min_seq = min((t[2] for t in data_entries), default=seq)
+        manifests.append((data_mf, 0, min_seq, len(added), len(existing), 0,
                           _rows(added), _rows(existing), 0))
         dels = s.get("delete_files", [])
         if dels:
@@ -260,22 +286,29 @@ def export_iceberg_metadata(table) -> str:
                            if parent else set())
             d_add = [e for e in dels if e["path"] not in parent_dels]
             d_exist = [e for e in dels if e["path"] in parent_dels]
+            del_entries = ([t for e in d_add for t in _entries(e, 1, 1)]
+                           + [t for e in d_exist for t in _entries(e, 0, 1)])
             del_mf = os.path.join(
                 mdir, f"manifest-{sid}-{uuid.uuid5(uuid.NAMESPACE_URL, f'{tdir}:{sid}:deletes').hex[:12]}.avro")
-            write_avro(del_mf,
-                       [t for e in d_add for t in _entries(e, 1, 1)]
-                       + [t for e in d_exist for t in _entries(e, 0, 1)],
-                       entry_schema, codec="deflate")
-            manifests.append((del_mf, 1, len(d_add), len(d_exist), 0,
+            write_avro(del_mf, del_entries, entry_schema, codec="deflate",
+                       extra_meta={**mf_meta, "content": "deletes"})
+            d_min = min((t[2] for t in del_entries), default=seq)
+            manifests.append((del_mf, 1, d_min, len(d_add), len(d_exist), 0,
                               _rows(d_add), _rows(d_exist), 0))
 
         ml_path = os.path.join(
             mdir, f"snap-{sid}-{uuid.uuid5(uuid.NAMESPACE_URL, f'{tdir}:{sid}:list').hex[:12]}.avro")
+        ml_meta = {"format-version": "2", "snapshot-id": str(sid),
+                   "sequence-number": str(seq)}
+        if s.get("parent") is not None:
+            ml_meta["parent-snapshot-id"] = str(s["parent"])
         write_avro(ml_path,
                    [(p, os.path.getsize(p), spec_id if spec else 0, content,
-                     seq, seq, sid, a, ex, de, ra, rex, rde)
-                    for (p, content, a, ex, de, ra, rex, rde) in manifests],
-                   _MANIFEST_FILE_SCHEMA, codec="deflate")
+                     seq, mseq, sid, a, ex, de, ra, rex, rde)
+                    for (p, content, mseq, a, ex, de, ra, rex, rde)
+                    in manifests],
+                   _MANIFEST_FILE_SCHEMA, codec="deflate",
+                   extra_meta=ml_meta)
 
         ts_ms = int(s["ts"] * 1000)
         snap_json = {
@@ -285,7 +318,7 @@ def export_iceberg_metadata(table) -> str:
             "manifest-list": ml_path,
             "summary": {"operation": _OPERATION.get(s["operation"],
                                                     "overwrite")},
-            "schema-id": meta["current_schema"],
+            "schema-id": snap_schema_id,
         }
         if s.get("parent") is not None:
             snap_json["parent-snapshot-id"] = s["parent"]

@@ -117,9 +117,13 @@ def _footer_entry(path: str, name_to_id: dict[str, int]) -> dict:
     field id + record_count).  _write_files calls this once per written
     file; partitioned writes produce one file per partition value, so
     keeping this a single open halves the driver-side footer pass."""
-    import pyarrow.parquet as pq
-
     try:
+        # import inside the guard: without pyarrow this degrades to a
+        # stats-less entry (metadata_count falls back to a scan), which
+        # is the deferral add_files documents — a bare import here made
+        # that branch unreachable (r11 review)
+        import pyarrow.parquet as pq
+
         md = pq.read_metadata(path)
     except Exception:
         return {"record_count": None, "stats": {}}

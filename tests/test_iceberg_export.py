@@ -229,3 +229,52 @@ def test_spec_reader_roundtrips_table_content(spark, tmp_path):
 
     got = read_iceberg_table(spark, t.tdir)
     assert rows(got) == rows(t.read())
+
+
+def test_manifest_avro_carries_spec_key_value_metadata(table):
+    """Real spec readers (ManifestReader) refuse manifests without the
+    key-value properties; pin their presence and content (r11 review —
+    the in-repo roundtrip reader never looked at them, masking the
+    gap)."""
+    import io as _io
+
+    from data_eng_iceberg_demo_spark.sources import avro_py
+
+    def _kv(path):
+        with open(path, "rb") as f:
+            head = f.read(1 << 16)
+        meta, _sync = avro_py._parse_header(_io.BytesIO(head[4:]))
+        return {k if isinstance(k, str) else k.decode(): v
+                for k, v in meta.items()}
+
+    md = json.load(open(export_iceberg_metadata(table)))
+    for snap in md["snapshots"]:
+        # manifest list: format-version + snapshot identity
+        kv = _kv(snap["manifest-list"])
+        assert kv["format-version"] == b"2"
+        assert kv["snapshot-id"] == str(snap["snapshot-id"]).encode()
+        # each manifest: schema/spec/format-version/content
+        _s, mrows = _read_avro_rows(snap["manifest-list"])
+        for (mf_path, *_rest) in mrows:
+            kv = _kv(mf_path)
+            assert {"schema", "schema-id", "partition-spec",
+                    "partition-spec-id", "format-version",
+                    "content"} <= set(kv)
+            assert kv["content"] in (b"data", b"deletes")
+            schema_json = json.loads(kv["schema"])
+            assert schema_json["type"] == "struct"
+            assert int(kv["schema-id"]) == snap["schema-id"]
+
+
+def test_manifest_list_min_sequence_number_spans_existing(table):
+    """min_sequence_number must be the minimum ORIGIN sequence of live
+    entries: snapshot 2 carries snapshot 1's file as EXISTING, so its
+    data manifest reports min seq 1, not 2 (r11 review — a current-seq
+    stamp lets real readers wrongly prune older delete files)."""
+    md = json.load(open(export_iceberg_metadata(table)))
+    snap2 = md["snapshots"][-1]
+    assert snap2["sequence-number"] == 2
+    _s, mrows = _read_avro_rows(snap2["manifest-list"])
+    data_row = next(r for r in mrows if r[3] == 0)  # content=0
+    assert data_row[5] == 1  # min_sequence_number spans the EXISTING file
+    assert data_row[4] == 2  # sequence_number is the current snapshot's

@@ -110,7 +110,7 @@ def test_min_by_pack_is_unique_per_order(spark):
     so uniqueness is what makes the query hash-stable."""
     o = spark.read.parquet(f"{SF}/orders.parquet").select(
         (F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
-         * 10000000 + F.col("o_orderkey") % 10000000).alias("v"),
+         * 1000000000 + F.col("o_orderkey") % 1000000000).alias("v"),
         "o_orderkey")
     n, nv = o.count(), o.select("v").distinct().count()
     assert n == nv
@@ -139,26 +139,16 @@ def test_zstd_option_reaches_parquet_footer(spark, tmp_path):
 def test_udtf_table_argument_all_null_partition_sums_null(spark):
     """SQL SUM over an all-NULL group is NULL; the UDTF's terminate()
     must reproduce that, not emit 0 (the null-mirror class of bug, pinned
-    here because the mirror families don't cover the udtf_ prefix)."""
+    here because the mirror families don't cover the udtf_ prefix).
+    Imports the PRODUCTION class — a local copy would let the registered
+    query regress silently (r11 review)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="event_type string, n bigint, cents bigint")
-    class PerTypeSummary:  # same contract as the registered query's
-        def __init__(self):
-            self._key, self._n, self._cents, self._nn = None, 0, 0, 0
+    from data_eng_iceberg_demo_spark.functions.udfs import PerTypeSummary
 
-        def eval(self, row):
-            self._key = row["event_type"]
-            self._n += 1
-            if row["value"] is not None:
-                import math
-                self._cents += int(math.floor(row["value"] * 100 + 0.5))
-                self._nn += 1
-
-        def terminate(self):
-            yield self._key, self._n, (self._cents if self._nn else None)
-
-    spark.udtf.register("per_type_summary_nulltest", PerTypeSummary)
+    spark.udtf.register("per_type_summary_nulltest", udtf(
+        PerTypeSummary,
+        returnType="event_type string, n bigint, cents bigint"))
     spark.createDataFrame(
         [("a", 1.0), ("a", None), ("b", None), (None, None)],
         "event_type string, value double",
