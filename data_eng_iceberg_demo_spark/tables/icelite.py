@@ -1291,6 +1291,41 @@ class IceliteTable:
                   "made_current_at double, n_files bigint, "
                   "is_current_ancestor boolean")
 
+    def rewrite_manifests(self) -> int:
+        """Iceberg's ``CALL system.rewrite_manifests`` analog: re-encode
+        the CURRENT snapshot's file set as one FULL (base=None)
+        manifest, so decoding the current lineage stops replaying the
+        ancestor delta chain.  Metadata-only — no data files move, the
+        snapshot id and history are untouched (manifest files are an
+        encoding detail, not history), and older snapshots keep their
+        delta manifests for time travel.  The superseded manifest
+        becomes unreferenced and is collected by the manifest GC.  At a
+        million files this bounds metadata decode at O(current files)
+        instead of O(chain length x touched files) on long-retention
+        tables.  Returns the delta-chain depth that was cut (0 = the
+        current manifest was already full; nothing rewritten)."""
+        meta = self.meta
+        if meta["current_snapshot"] is None:
+            return 0
+        cur = self._snapshot(meta, None)
+        depth, s = 0, cur
+        while s.get("_manifest_base") is not None:
+            depth += 1
+            s = self._snapshot(meta, s["_manifest_base"])
+        if depth == 0:
+            return 0
+        body = {"base": None, "added": cur["files"], "removed": [],
+                "added_deletes": cur.get("delete_files", []),
+                "removed_deletes": []}
+        mdir = os.path.join(self.tdir, _MANIFEST_DIR)
+        os.makedirs(mdir, exist_ok=True)
+        mf = f"manifest-{cur['id']}-{uuid.uuid4().hex[:8]}.json"
+        with open(os.path.join(mdir, mf), "w") as f:
+            json.dump(body, f)
+        cur["_manifest"], cur["_manifest_base"] = mf, None
+        _write_meta(self.tdir, meta)
+        return depth
+
     def expire_snapshots(self, older_than_ts: float | None = None,
                          retain_last: int = 1) -> list[int]:
         """Retention (README.md:319-322): drop snapshots older than the

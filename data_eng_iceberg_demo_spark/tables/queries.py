@@ -911,3 +911,18 @@ def table_iceberg_export_read(spark, d):
     t.delete_where("uf = 'SP'", mode="merge-on-read")
     export_iceberg_metadata(t)
     return _as_output(read_iceberg_table(spark, t.tdir))
+
+
+@register("table_rewrite_manifests", oracle=_CSV_ORACLE_BASE)
+def table_rewrite_manifests(spark, d):
+    """Iceberg ``CALL system.rewrite_manifests`` analog (r11): four
+    append commits leave the current snapshot's manifest as a depth-3
+    delta chain; rewriting re-encodes it as ONE full manifest —
+    metadata-only, snapshot history untouched, old manifests left for
+    time travel until GC.  The contract under the hash is that the
+    rewrite changes NOTHING about the data: the read-back still equals
+    the full CSV.  Chain-depth accounting, time-travel preservation and
+    manifest GC are pytest-pinned (tests/test_icelite.py)."""
+    t = _fresh_table(spark, n_batches=4)
+    t.rewrite_manifests()
+    return _as_output(t.read())

@@ -836,3 +836,36 @@ def test_add_files_rejects_missing_columns(spark, tmp_path):
     ]))
     with pytest.raises(ValueError, match="no_such_column"):
         t.add_files(["/root/testdata/sf0.001/documents.parquet"])
+
+
+def test_rewrite_manifests_cuts_chain_metadata_only(spark, tmp_path):
+    """rewrite_manifests (Iceberg CALL system.rewrite_manifests analog,
+    r11): re-encodes the current snapshot as one full manifest.  Pins:
+    the reported chain depth, content unchanged, time travel intact,
+    the current snapshot decoding without a base, the superseded
+    manifest becoming GC-able, and idempotence (second call cuts 0)."""
+    cat = IceliteCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.rw", PEDIDOS_SCHEMA)
+    df = _typed_pedidos(spark)
+    for i in range(3):
+        t.insert(df.filter(F.col("id_cliente") % 3 == i))
+    before = _rowset(t.read())
+    v1 = _rowset(t.read(version=1))
+    meta = t.meta
+    cur = next(s for s in meta["snapshots"]
+               if s["id"] == meta["current_snapshot"])
+    old_mf = cur["_manifest"]
+    assert cur["_manifest_base"] is not None  # a real delta chain exists
+
+    assert t.rewrite_manifests() == 2  # depth-2 chain cut
+    meta2 = t.meta
+    cur2 = next(s for s in meta2["snapshots"]
+                if s["id"] == meta2["current_snapshot"])
+    assert cur2["_manifest_base"] is None  # decodes without replay
+    assert cur2["_manifest"] != old_mf
+    assert _rowset(t.read()) == before     # metadata-only: data identical
+    assert _rowset(t.read(version=1)) == v1  # time travel intact
+    assert t.rewrite_manifests() == 0      # idempotent
+    # the superseded manifest is unreferenced -> manifest GC collects it
+    assert old_mf in {os.path.basename(p) for p in t._gc_manifests()}
