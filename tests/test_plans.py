@@ -406,6 +406,7 @@ _BNLJ_OK = {"events_funnel",        # cross of three 1-row stage counts
             "llm_unigram_logprob",  # broadcast corpus-total scalar (1 row)
             "llm_perplexity_bucket",  # broadcast n-docs + 2-cutoff scalars
             "llm_bigram_logprob",   # broadcast vocab-size scalar (1 row)
+            "llm_bigram_kneser_ney",  # broadcast bigram-type-count scalar
             "llm_pmi_collocations",  # broadcast pair-total scalar (1 row)
             "llm_bm25_topk",        # broadcast n_docs/avgdl scalar (1 row)
             "tpch_q22",             # broadcast avg-acctbal scalar
