@@ -4463,3 +4463,110 @@ def llm_bigram_kneser_ney(spark, d):
             .agg(F.count("*").alias("n_bigrams"),
                  F.sum(F.round(lp * 1e6).cast("bigint"))
                  .alias("kn_logprob_fp6")))
+
+
+# --- end-to-end pipeline composition (r11) ----------------------------------
+
+_PIPE_ORACLE = f"""
+WITH raw AS (
+    SELECT doc_id, text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+    FROM documents WHERE text IS NOT NULL AND doc_id >= 50
+), q AS (
+    SELECT * FROM raw WHERE nt BETWEEN 15 AND 90
+), dd AS (
+    SELECT doc_id, text, nt FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY
+            md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+        ) AS keep FROM q) WHERE doc_id = keep
+), ev AS (
+    SELECT DISTINCT array_to_string(list_slice(w, i, i + 7), ' ') AS sh
+    FROM (SELECT string_split(text, ' ') AS w FROM documents
+          WHERE text IS NOT NULL AND doc_id < 50
+            AND len(string_split(text, ' ')) >= 8),
+         unnest(generate_series(1, len(w) - 7)) AS t(i)
+), contam AS (
+    SELECT DISTINCT doc_id
+    FROM (SELECT doc_id, string_split(text, ' ') AS w
+          FROM dd WHERE nt >= 8),
+         unnest(generate_series(1, len(w) - 7)) AS t(i)
+    JOIN ev ON array_to_string(list_slice(w, i, i + 7), ' ') = ev.sh
+), dc AS (
+    SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+), tr AS (
+    SELECT * FROM dc
+    WHERE {_duck_md5_window('text', 1)} % 1000 < 900
+)
+SELECT 'a_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens FROM raw
+UNION ALL SELECT 'b_quality', CAST(count(*) AS BIGINT),
+       CAST(sum(nt) AS BIGINT) FROM q
+UNION ALL SELECT 'c_dedup', CAST(count(*) AS BIGINT),
+       CAST(sum(nt) AS BIGINT) FROM dd
+UNION ALL SELECT 'd_decontaminated', CAST(count(*) AS BIGINT),
+       CAST(sum(nt) AS BIGINT) FROM dc
+UNION ALL SELECT 'e_train', CAST(count(*) AS BIGINT),
+       CAST(sum(nt) AS BIGINT) FROM tr
+"""
+
+
+@register("llm_pipeline_end_to_end", oracle=_PIPE_ORACLE)
+def llm_pipeline_end_to_end(spark, d):
+    """End-to-end training-data pipeline COMPOSITION — the proof the
+    individual operators chain into the thing a user actually runs:
+    raw corpus (eval docs excluded) → length-gate quality filter
+    (llm_quality_gopher's core bounds) → normalized exact dedup
+    keep-first (llm_dedup_exact_normalized's digest) → benchmark
+    decontamination (llm_decontaminate's 8-gram rule against eval docs
+    0-49) → 90% train split (llm_train_test_split's md5 bucket).  The
+    output is the per-stage funnel (docs, tokens surviving each stage)
+    — the dataset-card accounting a pipeline run reports — with every
+    stage's rule deterministic, so the WHOLE chain hash-replays in SQL.
+
+    Scale shape: one corpus scan feeds the chain; the only shuffles are
+    the dedup digest window and the shingle equi-join (raw text never
+    shuffles — digests and 8-gram strings do); the eval shingle set is
+    tiny and auto-broadcasts (no hint: it follows a grouped distinct
+    the lint can't bound); stage counts are scalar aggregates.  Each
+    stage's standalone operator documents its own 100 TB story — this
+    query pins that composing them changes nothing."""
+    raw = (T(spark, d, "documents")
+           .filter(F.col("text").isNotNull() & (F.col("doc_id") >= 50))
+           .select("doc_id", "text",
+                   F.size(F.split("text", " ")).cast("bigint").alias("nt")))
+    q = raw.filter(F.col("nt").between(15, 90))
+    h = F.md5(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "")))
+    wdup = Window.partitionBy(h)
+    dd = (q.withColumn("keep", F.min("doc_id").over(wdup))
+          .filter(F.col("doc_id") == F.col("keep"))
+          .drop("keep"))
+
+    def _shingles(df):
+        w = F.split("text", " ")
+        return df.filter(F.size(w) >= 8).select(
+            "doc_id",
+            F.explode(F.transform(
+                F.sequence(F.lit(0), F.size(w) - 8),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, 8))))
+            .alias("sh"))
+
+    ev = (_shingles(T(spark, d, "documents")
+                    .filter(F.col("text").isNotNull()
+                            & (F.col("doc_id") < 50)))
+          .select("sh").distinct())
+    contam = (_shingles(dd).join(ev, "sh").select("doc_id").distinct())
+    dc = dd.join(contam, "doc_id", "left_anti")
+    bucket = (F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+              .cast("bigint") % 1000)
+    tr = dc.filter(bucket < 900)
+
+    def _stage(df, name):
+        return df.agg(F.lit(name).alias("stage"),
+                      F.count("*").cast("bigint").alias("n_docs"),
+                      F.sum("nt").cast("bigint").alias("n_tokens"))
+
+    return (_stage(raw, "a_raw")
+            .unionByName(_stage(q, "b_quality"))
+            .unionByName(_stage(dd, "c_dedup"))
+            .unionByName(_stage(dc, "d_decontaminated"))
+            .unionByName(_stage(tr, "e_train")))

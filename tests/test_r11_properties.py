@@ -158,3 +158,45 @@ def test_udtf_table_argument_all_null_partition_sums_null(spark):
             TABLE(ev_nulltest) PARTITION BY event_type)
     """).collect()}
     assert got == {"a": (2, 100), "b": (1, None), None: (1, None)}
+
+
+def test_pipeline_dedup_stage_drops_injected_duplicates(spark, tmp_path):
+    """The pipeline's dedup arm is vacuous on the small fixtures (first
+    exact-normalized dup groups appear at sf0.1), so inject 5
+    punctuation-variant copies of quality-passing docs and pin that
+    ONLY the dedup stage drops them (the dq_referential_integrity
+    de-vacuizing pattern).  The '!' suffix leaves the token count (and
+    so the quality verdict) unchanged but normalizes away — exercising
+    the canonicalization, not just byte equality."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"""COPY (
+        SELECT * FROM read_parquet('{SF}/documents.parquet')
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text || '!' AS text,
+               lang, source, n_chars + 1 AS n_chars
+        FROM (SELECT * FROM read_parquet('{SF}/documents.parquet')
+              WHERE doc_id >= 50 AND text IS NOT NULL
+                AND len(string_split(text, ' ')) BETWEEN 15 AND 90
+              ORDER BY doc_id LIMIT 5)
+    ) TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)""")
+    stages = {r["stage"]: r["n_docs"]
+              for r in REGISTRY["llm_pipeline_end_to_end"]
+              .fn(spark, str(tmp_path)).collect()}
+    base = {r["stage"]: r["n_docs"]
+            for r in REGISTRY["llm_pipeline_end_to_end"]
+            .fn(spark, SF).collect()}
+    # the 5 copies enter raw and survive quality...
+    assert stages["a_raw"] == base["a_raw"] + 5
+    assert stages["b_quality"] == base["b_quality"] + 5
+    # ...and the dedup stage alone removes exactly them
+    assert stages["c_dedup"] == base["c_dedup"]
+    assert base["b_quality"] == base["c_dedup"]  # vacuous on raw fixture
+    # downstream stages see the same survivors as the uninjected run
+    assert stages["d_decontaminated"] == base["d_decontaminated"]
+    assert stages["e_train"] == base["e_train"]
+    # and the real fixture's OTHER arms are live
+    assert base["b_quality"] < base["a_raw"]
+    assert base["d_decontaminated"] < base["c_dedup"]
+    assert base["e_train"] < base["d_decontaminated"]
