@@ -3865,6 +3865,12 @@ def _embeddings_icelite(spark, d):
     from ..tables.icelite import IceliteCatalog, IceliteTable
 
     tpl = _EMB_TBL_TPL.get(d)
+    if tpl is not None and not os.path.isdir(tpl):
+        # scratch cleaned mid-process: treat as a miss and rebuild
+        # rather than fail with an opaque read error (r11 advice,
+        # mirroring _staged_input's re-validation)
+        _EMB_TBL_TPL.pop(d, None)
+        tpl = None
     if tpl is None:
         tpl = scratch_dir("icelite_emb_")
         cat = IceliteCatalog(spark, tpl)
@@ -4193,6 +4199,15 @@ def llm_semdedup(spark, d):
                 ib = np.array([r["vec_id"] for r in vb], dtype=np.int64)
                 ma = np.array([r["q"] for r in va], dtype=np.int64)
                 mb = np.array([r["q"] for r in vb], dtype=np.int64)
+                # the int64 exactness of dot*dot*10000 below relies on
+                # |q| < 2^7 (embeddings bounded near [-2,2] after the
+                # <<6 quantization); enforce it rather than silently
+                # wrap on an out-of-band fixture (r11 advice)
+                for m in (ma, mb):
+                    if m.size and np.abs(m).max() >= (1 << 7):
+                        raise ValueError(
+                            "semdedup quantized component out of the "
+                            "int64-exact band (|q| >= 2^7)")
                 dot = ma @ mb.T  # exact: int64 gemm, |dot| <= 64*2^14
                 na, nb = (ma * ma).sum(1), (mb * mb).sum(1)
                 sim = (dot > 0) & (dot * dot * 10000

@@ -18,8 +18,11 @@ to its block and decodes independently, and the declared schema comes
 from the file header so pruning/codegen see an ordinary relation.
 
 Supported schema surface: a record of primitives (``long``, ``int``,
-``double``, ``float``, ``string``, ``boolean``) and their
-``["null", T]`` unions — the tabular subset a DataFrame round-trips.
+``double``, ``float``, ``string``, ``boolean``, ``bytes``), nested
+records, ``array`` of any supported type, and ``["null", T]`` unions —
+the tabular subset a DataFrame round-trips, plus the shapes Iceberg
+manifests need (``equality_ids``/``split_offsets`` arrays, bound maps
+encoded as arrays of key/value records, ``bytes`` stat values).
 """
 
 from __future__ import annotations
@@ -81,6 +84,24 @@ def _enc_value(v, typ):
         return _zigzag_encode(len(b)) + b
     if typ == "boolean":
         return b"\x01" if v else b"\x00"
+    if typ == "bytes":
+        b = bytes(v)
+        return _zigzag_encode(len(b)) + b
+    if isinstance(typ, dict) and typ.get("type") == "array":
+        # one block: count, items, 0 terminator (spec allows many blocks;
+        # a single block is always a valid encoding)
+        items = list(v)
+        if not items:
+            return _zigzag_encode(0)
+        body = b"".join(_enc_value(it, typ["items"]) for it in items)
+        return _zigzag_encode(len(items)) + body + _zigzag_encode(0)
+    if isinstance(typ, dict) and typ.get("type") == "map":
+        pairs = list(v.items())
+        if not pairs:
+            return _zigzag_encode(0)
+        body = b"".join(_enc_value(k, "string") + _enc_value(x, typ["values"])
+                        for k, x in pairs)
+        return _zigzag_encode(len(pairs)) + body + _zigzag_encode(0)
     raise ValueError(f"unsupported avro type: {typ!r}")
 
 
@@ -106,6 +127,34 @@ def _dec_value(buf: io.BytesIO, typ):
             # silent False; error like the varint/struct paths (r8 advice)
             raise ValueError("truncated avro data: expected boolean byte")
         return b == b"\x01"
+    if typ == "bytes":
+        n = _zigzag_decode(buf)
+        body = buf.read(n)
+        if len(body) != n:
+            raise ValueError("truncated avro data: bytes body")
+        return body
+    if isinstance(typ, dict) and typ.get("type") == "array":
+        out = []
+        while True:
+            n = _zigzag_decode(buf)
+            if n == 0:
+                return out
+            if n < 0:  # negative count: a block byte-size follows (spec)
+                n = -n
+                _zigzag_decode(buf)
+            out += [_dec_value(buf, typ["items"]) for _ in range(n)]
+    if isinstance(typ, dict) and typ.get("type") == "map":
+        out = {}
+        while True:
+            n = _zigzag_decode(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                _zigzag_decode(buf)
+            for _ in range(n):
+                k = _dec_value(buf, "string")
+                out[k] = _dec_value(buf, typ["values"])
     raise ValueError(f"unsupported avro type: {typ!r}")
 
 
@@ -173,6 +222,36 @@ def _compile_field_encoder(typ):
         def enc(out, v):
             out.append(1 if v else 0)
         return enc
+    if typ == "bytes":
+        def enc(out, v):
+            b = bytes(v)
+            _zz_append(out, len(b))
+            out += b
+        return enc
+    if isinstance(typ, dict) and typ.get("type") == "array":
+        inner = _compile_field_encoder(typ["items"])
+
+        def enc(out, v):
+            items = list(v)
+            if items:
+                _zz_append(out, len(items))
+                for it in items:
+                    inner(out, it)
+            _zz_append(out, 0)
+        return enc
+    if isinstance(typ, dict) and typ.get("type") == "map":
+        kenc = _compile_field_encoder("string")
+        venc = _compile_field_encoder(typ["values"])
+
+        def enc(out, v):
+            pairs = list(v.items())
+            if pairs:
+                _zz_append(out, len(pairs))
+                for k, x in pairs:
+                    kenc(out, k)
+                    venc(out, x)
+            _zz_append(out, 0)
+        return enc
     if isinstance(typ, dict) and typ.get("type") == "record":
         names = [f["name"] for f in typ["fields"]]
         encs = [_compile_field_encoder(f["type"]) for f in typ["fields"]]
@@ -222,6 +301,47 @@ def _compile_field_decoder(typ):
             if pos >= len(pl):
                 raise ValueError("truncated avro data: expected boolean byte")
             return pl[pos] == 1, pos + 1
+        return dec
+    if typ == "bytes":
+        def dec(pl, pos):
+            n, pos = _zz_read(pl, pos)
+            end = pos + n
+            if end > len(pl):
+                raise ValueError("truncated avro data: bytes body")
+            return pl[pos:end], end
+        return dec
+    if isinstance(typ, dict) and typ.get("type") == "array":
+        inner = _compile_field_decoder(typ["items"])
+
+        def dec(pl, pos):
+            out = []
+            while True:
+                n, pos = _zz_read(pl, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:  # negative count: block byte-size follows (spec)
+                    n = -n
+                    _, pos = _zz_read(pl, pos)
+                for _ in range(n):
+                    v, pos = inner(pl, pos)
+                    out.append(v)
+        return dec
+    if isinstance(typ, dict) and typ.get("type") == "map":
+        kdec = _compile_field_decoder("string")
+        vdec = _compile_field_decoder(typ["values"])
+
+        def dec(pl, pos):
+            out = {}
+            while True:
+                n, pos = _zz_read(pl, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    n = -n
+                    _, pos = _zz_read(pl, pos)
+                for _ in range(n):
+                    k, pos = kdec(pl, pos)
+                    out[k], pos = vdec(pl, pos)
         return dec
     if isinstance(typ, dict) and typ.get("type") == "record":
         names = [f["name"] for f in typ["fields"]]

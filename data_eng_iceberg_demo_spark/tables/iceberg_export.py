@@ -31,12 +31,26 @@ increasing snapshot ids — valid per spec, which only requires
 monotonicity.  Data/delete-file paths are re-rooted to the table
 location so a reader resolves them without icelite knowledge.
 
-Scope: a WRITE-ONLY emitter.  Statistics maps (column sizes,
-value-counts, bounds) are optional per spec and omitted; the required
-fields — content, file_path, file_format, partition, record_count,
-file_size_in_bytes — are all populated.  Tests pin the structure
-against the spec's required keys and roundtrip every Avro file through
-the codec's own reader (tests/test_iceberg_export.py).
+Scope of the emitter: statistics maps (column sizes, value-counts,
+bounds) are optional per spec and omitted; the required fields —
+content, file_path, file_format, partition, record_count,
+file_size_in_bytes — are all populated, with partition values in the
+spec's PHYSICAL types (day/month/year/hour/bucket -> int ordinals,
+truncate -> source type).  Files written under a REPLACED partition
+spec cannot be exported (icelite retains only the current spec
+definition) — the emitter raises rather than mis-stamp them; pre-spec
+unpartitioned files export under the always-present empty spec 0 in
+their own manifest.
+
+The companion reader (`read_iceberg_table`) accepts FOREIGN-written
+metadata too, not just this emitter's output: format-version 1 and 2,
+position (content=1) and equality (content=2) deletes with spec
+sequence-number semantics, sequence inheritance, file: URIs, missing
+version-hint, arbitrary field-id orders, and manifests carrying the
+optional stats fields (the Avro codec decodes bytes/array/map shapes).
+Tests pin the structure against the spec's required keys, roundtrip
+every Avro file through the codec's own reader, and replay synthesized
+foreign-writer fixtures (tests/test_iceberg_export.py).
 """
 
 from __future__ import annotations
@@ -155,15 +169,54 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
     }
 
 
-def _partition_avro_fields(spec: dict | None) -> list[dict]:
+def _partition_avro_fields(spec: dict | None, source_type: str | None) -> list[dict]:
+    """Spec PHYSICAL types for partition values (r11 advice): time
+    transforms and bucket produce int ordinals, truncate keeps the
+    source type — a real external reader (Trino/Spark+Iceberg) type-
+    checks the partition struct against the spec and rejects strings."""
     if spec is None:
         return []
-    # every icelite transform value serializes losslessly as a string
-    # partition value (day strings, bucket ordinals, truncate prefixes);
-    # a spec-exact emitter would use date/int physical types, noted in
-    # the module docstring as out of scope
-    return [{"name": spec["name"], "type": ["null", "string"],
+    t = spec["transform"]
+    if t in ("days", "months", "years", "hours", "bucket"):
+        avro_t = "int"
+    elif t == "truncate":
+        avro_t = ("string" if source_type in ("string", "varchar")
+                  else "long")
+    else:
+        avro_t = "string"
+    return [{"name": spec["name"], "type": ["null", avro_t],
              "field-id": 1000}]
+
+
+_EPOCH = __import__("datetime").date(1970, 1, 1)
+
+
+def _typed_partition_value(spec: dict, source_type: str | None, part):
+    """icelite partition STRING -> the spec's typed partition value.
+    days 'YYYY-MM-DD' -> days since epoch (date physical = int);
+    months 'YYYY-MM' -> months since 1970-01; years 'YYYY' -> years
+    since 1970; hours 'YYYY-MM-DD-HH' -> hours since epoch; bucket /
+    integer-truncate ordinals -> int; string-truncate -> string."""
+    import datetime as _dt
+
+    if part is None:
+        return None
+    t = spec["transform"]
+    if t == "days":
+        return (_dt.date.fromisoformat(part) - _EPOCH).days
+    if t == "months":
+        y, m = part.split("-")
+        return (int(y) - 1970) * 12 + int(m) - 1
+    if t == "years":
+        return int(part) - 1970
+    if t == "hours":
+        d, hh = part[:10], part[11:]
+        return ((_dt.date.fromisoformat(d) - _EPOCH).days * 24 + int(hh))
+    if t == "bucket":
+        return int(part)
+    if t == "truncate":
+        return part if source_type in ("string", "varchar") else int(part)
+    return part
 
 
 def export_iceberg_metadata(table) -> str:
@@ -189,8 +242,34 @@ def export_iceberg_metadata(table) -> str:
         })
 
     spec = meta.get("partition_spec")
-    part_avro = _partition_avro_fields(spec)
-    entry_schema = _manifest_entry_schema(part_avro)
+    src_type = None
+    if spec is not None:
+        cur_fields = next(sv["fields"] for sv in meta["schema_versions"]
+                          if sv["version"] == meta["current_schema"])
+        src_type = next(f["type"] for f in cur_fields
+                        if f["id"] == spec["source_id"])
+    part_avro = _partition_avro_fields(spec, src_type)
+    # one manifest entry schema per partition spec a file may carry:
+    # spec 0 (the always-present empty spec — pre-evolution files) and,
+    # when a spec is set, spec 1 with the typed partition struct.  The
+    # spec forbids mixing files of different specs in one manifest.
+    entry_schemas = {0: _manifest_entry_schema([]),
+                     1: _manifest_entry_schema(part_avro)}
+    cur_key = table._spec_key(spec)
+
+    def _spec_bucket(e) -> int:
+        k = e.get("spec_key")
+        if k is None:
+            return 0
+        if k == cur_key:
+            return 1
+        # icelite keeps only the CURRENT spec definition; a file written
+        # under a replaced spec cannot be exported with spec-correct
+        # partition metadata (r11 advice: fail loudly, don't mis-stamp)
+        raise ValueError(
+            f"file {e['path']!r} was written under a historical partition "
+            f"spec ({k!r}) that icelite no longer retains; spec-correct "
+            "export is impossible — rewrite_data_files first")
 
     snaps = sorted(meta.get("snapshots", []), key=lambda s: s["id"])
     by_id = {s["id"]: s for s in snaps}
@@ -211,7 +290,7 @@ def export_iceberg_metadata(table) -> str:
         def _rows(entries):
             return sum(e.get("record_count") or 0 for e in entries)
 
-        def _entries(e, status, content):
+        def _entries(e, status, content, bucket):
             # icelite delete entries point at the staging DIRECTORY of a
             # coalesce(1) write; the spec's data_file.file_path must be a
             # physical file — resolve to the contained parquet part(s)
@@ -223,8 +302,9 @@ def export_iceberg_metadata(table) -> str:
             else:
                 parts = [full]
             part_val = {}
-            if part_avro:
-                part_val = {part_avro[0]["name"]: e.get("partition")}
+            if bucket == 1 and part_avro:
+                part_val = {part_avro[0]["name"]: _typed_partition_value(
+                    spec, src_type, e.get("partition"))}
             origin = sid if status == 1 else first_added[e["path"]]
             out = []
             for i, p in enumerate(parts):
@@ -255,46 +335,60 @@ def export_iceberg_metadata(table) -> str:
         snap_schema = next(sc for sc in schemas
                            if sc["schema-id"] == snap_schema_id)
         # spec: real readers require these key-value properties to open
-        # a manifest (ManifestReader fails without them)
-        mf_meta = {
-            "schema": json.dumps(snap_schema),
-            "schema-id": str(snap_schema_id),
-            "partition-spec": json.dumps(
-                _spec_fields(spec) if spec else []),
-            "partition-spec-id": str(spec_id),
-            "format-version": "2",
-        }
+        # a manifest (ManifestReader fails without them); partition-spec
+        # and spec-id vary per manifest BUCKET — a manifest holds files
+        # of exactly one spec
+        def _mf_meta(bucket):
+            return {
+                "schema": json.dumps(snap_schema),
+                "schema-id": str(snap_schema_id),
+                "partition-spec": json.dumps(
+                    _spec_fields(spec) if bucket == 1 else []),
+                "partition-spec-id": str(bucket),
+                "format-version": "2",
+            }
 
-        manifests = []
+        manifests = []  # (path, content, mf_spec_id, min_seq, counts...)
+
+        def _emit_manifest(entries_by_status, content, tag):
+            """entries_by_status: [(icelite_entry, status), ...] — split
+            by spec bucket, one manifest avro per non-empty bucket."""
+            by_bucket: dict[int, list] = {}
+            for e, status in entries_by_status:
+                b = _spec_bucket(e)
+                by_bucket.setdefault(b, []).append((e, status))
+            for b, pairs in sorted(by_bucket.items()):
+                rows = [t for e, st in pairs
+                        for t in _entries(e, st, content, b)]
+                n_add = sum(1 for _e, st in pairs if st == 1)
+                n_exist = len(pairs) - n_add
+                r_add = _rows([e for e, st in pairs if st == 1])
+                r_exist = _rows([e for e, st in pairs if st == 0])
+                mf = os.path.join(
+                    mdir, f"manifest-{sid}-{uuid.uuid5(uuid.NAMESPACE_URL, f'{tdir}:{sid}:{tag}:{b}').hex[:12]}.avro")
+                write_avro(mf, rows, entry_schemas[b], codec="deflate",
+                           extra_meta={**_mf_meta(b), "content":
+                                       "data" if content == 0 else "deletes"})
+                # spec: min_sequence_number = minimum data sequence of all
+                # live entries (EXISTING entries carry their ORIGIN
+                # sequence; writing the current one would let readers
+                # wrongly prune older deletes)
+                min_seq = min((t[2] for t in rows), default=seq)
+                manifests.append((mf, content, b, min_seq, n_add, n_exist,
+                                  0, r_add, r_exist, 0))
+
         added = [f for f in s["files"] if f["path"] not in parent_paths]
         existing = [f for f in s["files"] if f["path"] in parent_paths]
-        data_entries = ([t for e in added for t in _entries(e, 1, 0)]
-                        + [t for e in existing for t in _entries(e, 0, 0)])
-        data_mf = os.path.join(
-            mdir, f"manifest-{sid}-{uuid.uuid5(uuid.NAMESPACE_URL, f'{tdir}:{sid}:data').hex[:12]}.avro")
-        write_avro(data_mf, data_entries, entry_schema, codec="deflate",
-                   extra_meta={**mf_meta, "content": "data"})
-        # spec: min_sequence_number = minimum data sequence of all live
-        # entries (EXISTING entries carry their ORIGIN sequence; writing
-        # the current one would let readers wrongly prune older deletes)
-        min_seq = min((t[2] for t in data_entries), default=seq)
-        manifests.append((data_mf, 0, min_seq, len(added), len(existing), 0,
-                          _rows(added), _rows(existing), 0))
+        _emit_manifest([(e, 1) for e in added]
+                       + [(e, 0) for e in existing], 0, "data")
         dels = s.get("delete_files", [])
         if dels:
             parent_dels = ({f["path"] for f in parent.get("delete_files", [])}
                            if parent else set())
-            d_add = [e for e in dels if e["path"] not in parent_dels]
-            d_exist = [e for e in dels if e["path"] in parent_dels]
-            del_entries = ([t for e in d_add for t in _entries(e, 1, 1)]
-                           + [t for e in d_exist for t in _entries(e, 0, 1)])
-            del_mf = os.path.join(
-                mdir, f"manifest-{sid}-{uuid.uuid5(uuid.NAMESPACE_URL, f'{tdir}:{sid}:deletes').hex[:12]}.avro")
-            write_avro(del_mf, del_entries, entry_schema, codec="deflate",
-                       extra_meta={**mf_meta, "content": "deletes"})
-            d_min = min((t[2] for t in del_entries), default=seq)
-            manifests.append((del_mf, 1, d_min, len(d_add), len(d_exist), 0,
-                              _rows(d_add), _rows(d_exist), 0))
+            _emit_manifest(
+                [(e, 1) for e in dels if e["path"] not in parent_dels]
+                + [(e, 0) for e in dels if e["path"] in parent_dels],
+                1, "deletes")
 
         ml_path = os.path.join(
             mdir, f"snap-{sid}-{uuid.uuid5(uuid.NAMESPACE_URL, f'{tdir}:{sid}:list').hex[:12]}.avro")
@@ -303,9 +397,9 @@ def export_iceberg_metadata(table) -> str:
         if s.get("parent") is not None:
             ml_meta["parent-snapshot-id"] = str(s["parent"])
         write_avro(ml_path,
-                   [(p, os.path.getsize(p), spec_id if spec else 0, content,
+                   [(p, os.path.getsize(p), mf_sid, content,
                      seq, mseq, sid, a, ex, de, ra, rex, rde)
-                    for (p, content, mseq, a, ex, de, ra, rex, rde)
+                    for (p, content, mf_sid, mseq, a, ex, de, ra, rex, rde)
                     in manifests],
                    _MANIFEST_FILE_SCHEMA, codec="deflate",
                    extra_meta=ml_meta)
@@ -360,6 +454,18 @@ def export_iceberg_metadata(table) -> str:
     os.replace(tmp, md_path)
     with open(os.path.join(mdir, "version-hint.text"), "w") as f:
         f.write(str(version))
+    # version = len(snaps)+1 can REGRESS after expire_snapshots shrinks
+    # the list (r11 advice): a reader that picks max-N when the hint is
+    # missing would then open a stale higher-numbered file from an
+    # earlier export — delete superseded versions on re-export
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".metadata.json"):
+            try:
+                n = int(name[1:-len(".metadata.json")])
+            except ValueError:
+                continue
+            if n > version:
+                os.unlink(os.path.join(mdir, name))
     return md_path
 
 
@@ -375,54 +481,164 @@ def _avro_rows(path: str) -> list[dict]:
     return out
 
 
+def _local_path(p: str) -> str:
+    """Strip a file: URI scheme for local opens — foreign writers store
+    fully-qualified URIs in manifest_path/file_path (the spec requires
+    full URIs); icelite's own export writes bare absolute paths."""
+    if p.startswith("file:"):
+        rest = p[len("file:"):]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    return p
+
+
+def _current_metadata_path(mdir: str) -> str:
+    """version-hint.text when present, else max-N v*.metadata.json —
+    the same fallback HadoopTableOperations performs when the hint is
+    missing or unreadable."""
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            return os.path.join(mdir, f"v{int(f.read().strip())}.metadata.json")
+    best, best_n = None, -1
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".metadata.json"):
+            try:
+                n = int(name[1:-len(".metadata.json")])
+            except ValueError:
+                continue
+            if n > best_n:
+                best, best_n = name, n
+    if best is None:
+        raise FileNotFoundError(f"no v*.metadata.json under {mdir}")
+    return os.path.join(mdir, best)
+
+
 def read_iceberg_table(spark, table_location: str):
-    """Read a table from the EXPORTED spec metadata alone — no icelite
-    involvement: version-hint.text -> vN.metadata.json ->
+    """Read a table from spec metadata alone — no icelite involvement:
+    version-hint.text (or max-N fallback) -> vN.metadata.json ->
     current-snapshot-id -> manifest-list Avro -> manifest Avro ->
-    parquet data files, minus position-delete (content=1) rows.  This
-    is the planning walk any spec reader (Trino/DuckDB/Spark+Iceberg)
-    performs, so a hash match against the table's expected content is
-    the write-side emitter's end-to-end interop proof.  Scope matches
-    the emitter: parquet files, position deletes, current snapshot.
+    parquet data files, minus position-delete (content=1) and
+    equality-delete (content=2) rows.  This is the planning walk any
+    spec reader (Trino/DuckDB/Spark+Iceberg) performs, so a hash match
+    against the table's expected content is the end-to-end interop
+    proof — and the reader accepts FOREIGN-written metadata, not just
+    this module's own export (r11 verdict task 1): format-version 1
+    (single top-level ``schema``, entries without ``content`` or
+    sequence-number fields, snapshots carrying an inline ``manifests``
+    list), v2 sequence-number inheritance (ADDED entries with null
+    sequence inherit the manifest's), file: URIs, and arbitrary
+    field-id orders (projection is by name; equality_ids resolve
+    through the metadata schema's id->name map).
+
+    Delete semantics per spec: a position delete applies to data files
+    with data sequence number <= the delete's; an equality delete
+    applies STRICTLY BEFORE (data seq < delete seq), matching on the
+    equality_ids columns with null-safe equality.
 
     Scale shape: the metadata walk is a driver-side O(#files) manifest
     decode (exactly Iceberg's own planning cost); data and delete files
-    are handed to ONE distributed parquet scan each, deletes subtracted
-    by a (file, pos) anti-join that Spark broadcasts at runtime when
-    small (no hint: delete volume is unbounded by policy)."""
+    are handed to ONE distributed parquet scan each.  Per-file sequence
+    numbers ride a broadcast O(#files) map joined on
+    ``_metadata.file_path`` — planning metadata, never a data shuffle —
+    and each delete class is subtracted by one anti-join."""
     import pyspark.sql.functions as F
 
     mdir = os.path.join(table_location, "metadata")
-    with open(os.path.join(mdir, "version-hint.text")) as f:
-        version = int(f.read().strip())
-    md = json.load(open(os.path.join(mdir, f"v{version}.metadata.json")))
+    md = json.load(open(_current_metadata_path(mdir)))
+    if "schemas" in md:
+        schema = next(s for s in md["schemas"]
+                      if s["schema-id"] == md["current-schema-id"])
+    else:  # v1: a single top-level schema
+        schema = md["schema"]
+    id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
     cur = md["current-snapshot-id"]
     snap = next(s for s in md["snapshots"] if s["snapshot-id"] == cur)
 
-    data_files, delete_files = [], []
-    for mf in _avro_rows(snap["manifest-list"]):
-        for e in _avro_rows(mf["manifest_path"]):
+    if "manifest-list" in snap:
+        manifests = _avro_rows(_local_path(snap["manifest-list"]))
+    else:  # v1 alternative: inline manifest list
+        manifests = [{"manifest_path": p} for p in snap["manifests"]]
+
+    data, pos_dels, eq_dels = [], [], []  # (path, seq[, eq_ids])
+    for mf in manifests:
+        mseq = mf.get("sequence_number") or 0
+        for e in _avro_rows(_local_path(mf["manifest_path"])):
             if e["status"] == 2:  # DELETED entries no longer contribute
                 continue
             dfile = e["data_file"]
-            (delete_files if dfile["content"] == 1
-             else data_files).append(dfile["file_path"])
+            seq = e.get("sequence_number")
+            if seq is None:  # v2 inheritance (ADDED rows) / v1 (no seqs)
+                seq = mseq
+            path = _local_path(dfile["file_path"])
+            content = dfile.get("content", 0)  # v1 data_file: data only
+            if content == 0:
+                data.append((path, seq))
+            elif content == 1:
+                pos_dels.append((path, seq))
+            elif content == 2:
+                ids = tuple(dfile.get("equality_ids") or ())
+                if not ids:
+                    raise ValueError(
+                        f"equality-delete file {path} carries no "
+                        "equality_ids")
+                eq_dels.append((path, seq, ids))
+            else:
+                raise ValueError(f"unknown content={content} for {path}")
 
-    df = spark.read.parquet(*data_files)
-    if not delete_files:
+    if len({p for p, _ in data}) != len(data):
+        # a path live in two manifests would double rows AND make the
+        # sequence map ambiguous — corrupt metadata, fail loudly
+        raise ValueError("duplicate data file path across live manifests")
+    df = spark.read.parquet(*[p for p, _ in data])
+    if not pos_dels and not eq_dels:
         return df
 
     def _norm(col):
-        # _metadata.file_path is a file: URI; position-delete files
-        # store the same URI form, but normalize both sides anyway
+        # _metadata.file_path is a file: URI; normalize to a bare path
         return F.regexp_replace(col, "^file:/+", "/")
 
-    staged = df.select(
+    def _seq_map(path_seq, file_col, seq_col):
+        """Broadcast O(#files) planning map: file path -> data sequence
+        number, joined on the parquet _metadata file path."""
+        m = spark.createDataFrame(
+            list(path_seq), f"{file_col} string, {seq_col} long")
+        return F.broadcast(m)
+
+    staged = (df.select(
         "*", _norm(F.col("_metadata.file_path")).alias("__file"),
         F.col("_metadata.row_index").alias("__pos"))
-    dels = (spark.read.parquet(*delete_files)
-            .select(_norm(F.col("file_path")).alias("__dfile"),
-                    F.col("pos").alias("__dpos")))
-    cond = ((staged["__file"] == dels["__dfile"])
-            & (staged["__pos"] == dels["__dpos"]))
-    return staged.join(dels, cond, "left_anti").drop("__file", "__pos")
+        .join(_seq_map(data, "__file", "__seq"), "__file", "inner"))
+
+    if pos_dels:
+        dels = (spark.read.parquet(*[p for p, _ in pos_dels])
+                .select(_norm(F.col("file_path")).alias("__dfile"),
+                        F.col("pos").alias("__dpos"),
+                        _norm(F.col("_metadata.file_path")).alias("__dsrc"))
+                .join(_seq_map(pos_dels, "__dsrc", "__dseq"),
+                      "__dsrc", "inner")
+                .drop("__dsrc"))
+        cond = ((staged["__file"] == dels["__dfile"])
+                & (staged["__pos"] == dels["__dpos"])
+                & (staged["__seq"] <= dels["__dseq"]))
+        staged = staged.join(dels, cond, "left_anti")
+
+    # one anti-join per distinct equality-ids set (each set names its
+    # own match columns); files sharing a set are scanned together
+    by_ids: dict[tuple, list] = {}
+    for p, s, ids in eq_dels:
+        by_ids.setdefault(ids, []).append((p, s))
+    for ids, files in sorted(by_ids.items()):
+        cols = [id_to_name[i] for i in ids]
+        dels = (spark.read.parquet(*[p for p, _ in files])
+                .select(*cols,
+                        _norm(F.col("_metadata.file_path")).alias("__dsrc"))
+                .join(_seq_map(files, "__dsrc", "__dseq"), "__dsrc", "inner")
+                .drop("__dsrc"))
+        cond = staged["__seq"] < dels["__dseq"]
+        for c in cols:
+            cond = cond & staged[c].eqNullSafe(dels[c])
+        staged = staged.join(dels, cond, "left_anti")
+
+    return staged.drop("__file", "__pos", "__seq")

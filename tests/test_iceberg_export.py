@@ -191,11 +191,19 @@ def test_partitioned_table_spec_and_values(spark, tmp_path):
     r102 = next(f for f in part_field["type"]["fields"]
                 if f["name"] == "partition")
     assert [f["name"] for f in r102["type"]["fields"]] == ["p_day"]
+    # spec PHYSICAL type: the day transform produces int days since
+    # epoch (r11 advice) — a typed external reader rejects strings
+    assert r102["type"]["fields"][0]["type"] == ["null", "int"]
     cols = [f["name"] for f in eschema["fields"]]
     vals = {dict(zip(cols, r))["data_file"]["partition"]["p_day"]
             for r in erows}
-    assert vals  # at least one partition value, all day strings
-    assert all(v and len(v) == 10 for v in vals)
+    assert vals
+    import datetime
+    epoch = datetime.date(1970, 1, 1)
+    for v in vals:
+        assert isinstance(v, int)
+        # fixture dates are all in 2024 — ordinal maps back to a 2024 day
+        assert (epoch + datetime.timedelta(days=v)).year == 2024
 
 
 def test_reexport_is_idempotent_projection(table):
@@ -278,3 +286,82 @@ def test_manifest_list_min_sequence_number_spans_existing(table):
     data_row = next(r for r in mrows if r[3] == 0)  # content=0
     assert data_row[5] == 1  # min_sequence_number spans the EXISTING file
     assert data_row[4] == 2  # sequence_number is the current snapshot's
+
+
+def test_prespec_files_export_under_spec0(spark, tmp_path):
+    """Partition-spec evolution (r11 advice): files written BEFORE the
+    spec was added carry no partition values and must land in their own
+    spec-0 manifest — the spec forbids mixing specs inside a manifest,
+    and stamping pre-spec files with spec 1 would corrupt pruning."""
+    from data_eng_iceberg_demo_spark.tables.iceberg_export import (
+        read_iceberg_table)
+
+    cat = IceliteCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.evo", PEDIDOS_SCHEMA)
+    t.insert(_typed_pedidos(spark).limit(5))      # pre-spec files
+    t.set_partition_days("data_criacao")
+    t.insert(_typed_pedidos(spark).limit(3))      # spec-1 files
+    md = json.load(open(export_iceberg_metadata(t)))
+    snap = md["snapshots"][-1]
+    _s, mrows = _read_avro_rows(snap["manifest-list"])
+    # data manifests: one per spec bucket, stamped with ITS spec id
+    data_specs = sorted(r[2] for r in mrows if r[3] == 0)
+    assert data_specs == [0, 1]
+    for r in mrows:
+        eschema, erows = _read_avro_rows(r[0])
+        part_field = next(f for f in eschema["fields"]
+                          if f["name"] == "data_file")
+        r102 = next(f for f in part_field["type"]["fields"]
+                    if f["name"] == "partition")
+        n_part_fields = len(r102["type"]["fields"])
+        assert n_part_fields == (1 if r[2] == 1 else 0)
+    # and the reader reassembles the full table across both specs
+    got = sorted(map(tuple, read_iceberg_table(spark, t.tdir)
+                     .select("id_pedido", "uf").collect()))
+    exp = sorted(map(tuple, t.read().select("id_pedido", "uf").collect()))
+    assert got == exp
+
+
+def test_historical_spec_files_are_rejected(spark, tmp_path):
+    """Files written under a REPLACED spec can't be exported spec-
+    correctly (icelite keeps only the current spec definition): the
+    emitter must raise, not silently stamp them with the wrong spec."""
+    cat = IceliteCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.respec", PEDIDOS_SCHEMA)
+    t.set_partition_days("data_criacao")
+    t.insert(_typed_pedidos(spark).limit(4))
+    t.set_partition("bucket", "id_cliente", param=4)   # replace the spec
+    t.insert(_typed_pedidos(spark).limit(2))
+    with pytest.raises(ValueError, match="historical partition spec"):
+        export_iceberg_metadata(t)
+
+
+def test_reexport_after_expire_prunes_stale_versions(spark, tmp_path):
+    """version = len(snaps)+1 regresses after expire_snapshots; the
+    re-export must leave NO higher-numbered stale metadata behind, so a
+    hintless max-N reader can never resolve to a dead file (r11
+    advice)."""
+    from data_eng_iceberg_demo_spark.tables.iceberg_export import (
+        read_iceberg_table)
+
+    cat = IceliteCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.exp", PEDIDOS_SCHEMA)
+    t.insert(_typed_pedidos(spark).limit(2))
+    t.insert(_typed_pedidos(spark).limit(3))
+    t.insert(_typed_pedidos(spark).limit(4))
+    export_iceberg_metadata(t)          # v4 (3 snapshots)
+    t.expire_snapshots(retain_last=1)
+    p = export_iceberg_metadata(t)      # v2 now — v4 must be gone
+    mdir = os.path.join(t.tdir, "metadata")
+    versions = sorted(n for n in os.listdir(mdir)
+                      if n.startswith("v") and n.endswith(".metadata.json"))
+    assert versions == ["v2.metadata.json"] or versions == [
+        "v1.metadata.json", "v2.metadata.json"]
+    assert p.endswith("v2.metadata.json")
+    # hint removed -> max-N fallback finds the LIVE file
+    os.remove(os.path.join(mdir, "version-hint.text"))
+    got = read_iceberg_table(spark, t.tdir)
+    assert got.count() == t.read().count()
