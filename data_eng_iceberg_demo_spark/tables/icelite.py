@@ -1680,6 +1680,89 @@ class IceliteTable:
                   "added_data_files bigint, removed_data_files bigint, "
                   "added_delete_files bigint, removed_delete_files bigint")
 
+    def snapshots_df(self) -> DataFrame:
+        """Metadata table (Iceberg's ``db.t.snapshots`` analog): one row
+        per snapshot in the metadata — id, parent, operation, and the
+        summary counts Iceberg keeps (records added / removed / position
+        deletes added relative to the parent), all computed from
+        manifest entries alone: zero data files touched (r11 verdict
+        task 5, completing the family beside history()/manifests())."""
+        meta = self.meta
+        by_id = {s["id"]: s for s in meta["snapshots"]}
+        rows = []
+        for s in sorted(meta["snapshots"], key=lambda x: x["id"]):
+            parent = by_id.get(s.get("parent")) if s.get("parent") else None
+            p_files = {f["path"] for f in parent["files"]} if parent else set()
+            p_dels = ({f["path"] for f in parent.get("delete_files", [])}
+                      if parent else set())
+
+            def _rc(entries):
+                return sum(e.get("record_count") or 0 for e in entries)
+
+            added = _rc([f for f in s["files"] if f["path"] not in p_files])
+            removed = _rc([f for f in (parent["files"] if parent else [])
+                           if f["path"] not in
+                           {x["path"] for x in s["files"]}])
+            pos_dels = _rc([f for f in s.get("delete_files", [])
+                            if f["path"] not in p_dels])
+            rows.append((s["id"], s.get("parent"), s["operation"],
+                         added, removed, pos_dels))
+        return self.spark.createDataFrame(
+            rows, "snapshot_id bigint, parent_id bigint, operation string, "
+                  "added_records bigint, removed_records bigint, "
+                  "added_position_deletes bigint")
+
+    def entries_df(self, version: int | None = None) -> DataFrame:
+        """Metadata table (Iceberg's ``db.t.entries`` analog): one row
+        per manifest entry of the snapshot — status (1 ADDED / 0
+        EXISTING / 2 DELETED vs the parent), content (0 data / 1
+        position deletes), partition value and footer record count.
+        Pure metadata: answers "what did this commit do, file by file"
+        without reading data (r11 verdict task 5)."""
+        meta = self.meta
+        snap = self._snapshot(meta, version)
+        parent = (self._snapshot(meta, snap["parent"])
+                  if snap.get("parent") else None)
+        rows = []
+        for content, key in ((0, "files"), (1, "delete_files")):
+            cur = snap.get(key, []) or []
+            prev = (parent.get(key, []) or []) if parent else []
+            prev_by_path = {f["path"]: f for f in prev}
+            cur_paths = {f["path"] for f in cur}
+            for f in cur:
+                status = 0 if f["path"] in prev_by_path else 1
+                rows.append((status, content, f.get("partition"),
+                             f.get("record_count")))
+            for p, f in prev_by_path.items():
+                if p not in cur_paths:  # rewritten/removed by this commit
+                    rows.append((2, content, f.get("partition"),
+                                 f.get("record_count")))
+        return self.spark.createDataFrame(
+            rows, "status int, content int, partition string, "
+                  "record_count bigint")
+
+    def all_data_files_df(self) -> DataFrame:
+        """Metadata table (Iceberg's ``db.t.all_data_files`` analog):
+        every data file referenced by ANY snapshot still in metadata,
+        deduplicated by path (Iceberg's table repeats a file once per
+        referencing snapshot; the dedup keeps the output a file
+        inventory), with a ``live`` flag marking membership in the
+        current snapshot — the orphan/GC and storage-accounting view
+        (r11 verdict task 5)."""
+        meta = self.meta
+        live = ({f["path"] for f in self._snapshot(meta, None)["files"]}
+                if meta.get("current_snapshot") is not None else set())
+        seen: dict[str, tuple] = {}
+        for s in sorted(meta["snapshots"], key=lambda x: x["id"]):
+            for f in s["files"]:
+                seen.setdefault(f["path"], (
+                    f.get("partition"), f.get("record_count"),
+                    f["path"] in live))
+        rows = sorted(seen.values(),
+                      key=lambda r: (r[0] is None, r[0], r[1] or 0, r[2]))
+        return self.spark.createDataFrame(
+            rows, "partition string, record_count bigint, live boolean")
+
     # ------------------------------------------------- refs: tags / branches
     def refs(self) -> dict:
         return dict(self.meta.get("refs", {}))

@@ -926,3 +926,192 @@ def table_rewrite_manifests(spark, d):
     t = _fresh_table(spark, n_batches=4)
     t.rewrite_manifests()
     return _as_output(t.read())
+
+
+@register(
+    "table_snapshots_meta",
+    oracle=f"""
+    WITH base AS (SELECT CAST(count(*) AS BIGINT) AS c
+                  FROM ({_CSV_ORACLE_BASE})),
+    sp AS (SELECT CAST(count(*) AS BIGINT) AS c
+           FROM ({_CSV_ORACLE_BASE}) WHERE uf = 'SP'),
+    rj AS (SELECT CAST(count(*) AS BIGINT) AS c
+           FROM ({_CSV_ORACLE_BASE}) WHERE uf = 'RJ')
+    SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(NULL AS BIGINT) AS parent_id,
+           'append' AS operation, base.c AS added_records,
+           CAST(0 AS BIGINT) AS removed_records,
+           CAST(0 AS BIGINT) AS added_position_deletes
+    FROM base
+    UNION ALL
+    SELECT 2, 1, 'delete', 0, 0, sp.c FROM sp
+    UNION ALL
+    SELECT 3, 2, 'append', rj.c, 0, 0 FROM rj
+    """,
+)
+def table_snapshots_meta(spark, d):
+    """snapshots metadata table (Iceberg's ``db.t.snapshots``; r11
+    verdict task 5): a three-commit lifecycle — full append, MoR DELETE
+    of the SP rows (files untouched, a position-delete file added), and
+    an append of prefixed RJ copies — must report, per snapshot, the
+    parent link, the operation, and the summary counts (records added /
+    removed / position deletes added vs the parent), all computed from
+    manifest entries with zero data files read.  The oracle derives
+    every count from the raw CSV's uf shape, so a wrong delete-file
+    record count or a mis-linked parent fails on values."""
+    t = _fresh_table(spark)
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    rj = (_typed_pedidos(spark).filter(F.col("uf") == "RJ")
+          .withColumn("id_pedido", F.concat(F.lit("NEW-"),
+                                            F.col("id_pedido"))))
+    t.insert(rj)
+    return t.snapshots_df()
+
+
+@register(
+    "table_entries_meta",
+    oracle=f"""
+    WITH d AS (
+        SELECT substr(data_criacao_s, 1, 10) AS day,
+               CAST(count(*) AS BIGINT) AS n_all,
+               CAST(sum(CASE WHEN uf <> 'SP' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keep,
+               max(CASE WHEN uf = 'SP' THEN 1 ELSE 0 END) AS has_sp,
+               max(CASE WHEN uf <> 'SP' THEN 1 ELSE 0 END) AS has_other
+        FROM ({_CSV_ORACLE_BASE})
+        GROUP BY 1
+    ), touched AS (SELECT * FROM d WHERE day < '2024-01-16' AND has_sp = 1)
+    SELECT 1 AS status, 0 AS content, day AS partition, n_keep AS record_count
+    FROM touched WHERE has_other = 1
+    UNION ALL
+    SELECT 0, 0, day, n_all FROM d
+    WHERE day NOT IN (SELECT day FROM touched)
+    UNION ALL
+    SELECT 2, 0, day, n_all FROM touched
+    """,
+)
+def table_entries_meta(spark, d):
+    """entries metadata table (Iceberg's ``db.t.entries``; r11 verdict
+    task 5): after a copy-on-write DELETE of the SP rows in the first 15
+    days of the days-partitioned table, the current snapshot's entries
+    must show exactly — ADDED (status 1) survivor rewrites for each
+    touched day that kept non-SP rows, EXISTING (status 0) untouched day
+    files, and DELETED (status 2) the replaced originals.  One file per
+    day by the write path's clustering guarantee (pinned by
+    table_partitions_meta), so entry rows ARE day rows and the whole
+    listing derives from the CSV's (day, uf) shape.  Pure metadata —
+    the query reads zero data files."""
+    t = _fresh_days_table(spark)
+    t.delete_where(
+        "uf = 'SP' AND data_criacao < TIMESTAMP '2024-01-16 00:00:00'")
+    return t.entries_df()
+
+
+@register(
+    "table_all_data_files",
+    oracle=f"""
+    WITH d AS (
+        SELECT substr(data_criacao_s, 1, 10) AS day,
+               CAST(count(*) AS BIGINT) AS n_all,
+               CAST(sum(CASE WHEN uf <> 'SP' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keep,
+               max(CASE WHEN uf = 'SP' THEN 1 ELSE 0 END) AS has_sp,
+               max(CASE WHEN uf <> 'SP' THEN 1 ELSE 0 END) AS has_other
+        FROM ({_CSV_ORACLE_BASE})
+        GROUP BY 1
+    ), touched AS (SELECT * FROM d WHERE day < '2024-01-16' AND has_sp = 1)
+    SELECT day AS partition, n_all AS record_count,
+           day NOT IN (SELECT day FROM touched) AS live
+    FROM d
+    UNION ALL
+    SELECT day, n_keep, TRUE FROM touched WHERE has_other = 1
+    """,
+)
+def table_all_data_files(spark, d):
+    """all_data_files metadata table (Iceberg's ``db.t.all_data_files``;
+    r11 verdict task 5): every data file any snapshot still references —
+    the storage-accounting / orphan-GC view.  After the CoW delete, the
+    inventory is the original per-day files (live only where the day was
+    untouched) plus the survivor rewrites (live), each with its footer
+    record count; files deduplicated by path, zero data files read.
+    The oracle rebuilds the same inventory from the CSV's (day, uf)
+    shape."""
+    t = _fresh_days_table(spark)
+    t.delete_where(
+        "uf = 'SP' AND data_criacao < TIMESTAMP '2024-01-16 00:00:00'")
+    return t.all_data_files_df()
+
+
+@register(
+    "table_metadata_log",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(id_cliente % 3 AS INT) AS b FROM ({_CSV_ORACLE_BASE})
+    )
+    SELECT 2 AS version, CAST(1 AS BIGINT) AS n_snapshots,
+           CAST(1 AS BIGINT) AS latest_snapshot_id, FALSE AS is_current,
+           (SELECT CAST(count(*) AS BIGINT) FROM base WHERE b < 1)
+               AS live_records
+    UNION ALL
+    SELECT 3, 2, 2, FALSE,
+           (SELECT CAST(count(*) AS BIGINT) FROM base WHERE b < 2)
+    UNION ALL
+    SELECT 4, 3, 3, TRUE,
+           (SELECT CAST(count(*) AS BIGINT) FROM base)
+    """,
+)
+def table_metadata_log(spark, d):
+    """metadata_log_entries metadata table (Iceberg's
+    ``db.t.metadata_log_entries``; r11 verdict task 5): three append
+    commits, each followed by a spec metadata export, leave a chain of
+    vN.metadata.json files; the log lists every version with its
+    snapshot count, latest snapshot id, whether it is the current
+    version (per version-hint), and the LIVE record count obtained by
+    walking that version's manifest-list/manifest Avro — so the hash
+    covers the historical metadata chain end-to-end, not just the
+    newest file.  Row counts derive from the id_cliente % 3 batch
+    split of the CSV."""
+    import json as _json
+    import os as _os
+
+    from ..sources.avro_py import (block_index, read_block, read_header)
+    from .iceberg_export import export_iceberg_metadata
+
+    cat = IceliteCatalog(spark, scratch_dir("icelite_mdlog_"))
+    t = cat.create_table("db.pedidos_log", PEDIDOS_SCHEMA)
+    df = _typed_pedidos(spark)
+    for i in range(3):
+        t.insert(df.filter(F.col("id_cliente") % 3 == i))
+        export_iceberg_metadata(t)
+    mdir = _os.path.join(t.tdir, "metadata")
+    with open(_os.path.join(mdir, "version-hint.text")) as f:
+        hint = int(f.read().strip())
+
+    def _avro(path):
+        schema, codec, _sync, _pos = read_header(path)
+        cols = [f["name"] for f in schema["fields"]]
+        rows = []
+        for off, _n, _nb in block_index(path):
+            rows += [dict(zip(cols, r))
+                     for r in read_block(path, off, schema, codec)]
+        return rows
+
+    out = []
+    for name in sorted(_os.listdir(mdir)):
+        if not (name.startswith("v") and name.endswith(".metadata.json")):
+            continue
+        version = int(name[1:-len(".metadata.json")])
+        md = _json.load(open(_os.path.join(mdir, name)))
+        snap = next(s for s in md["snapshots"]
+                    if s["snapshot-id"] == md["current-snapshot-id"])
+        live = 0
+        for mf in _avro(snap["manifest-list"]):
+            if mf["content"] != 0:
+                continue
+            for e in _avro(mf["manifest_path"]):
+                if e["status"] != 2:
+                    live += e["data_file"]["record_count"]
+        out.append((version, len(md["snapshots"]),
+                    md["current-snapshot-id"], version == hint, live))
+    return spark.createDataFrame(
+        out, "version int, n_snapshots bigint, latest_snapshot_id bigint, "
+             "is_current boolean, live_records bigint")
