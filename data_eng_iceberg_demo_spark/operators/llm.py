@@ -393,6 +393,27 @@ def _lsh_weights() -> list[list[list[float]]]:
             for t in range(_LSH_TABLES)]
 
 
+def _lsh_buckets_udf():
+    """Vectorized signature kernel shared by llm_similarity_lsh and
+    llm_dedup_embedding_lsh — ONE function so the two queries' bucket
+    assignments can never drift apart (the oracles replay the identical
+    counter-based weights in SQL)."""
+    @F.pandas_udf("array<bigint>")
+    def lsh_buckets(e: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(e) == 0:
+            return pd.Series([], dtype=object)
+        W = np.array(_lsh_weights(), dtype=np.float64)  # (T, B, 64)
+        X = np.stack(e.to_numpy())                       # (n, 64)
+        proj = X @ W.reshape(-1, 64).T                   # (n, T*B)
+        bits = (proj >= 0).astype(np.int64).reshape(
+            len(e), _LSH_TABLES, _LSH_BITS)
+        buckets = (bits << np.arange(_LSH_BITS)).sum(axis=2)  # (n, T)
+        return pd.Series(list(buckets))
+    return lsh_buckets
+
+
 _LSH_W_SQL = f"""
     SELECT t, b, i,
            CAST(((CAST((t*{_LSH_BITS}+b)*64+i AS HUGEINT)
@@ -486,19 +507,7 @@ def llm_similarity_lsh(spark, d):
     reassociation error (margin guard in tests/test_oracle_parity)."""
     from pyspark.sql import Window
 
-    @F.pandas_udf("array<bigint>")
-    def lsh_buckets(e: pd.Series) -> pd.Series:
-        import numpy as np
-
-        if len(e) == 0:
-            return pd.Series([], dtype=object)
-        W = np.array(_lsh_weights(), dtype=np.float64)  # (T, B, 64)
-        X = np.stack(e.to_numpy())                       # (n, 64)
-        proj = X @ W.reshape(-1, 64).T                   # (n, T*B)
-        bits = (proj >= 0).astype(np.int64).reshape(
-            len(e), _LSH_TABLES, _LSH_BITS)
-        buckets = (bits << np.arange(_LSH_BITS)).sum(axis=2)  # (n, T)
-        return pd.Series(list(buckets))
+    lsh_buckets = _lsh_buckets_udf()
 
     emb = (T(spark, d, "embeddings")
            .select("vec_id",
@@ -955,10 +964,12 @@ def llm_dedup_embedding(spark, d, n_blocks: int = 8, threshold: float = 0.45):
     block *pairs* (upper triangle) are joined, and each pair runs one
     numpy matmul inside mapInPandas.  Per-pair cost is a BLAS gemm, not
     a per-row Catalyst fold; executor memory is bounded by block size,
-    never by n.  At 100 TB the same kernel runs behind an LSH/IVF
-    candidate filter (llm_similarity_lsh) so only bucket-local block
-    pairs are evaluated; the exact all-pairs form here is the
-    correctness baseline at test scale."""
+    never by n.  This exact all-pairs form is the CORRECTNESS/RECALL
+    BASELINE at test scale; the declared 100 TB path is
+    llm_dedup_embedding_lsh, which runs the same verification behind
+    the deterministic sign-projection candidate filter (r11 verdict
+    task 3) — recall vs this baseline is pinned in
+    tests/test_llm_dedup.py."""
     import numpy as np
     import pandas as pd
 
@@ -4585,3 +4596,122 @@ def llm_pipeline_end_to_end(spark, d):
             .unionByName(_stage(dd, "c_dedup"))
             .unionByName(_stage(dc, "d_decontaminated"))
             .unionByName(_stage(tr, "e_train")))
+
+
+_DEDUP_LSH_ORACLE = f"""
+    WITH nz AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x <> 0)) > 0
+    ), w AS ({_LSH_W_SQL}
+    ), proj AS (
+        SELECT n.vec_id, w.t, w.b,
+               sum(w.wv * CAST(n.embedding[w.i + 1] AS DOUBLE)) AS s
+        FROM nz n, w
+        GROUP BY n.vec_id, w.t, w.b
+    ), sig AS (
+        SELECT vec_id, t,
+               CAST(sum(CASE WHEN s >= 0
+                             THEN (CAST(1 AS BIGINT) << b)
+                             ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id, t
+    ), ap AS (
+        SELECT vec_id, t,
+               CASE WHEN j < 0 THEN bucket
+                    ELSE xor(bucket, (CAST(1 AS BIGINT) << j)) END AS bucket
+        FROM sig,
+             (SELECT unnest(generate_series(-1, {_LSH_BITS - 1})) AS j)
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        FROM ap a JOIN sig b
+          ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), pos AS (
+        SELECT cand.va, cand.vb, qa.embedding AS ae, qb.embedding AS be,
+               unnest(generate_series(1, 64)) AS i
+        FROM cand JOIN nz qa ON qa.vec_id = cand.va
+                  JOIN nz qb ON qb.vec_id = cand.vb
+    ), dots AS (
+        SELECT va, vb,
+               sum(CAST(ae[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS dot,
+               sum(CAST(ae[i] AS DOUBLE) * CAST(ae[i] AS DOUBLE)) AS aa,
+               sum(CAST(be[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS bb
+        FROM pos GROUP BY va, vb
+    )
+    SELECT va AS vec_a, vb AS vec_b,
+           round(dot / (sqrt(aa) * sqrt(bb)), 4) + 0 AS cosine
+    FROM dots
+    WHERE round(dot / (sqrt(aa) * sqrt(bb)), 4) >= 0.45
+"""
+
+
+@register("llm_dedup_embedding_lsh", oracle=_DEDUP_LSH_ORACLE)
+def llm_dedup_embedding_lsh(spark, d, threshold: float = 0.45):
+    """Embedding-cosine near-dup, LSH-bucketed — the 100 TB scale form
+    of llm_dedup_embedding (r11 verdict task 3: the exact all-pairs
+    blocked gemm was the one declared operator whose candidate set grew
+    O(n^2); this replaces it with the sign-projection prefilter and
+    keeps the all-pairs form as the recall baseline at test scale).
+
+    Candidates = pairs co-bucketed in ANY of the 8 deterministic LSH
+    tables, with Hamming-1 multi-probe on one side of the self-join —
+    the same hyperplanes AND probe policy as llm_similarity_lsh (ONE
+    shared signature kernel so the two queries can never drift); each
+    candidate is then verified with the exact rounded cosine at the
+    same 0.45 threshold.  The oracle replays bucketing, probing,
+    candidate generation and verification verbatim in SQL, so the hash
+    pins the whole pipeline.  Recall vs the exact baseline is a corpus
+    property — the fixture's near-random vectors are sign-LSH's worst
+    case, band pinned in tests/test_llm_dedup.py (0.65-0.71 observed
+    across sf0.001-0.1); precision is 1.0 by construction — every
+    emitted pair passed the exact check.
+
+    100 TB shape: signatures ride the scan projection (one Arrow-batch
+    gemm, no fit step, no driver state); the candidate join is a
+    (t, bucket) equi-self-join — never a cross join (plan-pinned) —
+    whose collision fraction is ~(bits+1)*tables/2^bits of all pairs,
+    independent of n, and shrinks as bits grow with log(corpus); the
+    verify is one vectorized per-batch numpy pass over candidate pairs
+    only.  Skewed buckets (mass-duplicate corpora) are the known
+    hazard: at production scale the posting lists get the
+    llm_dedup_near cap + drop-count observation treatment."""
+    import numpy as np
+
+    emb = (T(spark, d, "embeddings")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("e"))
+           .filter(F.col("e").isNotNull()))
+    nz = emb.filter(F.exists("e", lambda x: x != 0))
+
+    sigl = (nz.select("vec_id", _lsh_buckets_udf()("e").alias("bk"))
+            .select("vec_id", F.posexplode("bk").alias("t", "bucket")))
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
+          for j in range(_LSH_BITS)])
+    a = sigl.select("t", F.explode(probes).alias("bucket"),
+                    F.col("vec_id").alias("va"))
+    b = sigl.select("t", "bucket", F.col("vec_id").alias("vb"))
+    cand = (a.join(b, ["t", "bucket"])
+            .filter(F.col("va") < F.col("vb"))
+            .select("va", "vb").distinct())
+
+    ea = nz.select(F.col("vec_id").alias("va"), F.col("e").alias("ea"))
+    eb = nz.select(F.col("vec_id").alias("vb"), F.col("e").alias("eb"))
+    paired = cand.join(ea, "va").join(eb, "vb")
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ma = np.stack(pdf["ea"].to_numpy())
+            mb = np.stack(pdf["eb"].to_numpy())
+            dot = (ma * mb).sum(1)
+            cos = np.round(dot / (np.linalg.norm(ma, axis=1)
+                                  * np.linalg.norm(mb, axis=1)), 4)
+            keep = cos >= threshold
+            yield pd.DataFrame({"vec_a": pdf["va"].to_numpy()[keep],
+                                "vec_b": pdf["vb"].to_numpy()[keep],
+                                "cosine": cos[keep]})
+
+    return paired.mapInPandas(
+        verify, "vec_a bigint, vec_b bigint, cosine double")

@@ -574,3 +574,29 @@ def test_pq_refine_recall_against_brute_force(spark, sf_dir):
                              else (0.55, 0.25))
     assert sum(recalls) / len(recalls) >= floor_mean
     assert min(recalls) >= floor_min
+
+
+def test_embedding_lsh_dedup_recall_and_precision(spark, sf_dir):
+    """llm_dedup_embedding_lsh (r12) vs the exact all-pairs baseline:
+    PRECISION is 1.0 by construction (every emitted pair re-passed the
+    exact rounded cosine — asserted pairwise, with equal cosines), and
+    RECALL on the near-random fixture (sign-LSH's worst case, like
+    PQ's) holds the observed 0.6+ band from 8 tables x 8 bits with
+    Hamming-1 multi-probe.  A regenerated fixture that drops below the
+    floor means the probe policy needs more tables/probes — fail here,
+    not at the driver."""
+    from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
+                                                            _load_all_modules)
+    _load_all_modules()
+    exact = {(r["vec_a"], r["vec_b"]): r["cosine"]
+             for r in REGISTRY["llm_dedup_embedding"].fn(spark, sf_dir)
+             .collect()}
+    lsh = {(r["vec_a"], r["vec_b"]): r["cosine"]
+           for r in REGISTRY["llm_dedup_embedding_lsh"].fn(spark, sf_dir)
+           .collect()}
+    assert exact, "fixture lost its embedding near-dups entirely"
+    # precision 1.0: every LSH pair is an exact pair with the same cosine
+    for pair, cos in lsh.items():
+        assert pair in exact and abs(cos - exact[pair]) < 1e-9, pair
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.55, (recall, len(lsh), len(exact))
