@@ -4287,7 +4287,9 @@ codes AS (
         SELECT qid, cid,
                row_number() OVER (PARTITION BY qid
                                   ORDER BY pq_dist2, cid) AS rn
-        FROM adc) WHERE rn <= 100
+        FROM adc)
+    WHERE rn <= greatest(100, CAST(ceil(
+        (SELECT count(*) FROM raw) / 10.0) AS BIGINT))
 ), rerank AS (
     SELECT s.qid, s.cid,
            round(list_sum(list_transform(generate_series(1, 64),
@@ -4317,9 +4319,12 @@ def llm_similarity_pq(spark, d):
     discipline), collapsing the CORPUS to 8 codes = 24 bits per vector.
     Queries rank candidates by Asymmetric Distance Computation — one
     8x8 table of exact integer sub-distances per query, 8 LUT adds per
-    candidate instead of 64 multiplies — keep the top-100 shortlist,
-    then re-rank JUST the shortlist by exact cosine and emit the
-    top-10.  Every stage is deterministic (integer encode with
+    candidate instead of 64 multiplies — keep a shortlist of
+    max(100, ceil(n/10)) candidates (scaled with corpus size, r11
+    verdict task 6: the fixed top-100 floor read recall 0.64 at sf0.1
+    where 100 is only 5% of the corpus; the scaled shortlist restores
+    the 0.8 band while ADC still prunes 90%), then re-rank JUST the
+    shortlist by exact cosine and emit the top-10.  Every stage is deterministic (integer encode with
     ties-to-lowest-code, integer ADC, 4dp-rounded re-rank with cid
     tiebreak), so unlike the rows-only IVF entry the whole pipeline is
     hash-oracled.  Recall vs the full exact top-10 is pinned in
@@ -4386,10 +4391,13 @@ def llm_similarity_pq(spark, d):
                       (codes["s"] == lut["s"]) & (codes["code"] == lut["j"]))
            .filter(F.col("qid") != F.col("cid"))
            .groupBy("qid", "cid").agg(F.sum("d2").alias("pq_dist2")))
+    # shortlist scales with corpus size (one bounded driver scalar —
+    # at production the corpus cardinality is a known table stat)
+    k_short = max(100, -(-raw.count() // 10))
     w_adc = Window.partitionBy("qid").orderBy(F.col("pq_dist2").asc(),
                                               F.col("cid").asc())
     shortlist = (adc.withColumn("rn", F.row_number().over(w_adc))
-                 .filter(F.col("rn") <= 100).select("qid", "cid"))
+                 .filter(F.col("rn") <= k_short).select("qid", "cid"))
 
     qe = raw.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
     ce = raw.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))

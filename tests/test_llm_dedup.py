@@ -550,13 +550,14 @@ def test_substring_dedup_matches_brute_force_on_random_docs(
 
 
 def test_pq_refine_recall_against_brute_force(spark, sf_dir):
-    """PQ (8 subspaces x 8 codes) + ADC top-100 shortlist + exact
-    re-rank: measured mean recall@10 vs the exact ranking is 0.92 /
-    0.80 / 0.64 at sf0.001/0.01/0.1 (random near-orthogonal fixtures
-    are PQ's worst case — every distance is similar, so 24-bit codes
-    blur the ranking; real embedding corpora cluster and recall rises).
-    The band pins the sf-dependent floor: the suite runs at sf0.001
-    where the shortlist covers 20% of the corpus."""
+    """PQ (8 subspaces x 8 codes) + ADC shortlist of max(100, n/10) +
+    exact re-rank: measured mean recall@10 vs the exact ranking is
+    0.92 / 0.80 / 0.80 at sf0.001/0.01/0.1 (random near-orthogonal
+    fixtures are PQ's worst case — every distance is similar, so
+    24-bit codes blur the ranking; real embedding corpora cluster and
+    recall rises).  r11 verdict task 6: the corpus-scaled shortlist
+    lifted the sf0.1 mean from 0.64 to 0.80 while ADC still prunes 90%
+    of candidates; floors below pin mean >= 0.7 at every scale."""
     from collections import defaultdict
 
     from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
@@ -571,7 +572,7 @@ def test_pq_refine_recall_against_brute_force(spark, sf_dir):
     n_corpus = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
                 .filter("embedding IS NOT NULL").count())
     floor_mean, floor_min = ((0.8, 0.6) if n_corpus <= 600
-                             else (0.55, 0.25))
+                             else (0.7, 0.45))
     assert sum(recalls) / len(recalls) >= floor_mean
     assert min(recalls) >= floor_min
 
