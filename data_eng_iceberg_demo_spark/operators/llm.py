@@ -179,11 +179,24 @@ def llm_dedup_minhash(spark, d, n_hashes: int = 6):
     vectors, no per-table explode) and candidates are verified with an
     equi-join on (doc, shingle).  At 100 TB: cost ~ sum of band-bucket
     sizes squared for candidates + candidate-pair shingle joins — never
-    all-pairs; every step is a shuffle on a fixed-width key.  Band
-    buckets larger than DEDUP_DF_CAP are dropped before pair expansion
-    (hot-bucket guard; a pair lost to one hot band usually resurfaces
-    through its other 5 bands) with the drop count observable via
-    DEDUP_OBSERVATIONS['llm_dedup_minhash']."""
+    all-pairs; every step is a shuffle on a fixed-width key.
+
+    Hot-bucket guard, r12 revision: band buckets larger than
+    DEDUP_DF_CAP get a STAR expansion (every member paired with the
+    bucket's lowest doc_id — O(|bucket|)) instead of full O(|bucket|²)
+    pair expansion.  The r12 inflated-corpus sweep (8× documents)
+    disproved the old drop-the-bucket rationale ("a pair lost to one
+    hot band resurfaces through its other bands"): a MASS-DUPLICATE
+    cluster has identical signatures in EVERY band, so all its buckets
+    blow the cap together and the cluster silently shattered (28 true
+    pairs at jaccard 0.94-0.97 lost at 40k docs).  With the star, every
+    over-cap member still reaches its cluster representative, so
+    downstream connected-components dedup keeps the cluster intact
+    while expansion stays linear; within-cluster non-representative
+    pairs are the documented trade (observable via
+    DEDUP_OBSERVATIONS['llm_dedup_minhash'] hot-bucket counts; on the
+    driver fixtures the cap never fires — pytest-pinned — so the
+    exact-oracle hash contract is unchanged)."""
     docs = T(spark, d, "documents").select(
         "doc_id", F.split("text", " ").alias("w"))
     docs = docs.filter(F.size("w") >= 3)
@@ -212,12 +225,20 @@ def llm_dedup_minhash(spark, d, n_hashes: int = 6):
                .agg(F.collect_list(F.struct("doc_id", "n")).alias("ids"))
                .observe(obs,
                         F.count(F.when(F.size("ids") > DEDUP_DF_CAP, 1))
-                         .alias("dropped_hot_buckets"),
+                         .alias("starred_hot_buckets"),
                         F.count("*").alias("distinct_buckets"))
-               .filter(F.size("ids").between(2, DEDUP_DF_CAP)))
-    cand = (buckets
-            .select(F.explode("ids").alias("a"), "ids")
-            .select("a", F.explode("ids").alias("b"))
+               .filter(F.size("ids") >= 2))
+    full = buckets.filter(F.size("ids") <= DEDUP_DF_CAP)
+    hot = buckets.filter(F.size("ids") > DEDUP_DF_CAP)
+    pairs_full = (full
+                  .select(F.explode("ids").alias("a"), "ids")
+                  .select("a", F.explode("ids").alias("b")))
+    # over-cap buckets: O(|bucket|) star to the min-id representative —
+    # mass-dup clusters keep connectivity without quadratic expansion
+    pairs_star = (hot
+                  .select(F.array_min("ids").alias("a"),
+                          F.explode("ids").alias("b")))
+    cand = (pairs_full.unionByName(pairs_star)
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),
@@ -4723,3 +4744,137 @@ def llm_dedup_embedding_lsh(spark, d, threshold: float = 0.45):
 
     return paired.mapInPandas(
         verify, "vec_a bigint, vec_b bigint, cosine double")
+
+
+@register(
+    "llm_containment_dedup",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ), pos AS (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM tok
+    ), sh AS (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM pos
+    ), cnt AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), ok AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 64
+    ), inter AS (
+        SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        JOIN ok ON ok.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_inner, doc_outer,
+           round(CAST(common AS DOUBLE) / ci.n, 4) AS containment
+    FROM inter
+    JOIN cnt ci ON ci.doc_id = doc_inner
+    WHERE CAST(common AS DOUBLE) / ci.n >= 0.8
+    """,
+)
+def llm_containment_dedup(spark, d):
+    """DIRECTED containment dedup (r12): shingle containment
+    |sh(A) ∩ sh(B)| / |sh(A)| >= 0.8 flags A as (near-)contained in B —
+    the asymmetric relation Jaccard misses (a paragraph quoted inside a
+    long page scores high containment but low Jaccard; real pipelines
+    drop the contained side, not both).  Mutual containment (exact
+    dups) emits both directions.  Candidate generation is the SAME
+    one-shuffle shingle inverted index as llm_dedup_near — posting
+    lists capped at DEDUP_DF_CAP before pair expansion (cap mirrored in
+    the oracle's ok CTE; drop counts observable via
+    DEDUP_OBSERVATIONS['llm_containment_dedup']) — the only change is
+    ORDERED pair expansion and the inner-side denominator.  The fixture
+    corpus separates the arms cleanly (containments jump 0.27 -> 0.90
+    across sfs, probed before registration), so the 0.8 threshold sits
+    in a gap, never on a rounding boundary."""
+    docs = T(spark, d, "documents").select(
+        "doc_id", F.split("text", " ").alias("w"))
+    docs = docs.filter(F.size("w") >= 3)
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size("w") - 3),
+            lambda i: F.concat_ws(" ", F.element_at(F.col("w"), i + 1),
+                                  F.element_at(F.col("w"), i + 2),
+                                  F.element_at(F.col("w"), i + 3)),
+        ))).alias("shingle"))
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    obs = Observation()
+    DEDUP_OBSERVATIONS["llm_containment_dedup"] = obs
+    posts = (sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ids"))
+             .observe(obs,
+                      F.count(F.when(F.size("ids") > DEDUP_DF_CAP, 1))
+                       .alias("dropped_hot_shingles"),
+                      F.count("*").alias("distinct_shingles"))
+             .filter(F.size("ids").between(2, DEDUP_DF_CAP)))
+    inter = (posts
+             .select(F.explode("ids").alias("doc_inner"), "ids")
+             .select("doc_inner", F.explode("ids").alias("doc_outer"))
+             .filter(F.col("doc_inner") != F.col("doc_outer"))
+             .groupBy("doc_inner", "doc_outer")
+             .agg(F.count("*").alias("common")))
+    ci = cnt.select(F.col("doc_id").alias("doc_inner"),
+                    F.col("n").alias("n_inner"))
+    cont = (inter.join(ci, "doc_inner")
+            .withColumn("containment_raw",
+                        F.col("common").cast("double") / F.col("n_inner")))
+    return (cont.filter(F.col("containment_raw") >= 0.8)
+            .select("doc_inner", "doc_outer",
+                    F.round("containment_raw", 4).alias("containment")))
+
+
+_MD5_32_DUCK = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(text),{i},1))-1)*{16 ** (8 - i)}"
+    for i in range(1, 9))
+
+
+@register(
+    "llm_shard_manifest",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' ')) AS ws_tokens,
+               ({_MD5_32_DUCK}) AS h32
+        FROM documents
+    )
+    SELECT h32 % 16 AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(h32) AS BIGINT) AS content_checksum,
+           min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+    FROM h GROUP BY 1
+    """,
+)
+def llm_shard_manifest(spark, d, n_shards: int = 16):
+    """Deterministic training-shard manifest (r12): every document is
+    assigned shard = content-hash % 16 (md5(text) prefix — the same
+    content-keyed discipline as llm_train_test_split, so exact
+    duplicates co-locate and re-ingesting never moves a doc), and the
+    manifest reports per shard what a training-job reader needs to
+    verify before it trusts the shard: doc count, whitespace-token and
+    char totals (batch budgeting), an order-independent content
+    checksum (sum of 32-bit content hashes — commutative, so any
+    engine/partitioning reproduces it), and the doc-id range.
+
+    Scale shape: one narrow map over the scan (hash, token count) into
+    one partial-aggregated shuffle of 16 groups — the manifest for a
+    100 TB corpus costs a single pass and shuffles bytes proportional
+    to shards, not rows.  Content-keyed sharding also balances by
+    construction: the hash is uniform, so shard skew measures true
+    content skew, not key pathology."""
+    docs = T(spark, d, "documents")
+    h32 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    return (docs
+            .select("doc_id", "n_chars",
+                    F.size(F.split("text", " ")).alias("ws_tokens"),
+                    h32.alias("h32"))
+            .groupBy((F.col("h32") % n_shards).alias("shard"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("ws_tokens").cast("bigint").alias("total_tokens"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.sum("h32").cast("bigint").alias("content_checksum"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id")))

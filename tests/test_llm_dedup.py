@@ -328,19 +328,30 @@ def test_near_dedup_hot_posting_lists_capped_but_pair_survives(spark, tmp_path):
     assert metrics["dropped_hot_shingles"] >= 1, metrics
 
 
-def test_minhash_hot_band_buckets_capped_but_pair_survives(spark, tmp_path):
-    """LSH band buckets over DEDUP_DF_CAP are dropped before the in-place
-    pair expansion; the 70-identical-doc bucket (which exact dedup, not
-    near-dedup, is responsible for) is dropped in all 6 bands while the
-    true near-dup pair keeps surfacing through its own small buckets."""
+def test_minhash_hot_band_buckets_star_expanded(spark, tmp_path):
+    """LSH band buckets over DEDUP_DF_CAP get a STAR expansion to the
+    bucket's min doc_id instead of O(|bucket|²) pairs (r12: the
+    inflated-corpus sweep showed the old drop-the-bucket guard silently
+    SHATTERS mass-duplicate clusters — identical docs share every band,
+    so no other band can resurrect the pair).  The 70-identical-doc
+    cluster must now surface as 69 representative pairs at jaccard 1.0
+    (connectivity preserved, expansion linear), the true near-dup pair
+    still surfaces, and the 131 docs sharing one ubiquitous trigram
+    still contribute nothing (their star candidates die in the exact
+    verify)."""
     from data_eng_iceberg_demo_spark.operators import llm
 
     d = _hot_key_corpus(spark, tmp_path)
     rows = llm.llm_dedup_minhash(spark, d).collect()
     got = {(r["doc_a"], r["doc_b"]) for r in rows}
-    assert got == {(1, 2)}, sorted(got)[:10]
+    expected = {(1, 2)} | {(100, 100 + i) for i in range(1, 70)}
+    assert got == expected, (sorted(got - expected)[:10],
+                             sorted(expected - got)[:10])
+    for r in rows:
+        if r["doc_a"] == 100:
+            assert r["est_jaccard"] == 1.0, r
     metrics = llm.DEDUP_OBSERVATIONS["llm_dedup_minhash"].get
-    assert metrics["dropped_hot_buckets"] >= 1, metrics
+    assert metrics["starred_hot_buckets"] >= 1, metrics
 
 
 def test_fixture_corpus_fires_zero_hot_key_drops(spark, sf_dir):
@@ -356,7 +367,7 @@ def test_fixture_corpus_fires_zero_hot_key_drops(spark, sf_dir):
 
     llm.llm_dedup_minhash(spark, sf_dir).collect()
     mh = llm.DEDUP_OBSERVATIONS["llm_dedup_minhash"].get
-    assert mh["dropped_hot_buckets"] == 0, mh
+    assert mh["starred_hot_buckets"] == 0, mh
 
 
 def test_line_dedup_report_is_internally_consistent(spark, sf_dir):
