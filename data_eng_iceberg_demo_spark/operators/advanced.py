@@ -994,3 +994,77 @@ def dq_profile_columns(spark, d):
         F.when(F.col("n") == 0, F.lit(1.0))
         .otherwise(F.round(F.col("nn").cast("double") / F.col("n"), 6))
         .alias("fill_ratio"))
+
+
+@register(
+    "dq_distribution_drift",
+    oracle="""
+    WITH b AS (
+        SELECT source,
+               least(CAST(floor(n_chars / 100.0) AS BIGINT), 5) AS bucket
+        FROM documents
+    ), g AS (
+        SELECT bucket, CAST(count(*) AS DOUBLE) AS cg FROM b GROUP BY 1
+    ), s AS (
+        SELECT source, bucket, CAST(count(*) AS DOUBLE) AS cs
+        FROM b GROUP BY 1, 2
+    ), grid AS (
+        SELECT src.source, gb.bucket, g.cg, coalesce(s.cs, 0.0) AS cs
+        FROM (SELECT DISTINCT source FROM b) src
+        CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bucket) gb
+        JOIN g USING (bucket)
+        LEFT JOIN s ON s.source = src.source AND s.bucket = gb.bucket
+    ), tot AS (
+        SELECT source, sum(cg) AS ng, sum(cs) AS ns FROM grid GROUP BY 1
+    ), p AS (
+        SELECT grid.source, bucket,
+               (cs + 0.5) / (ns + 3.0) AS ps,
+               (cg + 0.5) / (ng + 3.0) AS pg
+        FROM grid JOIN tot ON tot.source = grid.source
+    )
+    SELECT source,
+           round(sum((ps - pg) * ln(ps / pg)), 4) + 0 AS psi,
+           CAST(count(*) FILTER (WHERE ps > pg) AS BIGINT) AS over_buckets
+    FROM p GROUP BY source
+    """,
+)
+def dq_distribution_drift(spark, d):
+    """Population Stability Index per source cohort (r12): the drift
+    metric a data-quality monitor fires on — each source's n_chars
+    distribution over FIXED 100-char buckets (fixed edges, not
+    quantiles: edges must not move with the data being monitored)
+    compared against the whole corpus, PSI = sum (p_s - p_g) *
+    ln(p_s / p_g) with additive 0.5-smoothing so empty buckets are
+    well-defined on both engines.  <0.1 stable / 0.1-0.25 drifting /
+    >0.25 shifted is the standard reading; over_buckets counts where
+    the cohort over-represents.
+
+    Scale shape: two partial-aggregated passes over the scan (global
+    and per-source histograms, 6 buckets each) + a 120-row grid join —
+    the monitor for a 100 TB corpus shuffles bytes proportional to
+    sources x buckets, never rows."""
+    docs = T(spark, d, "documents")
+    b = docs.select(
+        "source", F.least(F.floor(F.col("n_chars") / 100.0),
+                          F.lit(5)).cast("bigint").alias("bucket"))
+    g = b.groupBy("bucket").agg(F.count("*").cast("double").alias("cg"))
+    s = b.groupBy("source", "bucket").agg(
+        F.count("*").cast("double").alias("cs"))
+    grid = (b.select("source").distinct()
+            .select("source",
+                    F.explode(F.array(*[F.lit(i).cast("bigint")
+                                        for i in range(6)])).alias("bucket"))
+            .join(F.broadcast(g), "bucket")
+            .join(s, ["source", "bucket"], "left")
+            .withColumn("cs", F.coalesce("cs", F.lit(0.0))))
+    tot = grid.groupBy("source").agg(F.sum("cg").alias("ng"),
+                                     F.sum("cs").alias("ns"))
+    p = (grid.join(tot, "source")
+         .withColumn("ps", (F.col("cs") + 0.5) / (F.col("ns") + 3.0))
+         .withColumn("pg", (F.col("cg") + 0.5) / (F.col("ng") + 3.0)))
+    return (p.groupBy("source")
+            .agg((F.round(F.sum((F.col("ps") - F.col("pg"))
+                                * F.log(F.col("ps") / F.col("pg"))), 4)
+                  + F.lit(0.0)).alias("psi"),
+                 F.count_if(F.col("ps") > F.col("pg")).cast("bigint")
+                  .alias("over_buckets")))

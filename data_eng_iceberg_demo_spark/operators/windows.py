@@ -275,3 +275,34 @@ def window_count_distinct(spark, d):
             .withColumn("n_distinct_prios",
                         F.max("_dr").over(w_all))
             .select("o_custkey", "o_orderkey", "n_distinct_prios"))
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round(percent_rank() OVER w, 6) + 0 AS pct_rank,
+           round(cume_dist()    OVER w, 6) + 0 AS cume,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def window_distribution(spark, d):
+    """Distribution window functions (r12 — the last uncovered ranking
+    family): percent_rank (rank-1)/(n-1), cume_dist rows<=current/n,
+    and decile ntile over per-nation account balances.  ORDER BY
+    carries the unique custkey tiebreaker so ntile's row-order
+    dependence is deterministic on both engines (§5.3 discipline);
+    percent_rank/cume_dist are tie-stable by definition but inherit
+    the same ordering.  One shuffle on the partition key + a
+    per-partition sort — the canonical window scale shape."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return T(spark, d, "customer").select(
+        "c_custkey", "c_nationkey",
+        (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)).alias("pct_rank"),
+        (F.round(F.cume_dist().over(w), 6) + F.lit(0.0)).alias("cume"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    )
