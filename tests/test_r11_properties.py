@@ -200,3 +200,37 @@ def test_pipeline_dedup_stage_drops_injected_duplicates(spark, tmp_path):
     assert base["b_quality"] < base["a_raw"]
     assert base["d_decontaminated"] < base["c_dedup"]
     assert base["e_train"] < base["d_decontaminated"]
+
+
+def test_semdedup_overflow_guard_rejects_out_of_band(spark):
+    """r11 advice: the semdedup int64 kernel's exactness relies on
+    |q| < 2^7; an out-of-band fixture must raise, never silently wrap.
+    Embeddings with components ~4.0 quantize to 256 = 1 << 8 > the
+    band, so the guard must fire."""
+    import pytest as _pytest
+
+    from data_eng_iceberg_demo_spark.operators import llm
+
+    big = [(i, [4.0] * 64) for i in range(8)]
+    df = spark.createDataFrame(big, "vec_id bigint, embedding array<double>")
+    d = "/tmp/semdedup_oob"
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    with _pytest.raises(Exception, match="int64-exact band"):
+        llm.llm_semdedup(spark, d).collect()
+
+
+def test_embeddings_template_cache_revalidates(spark, sf_dir):
+    """r11 advice: a cached icelite embeddings template whose scratch
+    dir was cleaned mid-process must be treated as a cache MISS and
+    rebuilt, not surfaced as an opaque read error."""
+    import shutil
+
+    from data_eng_iceberg_demo_spark.operators import llm
+
+    t = llm._embeddings_icelite(spark, sf_dir)
+    n = t.read().count()
+    tpl = llm._EMB_TBL_TPL[sf_dir]
+    shutil.rmtree(tpl)
+    t2 = llm._embeddings_icelite(spark, sf_dir)   # must rebuild, not raise
+    assert t2.read().count() == n
+    assert llm._EMB_TBL_TPL[sf_dir] != tpl
