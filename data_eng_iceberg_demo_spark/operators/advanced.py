@@ -1068,3 +1068,60 @@ def dq_distribution_drift(spark, d):
                   + F.lit(0.0)).alias("psi"),
                  F.count_if(F.col("ps") > F.col("pg")).cast("bigint")
                   .alias("over_buckets")))
+
+
+@register(
+    "dq_outlier_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY 1
+    ), dev AS (
+        SELECT e.event_type, abs(e.value - med.m) AS ad
+        FROM events e JOIN med USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN abs(e.value - med.m)
+                              > 3 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(any_value(med.m), 4) + 0 AS median_value,
+           round(any_value(mad.mad), 4) + 0 AS mad_value
+    FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+    GROUP BY 1
+    """,
+)
+def dq_outlier_mad(spark, d):
+    """Robust outlier audit per event_type (r12): median-absolute-
+    deviation outliers — |value - median| > 3 * 1.4826 * MAD, the
+    scale-factor that makes MAD consistent with sigma under normality.
+    MAD-based fences are what production DQ uses where mean/stddev
+    fences break (a single corrupt 1e12 value moves the mean past every
+    real point but leaves median/MAD untouched).  Exact interpolated
+    medians on both engines (the percentile==quantile_cont parity
+    agg_percentiles pins).
+
+    Scale shape: two exact-median passes (each one shuffle on the
+    5-value event_type key) + a broadcast of the 5-row fence table back
+    onto the scan for the counting pass — fences, not rows, cross the
+    network.  At 100 TB the medians would come from approx_percentile
+    sketches (see agg_approx_percentile); exact is the declared
+    correctness form."""
+    ev = T(spark, d, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("m"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("m")).alias("ad"))
+    mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad"))
+    fences = med.join(mad, "event_type")
+    return (ev.join(F.broadcast(fences), "event_type")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.abs(F.col("value") - F.col("m"))
+                              > 3 * 1.4826 * F.col("mad"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_outliers"),
+                 (F.round(F.any_value("m"), 4) + F.lit(0.0))
+                 .alias("median_value"),
+                 (F.round(F.any_value("mad"), 4) + F.lit(0.0))
+                 .alias("mad_value")))

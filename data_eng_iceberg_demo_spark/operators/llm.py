@@ -4878,3 +4878,63 @@ def llm_shard_manifest(spark, d, n_shards: int = 16):
                  F.sum("h32").cast("bigint").alias("content_checksum"),
                  F.min("doc_id").alias("min_doc_id"),
                  F.max("doc_id").alias("max_doc_id")))
+
+
+@register(
+    "llm_span_corruption",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n,
+               ({_MD5_32_DUCK}) AS h32
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 8
+    ), sp AS (
+        SELECT doc_id, t, n, CAST(h32 % (n - 3) AS BIGINT) AS start
+        FROM tok
+    )
+    SELECT doc_id, start AS span_start,
+           array_to_string(
+               list_concat(list_concat(t[1:start], ['<extra_id_0>']),
+                           t[start+4:n]), ' ') AS input_text,
+           '<extra_id_0> ' || array_to_string(t[start+1:start+3], ' ')
+               AS target_text,
+           CAST(n - 3 + 1 AS BIGINT) AS n_input_tokens
+    FROM sp
+    """,
+)
+def llm_span_corruption(spark, d, span_len: int = 3):
+    """T5/UL2-style span-corruption pairs (r12): each document (>= 8
+    tokens) yields one (input, target) training pair — a 3-token span
+    at a CONTENT-KEYED position (md5(text) % (n - span_len), the same
+    hash discipline as llm_train_test_split, so re-ingesting never
+    moves a document's span and exact duplicates corrupt identically)
+    is replaced by the <extra_id_0> sentinel in the input, and the
+    target is the sentinel + the masked span.  Single-span (UL2
+    R-denoiser shape); multi-span is this op iterated with
+    <extra_id_k> sentinels.
+
+    Scale shape: a pure narrow map over the scan — split, one hash,
+    two array slices, re-join — whole-stage codegen end to end, no
+    shuffle, no UDF.  The oracle rebuilds the identical pair in SQL
+    (DuckDB 1-based inclusive list slices vs Spark's slice(start,
+    length) is exactly the off-by-one a hash mismatch would catch)."""
+    docs = T(spark, d, "documents")
+    t = F.split("text", " ")
+    docs = (docs.withColumn("t", t).withColumn("n", F.size("t"))
+            .filter(F.col("n") >= 8))
+    h32 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    sp = docs.withColumn("start", (h32 % (F.col("n") - span_len))
+                         .cast("bigint"))
+    prefix = F.slice("t", F.lit(1), F.col("start"))
+    span = F.slice("t", F.col("start") + 1, F.lit(span_len))
+    suffix = F.slice("t", F.col("start") + span_len + 1,
+                     F.col("n") - F.col("start") - span_len)
+    return sp.select(
+        "doc_id",
+        F.col("start").alias("span_start"),
+        F.array_join(F.concat(prefix, F.array(F.lit("<extra_id_0>")),
+                              suffix), " ").alias("input_text"),
+        F.concat(F.lit("<extra_id_0> "),
+                 F.array_join(span, " ")).alias("target_text"),
+        (F.col("n") - span_len + 1).cast("bigint").alias("n_input_tokens"))
