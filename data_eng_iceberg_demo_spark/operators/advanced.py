@@ -1125,3 +1125,39 @@ def dq_outlier_mad(spark, d):
                  .alias("median_value"),
                  (F.round(F.any_value("mad"), 4) + F.lit(0.0))
                  .alias("mad_value")))
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5) AS p50_price,
+           quantile_disc(l_extendedprice, 0.9) AS p90_price,
+           CAST(quantile_disc(l_quantity, 0.25) AS BIGINT) AS q1_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_disc(spark, d):
+    """DISCRETE percentiles (r12 — the inverse-distribution companion
+    of agg_percentiles): PERCENTILE_DISC returns an actual population
+    value (the first value whose cume_dist >= p), never an
+    interpolated midpoint — what SLOs and law-of-the-data reporting
+    require ("a real observed latency", not an average of two).
+    Identical definition in Spark's WITHIN GROUP form and DuckDB's
+    quantile_disc, so values match BIT-exactly with no rounding at
+    all — interpolation error is definitionally absent.  The
+    low-cardinality l_quantity arm pins tie handling.  Same scale
+    shape as the continuous form: per-group sort, no global state."""
+    T(spark, d, "lineitem").createOrReplaceTempView("lineitem_pdisc")
+    return spark.sql("""
+        SELECT l_returnflag,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS p50_price,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS p90_price,
+               CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)
+                    AS BIGINT) AS q1_qty
+        FROM lineitem_pdisc
+        GROUP BY l_returnflag
+    """)

@@ -499,3 +499,113 @@ def llm_multimodal_decode_wav(spark, d):
         "doc_id bigint, n_channels int, sample_rate int, bits int, "
         "n_samples int, duration_us bigint, sum_samples bigint, "
         "sum_abs bigint, peak bigint, first_sample bigint")
+
+
+def encode_ppm(doc_id: int, width: int = 5, height: int = 3) -> bytes:
+    """A third REAL codec, pure stdlib: binary PPM (P6).  The container
+    is trivially simple — the TRAP is the header grammar: any whitespace
+    separates the magic / width / height / maxval tokens, and '#'
+    comments run to end-of-line anywhere between them.  The encoder
+    varies the layout deterministically per doc (space vs newline
+    separators; a comment line for doc_id % 3 == 0), so a decoder that
+    pattern-matches one fixed header layout fails the oracle."""
+    sep = b" " if doc_id % 2 else b"\n"
+    comment = b"# synthetic fixture\n" if doc_id % 3 == 0 else b""
+    header = (b"P6\n" + comment + str(width).encode() + sep
+              + str(height).encode() + b"\n255\n")
+    px = bytearray()
+    for i in range(width * height):
+        px += bytes((((doc_id * 7 + i * 3) % 256),     # R
+                     ((doc_id * 11 + i * 13) % 256),   # G
+                     ((doc_id * 19 + i * 17) % 256)))  # B
+    return header + bytes(px)
+
+
+def decode_ppm(buf: bytes):
+    """Parse P6 for real: tokenizer over the header (whitespace-
+    separated tokens, '#' comments to end-of-line), then exactly
+    width*height*3 raw bytes after the single whitespace that
+    terminates maxval.  Returns (width, height, maxval, sum_r, sum_g,
+    sum_b, top_left_r)."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, toks = 2, []
+    while len(toks) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        toks.append(int(buf[start:pos]))
+    pos += 1  # the single whitespace byte terminating maxval
+    width, height, maxval = toks
+    need = width * height * 3
+    px = buf[pos:pos + need]
+    if len(px) != need:
+        raise ValueError("truncated PPM pixel array")
+    sum_r = sum(px[0::3])
+    sum_g = sum(px[1::3])
+    sum_b = sum(px[2::3])
+    return width, height, maxval, sum_r, sum_g, sum_b, px[0]
+
+
+@register(
+    "llm_multimodal_decode_ppm",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id, i
+        FROM documents CROSS JOIN range(0, 15) t(i)
+    )
+    SELECT doc_id, 5 AS width, 3 AS height, 255 AS maxval,
+           CAST(sum((doc_id * 7 + i * 3) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id * 11 + i * 13) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id * 19 + i * 17) % 256) AS BIGINT) AS sum_b,
+           CAST(doc_id * 7 % 256 AS BIGINT) AS top_left_r
+    FROM px GROUP BY doc_id
+    """,
+)
+def llm_multimodal_decode_ppm(spark, d):
+    """Third REAL codec roundtrip (r12, joining BMP and WAV): binary
+    PPM (P6) over the media column.  Where BMP pins stride/row-order
+    bugs and WAV pins chunk-offset/endianness bugs, PPM pins the HEADER
+    GRAMMAR — the encoder varies token separators and injects comment
+    lines deterministically per doc, and the decode tokenizes the
+    header properly (any whitespace, '#' comments) before reading the
+    raw RGB plane.  The oracle recomputes every channel sum in closed
+    form from doc_id; hypothesis sweeps the grammar corners in
+    tests/test_codec_properties.py.
+
+    Scale shape: two chained mapInPandas stages, zero shuffle — bytes
+    never leave the executor (same as the BMP/WAV arms)."""
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(lambda i: encode_ppm(int(i))),
+            })
+
+    def decode(batches):
+        for pdf in batches:
+            decoded = pdf["payload"].map(decode_ppm)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": decoded.map(lambda t: t[0]).astype("int32"),
+                "height": decoded.map(lambda t: t[1]).astype("int32"),
+                "maxval": decoded.map(lambda t: t[2]).astype("int32"),
+                "sum_r": decoded.map(lambda t: t[3]).astype("int64"),
+                "sum_g": decoded.map(lambda t: t[4]).astype("int64"),
+                "sum_b": decoded.map(lambda t: t[5]).astype("int64"),
+                "top_left_r": decoded.map(lambda t: t[6]).astype("int64"),
+            })
+
+    docs = T(spark, d, "documents").select("doc_id")
+    media = docs.mapInPandas(encode, "doc_id bigint, payload binary")
+    return media.mapInPandas(
+        decode,
+        "doc_id bigint, width int, height int, maxval int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint, top_left_r bigint")

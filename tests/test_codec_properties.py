@@ -220,3 +220,39 @@ def test_wav_decoder_rejects_non_wav():
         decode_wav(b"RIFFxxxxJUNK")
     with pytest.raises(ValueError):
         decode_wav(b"not audio at all")
+
+
+@given(doc_id=st.integers(min_value=0, max_value=2**31 - 1),
+       width=st.integers(min_value=1, max_value=12),
+       height=st.integers(min_value=1, max_value=9))
+@settings(max_examples=120, deadline=None)
+def test_ppm_roundtrip_any_dimensions(doc_id, width, height):
+    """P6 roundtrip across the header-grammar variants the encoder
+    emits (space vs newline separators, comment injection) and
+    arbitrary dimensions: decoded stats must equal the closed form."""
+    from data_eng_iceberg_demo_spark.operators.multimodal import (decode_ppm,
+                                                                  encode_ppm)
+
+    buf = encode_ppm(doc_id, width, height)
+    w, h, maxval, sr, sg, sb, tl_r = decode_ppm(buf)
+    n = width * height
+    assert (w, h, maxval) == (width, height, 255)
+    assert sr == sum((doc_id * 7 + i * 3) % 256 for i in range(n))
+    assert sg == sum((doc_id * 11 + i * 13) % 256 for i in range(n))
+    assert sb == sum((doc_id * 19 + i * 17) % 256 for i in range(n))
+    assert tl_r == doc_id * 7 % 256
+
+
+def test_ppm_decoder_handles_adversarial_headers_and_rejects_garbage():
+    import pytest
+
+    from data_eng_iceberg_demo_spark.operators.multimodal import decode_ppm
+
+    # multi-comment, tabs/CRs as separators — all legal P6
+    buf = (b"P6\n# a\n# b\n\t2 \r1\n# c\n255\n"
+           + bytes([1, 2, 3, 4, 5, 6]))
+    assert decode_ppm(buf) == (2, 1, 255, 1 + 4, 2 + 5, 3 + 6, 1)
+    with pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x01")
