@@ -281,8 +281,8 @@ def window_count_distinct(spark, d):
     "window_distribution",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           round(percent_rank() OVER w, 6) + 0 AS pct_rank,
-           round(cume_dist()    OVER w, 6) + 0 AS cume,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume,
            CAST(ntile(10) OVER w AS BIGINT) AS decile
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey
@@ -296,13 +296,18 @@ def window_distribution(spark, d):
     carries the unique custkey tiebreaker so ntile's row-order
     dependence is deterministic on both engines (§5.3 discipline);
     percent_rank/cume_dist are tie-stable by definition but inherit
-    the same ordering.  One shuffle on the partition key + a
-    per-partition sort — the canonical window scale shape."""
+    the same ordering.  Emitted UNROUNDED: each value is one exact
+    integer division, bit-identical IEEE cross-engine — the r12 sf0.1
+    sweep caught round(...,6) flipping on exact binary halves (41/640
+    = .0640625: Spark HALF_UP vs DuckDB half-even), the §5.3
+    round-boundary class, and the single division needs no rounding at
+    all.  One shuffle on the partition key + a per-partition sort —
+    the canonical window scale shape."""
     w = Window.partitionBy("c_nationkey").orderBy(
         F.col("c_acctbal").asc(), F.col("c_custkey").asc())
     return T(spark, d, "customer").select(
         "c_custkey", "c_nationkey",
-        (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)).alias("pct_rank"),
-        (F.round(F.cume_dist().over(w), 6) + F.lit(0.0)).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
         F.ntile(10).over(w).cast("bigint").alias("decile"),
     )
