@@ -55,6 +55,7 @@ foreign-writer fixtures (tests/test_iceberg_export.py).
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import uuid
@@ -188,7 +189,7 @@ def _partition_avro_fields(spec: dict | None, source_type: str | None) -> list[d
              "field-id": 1000}]
 
 
-_EPOCH = __import__("datetime").date(1970, 1, 1)
+_EPOCH = datetime.date(1970, 1, 1)
 
 
 def _typed_partition_value(spec: dict, source_type: str | None, part):
@@ -197,7 +198,7 @@ def _typed_partition_value(spec: dict, source_type: str | None, part):
     months 'YYYY-MM' -> months since 1970-01; years 'YYYY' -> years
     since 1970; hours 'YYYY-MM-DD-HH' -> hours since epoch; bucket /
     integer-truncate ordinals -> int; string-truncate -> string."""
-    import datetime as _dt
+    _dt = datetime
 
     if part is None:
         return None
@@ -606,19 +607,31 @@ def read_iceberg_table(spark, table_location: str):
             list(path_seq), f"{file_col} string, {seq_col} long")
         return F.broadcast(m)
 
-    staged = (df.select(
-        "*", _norm(F.col("_metadata.file_path")).alias("__file"),
-        F.col("_metadata.row_index").alias("__pos"))
-        .join(_seq_map(data, "__file", "__seq"), "__file", "inner"))
+    def _with_seq(frame, path_seq, file_col, seq_col):
+        """LEFT join + loud guard, never inner: a path-normalization
+        mismatch between the metadata and _metadata.file_path must
+        raise, not silently drop every row of the affected file."""
+        joined = frame.join(_seq_map(path_seq, file_col, seq_col),
+                            file_col, "left")
+        return joined.withColumn(
+            seq_col,
+            F.when(F.col(seq_col).isNull(), F.raise_error(F.concat(
+                F.lit("data file not in metadata sequence map: "),
+                F.col(file_col)))).otherwise(F.col(seq_col)))
+
+    staged = _with_seq(
+        df.select("*", _norm(F.col("_metadata.file_path")).alias("__file"),
+                  F.col("_metadata.row_index").alias("__pos")),
+        data, "__file", "__seq")
 
     if pos_dels:
-        dels = (spark.read.parquet(*[p for p, _ in pos_dels])
-                .select(_norm(F.col("file_path")).alias("__dfile"),
-                        F.col("pos").alias("__dpos"),
-                        _norm(F.col("_metadata.file_path")).alias("__dsrc"))
-                .join(_seq_map(pos_dels, "__dsrc", "__dseq"),
-                      "__dsrc", "inner")
-                .drop("__dsrc"))
+        dels = (_with_seq(
+            spark.read.parquet(*[p for p, _ in pos_dels])
+            .select(_norm(F.col("file_path")).alias("__dfile"),
+                    F.col("pos").alias("__dpos"),
+                    _norm(F.col("_metadata.file_path")).alias("__dsrc")),
+            pos_dels, "__dsrc", "__dseq")
+            .drop("__dsrc"))
         cond = ((staged["__file"] == dels["__dfile"])
                 & (staged["__pos"] == dels["__dpos"])
                 & (staged["__seq"] <= dels["__dseq"]))
@@ -631,11 +644,12 @@ def read_iceberg_table(spark, table_location: str):
         by_ids.setdefault(ids, []).append((p, s))
     for ids, files in sorted(by_ids.items()):
         cols = [id_to_name[i] for i in ids]
-        dels = (spark.read.parquet(*[p for p, _ in files])
-                .select(*cols,
-                        _norm(F.col("_metadata.file_path")).alias("__dsrc"))
-                .join(_seq_map(files, "__dsrc", "__dseq"), "__dsrc", "inner")
-                .drop("__dsrc"))
+        dels = (_with_seq(
+            spark.read.parquet(*[p for p, _ in files])
+            .select(*cols,
+                    _norm(F.col("_metadata.file_path")).alias("__dsrc")),
+            files, "__dsrc", "__dseq")
+            .drop("__dsrc"))
         cond = staged["__seq"] < dels["__dseq"]
         for c in cols:
             cond = cond & staged[c].eqNullSafe(dels[c])

@@ -1699,10 +1699,10 @@ class IceliteTable:
             def _rc(entries):
                 return sum(e.get("record_count") or 0 for e in entries)
 
+            cur_paths = {f["path"] for f in s["files"]}
             added = _rc([f for f in s["files"] if f["path"] not in p_files])
             removed = _rc([f for f in (parent["files"] if parent else [])
-                           if f["path"] not in
-                           {x["path"] for x in s["files"]}])
+                           if f["path"] not in cur_paths])
             pos_dels = _rc([f for f in s.get("delete_files", [])
                             if f["path"] not in p_dels])
             rows.append((s["id"], s.get("parent"), s["operation"],

@@ -1149,6 +1149,8 @@ def _stage_foreign_iceberg(spark) -> str:
     _os.makedirs(mdir)
 
     def _one_parquet(df, name):
+        import pyarrow.parquet as _pq
+
         stage = _os.path.join(tdir, "_stage_" + name)
         df.coalesce(1).write.mode("overwrite").parquet(stage)
         part = next(_os.path.join(r, n) for r, _d, ns in _os.walk(stage)
@@ -1156,16 +1158,16 @@ def _stage_foreign_iceberg(spark) -> str:
         dst = _os.path.join(ddir, name + ".parquet")
         _shutil.move(part, dst)
         _shutil.rmtree(stage)
-        return dst
+        return dst, _pq.read_metadata(dst).num_rows
 
     base = _typed_pedidos(spark)
-    f_base = _one_parquet(base, "base")
+    f_base, n_base = _one_parquet(base, "base")
     rerj = (base.filter(F.col("uf") == "RJ")
             .withColumn("id_pedido", F.concat(F.lit("RE-"),
                                               F.col("id_pedido"))))
-    f_rerj = _one_parquet(rerj, "re_rj")
-    f_eq = _one_parquet(spark.createDataFrame([("SP",)], "uf string"),
-                        "eq_del")
+    f_rerj, n_rerj = _one_parquet(rerj, "re_rj")
+    f_eq, _n_eq = _one_parquet(spark.createDataFrame([("SP",)], "uf string"),
+                               "eq_del")
 
     entry_schema = {
         "type": "record", "name": "manifest_entry",
@@ -1213,9 +1215,9 @@ def _stage_foreign_iceberg(spark) -> str:
                             "equality_ids": eq})
 
     m1 = _os.path.join(mdir, "m-base.avro")    # seq 1 via inheritance
-    write_avro(m1, [_entry(f_base, -1)], entry_schema)
+    write_avro(m1, [_entry(f_base, n_base)], entry_schema)
     m2 = _os.path.join(mdir, "m-rerj.avro")    # seq 3 via inheritance
-    write_avro(m2, [_entry(f_rerj, -1)], entry_schema)
+    write_avro(m2, [_entry(f_rerj, n_rerj)], entry_schema)
     me = _os.path.join(mdir, "m-eqdel.avro")   # equality delete, seq 2
     write_avro(me, [_entry(f_eq, 1, content=2, seq=2, eq=[60])],
                entry_schema)
@@ -1227,7 +1229,7 @@ def _stage_foreign_iceberg(spark) -> str:
     write_avro(ml, [_mf(m1, 0, 1), _mf(m2, 0, 3), _mf(me, 1, 2)], mf_schema)
 
     md = {
-        "format-version": 2, "table-uuid": "0c0ffee0-0000-0000-0000-0",
+        "format-version": 2, "table-uuid": "0c0ffee0-1234-4abc-8def-0123456789ab",
         "location": tdir, "last-sequence-number": 3,
         "last-updated-ms": 1700000000000, "last-column-id": 70,
         "schemas": [{"type": "struct", "schema-id": 4, "fields": [
