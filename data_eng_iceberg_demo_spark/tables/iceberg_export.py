@@ -516,7 +516,9 @@ def _current_metadata_path(mdir: str) -> str:
     return os.path.join(mdir, best)
 
 
-def read_iceberg_table(spark, table_location: str):
+def read_iceberg_table(spark, table_location: str,
+                       partition_filter=None,
+                       planned_files: list | None = None):
     """Read a table from spec metadata alone — no icelite involvement:
     version-hint.text (or max-N fallback) -> vN.metadata.json ->
     current-snapshot-id -> manifest-list Avro -> manifest Avro ->
@@ -543,7 +545,16 @@ def read_iceberg_table(spark, table_location: str):
     are handed to ONE distributed parquet scan each.  Per-file sequence
     numbers ride a broadcast O(#files) map joined on
     ``_metadata.file_path`` — planning metadata, never a data shuffle —
-    and each delete class is subtracted by one anti-join."""
+    and each delete class is subtracted by one anti-join.
+
+    ``partition_filter``: optional predicate over a data file's
+    partition record (a dict like {'p_day': 19750}) evaluated during
+    the manifest walk — Iceberg's partition pruning: non-qualifying
+    DATA files never reach the scan (delete files are never pruned;
+    their targets may survive).  The caller owns the residual row
+    filter, exactly as a spec reader's engine does.  Pass a list as
+    ``planned_files`` to receive the planned data-file paths (the
+    files-read observability hook the pruning pytest pins)."""
     import pyspark.sql.functions as F
 
     mdir = os.path.join(table_location, "metadata")
@@ -575,6 +586,10 @@ def read_iceberg_table(spark, table_location: str):
             path = _local_path(dfile["file_path"])
             content = dfile.get("content", 0)  # v1 data_file: data only
             if content == 0:
+                if (partition_filter is not None
+                        and not partition_filter(
+                            dfile.get("partition") or {})):
+                    continue  # partition-pruned: file never scanned
                 data.append((path, seq))
             elif content == 1:
                 pos_dels.append((path, seq))
@@ -592,6 +607,8 @@ def read_iceberg_table(spark, table_location: str):
         # a path live in two manifests would double rows AND make the
         # sequence map ambiguous — corrupt metadata, fail loudly
         raise ValueError("duplicate data file path across live manifests")
+    if planned_files is not None:
+        planned_files.extend(p for p, _ in data)
     df = spark.read.parquet(*[p for p, _ in data])
     if not pos_dels and not eq_dels:
         return df

@@ -1295,3 +1295,47 @@ def table_iceberg_foreign_read(spark, d):
 
     tdir = _stage_foreign_iceberg(spark)
     return _as_output(read_iceberg_table(spark, tdir))
+
+
+@register(
+    "table_iceberg_pruned_read",
+    oracle=f"""
+    SELECT * FROM ({_CSV_ORACLE_BASE})
+    WHERE data_criacao_s >= '2024-01-10' AND data_criacao_s < '2024-01-20'
+      AND uf <> 'SP'
+    """,
+)
+def table_iceberg_pruned_read(spark, d):
+    """Partition-pruned spec read (r12): the days-partitioned table
+    takes a MoR DELETE of the SP rows, is exported as Iceberg v2
+    metadata (typed int day ordinals in the partition records — the
+    r12 emitter fix this query consumes end-to-end), and read back
+    through the spec planning walk with a PARTITION FILTER over the
+    manifest partition values: data files outside [2024-01-10,
+    2024-01-20) never reach the scan, delete files are never pruned
+    (their surviving targets still need them), and the residual row
+    filter finishes the job exactly as a spec reader's engine does.
+    The hash proves pruning dropped no qualifying row and leaked no
+    pruned one — with position deletes still subtracted inside the
+    kept range; the files-actually-planned reduction is pinned in
+    tests/test_iceberg_export.py."""
+    import datetime as _dt
+
+    from .iceberg_export import export_iceberg_metadata, read_iceberg_table
+
+    t = _fresh_days_table(spark)
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    export_iceberg_metadata(t)
+    epoch = _dt.date(1970, 1, 1)
+    lo = (_dt.date(2024, 1, 10) - epoch).days
+    hi = (_dt.date(2024, 1, 20) - epoch).days
+
+    def day_range(part):
+        v = part.get("p_day")
+        return v is not None and lo <= v < hi
+
+    df = read_iceberg_table(spark, t.tdir, partition_filter=day_range)
+    df = df.filter(
+        (F.col("data_criacao") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("data_criacao") < F.lit("2024-01-20").cast("timestamp")))
+    return _as_output(df)

@@ -365,3 +365,47 @@ def test_reexport_after_expire_prunes_stale_versions(spark, tmp_path):
     os.remove(os.path.join(mdir, "version-hint.text"))
     got = read_iceberg_table(spark, t.tdir)
     assert got.count() == t.read().count()
+
+
+def test_partition_filter_prunes_planned_files(spark, tmp_path):
+    """read_iceberg_table's partition_filter must cut the PLANNED data
+    file list (Iceberg partition pruning), not just filter rows: on the
+    days-partitioned table a 10-day window plans strictly fewer files
+    than the full read, the planned set is exactly the in-range day
+    ordinals, and delete files are never pruned (the MoR position
+    deletes still apply inside the window — checked by value)."""
+    import datetime as dt
+
+    from data_eng_iceberg_demo_spark.tables.iceberg_export import (
+        read_iceberg_table)
+    from data_eng_iceberg_demo_spark.tables.queries import _typed_pedidos
+
+    cat = IceliteCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.pruned", PEDIDOS_SCHEMA)
+    t.set_partition_days("data_criacao")
+    t.insert(_typed_pedidos(spark))
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    export_iceberg_metadata(t)
+
+    epoch = dt.date(1970, 1, 1)
+    lo = (dt.date(2024, 1, 10) - epoch).days
+    hi = (dt.date(2024, 1, 20) - epoch).days
+
+    all_files, kept_files = [], []
+    read_iceberg_table(spark, t.tdir, planned_files=all_files).collect()
+    got = read_iceberg_table(
+        spark, t.tdir,
+        partition_filter=lambda p: (p.get("p_day") is not None
+                                    and lo <= p["p_day"] < hi),
+        planned_files=kept_files)
+    assert 0 < len(kept_files) < len(all_files)
+    assert set(kept_files) <= set(all_files)
+    # pruned read == full read filtered to the window (deletes applied)
+    full = read_iceberg_table(spark, t.tdir)
+    want = sorted(map(tuple, full.filter(
+        (full.data_criacao >= "2024-01-10")
+        & (full.data_criacao < "2024-01-20"))
+        .select("id_pedido", "uf").collect()))
+    have = sorted(map(tuple, got.select("id_pedido", "uf").collect()))
+    assert have == want and all(uf != "SP" for _i, uf in have)
