@@ -359,3 +359,50 @@ def test_stream_reader_max_blocks_per_trigger(tmp_path):
     assert seen == recs
     rows, off = paced.read(off)  # caught up: start offset unchanged
     assert list(rows) == [] and off == {"b": 3}
+
+
+def test_array_bytes_map_roundtrip_and_negative_count_blocks(tmp_path):
+    """r12: the codec grew bytes/array/map for foreign Iceberg
+    manifests.  Roundtrip the new shapes through write_avro, then
+    decode a HAND-ENCODED negative-count array block (spec: a negative
+    item count is followed by the block's byte size — writers like
+    Java Avro emit it for skippability; ours never writes it, so the
+    read path must be pinned separately)."""
+    import io
+
+    from data_eng_iceberg_demo_spark.sources.avro_py import (_dec_value,
+                                                             _enc_value,
+                                                             _zigzag_encode)
+
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "ids", "type": {"type": "array", "items": "int"}},
+        {"name": "blob", "type": ["null", "bytes"]},
+        {"name": "kv", "type": {"type": "array", "items": {
+            "type": "record", "name": "p", "fields": [
+                {"name": "key", "type": "int"},
+                {"name": "value", "type": "bytes"}]}}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+    ]}
+    rows = [([1, -2, 3], b"\x00\xff", [{"key": 9, "value": b"z"}],
+             {"a": 7, "b": -1}),
+            ([], None, [], {})]
+    p = str(tmp_path / "shapes.avro")
+    write_avro(p, rows, schema)
+    sch, codec, _sync, _pos = read_header(p)
+    got = []
+    for off, _n, _nb in block_index(p):
+        got.extend(read_block(p, off, sch, codec))
+    assert [tuple(r) for r in got] == rows
+
+    # negative-count array block: count=-2, byte size, 2 items, 0 end
+    items = _enc_value(5, "int") + _enc_value(6, "int")
+    buf = (_zigzag_encode(-2) + _zigzag_encode(len(items)) + items
+           + _zigzag_encode(0))
+    arr_t = {"type": "array", "items": "int"}
+    assert _dec_value(io.BytesIO(buf), arr_t) == [5, 6]
+    # compiled decoder path too
+    from data_eng_iceberg_demo_spark.sources.avro_py import \
+        _compile_field_decoder
+    dec = _compile_field_decoder(arr_t)
+    v, pos = dec(bytes(buf), 0)
+    assert v == [5, 6] and pos == len(buf)
