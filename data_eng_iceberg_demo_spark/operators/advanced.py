@@ -1161,3 +1161,104 @@ def agg_percentile_disc(spark, d):
         FROM lineitem_pdisc
         GROUP BY l_returnflag
     """)
+
+
+@register(
+    "dq_benford",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+        WHERE o_totalprice > 0
+    ), g AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+    ), t AS (
+        SELECT digit, n, sum(n) OVER () AS total,
+               log10(1.0 + 1.0 / digit) AS p_exp
+        FROM g
+    )
+    SELECT digit, n,
+           round(n / total, 4) + 0 AS obs_pct,
+           round(p_exp, 4) + 0 AS exp_pct,
+           round(pow(n - total * p_exp, 2) / (total * p_exp), 4) + 0
+               AS chi2_term
+    FROM t
+    """,
+)
+def dq_benford(spark, d):
+    """Benford first-digit audit (r12) on orders.o_totalprice: the
+    classic fraud/fabrication screen — observed leading-digit frequency
+    vs Benford's law p(d) = log10(1 + 1/d), with the per-digit chi2
+    contribution (n_d - E_d)^2 / E_d so an auditor sees WHICH digit
+    drives the divergence (TPC-H prices are range-bounded, not
+    Benford-distributed — the audit quantifies exactly that).  The
+    leading digit comes from the STRING of the floored integer part,
+    not floor(x / 10^floor(log10(x))): float log10 at power-of-ten
+    boundaries (log10(1000) -> 2.9999...) silently yields digit 10,
+    and floor+string is bit-identical cross-engine.
+
+    Scale shape: one narrow digit map into a 9-group partial agg, then
+    a 9-row window for the total — bytes shuffled are proportional to
+    digits, never rows; the audit over 100 TB is one scan."""
+    o = T(spark, d, "orders").filter(F.col("o_totalprice") > 0)
+    dig = (o.select(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"),
+                    1, 1).cast("bigint").alias("digit")))
+    from pyspark.sql import Window
+    g = dig.groupBy("digit").agg(F.count("*").alias("n"))
+    t = (g.withColumn("total", F.sum("n").over(
+            Window.partitionBy()).cast("double"))
+         .withColumn("p_exp", F.log10(1.0 + 1.0 / F.col("digit"))))
+    return t.select(
+        "digit", "n",
+        (F.round(F.col("n") / F.col("total"), 4) + F.lit(0.0))
+            .alias("obs_pct"),
+        (F.round("p_exp", 4) + F.lit(0.0)).alias("exp_pct"),
+        (F.round(F.pow(F.col("n") - F.col("total") * F.col("p_exp"), 2)
+                 / (F.col("total") * F.col("p_exp")), 4) + F.lit(0.0))
+            .alias("chi2_term"))
+
+
+@register(
+    "agg_histogram_equidepth",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag, l_extendedprice,
+               ntile(8) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) AS bucket
+        FROM lineitem
+    )
+    SELECT l_returnflag, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(l_extendedprice) AS lo,
+           max(l_extendedprice) AS hi
+    FROM b GROUP BY 1, 2
+    """,
+)
+def agg_histogram_equidepth(spark, d):
+    """Equi-DEPTH histogram (r12; companion of agg_histogram's
+    equi-width buckets): 8 quantile buckets of l_extendedprice per
+    return flag via ntile — every bucket holds the same row count, so
+    the (lo, hi) boundaries ARE the octile cut points, which is what
+    optimizers store as statistics and dashboards render as "where the
+    mass actually sits".  ntile's row-order dependence is made
+    deterministic cross-engine by the unique (orderkey, linenumber)
+    tiebreak (the window_distribution discipline).
+
+    Scale shape: per-returnflag sort (3 series) — the declared exact
+    form; at 100 TB the boundaries come from approx_percentile sketches
+    and the bucket assignment becomes a broadcast range lookup, one
+    scan, no global sort (the agg_approx_percentile path)."""
+    from pyspark.sql import Window
+    li = T(spark, d, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+    w = (Window.partitionBy("l_returnflag")
+         .orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+    return (li.withColumn("bucket", F.ntile(8).over(w).cast("bigint"))
+            .groupBy("l_returnflag", "bucket")
+            .agg(F.count("*").alias("n"),
+                 F.min("l_extendedprice").alias("lo"),
+                 F.max("l_extendedprice").alias("hi")))

@@ -725,3 +725,58 @@ def events_max_concurrency(spark, d):
             .groupBy("event_type")
             .agg(F.max(F.col("base") + F.col("chunk_max"))
                  .cast("bigint").alias("max_concurrent")))
+
+
+@register(
+    "events_pattern_match",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               date_trunc('second', ts) AS tss
+        FROM events
+        WHERE ts IS NOT NULL
+    ), m AS (
+        SELECT user_id, event_type, tss,
+               lead(event_type, 1) OVER w AS e1,
+               lead(event_type, 2) OVER w AS e2,
+               lead(tss, 2) OVER w AS t2
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)
+    )
+    SELECT user_id, tss AS match_start,
+           CAST(epoch(t2) - epoch(tss) AS BIGINT) AS secs_to_convert
+    FROM m
+    WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+    """,
+)
+def events_pattern_match(spark, d):
+    """Sequence-pattern detection (r12; the MATCH_RECOGNIZE shape):
+    find every IMMEDIATELY-consecutive view -> click -> purchase run
+    in a user's event stream — the strict-contiguity pattern funnels
+    can't express (events_funnel allows arbitrary gaps; this demands
+    adjacency, the ``PATTERN (A B C)`` of SQL row pattern matching) —
+    and report when it started and how long the user took to convert.
+    Ordering carries the event_id tiebreak so same-second events
+    sequence identically cross-engine; NULL ts filtered on both sides
+    (the events_max_concurrency NULLS FIRST/LAST lesson).
+
+    Scale shape: one shuffle on user_id, then two leads over the same
+    window spec — Spark evaluates both in a single WindowExec pass, so
+    pattern length k costs k lead columns, not k self-joins.  This is
+    the standard distributed NFA-free compilation for fixed
+    strict-contiguity patterns."""
+    e = (T(spark, d, "events")
+         .filter(F.col("ts").isNotNull())
+         .select("user_id", "event_id", "event_type",
+                 F.date_trunc("second", "ts").alias("tss")))
+    w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+    m = (e.withColumn("e1", F.lead("event_type", 1).over(w))
+         .withColumn("e2", F.lead("event_type", 2).over(w))
+         .withColumn("t2", F.lead("tss", 2).over(w)))
+    return (m.filter((F.col("event_type") == "view")
+                     & (F.col("e1") == "click")
+                     & (F.col("e2") == "purchase"))
+            .select("user_id",
+                    F.col("tss").alias("match_start"),
+                    (F.unix_timestamp("t2") - F.unix_timestamp("tss"))
+                    .cast("bigint").alias("secs_to_convert")))
