@@ -1857,6 +1857,74 @@ class IceliteTable:
         meta["current_snapshot"] = ref["snapshot_id"]
         _write_meta(self.tdir, meta)
 
+    def cherrypick_snapshot(self, snapshot_id: int) -> int:
+        """Iceberg's ``CALL system.cherrypick_snapshot`` analog: apply
+        one existing snapshot's CHANGES on top of the current head as a
+        new commit — metadata only, zero data bytes move.  This is how
+        a diverged WAP branch publishes (fast_forward refuses once main
+        advanced); only *append* snapshots are eligible, exactly the
+        spec's restriction, because a delete/replace cherry-picked onto
+        a different base could mask rows it never scanned.
+
+        The applied change set is the diff against the PICKED snapshot's
+        own parent (not against main), and a file already present on the
+        head raises rather than double-publishing its rows."""
+        meta = self.meta
+        by_id = {s["id"]: s for s in meta["snapshots"]}
+        if snapshot_id not in by_id:
+            raise ValueError(f"no snapshot: {snapshot_id}")
+        snap = by_id[snapshot_id]
+        if snap["operation"] != "append":
+            raise ValueError(
+                f"cherrypick: snapshot {snapshot_id} is a "
+                f"'{snap['operation']}' — only append snapshots can be "
+                f"cherry-picked onto a moved base")
+        base_files = (by_id[snap["parent"]]["files"]
+                      if snap["parent"] in by_id else [])
+        added, _removed = _diff_entries(base_files, snap["files"])
+        cur_files, cur_dels = [], []
+        if meta["current_snapshot"] is not None:
+            cur = self._snapshot(meta, None)
+            cur_files = cur["files"]
+            cur_dels = cur.get("delete_files", [])
+        dup = sorted({f["path"] for f in added}
+                     & {f["path"] for f in cur_files})
+        if dup:
+            raise ValueError(
+                f"cherrypick: files already published on the current "
+                f"snapshot: {dup[:3]}")
+        new = self._commit_snapshot(meta, "append", cur_files + added,
+                                    delete_files=cur_dels)
+        return new["id"]
+
+    def position_deletes_df(self, version: int | None = None) -> DataFrame:
+        """position_deletes metadata table (Iceberg's
+        ``db.t.position_deletes``): the snapshot's pending position
+        deletes with the masked ROW's values reconstructed — the delete
+        files name (file, pos) pairs, so the row content comes from
+        joining them back onto a provenance scan of exactly the targeted
+        data files.  The scan side reads only targeted files (untargeted
+        files never load), and the delete side is O(deleted rows), so
+        Spark broadcasts it at runtime."""
+        meta = self.meta
+        snap = self._snapshot(meta, version)
+        dels = snap.get("delete_files", [])
+        cur_fields = self._schema_fields(meta, meta["current_schema"])
+        row_cols = [f["name"] for f in cur_fields]
+        if not dels:
+            schema = ", ".join(f"`{f['name']}` {f['type']}"
+                               for f in cur_fields)
+            return self.spark.createDataFrame([], schema)
+        del_df = self.spark.read.parquet(
+            *[os.path.join(self.tdir, d["path"]) for d in dels])
+        targeted = sorted({t for d in dels for t in d["targets"]})
+        by_path = {f["path"]: f for f in snap["files"]}
+        files = [by_path[p] for p in targeted if p in by_path]
+        data = self._read_files(files, meta, keep_pos=True)
+        cond = ((data["__file"] == del_df["file_path"])
+                & (data["__pos"] == del_df["pos"]))
+        return data.join(del_df, cond, "inner").select(*row_cols)
+
     def rewrite_data_files(self, target_files: int = 1,
                            zorder_by: list[str] | None = None,
                            where_range: tuple | None = None) -> None:

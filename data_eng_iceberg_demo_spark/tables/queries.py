@@ -1339,3 +1339,61 @@ def table_iceberg_pruned_read(spark, d):
         (F.col("data_criacao") >= F.lit("2024-01-10").cast("timestamp"))
         & (F.col("data_criacao") < F.lit("2024-01-20").cast("timestamp")))
     return _as_output(df)
+
+
+@register(
+    "table_cherrypick_snapshot",
+    oracle=f"""
+    SELECT * FROM ({_CSV_ORACLE_BASE})
+    UNION ALL
+    SELECT 'HOT-' || id_pedido, produto, valor_unitario, quantidade,
+           data_criacao_s, uf, id_cliente
+    FROM ({_CSV_ORACLE_BASE}) WHERE uf = 'SP'
+    UNION ALL
+    SELECT 'PICK-' || id_pedido, produto, valor_unitario, quantidade,
+           data_criacao_s, uf, id_cliente
+    FROM ({_CSV_ORACLE_BASE}) WHERE uf = 'RJ'
+    """,
+)
+def table_cherrypick_snapshot(spark, d):
+    """``CALL system.cherrypick_snapshot`` (r12): the publish path WAP
+    needs once fast_forward is off the table — staged PICK- rows commit
+    to an 'audit' branch, then MAIN ADVANCES with an unrelated HOT-
+    append (the branch is now diverged; fast_forward correctly refuses,
+    pinned in tests/test_icelite.py), and cherry-picking the branch
+    snapshot applies its change set — the diff against the PICKED
+    snapshot's own parent, not against main — onto the moved head as a
+    new metadata-only commit.  The read must equal base + hotfix +
+    staged batch; double-publish of an already-present file raises."""
+    t = _fresh_table(spark)
+    t.create_branch("audit")
+    staged = (_typed_pedidos(spark).filter(F.col("uf") == "RJ")
+              .withColumn("id_pedido", F.concat(F.lit("PICK-"),
+                                                F.col("id_pedido"))))
+    t.write_to_branch("audit", staged)
+    hot = (_typed_pedidos(spark).filter(F.col("uf") == "SP")
+           .withColumn("id_pedido", F.concat(F.lit("HOT-"),
+                                             F.col("id_pedido"))))
+    t.insert(hot)
+    branch_sid = t.refs()["audit"]["snapshot_id"]
+    t.cherrypick_snapshot(branch_sid)
+    return _as_output(t.read())
+
+
+@register(
+    "table_position_deletes_meta",
+    oracle=f"SELECT * FROM ({_CSV_ORACLE_BASE}) WHERE uf = 'SP'",
+)
+def table_position_deletes_meta(spark, d):
+    """position_deletes metadata table (r12; completes the Iceberg
+    metadata-table family next to files/partitions/manifests/refs/
+    snapshots/entries/all_data_files/metadata_log): after a
+    merge-on-read DELETE of the SP rows, ``db.t.position_deletes`` must
+    surface the pending delete content — each (file, pos) pair joined
+    back onto a provenance scan OF ONLY THE TARGETED FILES to
+    reconstruct the masked row values.  The hash proves the delete
+    files name exactly the predicate's rows: a position off by one, a
+    stale target list, or a double-counted row all change values."""
+    t = _fresh_table(spark)
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    return _as_output(t.position_deletes_df())

@@ -869,3 +869,51 @@ def test_rewrite_manifests_cuts_chain_metadata_only(spark, tmp_path):
     assert t.rewrite_manifests() == 0      # idempotent
     # the superseded manifest is unreferenced -> manifest GC collects it
     assert old_mf in {os.path.basename(p) for p in t._gc_manifests()}
+
+
+def test_cherrypick_diverged_branch_publishes(spark, table):
+    """fast_forward must refuse once main advanced; cherrypick applies
+    the branch snapshot's change set (diff vs ITS parent) onto the
+    moved head, metadata-only."""
+    t = table
+    base = _rowset(t.read())
+    t.create_branch("audit")
+    staged = (_typed_pedidos(spark).filter(F.col("uf") == "RJ")
+              .withColumn("id_pedido", F.concat(F.lit("P-"),
+                                                F.col("id_pedido"))))
+    t.write_to_branch("audit", staged)
+    hot = (_typed_pedidos(spark).filter(F.col("uf") == "SP")
+           .withColumn("id_pedido", F.concat(F.lit("H-"),
+                                             F.col("id_pedido"))))
+    t.insert(hot)
+    with pytest.raises(ValueError, match="not a.*fast-forward|fast-forward"):
+        t.fast_forward("audit")
+    sid = t.cherrypick_snapshot(t.refs()["audit"]["snapshot_id"])
+    assert t.meta["current_snapshot"] == sid
+    got = _rowset(t.read())
+    want = sorted(base
+                  + [("P-" + i, uf) for i, uf in base if uf == "RJ"]
+                  + [("H-" + i, uf) for i, uf in base if uf == "SP"])
+    assert got == want
+    # double-publish guard: picking the same snapshot again raises
+    with pytest.raises(ValueError, match="already published"):
+        t.cherrypick_snapshot(t.refs()["audit"]["snapshot_id"])
+
+
+def test_cherrypick_rejects_non_append(spark, table):
+    t = table
+    t.delete_where("uf = 'SP'")
+    with pytest.raises(ValueError, match="only append"):
+        t.cherrypick_snapshot(2)
+
+
+def test_position_deletes_df_lifecycle(spark, table):
+    t = table
+    # no pending deletes -> empty frame with the table schema
+    assert t.position_deletes_df().count() == 0
+    sp = _rowset(t.read().filter("uf = 'SP'"))
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    pd_rows = _rowset(t.position_deletes_df())
+    assert pd_rows == sp
+    assert set(t.position_deletes_df().columns) == {
+        f.name for f in t.read().schema.fields}
