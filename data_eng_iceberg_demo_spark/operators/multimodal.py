@@ -609,3 +609,192 @@ def llm_multimodal_decode_ppm(spark, d):
         decode,
         "doc_id bigint, width int, height int, maxval int, "
         "sum_r bigint, sum_g bigint, sum_b bigint, top_left_r bigint")
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(pixels, width: int, height: int) -> bytes:
+    """Fourth REAL codec, pure stdlib: QOI (the public "Quite OK Image"
+    spec, qoiformat.org).  Unlike the container formats (BMP stride,
+    WAV chunks, PPM grammar), QOI is an actual compression STREAM with
+    decoder state: a 64-slot color index keyed by (3r+5g+7b+11a)%64,
+    wrapping 2-bit diffs, luma diffs, and 1..62 run-length ops — so the
+    traps are stateful (a stale index slot, a mod-256 wrap, a run that
+    crosses the 62 cap) rather than positional.  RGB-only encoder
+    (channels=3, alpha pinned 255), byte-compatible with the reference
+    qoi.c op selection order: run > index > diff > luma > rgb."""
+    out = bytearray(b"qoif")
+    out += width.to_bytes(4, "big") + height.to_bytes(4, "big") + bytes((3, 0))
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for (r, g, b) in pixels:
+        px = (r, g, b, 255)
+        if px == prev:
+            run += 1
+            if run == 62:  # 63/64 reserved: they collide with RGB/RGBA tags
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        h = _qoi_hash(*px)
+        if index[h] == px:
+            out.append(h)  # QOI_OP_INDEX
+        else:
+            index[h] = px
+            dr = (r - prev[0] + 128) % 256 - 128  # signed wrap, per spec
+            dg = (g - prev[1] + 128) % 256 - 128
+            db = (b - prev[2] + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7:
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes((0xFE, r, g, b))
+        prev = px
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_qoi(buf: bytes):
+    """Full QOI decode: header, all six op types, the per-chunk color
+    index update (the reference decoder stores px into the index after
+    every CHUNK, not after every pixel — run pixels reuse the slot),
+    and the 7x00+01 end marker.  Returns (width, height, channels,
+    pixels) with pixels a list of (r, g, b, a)."""
+    if buf[:4] != b"qoif":
+        raise ValueError("not a QOI payload")
+    width = int.from_bytes(buf[4:8], "big")
+    height = int.from_bytes(buf[8:12], "big")
+    channels, _colorspace = buf[12], buf[13]
+    px = (0, 0, 0, 255)
+    index = [(0, 0, 0, 0)] * 64
+    pixels = []
+    p, run, n = 14, 0, width * height
+    while len(pixels) < n:
+        if run > 0:
+            run -= 1
+        else:
+            b1 = buf[p]
+            p += 1
+            if b1 == 0xFE:  # QOI_OP_RGB
+                px = (buf[p], buf[p + 1], buf[p + 2], px[3])
+                p += 3
+            elif b1 == 0xFF:  # QOI_OP_RGBA
+                px = (buf[p], buf[p + 1], buf[p + 2], buf[p + 3])
+                p += 4
+            elif b1 >> 6 == 0:  # QOI_OP_INDEX
+                px = index[b1]
+            elif b1 >> 6 == 1:  # QOI_OP_DIFF
+                px = ((px[0] + ((b1 >> 4) & 3) - 2) % 256,
+                      (px[1] + ((b1 >> 2) & 3) - 2) % 256,
+                      (px[2] + (b1 & 3) - 2) % 256, px[3])
+            elif b1 >> 6 == 2:  # QOI_OP_LUMA
+                dg = (b1 & 0x3F) - 32
+                b2 = buf[p]
+                p += 1
+                px = ((px[0] + dg + ((b2 >> 4) & 0xF) - 8) % 256,
+                      (px[1] + dg) % 256,
+                      (px[2] + dg + (b2 & 0xF) - 8) % 256, px[3])
+            else:  # QOI_OP_RUN
+                run = b1 & 0x3F
+            index[_qoi_hash(*px)] = px
+        pixels.append(px)
+    if buf[p:p + 8] != b"\x00" * 7 + b"\x01":
+        raise ValueError("bad QOI end marker")
+    return width, height, channels, pixels
+
+
+def _qoi_doc_pixels(doc_id: int, width: int = 8, height: int = 4):
+    """Deterministic 8x4 RGB image per doc, mixing the op types: r is
+    row-constant, g steps by 2 mid-row (DIFF), b jumps by 40 within
+    even rows (RGB/LUMA) but is row-constant on odd rows (RUNs)."""
+    px = []
+    for i in range(width * height):
+        row, col = i // width, i % width
+        r = (doc_id * 5 + row * 7) % 256
+        g = (doc_id * 3 + (col // 4) * 2) % 256
+        b = (doc_id * 7 + col * 40 * (1 - row % 2)) % 256
+        px.append((r, g, b))
+    return px
+
+
+@register(
+    "llm_multimodal_decode_qoi",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id, i // 8 AS row, i % 8 AS col
+        FROM documents CROSS JOIN range(0, 32) t(i)
+    )
+    SELECT doc_id, 8 AS width, 4 AS height, 3 AS channels,
+           CAST(sum((doc_id * 5 + row * 7) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id * 3 + (col // 4) * 2) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id * 7 + col * 40 * (1 - row % 2)) % 256)
+               AS BIGINT) AS sum_b,
+           CAST(count(*) FILTER (WHERE (doc_id * 7 + col * 40 * (1 - row % 2))
+                                       % 256 >= 128) AS BIGINT) AS n_blue_hi,
+           CAST((doc_id * 5) % 256 AS BIGINT) AS first_r,
+           CAST((doc_id * 5 + 21) % 256 AS BIGINT) AS last_r
+    FROM px GROUP BY doc_id
+    """,
+)
+def llm_multimodal_decode_qoi(spark, d):
+    """Fourth REAL codec roundtrip (r12, joining BMP/WAV/PPM): QOI —
+    the first codec in the family with decoder STATE (64-slot color
+    index, wrapping diff/luma deltas, run-length ops), so the pinned
+    bugs are stateful: a stale index slot, a missed mod-256 wrap, a
+    run crossing the 62 cap, index updated per-pixel instead of
+    per-chunk.  The per-doc fixture image deliberately mixes runs
+    (odd rows), small diffs (mid-row g step), and large jumps (b
+    +40 on even rows); the oracle recomputes every decoded statistic
+    in closed form from doc_id, and a byte-level spec vector plus a
+    hypothesis encode/decode roundtrip live in
+    tests/test_codec_properties.py.
+
+    Scale shape: two chained mapInPandas stages, zero shuffle — the
+    compressed payloads never leave the executor (the BMP/WAV/PPM
+    discipline)."""
+
+    def encode(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(
+                    lambda i: encode_qoi(_qoi_doc_pixels(int(i)), 8, 4)),
+            })
+
+    def decode(batches):
+        for pdf in batches:
+            decoded = pdf["payload"].map(decode_qoi)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": decoded.map(lambda t: t[0]).astype("int32"),
+                "height": decoded.map(lambda t: t[1]).astype("int32"),
+                "channels": decoded.map(lambda t: t[2]).astype("int32"),
+                "sum_r": decoded.map(
+                    lambda t: sum(p[0] for p in t[3])).astype("int64"),
+                "sum_g": decoded.map(
+                    lambda t: sum(p[1] for p in t[3])).astype("int64"),
+                "sum_b": decoded.map(
+                    lambda t: sum(p[2] for p in t[3])).astype("int64"),
+                "n_blue_hi": decoded.map(
+                    lambda t: sum(1 for p in t[3] if p[2] >= 128))
+                    .astype("int64"),
+                "first_r": decoded.map(lambda t: t[3][0][0]).astype("int64"),
+                "last_r": decoded.map(lambda t: t[3][-1][0]).astype("int64"),
+            })
+
+    docs = T(spark, d, "documents").select("doc_id")
+    media = docs.mapInPandas(encode, "doc_id bigint, payload binary")
+    return media.mapInPandas(
+        decode,
+        "doc_id bigint, width int, height int, channels int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint, n_blue_hi bigint, "
+        "first_r bigint, last_r bigint")

@@ -256,3 +256,69 @@ def test_ppm_decoder_handles_adversarial_headers_and_rejects_garbage():
         decode_ppm(b"P5\n1 1\n255\n\x00")
     with pytest.raises(ValueError, match="truncated"):
         decode_ppm(b"P6\n2 2\n255\n\x00\x01")
+
+
+# ----------------------------------------------------------------- QOI
+@given(pixels=st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255),
+                                 st.integers(0, 255)),
+                       min_size=1, max_size=300))
+@settings(max_examples=120, deadline=None)
+def test_qoi_roundtrip_any_pixels(pixels):
+    """decode(encode(px)) == px EXACTLY for arbitrary pixel streams —
+    stronger than the statistic sums under the declared query's hash;
+    random streams hit INDEX collisions, wrap-around diffs and the
+    62-run cap that structured fixtures can miss."""
+    from data_eng_iceberg_demo_spark.operators.multimodal import (
+        decode_qoi, encode_qoi)
+
+    buf = encode_qoi(pixels, len(pixels), 1)
+    w, h, channels, out = decode_qoi(buf)
+    assert (w, h, channels) == (len(pixels), 1, 3)
+    assert [(r, g, b) for (r, g, b, _a) in out] == pixels
+    assert all(a == 255 for (_r, _g, _b, a) in out)
+
+
+def test_qoi_long_run_crosses_62_cap():
+    from data_eng_iceberg_demo_spark.operators.multimodal import (
+        decode_qoi, encode_qoi)
+
+    px = [(10, 20, 30)] * 200  # needs 62+62+62+14 run chunks
+    _w, _h, _c, out = decode_qoi(encode_qoi(px, 200, 1))
+    assert [(r, g, b) for (r, g, b, _a) in out] == px
+
+
+def test_qoi_spec_byte_vector():
+    """Hand-derived byte-level vector pins SPEC conformance (a codec
+    whose encoder and decoder share the same bug still roundtrips):
+    RGB op for an out-of-range jump, a run, a DIFF with mod-256 wrap,
+    and an INDEX hit re-referencing the first color."""
+    from data_eng_iceberg_demo_spark.operators.multimodal import (
+        decode_qoi, encode_qoi)
+
+    px = [(128, 0, 0), (128, 0, 0), (126, 254, 255), (128, 0, 0)]
+    buf = encode_qoi(px, 4, 1)
+    want = (b"qoif" + (4).to_bytes(4, "big") + (1).to_bytes(4, "big")
+            + bytes((3, 0))
+            + bytes((0xFE, 128, 0, 0))   # RGB (diff from seed wraps)
+            + bytes((0xC0 | 0,))          # run of 1
+            + bytes((0x41,))              # DIFF dr=-2 dg=-2 db=-1 (wraps)
+            + bytes((53,))                # INDEX hash(128,0,0,255) = 53
+            + b"\x00" * 7 + b"\x01")
+    assert buf == want
+    _w, _h, _c, out = decode_qoi(buf)
+    assert [(r, g, b) for (r, g, b, _a) in out] == px
+
+
+def test_qoi_decoder_rejects_garbage():
+    import pytest as _pytest
+
+    from data_eng_iceberg_demo_spark.operators.multimodal import decode_qoi
+
+    with _pytest.raises(ValueError):
+        decode_qoi(b"nope" + b"\x00" * 20)
+    # valid stream with a corrupted end marker must raise, not return
+    from data_eng_iceberg_demo_spark.operators.multimodal import encode_qoi
+    buf = bytearray(encode_qoi([(1, 2, 3)], 1, 1))
+    buf[-1] = 0x02
+    with _pytest.raises(ValueError):
+        decode_qoi(bytes(buf))
