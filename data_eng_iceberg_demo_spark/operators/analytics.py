@@ -780,3 +780,121 @@ def events_pattern_match(spark, d):
                     F.col("tss").alias("match_start"),
                     (F.unix_timestamp("t2") - F.unix_timestamp("tss"))
                     .cast("bigint").alias("secs_to_convert")))
+
+
+@register(
+    "events_exp_smoothing",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               sum(value) AS x
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+    ), horizon AS (
+        SELECT event_type, day, x,
+               date_diff('day', day, max(day) OVER (PARTITION BY event_type))
+                   AS k
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(sum(x * pow(0.5, k)) / sum(pow(0.5, k)), 4) + 0 AS ewma,
+           round(max(CASE WHEN k = 0 THEN x END), 4) + 0 AS last_day_value
+    FROM horizon
+    GROUP BY event_type
+    """,
+)
+def events_exp_smoothing(spark, d):
+    """Exponentially-weighted smoothing (r12): the normalized EWMA of
+    each event_type's daily value series at the final observed day —
+    weight 0.5^(age in days), the closed form of simple exponential
+    smoothing that every monitoring stack renders as "the smoothed
+    trend".  Sequential-looking but NOT sequential: the recursion
+    unrolls to one weighted sum, so the whole smoother is a single
+    partial-aggregated pass (the window only supplies each type's
+    horizon day).  pow(0.5, k) is exact in binary floating point, so
+    cross-engine agreement reduces to the summation rounding the
+    round-4 guard absorbs.
+
+    Scale shape: daily pre-aggregation collapses the corpus to
+    O(types x days) rows BEFORE any window; the EWMA shuffles bytes
+    proportional to series points, never events."""
+    daily = (T(spark, d, "events")
+             .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+             .groupBy("event_type",
+                      F.to_date(F.date_trunc("day", "ts")).alias("day"))
+             .agg(F.sum("value").alias("x")))
+    k = F.datediff(F.max("day").over(
+        Window.partitionBy("event_type")), F.col("day"))
+    h = daily.withColumn("k", k)
+    w = F.pow(F.lit(0.5), F.col("k"))
+    return (h.groupBy("event_type")
+            .agg(F.count("*").alias("n_days"),
+                 (F.round(F.sum(F.col("x") * w) / F.sum(w), 4)
+                  + F.lit(0.0)).alias("ewma"),
+                 (F.round(F.max(F.when(F.col("k") == 0, F.col("x"))), 4)
+                  + F.lit(0.0)).alias("last_day_value")))
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               sum(value) AS x
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+    ), c AS (
+        SELECT event_type, day,
+               sum(x - mu) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cusum
+        FROM (SELECT event_type, day, x,
+                     avg(x) OVER (PARTITION BY event_type) AS mu
+              FROM daily)
+    ), r AS (
+        SELECT event_type, day, cusum,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(cusum) DESC, day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_days
+        FROM c
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS changepoint_day,
+           round(cusum, 4) + 0 AS peak_cusum,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM r WHERE rn = 1
+    """,
+)
+def events_changepoint_cusum(spark, d):
+    """CUSUM change-point detection (r12): per event_type, the running
+    sum of (daily value - series mean) peaks in magnitude exactly where
+    the series' level shifts — the classic offline CUSUM estimator for
+    "when did this metric change".  The argmax day is made
+    deterministic cross-engine by the (|cusum| DESC, day) tiebreak.
+
+    Scale shape: daily pre-aggregation first (corpus -> O(types x days)
+    rows), then one mean window + one running-sum window over the same
+    partitioning — a single shuffle on event_type; the detector never
+    touches raw events after the first pass."""
+    daily = (T(spark, d, "events")
+             .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+             .groupBy("event_type",
+                      F.to_date(F.date_trunc("day", "ts")).alias("day"))
+             .agg(F.sum("value").alias("x")))
+    mu = F.avg("x").over(Window.partitionBy("event_type"))
+    run = (Window.partitionBy("event_type").orderBy("day")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = (daily.withColumn("mu", mu)
+         .withColumn("cusum", F.sum(F.col("x") - F.col("mu")).over(run)))
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.abs("cusum").desc(), "day")
+    r = (c.withColumn("rn", F.row_number().over(w_rank))
+         .withColumn("n_days", F.count("*").over(
+             Window.partitionBy("event_type"))))
+    return (r.filter(F.col("rn") == 1)
+            .select("event_type",
+                    F.col("day").cast("string").alias("changepoint_day"),
+                    (F.round("cusum", 4) + F.lit(0.0)).alias("peak_cusum"),
+                    F.col("n_days").cast("bigint").alias("n_days")))

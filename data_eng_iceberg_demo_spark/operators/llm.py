@@ -4938,3 +4938,62 @@ def llm_span_corruption(spark, d, span_len: int = 3):
         F.concat(F.lit("<extra_id_0> "),
                  F.array_join(span, " ")).alias("target_text"),
         (F.col("n") - span_len + 1).cast("bigint").alias("n_input_tokens"))
+
+
+@register(
+    "llm_curriculum_order",
+    oracle=f"""
+    WITH diff AS (
+        SELECT doc_id, lang,
+               CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))
+                   AS difficulty,
+               ({_MD5_32_DUCK}) AS h32
+        FROM documents
+    ), ph AS (
+        SELECT doc_id, lang, difficulty, h32,
+               ntile(4) OVER (PARTITION BY lang
+                              ORDER BY difficulty, doc_id) AS phase
+        FROM diff
+    )
+    SELECT doc_id, lang, CAST(phase AS BIGINT) AS phase,
+           CAST(row_number() OVER (PARTITION BY lang, phase
+                                   ORDER BY h32, doc_id) AS BIGINT) AS seq,
+           round(difficulty, 4) + 0 AS difficulty
+    FROM ph
+    """,
+)
+def llm_curriculum_order(spark, d):
+    """Curriculum ordering (r12): the training-schedule builder —
+    within each language, documents are split easy->hard into 4
+    curriculum phases by a difficulty proxy (mean word length =
+    n_chars / whitespace tokens, the cheap signal that tracks syntactic
+    complexity), and WITHIN a phase the stream order is a deterministic
+    content-keyed shuffle (md5 hash, the llm_global_shuffle discipline)
+    so consecutive batches decorrelate from ingest/source order without
+    any RNG.  Output is the complete schedule: (phase, seq) is the
+    exact position every doc trains at, reproducible across re-runs and
+    engines.
+
+    Scale shape: one narrow difficulty map, then two windows over the
+    same lang partitioning (ntile, then per-phase row_number) — a
+    single shuffle on lang; at 100 TB the phase boundaries come from
+    approx_percentile and the seq from a per-shard rank + offset merge
+    (the agg_histogram_equidepth scale path), keeping every partition
+    sort local."""
+    docs = T(spark, d, "documents")
+    from pyspark.sql import Window
+    diff = docs.select(
+        "doc_id", "lang",
+        (F.col("n_chars").cast("double")
+         / F.size(F.split("text", " "))).alias("difficulty"),
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+            .cast("bigint").alias("h32"))
+    ph = diff.withColumn("phase", F.ntile(4).over(
+        Window.partitionBy("lang").orderBy("difficulty", "doc_id"))
+        .cast("bigint"))
+    seq = F.row_number().over(
+        Window.partitionBy("lang", "phase").orderBy("h32", "doc_id"))
+    return ph.select("doc_id", "lang", "phase",
+                     seq.cast("bigint").alias("seq"),
+                     (F.round("difficulty", 4) + F.lit(0.0))
+                     .alias("difficulty"))
