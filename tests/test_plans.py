@@ -281,6 +281,15 @@ _BROADCAST_HINT_OK = {
     ("events_anomaly", "events"):
         "groupBy(event_type): the domain is a small closed enum, so the "
         "aggregate output is bounded by distinct event types, not rows",
+    ("dq_outlier_mad", "events"):
+        "both hinted sides (median, then median+MAD fences) are "
+        "groupBy(event_type) — the same closed-enum bound as "
+        "events_anomaly: rows = distinct event types, not events",
+    ("dq_distribution_drift", "documents"):
+        "the hinted subtree is groupBy(bucket) where bucket = "
+        "least(floor(n_chars/100), 5) — clamped to 6 values by the "
+        "expression itself, so the global histogram is bounded at 6 "
+        "rows regardless of corpus size",
     ("tpch_q15", "lineitem"):
         "winners = per-supplier revenue joined on equality with its own "
         "1-row max -> cardinality is the number of exact-decimal ties (~1)",
