@@ -573,3 +573,117 @@ def stream_file_sink_exactly_once(spark, d):
     os.link(_part(1), os.path.join(src, "01.parquet"))
     run_once()                                   # same checkpoint: delta only
     return iso.read.parquet(sink)
+
+
+@register(
+    "stream_pattern_match",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               date_trunc('second', ts) AS tss
+        FROM events
+        WHERE ts IS NOT NULL
+    ), m AS (
+        SELECT user_id, event_type, tss,
+               lead(event_type, 1) OVER w AS e1,
+               lead(event_type, 2) OVER w AS e2,
+               lead(tss, 2) OVER w AS t2
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)
+    )
+    SELECT user_id, tss AS match_start,
+           CAST(epoch(t2) - epoch(tss) AS BIGINT) AS secs_to_convert
+    FROM m
+    WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+    """,
+)
+def stream_pattern_match(spark, d):
+    """STREAMING strict-contiguity pattern matcher (r12): the CEP twin
+    of events_pattern_match — view -> click -> purchase with immediate
+    adjacency, detected incrementally per user via
+    applyInPandasWithState.  State per key is the last TWO events
+    (type, epoch-µs, event_id as plain longs/strings — no timestamp in
+    the state row), carried across micro-batches so a pattern split by
+    a batch boundary still fires; within a batch the group sorts by
+    (tss, event_id), the oracle's tiebreak.  Assumes per-key in-order
+    arrival across batches (the Kafka-partition-per-key contract every
+    streaming CEP engine states); the single-file availableNow run
+    makes one batch, so the memory-sink result equals the batch window
+    query exactly.
+
+    Scale shape: state is O(pattern length - 1) per live key —
+    bounded, watermark-free — and matches emit incrementally; the
+    batch equivalent's full re-sort per trigger is exactly what this
+    avoids on an unbounded stream."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType, TimestampType)
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("match_start", TimestampType()),
+        StructField("secs_to_convert", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("t_a", StringType()),
+        StructField("us_a", LongType()),
+        StructField("id_a", LongType()),
+        StructField("t_b", StringType()),
+        StructField("us_b", LongType()),
+        StructField("id_b", LongType()),
+    ])
+
+    PATTERN = ("view", "click", "purchase")
+
+    def update(key, pdf_iter, state):
+        carry = list(state.get) if state.exists else [None] * 6
+        rows = []
+        if carry[0] is not None:
+            rows.append((carry[0], carry[1], carry[2]))
+        if carry[3] is not None:
+            rows.append((carry[3], carry[4], carry[5]))
+        n_carry = len(rows)
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["tss", "event_id"])
+            # normalize whatever datetime64 resolution Arrow handed us
+            us = (batch["tss"].to_numpy().astype("datetime64[us]")
+                  .astype("int64"))
+            rows += list(zip(batch["event_type"], us, batch["event_id"]))
+        starts, secs = [], []
+        # a triple may START at a carried row; never re-emit a match
+        # whose FINAL event was already consumed in a prior batch
+        for i in range(max(0, n_carry - 2), len(rows) - 2):
+            if i + 2 < n_carry:
+                continue
+            (ta, ua, _ia), (tb, _ub, _ib), (tc, uc, _ic) = rows[i:i + 3]
+            if (ta, tb, tc) == PATTERN:
+                starts.append(ua)
+                secs.append((uc - ua) // 1_000_000)
+        tail = rows[-2:]
+        flat = []
+        for r in tail:
+            flat += [r[0], int(r[1]), int(r[2])]
+        flat = [None] * (6 - len(flat)) + flat
+        state.update(tuple(flat))
+        if starts:  # an empty yield would just feed pandas' concat
+            yield pd.DataFrame({
+                "user_id": pd.Series([key[0]] * len(starts), dtype="int64"),
+                "match_start": pd.to_datetime(
+                    pd.Series(starts, dtype="int64"), unit="us"),
+                "secs_to_convert": pd.Series(secs, dtype="int64"),
+            })
+
+    iso = _state_session(spark, 8)
+    stream = (_events_stream(iso, d)
+              .filter(F.col("ts").isNotNull())
+              .select("user_id", "event_id", "event_type",
+                      F.date_trunc("second", "ts").alias("tss")))
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
+    qname = f"pattern_match_{next(_counter)}"
+    q = (result.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return iso.table(qname)
