@@ -4997,3 +4997,230 @@ def llm_curriculum_order(spark, d):
                      seq.cast("bigint").alias("seq"),
                      (F.round("difficulty", 4) + F.lit(0.0))
                      .alias("difficulty"))
+
+
+# --- IVFADC: IVF coarse pruning + PQ ADC + exact refine (r12) ----------------
+
+_IVFADC_ORACLE = f"""
+WITH raw AS (
+    SELECT vec_id, {_PQ_QV} AS qv,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+    WHERE embedding IS NOT NULL
+      AND list_sum(list_transform(embedding,
+                   y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0
+), co AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, qv AS kv
+    FROM raw ORDER BY vec_id LIMIT 16
+), cd AS (
+    SELECT r.vec_id, co.k,
+           list_sum(list_transform(generate_series(1, 64),
+                    i -> (r.qv[i] - co.kv[i]) * (r.qv[i] - co.kv[i])))
+               AS d2
+    FROM raw r CROSS JOIN co
+), casg AS (
+    SELECT vec_id, k AS cell FROM (
+        SELECT vec_id, k,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, k) AS rn
+        FROM cd) WHERE rn = 1
+), probe AS (
+    SELECT vec_id AS qid, k AS cell FROM (
+        SELECT vec_id, k,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, k) AS rn
+        FROM cd WHERE vec_id < 5) WHERE rn <= 2
+), cand AS (
+    SELECT p.qid, a.vec_id AS cid
+    FROM probe p JOIN casg a ON a.cell = p.cell AND a.vec_id <> p.qid
+), cb AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qv AS cv
+    FROM raw ORDER BY vec_id LIMIT 8
+), sub AS (SELECT unnest(generate_series(0, 7)) AS s),
+codes AS (
+    SELECT v.vec_id, sub.s,
+           CAST(MIN(
+               list_sum(list_transform(generate_series(1, 8),
+                        t -> (v.qv[sub.s * 8 + t] - cb.cv[sub.s * 8 + t])
+                           * (v.qv[sub.s * 8 + t] - cb.cv[sub.s * 8 + t])))
+               * 8 + cb.j) % 8 AS BIGINT) AS code
+    FROM raw v CROSS JOIN sub CROSS JOIN cb
+    GROUP BY v.vec_id, sub.s
+), adc AS (
+    SELECT cand.qid, cand.cid,
+           SUM(list_sum(list_transform(generate_series(1, 8),
+                    t -> (qr.qv[cs.s * 8 + t] - cb.cv[cs.s * 8 + t])
+                       * (qr.qv[cs.s * 8 + t] - cb.cv[cs.s * 8 + t]))))
+               AS pq_dist2
+    FROM cand
+    JOIN raw qr ON qr.vec_id = cand.qid
+    JOIN codes cs ON cs.vec_id = cand.cid
+    JOIN cb ON cb.j = cs.code
+    GROUP BY cand.qid, cand.cid
+), shortlist AS (
+    SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY pq_dist2, cid) AS rn
+        FROM adc) WHERE rn <= 50
+), rerank AS (
+    SELECT s.qid, s.cid,
+           round(list_sum(list_transform(generate_series(1, 64),
+                          i -> a.e[i] * b.e[i]))
+                 / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 4)
+               + 0 AS cosine
+    FROM shortlist s
+    JOIN raw a ON a.vec_id = s.qid
+    JOIN raw b ON b.vec_id = s.cid
+)
+SELECT qid, cid, cosine FROM (
+    SELECT qid, cid, cosine,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, cid) AS rn
+    FROM rerank) WHERE rn <= 10
+"""
+
+
+@register("llm_similarity_ivfadc", oracle=_IVFADC_ORACLE)
+def llm_similarity_ivfadc(spark, d):
+    """ANN scale path #5 — IVFADC (r12; the composition
+    llm_similarity_pq's docstring promises): an IVF coarse quantizer
+    (16 cells, centroids = the 16 lowest-id unit-normalized quantized
+    vectors, argmin integer L2² with ties-to-lowest-cell) prunes the
+    corpus BEFORE any per-candidate work — each query probes its
+    nprobe=2 nearest cells, so ADC touches ~nprobe/k of the codes
+    instead of all of them — then PQ Asymmetric Distance ranks the
+    probed candidates (8 LUT adds each), a top-50 shortlist re-ranks by
+    exact cosine, and the top-10 emit.  This is faiss's IVFPQ layout
+    with by_residual=false (codes encode the vectors, not the
+    cell residuals — residual encoding buys accuracy, not a different
+    plan shape, and is stated out of scope).  Every stage is integer or
+    4dp-rounded with explicit tiebreaks, so unlike the rows-only
+    llm_similarity_ivf entry the whole pipeline is hash-oracled; recall
+    vs the exact top-10 is pinned in tests/test_llm_dedup.py (random
+    near-orthogonal vectors are the worst case for BOTH stages).
+
+    Scale shape: the coarse assignment is the zero-exchange
+    literal-centroid scan (16 bounded driver rows, the
+    _quantized_cluster_assign discipline); probing explodes 5 queries ×
+    2 cells; candidates come from ONE equi-join on the cell id (never a
+    cross join); ADC is the codebook/LUT equi-join pair from
+    llm_similarity_pq restricted to candidates.  At 100 TB the cell
+    count grows to ~sqrt(n) so each posting list stays bounded, and the
+    coarse centroids come from sampled k-means — the plan shape is
+    unchanged."""
+    norm2 = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x)
+    raw = (T(spark, d, "embeddings").filter(F.col("embedding").isNotNull())
+           .withColumn("n2", norm2).filter(F.col("n2") > 0)
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("e"),
+                   F.transform(
+                       "embedding",
+                       lambda x: F.floor(x.cast("double") * 64
+                                         / F.sqrt(F.col("n2")))
+                       .cast("bigint")).alias("qv")))
+
+    # coarse centroids: 16 bounded driver rows, shipped to a vectorized
+    # numpy kernel (the semdedup gemm discipline).  The literal-HOF
+    # form (_quantized_cluster_assign's zip_with scan) is the right
+    # shape at k=4 but interpreted per element — at k=16 x 64 dims it
+    # measured 14 s of the 21 s sf0.1 run; one int64 numpy broadcast
+    # computes the same exact integer L2² in milliseconds, and
+    # per-task memory is batch x 16 x 64 int64, bounded by the Arrow
+    # batch size.  argmin / stable argsort tie to the LOWEST cell,
+    # mirroring the oracle's (d2, k) ordering.
+    import numpy as np
+    cents = raw.orderBy("vec_id").limit(16).select("qv").collect()
+    cmat = np.array([list(c["qv"]) for c in cents], dtype=np.int64)
+
+    def _cell_d2(pdf):
+        q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+        return ((q[:, None, :] - cmat[None, :, :]) ** 2).sum(2)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "cell": _cell_d2(pdf).argmin(1).astype("int64")})
+
+    def probe_fn(batches, nprobe=2):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            order = np.argsort(_cell_d2(pdf), axis=1,
+                               kind="stable")[:, :nprobe]
+            yield pd.DataFrame({
+                "qid": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                "cell": order.ravel().astype("int64")})
+
+    casg = (raw.select("vec_id", "qv")
+            .mapInPandas(assign, "vec_id bigint, cell bigint"))
+    probe = (raw.filter(F.col("vec_id") < 5).select("vec_id", "qv")
+             .mapInPandas(probe_fn, "qid bigint, cell bigint"))
+    cand = (casg.join(F.broadcast(probe), "cell")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", F.col("vec_id").alias("cid")))
+
+    def _subspaces(df, idcol):
+        return df.select(
+            F.col("vec_id").alias(idcol),
+            F.posexplode(F.array(*[F.slice("qv", s * 8 + 1, 8)
+                                   for s in range(8)])).alias("s", "sv"))
+
+    wj = Window.orderBy("vec_id")
+    cb = _subspaces(
+        raw.orderBy("vec_id").limit(8)
+           .withColumn("j", F.row_number().over(wj) - 1)
+           .withColumn("vec_id", F.col("j")), "j") \
+        .select("j", "s", F.col("sv").alias("cv"))
+    d2 = F.aggregate(F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+                     F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    # encode only vectors some query actually probes — the query-time
+    # view (an IVFPQ index precomputes all codes ONCE at build; this
+    # query is build+probe in one plan, so encoding the unprobed 14/16
+    # of the corpus would be pure waste)
+    cand_ids = cand.select("cid").distinct()
+    probed = raw.join(cand_ids, raw["vec_id"] == cand_ids["cid"],
+                      "left_semi")
+    codes = (_subspaces(probed, "cid").join(F.broadcast(cb), "s")
+             .select("cid", "s", "j", d2.alias("d2"))
+             .groupBy("cid", "s")
+             .agg(F.min(F.struct("d2", "j"))["j"].alias("code")))
+    lut = (_subspaces(raw.filter(F.col("vec_id") < 5), "qid")
+           .join(F.broadcast(cb), "s")
+           .select("qid", "s", "j", d2.alias("d2")))
+
+    lut_r = lut.select(F.col("qid").alias("lqid"), F.col("s").alias("ls"),
+                       "j", "d2")
+    adc = (cand.join(codes, "cid")
+           .join(F.broadcast(lut_r),
+                 (F.col("qid") == F.col("lqid")) & (F.col("s") == F.col("ls"))
+                 & (F.col("code") == F.col("j")))
+           .groupBy("qid", "cid").agg(F.sum("d2").alias("pq_dist2")))
+    w_adc = Window.partitionBy("qid").orderBy(F.col("pq_dist2").asc(),
+                                              F.col("cid").asc())
+    shortlist = (adc.withColumn("rn", F.row_number().over(w_adc))
+                 .filter(F.col("rn") <= 50).select("qid", "cid"))
+
+    qe = raw.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+    ce = raw.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    dot = F.aggregate(F.zip_with("qe", "ce", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+
+    def nrm(c):
+        return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                                  F.lit(0.0), lambda a, x: a + x))
+
+    rerank = (F.broadcast(shortlist).join(qe, "qid").join(ce, "cid")
+              .select("qid", "cid",
+                      (F.round(dot / (nrm("qe") * nrm("ce")), 4)
+                       + F.lit(0.0)).alias("cosine")))
+    w_fin = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                              F.col("cid").asc())
+    return (rerank.withColumn("rn", F.row_number().over(w_fin))
+            .filter(F.col("rn") <= 10).select("qid", "cid", "cosine"))

@@ -612,3 +612,31 @@ def test_embedding_lsh_dedup_recall_and_precision(spark, sf_dir):
         assert pair in exact and abs(cos - exact[pair]) < 1e-9, pair
     recall = len(lsh) / len(exact)
     assert recall >= 0.55, (recall, len(lsh), len(exact))
+
+
+def test_ivfadc_recall_against_brute_force(spark, sf_dir):
+    """IVFADC (r12; 16 cells, nprobe=2, PQ ADC, top-50 exact refine) vs
+    the exact top-10: measured mean recall@10 0.82 / 0.88 / 0.68 at
+    sf0.001/0.01/0.1 — random near-orthogonal fixtures are the worst
+    case for BOTH stages (IVF cells on random data are arbitrary Voronoi
+    shards, so true neighbors straddle cell borders; real clustered
+    corpora keep them together, which is the method's premise).  The
+    floors pin the observed band with headroom; raising recall means
+    raising nprobe (the standard speed/recall dial), not a code bug."""
+    from collections import defaultdict
+
+    from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
+                                                            _load_all_modules)
+    _load_all_modules()
+    ex, got = defaultdict(set), defaultdict(set)
+    for r in REGISTRY["llm_similarity_topk"].fn(spark, sf_dir).collect():
+        ex[r["qid"]].add(r["cid"])
+    for r in REGISTRY["llm_similarity_ivfadc"].fn(spark, sf_dir).collect():
+        got[r["qid"]].add(r["cid"])
+    recalls = [len(ex[q] & got[q]) / len(ex[q]) for q in ex]
+    n_corpus = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                .filter("embedding IS NOT NULL").count())
+    floor_mean, floor_min = ((0.75, 0.45) if n_corpus <= 600
+                             else (0.6, 0.4))
+    assert sum(recalls) / len(recalls) >= floor_mean
+    assert min(recalls) >= floor_min
