@@ -898,3 +898,53 @@ def events_changepoint_cusum(spark, d):
                     F.col("day").cast("string").alias("changepoint_day"),
                     (F.round("cusum", 4) + F.lit(0.0)).alias("peak_cusum"),
                     F.col("n_days").cast("bigint").alias("n_days")))
+
+
+@register(
+    "events_seasonality",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               sum(value) AS x
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+    ), dw AS (
+        SELECT event_type, dayofweek(day) AS dow, avg(x) AS dow_avg,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1, 2
+    ), o AS (
+        SELECT event_type, avg(x) AS overall FROM daily GROUP BY 1
+    )
+    SELECT dw.event_type, CAST(dow AS BIGINT) AS dow, n_days,
+           round(dow_avg, 4) + 0 AS dow_avg,
+           round(dow_avg / overall, 4) + 0 AS seasonal_index
+    FROM dw JOIN o USING (event_type)
+    """,
+)
+def events_seasonality(spark, d):
+    """Day-of-week seasonality profile (r12): per event_type, the mean
+    daily value by weekday and its seasonal index (weekday mean /
+    overall mean) — the multiplicative decomposition every capacity
+    planner and anomaly detector normalizes by before comparing a
+    Monday to a Sunday.  DuckDB's dayofweek((Sunday=0..Saturday=6)
+    equals Spark's dayofweek()-1, aligned explicitly.
+
+    Scale shape: daily pre-aggregation first (corpus -> types x days),
+    then a 7-row-per-type partial agg and a types-sized join — the
+    profile for a 100 TB stream shuffles series points, never events."""
+    daily = (T(spark, d, "events")
+             .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+             .groupBy("event_type",
+                      F.to_date(F.date_trunc("day", "ts")).alias("day"))
+             .agg(F.sum("value").alias("x")))
+    dw = (daily.groupBy("event_type",
+                        (F.dayofweek("day") - 1).cast("bigint").alias("dow"))
+          .agg(F.avg("x").alias("dow_avg"),
+               F.count("*").alias("n_days")))
+    o = daily.groupBy("event_type").agg(F.avg("x").alias("overall"))
+    return (dw.join(F.broadcast(o), "event_type")
+            .select("event_type", "dow", "n_days",
+                    (F.round("dow_avg", 4) + F.lit(0.0)).alias("dow_avg"),
+                    (F.round(F.col("dow_avg") / F.col("overall"), 4)
+                     + F.lit(0.0)).alias("seasonal_index")))

@@ -726,3 +726,78 @@ def sink_parquet_zstd(spark, d):
           .filter(F.col("o_totalprice") > 1000.0))
     df.write.mode("overwrite").option("compression", "zstd").parquet(out)
     return spark.read.parquet(out)
+
+
+_FW_TPL: dict[str, str] = {}
+# (name, start 1-based, width); numbers right-aligned, text left-aligned
+_FW_LAYOUT = [("id_pedido", 1, 20), ("produto", 21, 12),
+              ("valor_unitario", 33, 10), ("quantidade", 43, 4),
+              ("data_criacao", 47, 20), ("uf", 67, 2),
+              ("id_cliente", 69, 8)]
+
+
+def _fixed_width_file(spark) -> str:
+    """Template-cached fixed-width render of the pedidos fixture: one
+    76-char record per row, text left-padded / numbers right-padded —
+    the COBOL copybook layout mainframe extracts still arrive in."""
+    import os
+    tpl = _FW_TPL.get("p")
+    if tpl is not None and os.path.isdir(tpl):
+        return tpl
+    out = scratch_dir("fixedwidth_")
+    raw = (spark.read.option("header", "true").option("sep", ";")
+           .csv(f"{FIXTURE_DIR}/pedidos.csv.gz"))
+    line = F.format_string(
+        "%-20s%-12s%10s%4s%-20s%-2s%8s",
+        *[F.col(c) for c, _s, _w in _FW_LAYOUT])
+    raw.select(line.alias("value")).coalesce(1).write.mode(
+        "overwrite").text(out)
+    _FW_TPL["p"] = out
+    return out
+
+
+@register(
+    "scan_fixed_width",
+    oracle=f"""
+    SELECT id_pedido, produto,
+           CAST(CAST(valor_unitario AS DECIMAL(10,2)) AS DOUBLE)
+               AS valor_unitario,
+           CAST(quantidade AS BIGINT) AS quantidade,
+           CAST(CAST(data_criacao AS TIMESTAMP) AS VARCHAR)
+               AS data_criacao_s,
+           uf, CAST(id_cliente AS BIGINT) AS id_cliente
+    FROM read_csv('{FIXTURE_DIR}/pedidos.csv.gz', delim=';', header=true,
+                  columns={{'id_pedido':'VARCHAR','produto':'VARCHAR',
+                           'valor_unitario':'VARCHAR','quantidade':'VARCHAR',
+                           'data_criacao':'VARCHAR','uf':'VARCHAR',
+                           'id_cliente':'VARCHAR'}})
+    """,
+)
+def scan_fixed_width(spark, d):
+    """Fixed-width (COBOL-copybook) text ingest (r12): the mainframe
+    extract format Spark has no native reader for — spark.read.text
+    plus a substring/trim/cast projection per field IS the reader, and
+    it stays entirely inside whole-stage codegen (no UDF, no Python).
+    The staged file renders the pedidos fixture at one 76-char record
+    per row (text left-aligned, numbers right-aligned); the scan parses
+    ONLY by byte positions, so a one-off column offset, a missing trim,
+    or a swallowed padding blank shifts values and fails the CSV-oracle
+    hash.
+
+    Scale shape: a narrow map over the text scan — splittable like any
+    line-oriented source, so 100 TB of fixed-width records parallelize
+    by file split with zero shuffle."""
+    src = _fixed_width_file(spark)
+    txt = spark.read.text(src)
+    fields = {name: F.trim(F.substring("value", start, width))
+              for name, start, width in _FW_LAYOUT}
+    return txt.select(
+        fields["id_pedido"].alias("id_pedido"),
+        fields["produto"].alias("produto"),
+        fields["valor_unitario"].cast("decimal(10,2)").cast("double")
+            .alias("valor_unitario"),
+        fields["quantidade"].cast("bigint").alias("quantidade"),
+        fields["data_criacao"].cast("timestamp").cast("string")
+            .alias("data_criacao_s"),
+        fields["uf"].alias("uf"),
+        fields["id_cliente"].cast("bigint").alias("id_cliente"))
