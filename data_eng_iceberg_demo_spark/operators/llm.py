@@ -5224,3 +5224,175 @@ def llm_similarity_ivfadc(spark, d):
                                               F.col("cid").asc())
     return (rerank.withColumn("rn", F.row_number().over(w_fin))
             .filter(F.col("rn") <= 10).select("qid", "cid", "cosine"))
+
+
+# --- Hybrid retrieval: BM25 + PRF-embedding fusion via RRF (r12) -------------
+
+_RRF_ORACLE = """
+    WITH q(qid, tok) AS (VALUES
+        (0, 'join'), (0, 'hash'), (0, 'row'),
+        (1, 'fast'), (1, 'vector'), (1, 'scan'),
+        (2, 'customer'), (2, 'order'), (2, 'data')),
+    docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    dl AS (SELECT doc_id, len(w) AS dl FROM docs),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tok AS (SELECT doc_id, unnest(w) AS tok FROM docs),
+    tfq AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM tok JOIN (SELECT DISTINCT tok FROM q) USING (tok)
+        GROUP BY 1, 2),
+    dfq AS (SELECT tok, count(*) AS df FROM tfq GROUP BY tok),
+    scored AS (
+        SELECT q.qid, t.doc_id,
+               sum(CAST(round(
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * t.tf * 2.2
+                   / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+                   * 1000000) AS BIGINT)) AS sf
+        FROM tfq t
+        JOIN q ON q.tok = t.tok
+        JOIN dfq ON dfq.tok = t.tok
+        JOIN dl ON dl.doc_id = t.doc_id
+        CROSS JOIN stats
+        GROUP BY 1, 2),
+    lex AS (
+        SELECT qid, doc_id, rn AS lex_rank FROM (
+            SELECT qid, doc_id, sf,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sf DESC, doc_id) AS rn
+            FROM scored) WHERE rn <= 20),
+    vlong AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+        WHERE embedding IS NOT NULL),
+    vnorm AS (
+        SELECT vec_id, sqrt(sum(v * v)) AS nv FROM vlong GROUP BY vec_id),
+    cent AS (
+        SELECT l.qid, vl.i, avg(vl.v) AS c
+        FROM lex l JOIN vlong vl ON vl.vec_id = l.doc_id
+        WHERE l.lex_rank <= 3
+        GROUP BY l.qid, vl.i),
+    cnorm AS (SELECT qid, sqrt(sum(c * c)) AS nc FROM cent GROUP BY qid),
+    dots AS (
+        SELECT cent.qid, vl.vec_id, sum(cent.c * vl.v) AS dot
+        FROM cent JOIN vlong vl ON vl.i = cent.i
+        GROUP BY cent.qid, vl.vec_id),
+    sem AS (
+        SELECT qid, vec_id AS doc_id, rn AS sem_rank FROM (
+            SELECT d.qid, d.vec_id,
+                   row_number() OVER (
+                       PARTITION BY d.qid
+                       ORDER BY round(d.dot / (cn.nc * vn.nv), 4) DESC,
+                                d.vec_id) AS rn
+            FROM dots d JOIN cnorm cn ON cn.qid = d.qid
+                        JOIN vnorm vn ON vn.vec_id = d.vec_id
+            WHERE cn.nc > 0 AND vn.nv > 0) WHERE rn <= 20),
+    fused AS (
+        SELECT coalesce(l.qid, s.qid) AS qid,
+               coalesce(l.doc_id, s.doc_id) AS doc_id,
+               l.lex_rank, s.sem_rank,
+               coalesce(CAST(round(1000000.0 / (60 + l.lex_rank))
+                             AS BIGINT), 0)
+               + coalesce(CAST(round(1000000.0 / (60 + s.sem_rank))
+                               AS BIGINT), 0) AS rrf_fp
+        FROM lex l FULL OUTER JOIN sem s
+          ON l.qid = s.qid AND l.doc_id = s.doc_id)
+    SELECT qid, doc_id, rrf_fp,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY rrf_fp DESC, doc_id) AS rn
+          FROM fused) WHERE rn <= 10
+"""
+
+
+@register("llm_hybrid_retrieval_rrf", oracle=_RRF_ORACLE)
+def llm_hybrid_retrieval_rrf(spark, d):
+    """Hybrid retrieval with Reciprocal Rank Fusion (r12; Cormack et
+    al. 2009 — the fusion every production RAG/curation stack runs):
+    the LEXICAL arm is llm_bm25_topk's scoring widened to top-20; the
+    SEMANTIC arm has no query embedding (no text encoder offline), so
+    it derives one by PSEUDO-RELEVANCE FEEDBACK — the centroid of the
+    BM25 top-3 docs' embeddings (Rocchio's classic trick, and exactly
+    how blind feedback bootstraps dense retrieval) — and ranks the
+    corpus by 4dp-rounded cosine.  Fusion: RRF = Σ 1/(60+rank) over
+    both lists as fixed-point micro-units (round(1e6/(60+r)) — integer
+    addition, order-independent), top-10 per query with doc_id
+    tiebreaks; per-arm ranks ride along so a user sees WHY a doc won
+    (lexical-only, semantic-only, or both).
+
+    Scale shape: BM25's keep-list discipline bounds the lexical arm
+    (only query-term postings shuffle); the PRF centroid is 3 rows per
+    query; the semantic scan is one pass over the embedding column in
+    LONG form (qid × dim join keys — at 100 TB this arm becomes any of
+    ANN paths #1-5, same fusion); the fuse is a 40-rows-per-query
+    full outer join."""
+    from pyspark.sql import Window
+
+    k1, b = 1.2, 0.75
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERY_TERMS for t in terms],
+        "qid int, tok string")
+    docs = T(spark, d, "documents").select(
+        "doc_id", F.split("text", " ").alias("w"))
+    dl = docs.select("doc_id", F.size("w").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    terms = sorted({t for _qid, ts in _BM25_QUERY_TERMS for t in ts})
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.filter("w", lambda x: x.isin(terms))).alias("tok"))
+    tfq = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfq = tfq.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    term_score = (idf * F.col("tf") * (k1 + 1)
+                  / (F.col("tf") + k1 * ((1 - b) + b * F.col("dl")
+                                         / F.col("avgdl"))))
+    scored = (tfq.join(F.broadcast(qterms), "tok")
+              .join(dfq, "tok").join(dl, "doc_id")
+              .join(F.broadcast(stats))
+              .withColumn("sfix",
+                          F.round(term_score * 1000000).cast("bigint"))
+              .groupBy("qid", "doc_id").agg(F.sum("sfix").alias("sf")))
+    w_lex = Window.partitionBy("qid").orderBy(F.col("sf").desc(), "doc_id")
+    lex = (scored.withColumn("lex_rank",
+                             F.row_number().over(w_lex).cast("bigint"))
+           .filter(F.col("lex_rank") <= 20).select("qid", "doc_id",
+                                                   "lex_rank"))
+
+    vlong = (T(spark, d, "embeddings")
+             .filter(F.col("embedding").isNotNull())
+             .select("vec_id", F.posexplode(
+                 F.col("embedding").cast("array<double>"))
+                 .alias("i0", "v"))
+             .select("vec_id", (F.col("i0") + 1).alias("i"), "v"))
+    vnorm = vlong.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"))
+    cent = (lex.filter(F.col("lex_rank") <= 3)
+            .join(vlong, lex["doc_id"] == vlong["vec_id"])
+            .groupBy("qid", "i").agg(F.avg("v").alias("c")))
+    cnorm = cent.groupBy("qid").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"))
+    dots = (vlong.join(F.broadcast(cent), "i")
+            .groupBy("qid", "vec_id")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("dot")))
+    w_sem = Window.partitionBy("qid").orderBy(
+        F.round(F.col("dot") / (F.col("nc") * F.col("nv")), 4).desc(),
+        "vec_id")
+    sem = (dots.join(F.broadcast(cnorm), "qid").join(vnorm, "vec_id")
+           .filter((F.col("nc") > 0) & (F.col("nv") > 0))
+           .withColumn("sem_rank",
+                       F.row_number().over(w_sem).cast("bigint"))
+           .filter(F.col("sem_rank") <= 20)
+           .select("qid", F.col("vec_id").alias("doc_id"), "sem_rank"))
+
+    fp = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(1000000.0) / (60 + r)).cast("bigint"), F.lit(0))
+    fused = (lex.join(sem, ["qid", "doc_id"], "full_outer")
+             .withColumn("rrf_fp", fp(F.col("lex_rank"))
+                         + fp(F.col("sem_rank"))))
+    w_fin = Window.partitionBy("qid").orderBy(F.col("rrf_fp").desc(),
+                                              "doc_id")
+    return (fused.withColumn("rn", F.row_number().over(w_fin))
+            .filter(F.col("rn") <= 10)
+            .select("qid", "doc_id", "rrf_fp", "lex_rank", "sem_rank"))
