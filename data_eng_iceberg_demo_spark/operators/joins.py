@@ -532,3 +532,46 @@ def _asof_nearest_kernel(e, o):
         pick["o_orderkey"].alias("o_orderkey"),
         pick["o_totalprice"].alias("o_totalprice"),
         F.when(take_b, db).otherwise(df_).cast("bigint").alias("dt_s"))
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_nationkey,
+                      nullif(c_custkey % 50, 7) AS k
+               FROM customer),
+         o AS (SELECT o_orderkey, nullif(o_custkey % 50, 7) AS k
+               FROM orders)
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_matches
+    FROM c JOIN o ON c.k IS NOT DISTINCT FROM o.k
+    GROUP BY c.c_nationkey
+    """,
+)
+def join_null_safe(spark, d):
+    """NULL-safe equi-join (r12; the <=> / IS NOT DISTINCT FROM
+    semantics the join family still lacked): both sides derive a key
+    that is NULL for one residue class, and the join must match
+    NULL-to-NULL — a plain equality would silently drop exactly those
+    rows, which is the classic bug when a nullable business key feeds
+    a join.  The per-nation match counts split out how many matches
+    came through the NULL channel, so a wrong NULL semantics fails on
+    values, not just totals.
+
+    Scale shape: Spark plans <=> as an ordinary hash join (EqualNullSafe
+    is a deterministic key expression — NULL hashes like any value), so
+    this shuffles once on the key like join_inner_equi; the NULL class
+    is one hash bucket, a documented skew risk when NULLs dominate —
+    the salting of join_skew_salted applies unchanged."""
+    c = T(spark, d, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.nullif(F.col("c_custkey") % 50, F.lit(7)).alias("ck"))
+    o = T(spark, d, "orders").select(
+        "o_orderkey", F.nullif(F.col("o_custkey") % 50, F.lit(7)).alias("ok"))
+    return (c.join(o, c["ck"].eqNullSafe(o["ok"]))
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_matches"),
+                 F.sum(F.when(F.col("ck").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_null_matches")))

@@ -1925,6 +1925,43 @@ class IceliteTable:
                 & (data["__pos"] == del_df["pos"]))
         return data.join(del_df, cond, "inner").select(*row_cols)
 
+    def rewrite_small_files(self, min_records: int,
+                            target_files: int = 1) -> int:
+        """Binpack compaction (Iceberg ``rewrite_data_files`` with the
+        binpack strategy's min-input thresholds): ONLY files whose
+        footer row count is below `min_records` are coalesced; files
+        already big enough carry over byte-identical — the maintenance
+        job a streaming ingest needs nightly, where rewriting the
+        whole table (rewrite_data_files) would pay for the cold 99%.
+        A file with no footer count is treated as small (it must be
+        read to be sized anyway).  Pending position deletes on the
+        rewritten files fold away; delete entries still targeting
+        kept files survive with pruned target lists.  Returns the
+        number of files rewritten (0 = no-op: fewer than two small
+        files cannot pack into fewer files)."""
+        meta = self.meta
+        snap = self._snapshot(meta, None)
+        small = [f for f in snap["files"]
+                 if f.get("record_count") is None
+                 or f["record_count"] < min_records]
+        if len(small) < 2:
+            return 0
+        small_paths = {f["path"] for f in small}
+        kept_files = [f for f in snap["files"]
+                      if f["path"] not in small_paths]
+        kept_paths = {f["path"] for f in kept_files}
+        all_dels = snap.get("delete_files", [])
+        kept_dels = []
+        for dd in all_dels:
+            targets = [t for t in dd["targets"] if t in kept_paths]
+            if targets:
+                kept_dels.append(self._prune_delete_entry(dd, targets))
+        df = self._read_files(small, meta, delete_files=all_dels)
+        new_files = self._write_files(df.repartition(target_files), meta)
+        self._commit_snapshot(meta, "replace", kept_files + new_files,
+                              delete_files=kept_dels)
+        return len(small)
+
     def rewrite_data_files(self, target_files: int = 1,
                            zorder_by: list[str] | None = None,
                            where_range: tuple | None = None) -> None:

@@ -112,6 +112,13 @@ def _fresh_table(spark, n_batches: int = 1):
         df = _typed_pedidos(spark)
         if n_batches == 1:
             t.insert(df)
+        elif n_batches == "binpack":
+            # streaming-ingest shape: one bulk file + a small-file tail
+            # (disjoint slices covering the CSV exactly)
+            t.insert(df.filter(F.col("id_cliente") % 10 != 0))
+            for i in (0, 10, 20):
+                t.insert(df.filter((F.col("id_cliente") % 10 == 0)
+                                   & (F.col("id_cliente") % 30 == i)))
         else:
             for i in range(n_batches):
                 t.insert(df.filter(F.col("id_cliente") % n_batches == i))
@@ -1397,3 +1404,20 @@ def table_position_deletes_meta(spark, d):
     t = _fresh_table(spark)
     t.delete_where("uf = 'SP'", mode="merge-on-read")
     return _as_output(t.position_deletes_df())
+
+
+@register("table_rewrite_small_files", oracle=_CSV_ORACLE_BASE)
+def table_rewrite_small_files(spark, d):
+    """Binpack small-file compaction (r12; Iceberg rewrite_data_files,
+    binpack strategy with min-input thresholds): a bulk load (~900
+    rows, one file) followed by three trickle inserts (~30 rows each)
+    leaves the streaming-ingest shape — one healthy file plus a
+    small-file tail; only files under 100 rows coalesce into one
+    packed file, the big file carries over byte-identical (path pinned
+    unchanged in tests/test_icelite.py).  The contract under the hash:
+    compaction changes NOTHING about the data — the read-back still
+    equals the full CSV, while the nightly-maintenance cost scales
+    with the small-file tail, not the table."""
+    t = _fresh_table(spark, n_batches="binpack")
+    t.rewrite_small_files(100)
+    return _as_output(t.read())

@@ -917,3 +917,35 @@ def test_position_deletes_df_lifecycle(spark, table):
     assert pd_rows == sp
     assert set(t.position_deletes_df().columns) == {
         f.name for f in t.read().schema.fields}
+
+
+def test_rewrite_small_files_keeps_big_files_byte_identical(spark, tmp_path):
+    """Binpack contract: files >= the threshold carry over with
+    UNCHANGED paths (zero bytes rewritten for them), small ones leave
+    the snapshot, data identical, time travel intact, and a second run
+    is a no-op (the packed file now exceeds the threshold)."""
+    cat = IceliteCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.pedidos", PEDIDOS_SCHEMA)
+    df = _typed_pedidos(spark)
+    t.insert(df.filter(F.col("id_cliente") % 10 != 0))  # bulk file
+    for i in (0, 10, 20):                               # trickle tail
+        t.insert(df.filter((F.col("id_cliente") % 10 == 0)
+                           & (F.col("id_cliente") % 30 == i)))
+    before = _rowset(t.read())
+    snap0 = t._snapshot(t.meta, None)
+    big0 = {f["path"] for f in snap0["files"]
+            if (f.get("record_count") or 0) >= 100}
+    small0 = {f["path"] for f in snap0["files"]} - big0
+    assert big0 and len(small0) == 3  # a genuine bulk + tail mix
+    n = t.rewrite_small_files(100)
+    assert n == len(small0)
+    snap1 = t._snapshot(t.meta, None)
+    paths1 = {f["path"] for f in snap1["files"]}
+    assert big0 <= paths1                      # kept byte-identical
+    assert not (small0 & paths1)               # small ones replaced
+    assert len(paths1) == len(big0) + 1        # tail packed into ONE file
+    assert _rowset(t.read()) == before
+    assert _rowset(t.read(version=1)) == _rowset(
+        df.filter(F.col("id_cliente") % 10 != 0))  # time travel intact
+    assert t.rewrite_small_files(100) == 0     # idempotent no-op
