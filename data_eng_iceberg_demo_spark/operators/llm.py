@@ -5396,3 +5396,92 @@ def llm_hybrid_retrieval_rrf(spark, d):
     return (fused.withColumn("rn", F.row_number().over(w_fin))
             .filter(F.col("rn") <= 10)
             .select("qid", "doc_id", "rrf_fp", "lex_rank", "sem_rank"))
+
+
+@register(
+    "llm_decontaminate_semantic",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+    ), hits AS (
+        SELECT t.vec_id, ev.vec_id AS eval_id,
+               round(list_sum(list_transform(generate_series(1, 64),
+                              i -> t.v[i] * ev.v[i])) / (t.n * ev.n), 4)
+                   AS cosine
+        FROM e t JOIN e ev ON ev.vec_id < 20 AND t.vec_id >= 20
+    ), flagged AS (
+        SELECT vec_id,
+               CAST(count(*) FILTER (WHERE cosine >= 0.35) AS BIGINT)
+                   AS n_eval_hits,
+               max(cosine) AS max_cosine,
+               CAST(min(CASE WHEN cosine >= 0.35 THEN eval_id END)
+                    AS BIGINT) AS nearest_eval_id
+        FROM hits GROUP BY vec_id
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN f.n_eval_hits > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           round(max(f.max_cosine), 4) + 0 AS worst_cosine
+    FROM flagged f JOIN documents d ON d.doc_id = f.vec_id
+    GROUP BY d.source
+    """,
+)
+def llm_decontaminate_semantic(spark, d):
+    """SEMANTIC decontamination (r12; the embedding analog of
+    llm_decontaminate's 8-gram check, the second arm serious eval
+    hygiene runs — n-grams miss paraphrases, embeddings catch them):
+    every training doc's embedding (vec_id >= 20, vec_id == doc_id by
+    fixture contract) is scored against the EVAL SET's embeddings
+    (vec_id < 20), and a per-source contamination report counts docs
+    with any eval cosine >= 0.35 plus the worst offender.  Threshold
+    probed non-degenerate on the fixtures (hits exist at 0.35; 0.45
+    leaves zero).
+
+    Scale shape: the eval set is tiny BY DEFINITION (benchmarks are
+    thousands of rows, the corpus is billions), so the eval vectors
+    broadcast and the corpus streams past in place — one narrow pass,
+    per-doc flags partial-aggregate into the per-source report; the
+    same shape as llm_decontaminate's broadcast semi-join, with
+    ANN paths #1-5 as the prefilter when the eval set itself grows."""
+    from pyspark.sql import Window  # noqa: F401  (module convention)
+
+    norm2 = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x)
+    e = (T(spark, d, "embeddings").filter(F.col("embedding").isNotNull())
+         .withColumn("n2", norm2).filter(F.col("n2") > 0)
+         .select("vec_id",
+                 F.col("embedding").cast("array<double>").alias("v"),
+                 F.sqrt("n2").alias("n")))
+    ev = (e.filter(F.col("vec_id") < 20)
+          .select(F.col("vec_id").alias("eval_id"),
+                  F.col("v").alias("evv"), F.col("n").alias("evn")))
+    tr = e.filter(F.col("vec_id") >= 20)
+    dot = F.aggregate(F.zip_with("v", "evv", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    hits = (tr.join(F.broadcast(ev))
+            .select("vec_id", "eval_id",
+                    F.round(dot / (F.col("n") * F.col("evn")), 4)
+                    .alias("cosine")))
+    flagged = (hits.groupBy("vec_id")
+               .agg(F.count_if(F.col("cosine") >= 0.35).cast("bigint")
+                    .alias("n_eval_hits"),
+                    F.max("cosine").alias("max_cosine"),
+                    F.min(F.when(F.col("cosine") >= 0.35,
+                                 F.col("eval_id"))).cast("bigint")
+                    .alias("nearest_eval_id")))
+    docs = T(spark, d, "documents").select("doc_id", "source")
+    return (flagged.join(docs, flagged["vec_id"] == docs["doc_id"])
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("n_eval_hits") > 0, 1).otherwise(0))
+                 .cast("bigint").alias("n_contaminated"),
+                 (F.round(F.max("max_cosine"), 4) + F.lit(0.0))
+                 .alias("worst_cosine")))

@@ -296,6 +296,18 @@ _BROADCAST_HINT_OK = {
     ("llm_similarity_topk", "embeddings"):
         "query side is pinned to 5 vec_ids by construction — the ANN "
         "contract is a tiny query set probing a huge corpus",
+    ("llm_decontaminate_semantic", "embeddings"):
+        "the hinted side is pinned to vec_id < 20 by construction — "
+        "the eval set is tiny BY DEFINITION (benchmarks vs a corpus), "
+        "the same contract as llm_similarity_topk's query side",
+    ("events_seasonality", "events"):
+        "the hinted side is the per-type overall mean — groupBy("
+        "event_type), the events_anomaly closed-enum bound",
+    ("llm_hybrid_retrieval_rrf", "embeddings"):
+        "both hinted sides (PRF centroid and its norm) are bounded at "
+        "3 queries x 64 dims = 192 rows by the lex_rank <= 3 window "
+        "filter — pseudo-relevance feedback is defined over a fixed "
+        "tiny top-k, the llm_similarity_topk query-side contract",
     ("llm_hard_negatives", "embeddings"):
         "query side is pinned to 5 vec_ids by construction — the same "
         "tiny-query-set contract as llm_similarity_topk, with labels",
@@ -411,6 +423,7 @@ _BNLJ_OK = {"events_funnel",        # cross of three 1-row stage counts
             "llm_hard_negatives",   # same 5-row broadcast query side
             "llm_similarity_funnel",  # same 5-row broadcast query side
             "llm_similarity_incremental",  # same 5-row broadcast query side
+            "llm_decontaminate_semantic",  # <=20-row broadcast eval side
             "llm_tfidf_terms",      # broadcast corpus-size scalar
             "llm_unigram_logprob",  # broadcast corpus-total scalar (1 row)
             "llm_perplexity_bucket",  # broadcast n-docs + 2-cutoff scalars
@@ -418,6 +431,7 @@ _BNLJ_OK = {"events_funnel",        # cross of three 1-row stage counts
             "llm_bigram_kneser_ney",  # broadcast bigram-type-count scalar
             "llm_pmi_collocations",  # broadcast pair-total scalar (1 row)
             "llm_bm25_topk",        # broadcast n_docs/avgdl scalar (1 row)
+            "llm_hybrid_retrieval_rrf",  # same 1-row bm25 stats broadcast
             "tpch_q22",             # broadcast avg-acctbal scalar
             "dq_freshness",         # broadcast 1-row global-max-ts scalar
             "llm_mixture_temperature",  # broadcast 1-row normalizer scalar
