@@ -1262,3 +1262,41 @@ def agg_histogram_equidepth(spark, d):
             .agg(F.count("*").alias("n"),
                  F.min("l_extendedprice").alias("lo"),
                  F.max("l_extendedprice").alias("hi")))
+
+
+@register(
+    "dq_l_diversity",
+    oracle="""
+    SELECT event_type, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+               AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+           count(DISTINCT user_id) >= 3 AS diverse
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def dq_l_diversity(spark, d):
+    """l-diversity audit (r12; the group-level privacy check
+    k-anonymity alone misses): a (event_type, day) slice can satisfy
+    k-anonymity on row COUNT while every row belongs to the SAME user —
+    releasing it deanonymizes that user completely.  Each slice must
+    carry >= l=3 distinct values of the sensitive attribute (user_id)
+    to be releasable; the audit reports every slice with its event and
+    distinct-user counts so the suppression decision is reviewable.
+    Complements dq_k_anonymity (group size) and llm_pii_scrub
+    (value-level scrubbing).
+
+    Scale shape: one partial-aggregated shuffle on the QI pair with a
+    distinct-count — output is O(types x days), metadata-sized at any
+    corpus scale; at 100 TB the exact distinct swaps for the HLL
+    sketch (agg_approx_count_distinct) with the same decision rule."""
+    ev = T(spark, d, "events").filter(F.col("ts").isNotNull())
+    return (ev.groupBy("event_type",
+                       F.to_date(F.date_trunc("day", "ts")).cast("string")
+                       .alias("day"))
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_distinct_users"))
+            .select("event_type", "day", "n_events", "n_distinct_users",
+                    (F.col("n_distinct_users") >= 3).alias("diverse")))
