@@ -613,3 +613,73 @@ def fn_regexp(spark, d):
         .alias("masked_head"),
         F.col("text").rlike("^[A-Z]").alias("starts_upper"),
     )
+
+
+@register(
+    "fn_generators",
+    oracle="""
+    WITH base AS (
+        SELECT n_nationkey, n_regionkey,
+               CASE WHEN n_nationkey % 7 = 0 THEN NULL
+                    ELSE [n_regionkey, n_nationkey % 5] END AS arr
+        FROM nation
+    )
+    SELECT n_nationkey, 'posexplode' AS gen, CAST(i - 1 AS BIGINT) AS pos,
+           CAST(NULL AS VARCHAR) AS k, CAST(arr[i] AS BIGINT) AS val
+    FROM base, unnest(generate_series(1, len(arr))) s(i)
+    UNION ALL
+    SELECT n_nationkey, 'posexplode', NULL, NULL, NULL
+    FROM base WHERE arr IS NULL
+    UNION ALL
+    SELECT n_nationkey, 'inline', NULL, 'reg', CAST(n_regionkey AS BIGINT)
+    FROM base
+    UNION ALL
+    SELECT n_nationkey, 'inline', NULL, 'mod',
+           CAST(n_nationkey % 3 AS BIGINT)
+    FROM base
+    UNION ALL
+    SELECT n_nationkey, 'stack', NULL, 'a', CAST(n_nationkey AS BIGINT)
+    FROM base
+    UNION ALL
+    SELECT n_nationkey, 'stack', NULL, 'b', CAST(n_regionkey AS BIGINT)
+    FROM base
+    """,
+)
+def fn_generators(spark, d):
+    """Generator (table-valued projection) function family (r12 — the
+    last uncovered fn family): posexplode_outer over a NULLABLE array
+    (the _outer contract: a NULL array still yields one row, with NULL
+    pos/val — plain posexplode silently drops the parent row, the
+    classic lost-rows bug), inline over an array of structs (struct
+    fields become columns), and stack (the n-column -> k-row transpose
+    generator).  All three flatten into one tall (gen, pos, k, val)
+    frame so the hash pins each generator's row multiplicity AND null
+    semantics.
+
+    Scale shape: generators are narrow per-row fan-outs inside
+    whole-stage codegen — no shuffle at any size; the union of three
+    projections reads the 25-row dim thrice (a 100 TB fan-out would
+    fuse them into one pass per source scan)."""
+    n = T(spark, d, "nation").select("n_nationkey", "n_regionkey")
+    nk, rk = F.col("n_nationkey"), F.col("n_regionkey")
+    arr = F.when(nk % 7 == 0, F.lit(None).cast("array<bigint>")) \
+        .otherwise(F.array(rk.cast("bigint"), (nk % 5).cast("bigint")))
+    sn = F.lit(None).cast("string")
+    bn = F.lit(None).cast("bigint")
+    a1 = (n.select("n_nationkey", F.posexplode_outer(arr))
+          .select("n_nationkey", F.lit("posexplode").alias("gen"),
+                  F.col("pos").cast("bigint").alias("pos"),
+                  sn.alias("k"), F.col("col").cast("bigint").alias("val")))
+    structs = F.array(
+        F.struct(F.lit("reg").alias("k"), rk.cast("bigint").alias("v")),
+        F.struct(F.lit("mod").alias("k"), (nk % 3).cast("bigint").alias("v")))
+    a2 = (n.select("n_nationkey", F.inline(structs))
+          .select("n_nationkey", F.lit("inline").alias("gen"),
+                  bn.alias("pos"), F.col("k"), F.col("v").alias("val")))
+    a3 = (n.selectExpr(
+        "n_nationkey",
+        "stack(2, 'a', CAST(n_nationkey AS BIGINT), "
+        "'b', CAST(n_regionkey AS BIGINT)) AS (k, val)")
+        .select("n_nationkey", F.lit("stack").alias("gen"),
+                bn.alias("pos"), "k", "val"))
+    return a1.unionByName(a2).unionByName(a3)
