@@ -4949,6 +4949,8 @@ def llm_span_corruption(spark, d, span_len: int = 3):
                    AS difficulty,
                ({_MD5_32_DUCK}) AS h32
         FROM documents
+        WHERE text IS NOT NULL AND lang IS NOT NULL
+          AND n_chars IS NOT NULL
     ), ph AS (
         SELECT doc_id, lang, difficulty, h32,
                ntile(4) OVER (PARTITION BY lang
@@ -4980,7 +4982,12 @@ def llm_curriculum_order(spark, d):
     approx_percentile and the seq from a per-shard rank + offset merge
     (the agg_histogram_equidepth scale path), keeping every partition
     sort local."""
-    docs = T(spark, d, "documents")
+    # NULL text/lang/n_chars rows are untrainable AND would diverge the
+    # ntile cross-engine (Spark orders NULL difficulty FIRST, DuckDB
+    # LAST — the events_max_concurrency lesson): filter on both sides
+    docs = (T(spark, d, "documents")
+            .filter(F.col("text").isNotNull() & F.col("lang").isNotNull()
+                    & F.col("n_chars").isNotNull()))
     from pyspark.sql import Window
     diff = docs.select(
         "doc_id", "lang",
