@@ -5492,3 +5492,53 @@ def llm_decontaminate_semantic(spark, d):
                  .cast("bigint").alias("n_contaminated"),
                  (F.round(F.max("max_cosine"), 4) + F.lit(0.0))
                  .alias("worst_cosine")))
+
+
+@register(
+    "llm_weighted_sample",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id, source, n_chars,
+               (({_MD5_32_DUCK}) + 1.0) / 4294967296.0 AS u
+        FROM documents
+        WHERE text IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+    ), keyed AS (
+        SELECT doc_id, source, n_chars,
+               round(ln(u) / n_chars, 12) AS k
+        FROM u
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight
+    FROM (SELECT *, row_number() OVER (ORDER BY k DESC, doc_id) AS rn
+          FROM keyed)
+    WHERE rn <= 100
+    """,
+)
+def llm_weighted_sample(spark, d):
+    """Weighted sampling without replacement (r12; Efraimidis &
+    Spirakis 2006 A-Res — THE distributed weighted-sample algorithm):
+    each doc draws a uniform u and competes with key u^(1/w) (here the
+    monotone-equivalent ln(u)/w, weight = n_chars, so longer docs are
+    proportionally likelier); the global top-k BY KEY is exactly a
+    weighted sample without replacement.  RNG-free: u derives from the
+    content hash ((h32+1)/2^32 ∈ (0,1], the llm_train_test_split
+    discipline), so the sample is reproducible across engines and
+    re-ingests.  Keys round to 12 dp before ranking — doc key spacing
+    is ~1e-5 while libm ln() may differ in the last ulp cross-engine,
+    so the rounding kills rank flips without ever merging real
+    distinctions; doc_id breaks exact ties.
+
+    Scale shape: one narrow map (hash, ln, divide) + a global top-k —
+    which Spark executes as per-partition top-k then a k-row merge
+    (TakeOrderedAndProject), the A-Res paper's own distributed
+    reduction; nothing corpus-sized shuffles."""
+    docs = (T(spark, d, "documents")
+            .filter(F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+                    & (F.col("n_chars") > 0)))
+    u = ((F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("double")
+          + 1.0) / F.lit(4294967296.0))
+    keyed = docs.select(
+        "doc_id", "source", "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 12).alias("k"))
+    return (keyed.orderBy(F.col("k").desc(), "doc_id").limit(100)
+            .select("doc_id", "source",
+                    F.col("n_chars").cast("bigint").alias("weight")))

@@ -76,3 +76,17 @@ def test_stream_pattern_match_carries_state_across_batches(spark, tmp_path):
     r = out[0]
     assert r["user_id"] == 7 and r["secs_to_convert"] == 2
     assert str(r["match_start"]).startswith("2024-03-01 10:00:01")
+
+
+def test_weighted_sample_is_weight_biased(spark):
+    """A-Res must oversample heavy docs: the sampled mean weight has to
+    exceed the corpus mean (by a clear margin on 500 docs / k=100), and
+    the sample must be exactly k distinct docs."""
+    out = REGISTRY["llm_weighted_sample"].fn(
+        spark, "/root/testdata/sf0.01").collect()
+    assert len(out) == 100
+    assert len({r["doc_id"] for r in out}) == 100
+    sample_mean = sum(r["weight"] for r in out) / len(out)
+    corpus = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+              .agg(F.avg("n_chars")).collect()[0][0])
+    assert sample_mean > corpus * 1.1
