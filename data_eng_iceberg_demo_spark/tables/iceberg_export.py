@@ -673,3 +673,72 @@ def read_iceberg_table(spark, table_location: str,
         staged = staged.join(dels, cond, "left_anti")
 
     return staged.drop("__file", "__pos", "__seq")
+
+
+_SPEC_TO_SPARK = {
+    "boolean": "boolean", "int": "int", "long": "bigint",
+    "float": "float", "double": "double", "string": "string",
+    "date": "date", "timestamp": "timestamp", "timestamptz": "timestamp",
+    "binary": "binary",
+}
+
+
+def _spark_type_of(spec_type) -> str:
+    """Iceberg spec primitive -> Spark SQL type string.  Nested types
+    (struct/list/map) are out of adoption scope — fail loudly."""
+    if isinstance(spec_type, str):
+        if spec_type in _SPEC_TO_SPARK:
+            return _SPEC_TO_SPARK[spec_type]
+        if spec_type.startswith("decimal("):
+            return spec_type  # decimal(p, s) spells identically
+    raise ValueError(f"cannot adopt Iceberg type {spec_type!r}")
+
+
+def register_iceberg_table(spark, table_location: str, catalog, name: str):
+    """Iceberg ``snapshot``/``register_table`` analog (r12): adopt a
+    table that exists ONLY as spec metadata — vN.metadata.json +
+    manifest Avro + parquet files written by any engine — into an
+    icelite table, zero bytes copied.  The walk is read_iceberg_table's
+    (version hint -> metadata -> manifest list -> manifests), v1 and v2
+    both accepted; the adopted table then supports the FULL icelite
+    surface (DELETE, MERGE, time travel, compaction...) because
+    add_files registers the foreign parquet by absolute path with
+    footer stats, exactly like a hand-run ``CALL system.add_files``.
+
+    Refuses a current snapshot carrying delete files (content != 0):
+    adopting those would need delete-aware rewrite first — the same
+    restriction Iceberg's snapshot procedure effectively has, stated
+    loudly instead of silently resurrecting deleted rows."""
+    from pyspark.sql.types import StructType
+
+    mdir = os.path.join(table_location, "metadata")
+    md = json.load(open(_current_metadata_path(mdir)))
+    if "schemas" in md:
+        schema = next(s for s in md["schemas"]
+                      if s["schema-id"] == md["current-schema-id"])
+    else:
+        schema = md["schema"]
+    cur = md["current-snapshot-id"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == cur)
+    if "manifest-list" in snap:
+        manifests = _avro_rows(_local_path(snap["manifest-list"]))
+    else:
+        manifests = [{"manifest_path": p} for p in snap["manifests"]]
+    paths = []
+    for mf in manifests:
+        for e in _avro_rows(_local_path(mf["manifest_path"])):
+            if e["status"] == 2:
+                continue
+            dfile = e["data_file"]
+            if dfile.get("content", 0) != 0:
+                raise ValueError(
+                    "cannot adopt a snapshot with pending delete files "
+                    f"({dfile['file_path']}): compact the source table "
+                    "first (rewrite_data_files folds deletes away)")
+            paths.append(_local_path(dfile["file_path"]))
+    fields = ", ".join(
+        f"`{f['name']}` {_spark_type_of(f['type'])}"
+        for f in schema["fields"])
+    t = catalog.create_table(name, StructType.fromDDL(fields))
+    t.add_files(sorted(paths))
+    return t

@@ -796,15 +796,20 @@ class IceliteTable:
         return total
 
     def _rel_data_paths(self, uris: list[str]) -> list[str]:
-        """Normalize `_metadata.file_path` URIs to tdir-relative paths
-        (the form snapshot file lists use)."""
+        """Normalize `_metadata.file_path` URIs to the form snapshot
+        file lists use: tdir-relative for files under the table dir,
+        ABSOLUTE for files registered in place by add_files /
+        register_iceberg_table (relativizing those produced ../..
+        paths that matched no entry — which made DELETE on an imported
+        table a silent no-op, caught by the r12 adoption pytest)."""
         root = os.path.abspath(self.tdir)
         rels = []
         for u in uris:
             p = u[5:] if u.startswith("file:") else u
             while p.startswith("//"):
                 p = p[1:]
-            rels.append(os.path.relpath(p, root))
+            rel = os.path.relpath(p, root)
+            rels.append(p if rel.startswith("..") else rel)
         return rels
 
     # ------------------------------------------------------------ read path

@@ -1421,3 +1421,28 @@ def table_rewrite_small_files(spark, d):
     t = _fresh_table(spark, n_batches="binpack")
     t.rewrite_small_files(100)
     return _as_output(t.read())
+
+
+@register("table_register_foreign", oracle=_CSV_ORACLE_BASE)
+def table_register_foreign(spark, d):
+    """Iceberg ``snapshot`` / ``register_table`` analog (r12): a table
+    that exists ONLY as spec metadata (vN.metadata.json + manifest-list
+    / manifest Avro + parquet — here produced by export_iceberg_metadata,
+    but the walk is engine-agnostic and the v1/foreign shapes are
+    pinned in tests/test_iceberg_foreign.py) adopts into a brand-new
+    icelite catalog with ZERO bytes copied: data files register by
+    absolute path with footer stats, and the adopted table supports the
+    full icelite surface (the adoption pytest runs DELETE + time travel
+    on it; doing so exposed and fixed a silent-no-op DELETE bug on
+    imported paths).  The hash proves adoption preserves every value."""
+    import os
+
+    from .iceberg_export import export_iceberg_metadata, register_iceberg_table
+
+    src = _fresh_table(spark)
+    export_iceberg_metadata(src)
+    dst = scratch_dir("adopt_")
+    cat = IceliteCatalog(spark, dst)
+    cat.create_namespace("db")
+    t = register_iceberg_table(spark, src.tdir, cat, "db.adopted")
+    return _as_output(t.read())

@@ -334,3 +334,40 @@ def test_equality_delete_without_ids_is_rejected(spark, foreign_v2):
                _FOREIGN_ENTRY_SCHEMA_V2)
     with pytest.raises(ValueError, match="equality_ids"):
         read_iceberg_table(spark, foreign_v2)
+
+
+def test_register_foreign_v1_adopts_full_icelite_surface(spark, foreign_v1,
+                                                         tmp_path):
+    """register_iceberg_table (r12): a v1 spec-metadata table adopts
+    into icelite with zero bytes copied (absolute-path add_files), and
+    the adopted table supports the full surface — metadata-only count,
+    DELETE with time travel back to the adopted snapshot."""
+    from data_eng_iceberg_demo_spark.tables.iceberg_export import (
+        register_iceberg_table)
+    from data_eng_iceberg_demo_spark.tables.icelite import IceliteCatalog
+
+    cat = IceliteCatalog(spark, str(tmp_path / "adopted"))
+    cat.create_namespace("db")
+    t = register_iceberg_table(spark, foreign_v1, cat, "db.adopted")
+    got = sorted(map(tuple, t.read().select("id", "category", "val")
+                     .collect()))
+    assert got == [(1, "x", 0.5), (2, "y", 1.5), (3, "z", 2.5)]
+    assert t.metadata_count() == 3  # footer stats harvested on adopt
+    # the foreign parquet was NOT copied: entries reference it in place
+    snap = t._snapshot(t.meta, None)
+    assert all(p["path"].startswith("/") for p in snap["files"])
+    # full icelite surface post-adoption
+    t.delete_where("category = 'y'")
+    assert t.read().count() == 2
+    assert t.read(version=1).count() == 3  # time travel to adoption
+
+
+def test_register_refuses_pending_deletes(spark, foreign_v2, tmp_path):
+    from data_eng_iceberg_demo_spark.tables.iceberg_export import (
+        register_iceberg_table)
+    from data_eng_iceberg_demo_spark.tables.icelite import IceliteCatalog
+
+    cat = IceliteCatalog(spark, str(tmp_path / "adopted"))
+    cat.create_namespace("db")
+    with pytest.raises(ValueError, match="pending delete files"):
+        register_iceberg_table(spark, foreign_v2, cat, "db.adopted")
