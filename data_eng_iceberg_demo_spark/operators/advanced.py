@@ -1300,3 +1300,64 @@ def dq_l_diversity(spark, d):
                  F.countDistinct("user_id").alias("n_distinct_users"))
             .select("event_type", "day", "n_events", "n_distinct_users",
                     (F.col("n_distinct_users") >= 3).alias("diverse")))
+
+
+@register(
+    "dq_sequence_gaps",
+    oracle="""
+    WITH s AS (
+        SELECT event_id,
+               event_id - lag(event_id) OVER (ORDER BY event_id) AS step
+        FROM (SELECT DISTINCT event_id FROM events)
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_ids,
+               CAST(count(CASE WHEN step > 1 THEN 1 END) AS BIGINT)
+                   AS n_gaps,
+               CAST(coalesce(max(step) - 1, 0) AS BIGINT) AS max_gap,
+               CAST(coalesce(sum(step - 1), 0) AS BIGINT) AS missing_ids
+        FROM s
+    ), dup AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_dup_ids FROM (
+            SELECT event_id FROM events GROUP BY event_id
+            HAVING count(*) > 1)
+    )
+    SELECT n_ids, n_gaps, max_gap, missing_ids, n_dup_ids,
+           n_gaps = 0 AND n_dup_ids = 0 AS contiguous
+    FROM agg CROSS JOIN dup
+    """,
+)
+def dq_sequence_gaps(spark, d):
+    """Monotonic-sequence audit (r12): an id column that SHOULD be a
+    gap-free sequence (event_id from an ingest counter) is checked for
+    holes (dropped records upstream), the largest hole, the total
+    missing-id count, and duplicated ids (double-ingest) — the
+    first-line completeness check every CDC / ingest pipeline runs
+    before trusting row counts.
+
+    Scale shape: distinct ids, then ONE global lag over the sorted id
+    sequence.  The single-partition window is deliberate at fixture
+    scale; the 100 TB form is the events_max_concurrency chunked
+    two-pass (per-range lag + boundary stitch), same answer, and the
+    duplicate arm is an ordinary partial-agg shuffle either way."""
+    ev = T(spark, d, "events").select("event_id")
+    from pyspark.sql import Window
+    s = (ev.distinct()
+         .select("event_id",
+                 (F.col("event_id")
+                  - F.lag("event_id").over(Window.orderBy("event_id")))
+                 .alias("step")))
+    agg = s.agg(
+        F.count("*").alias("n_ids"),
+        F.count(F.when(F.col("step") > 1, 1)).cast("bigint")
+            .alias("n_gaps"),
+        F.coalesce(F.max("step") - 1, F.lit(0)).cast("bigint")
+            .alias("max_gap"),
+        F.coalesce(F.sum(F.col("step") - 1), F.lit(0)).cast("bigint")
+            .alias("missing_ids"))
+    dup = (ev.groupBy("event_id").count().filter(F.col("count") > 1)
+           .agg(F.count("*").cast("bigint").alias("n_dup_ids")))
+    return (agg.crossJoin(F.broadcast(dup))
+            .select("n_ids", "n_gaps", "max_gap", "missing_ids",
+                    "n_dup_ids",
+                    ((F.col("n_gaps") == 0) & (F.col("n_dup_ids") == 0))
+                    .alias("contiguous")))

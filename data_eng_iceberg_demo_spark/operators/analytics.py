@@ -948,3 +948,61 @@ def events_seasonality(spark, d):
                     (F.round("dow_avg", 4) + F.lit(0.0)).alias("dow_avg"),
                     (F.round(F.col("dow_avg") / F.col("overall"), 4)
                      + F.lit(0.0)).alias("seasonal_index")))
+
+
+@register(
+    "events_bot_regularity",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, date_trunc('second', ts) AS tss
+        FROM events WHERE ts IS NOT NULL
+    ), g AS (
+        SELECT user_id,
+               epoch(tss) - epoch(lag(tss) OVER w) AS gap
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)
+    ), s AS (
+        SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+               avg(gap) AS mean_gap, stddev_samp(gap) AS sd_gap
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY user_id HAVING count(gap) >= 5 AND avg(gap) > 0
+    )
+    SELECT user_id, n_gaps,
+           round(mean_gap, 4) + 0 AS mean_gap,
+           round(sd_gap / mean_gap, 4) + 0 AS gap_cv,
+           sd_gap / mean_gap < 0.3 AS bot_like
+    FROM s
+    """,
+)
+def events_bot_regularity(spark, d):
+    """Bot/automation detection by inter-event regularity (r12): human
+    traffic has bursty, high-variance gaps; schedulers and scrapers
+    tick — so a LOW coefficient of variation (stddev/mean of the
+    inter-event seconds, here < 0.3 over >= 5 gaps) is the classic
+    automation flag every counter-abuse and data-quality pipeline
+    computes before corpus ingestion trusts engagement signals.
+    (event_id tiebreak orders same-second events; zero-mean users are
+    excluded on both sides — a CV needs a positive mean.)
+
+    Scale shape: one shuffle on user_id shared by the lag window and
+    the per-user moments; output is O(users).  CV from single-pass
+    sufficient statistics — no second scan."""
+    e = (T(spark, d, "events").filter(F.col("ts").isNotNull())
+         .select("user_id", "event_id",
+                 F.date_trunc("second", "ts").alias("tss")))
+    w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+    g = e.select(
+        "user_id",
+        (F.unix_timestamp("tss")
+         - F.unix_timestamp(F.lag("tss").over(w))).alias("gap"))
+    s = (g.filter(F.col("gap").isNotNull())
+         .groupBy("user_id")
+         .agg(F.count("gap").alias("n_gaps"),
+              F.avg("gap").alias("mean_gap"),
+              F.stddev_samp("gap").alias("sd_gap"))
+         .filter((F.col("n_gaps") >= 5) & (F.col("mean_gap") > 0)))
+    return s.select(
+        "user_id", "n_gaps",
+        (F.round("mean_gap", 4) + F.lit(0.0)).alias("mean_gap"),
+        (F.round(F.col("sd_gap") / F.col("mean_gap"), 4) + F.lit(0.0))
+            .alias("gap_cv"),
+        (F.col("sd_gap") / F.col("mean_gap") < 0.3).alias("bot_like"))

@@ -801,3 +801,74 @@ def scan_fixed_width(spark, d):
             .alias("data_criacao_s"),
         fields["uf"].alias("uf"),
         fields["id_cliente"].cast("bigint").alias("id_cliente"))
+
+
+_MLJ_TPL: dict[str, str] = {}
+
+
+def _multiline_json_file(spark) -> str:
+    """Template-cached JSON-ARRAY render of the pedidos fixture: ONE
+    top-level array spanning many lines — the shape REST exports and
+    config dumps arrive in, which line-oriented JSONL readers cannot
+    split."""
+    import json as _json
+    import os
+
+    tpl = _MLJ_TPL.get("p")
+    if tpl is not None and os.path.isdir(tpl):
+        return tpl
+    out = scratch_dir("mljson_")
+    raw = (spark.read.option("header", "true").option("sep", ";")
+           .csv(f"{FIXTURE_DIR}/pedidos.csv.gz"))
+    rows = [r.asDict() for r in raw.collect()]  # 1000-row fixture stage
+    with open(os.path.join(out, "pedidos.json"), "w") as f:
+        f.write(_json.dumps(rows, indent=1, sort_keys=True))
+    _MLJ_TPL["p"] = out
+    return out
+
+
+@register(
+    "scan_json_multiline",
+    oracle=f"""
+    SELECT id_pedido, produto,
+           CAST(CAST(valor_unitario AS DECIMAL(10,2)) AS DOUBLE)
+               AS valor_unitario,
+           CAST(quantidade AS BIGINT) AS quantidade,
+           CAST(CAST(data_criacao AS TIMESTAMP) AS VARCHAR)
+               AS data_criacao_s,
+           uf, CAST(id_cliente AS BIGINT) AS id_cliente
+    FROM read_csv('{FIXTURE_DIR}/pedidos.csv.gz', delim=';', header=true,
+                  columns={{'id_pedido':'VARCHAR','produto':'VARCHAR',
+                           'valor_unitario':'VARCHAR','quantidade':'VARCHAR',
+                           'data_criacao':'VARCHAR','uf':'VARCHAR',
+                           'id_cliente':'VARCHAR'}})
+    """,
+)
+def scan_json_multiline(spark, d):
+    """multiLine JSON-array ingest (r12; completes the JSON source
+    family next to scan_json_lines): one top-level array pretty-printed
+    across thousands of lines — the REST-export shape — read with
+    spark.read.option("multiLine", true) and an EXPLICIT schema (no
+    inference pass), then cast per the reference's ingest discipline.
+    The CSV oracle pins that the JSON staging + multiLine parse + casts
+    lose nothing.
+
+    Scale shape: a multiLine JSON file is NOT splittable (the parser
+    must see the whole document) — one task per file, the documented
+    trade vs scan_json_lines' line-splittable form; at 100 TB you
+    shard into many array files and parallelism returns at file
+    granularity."""
+    src = _multiline_json_file(spark)
+    schema = ("id_pedido string, produto string, valor_unitario string, "
+              "quantidade string, data_criacao string, uf string, "
+              "id_cliente string")
+    raw = (spark.read.schema(schema).option("multiLine", "true")
+           .json(src))
+    return raw.select(
+        "id_pedido", "produto",
+        F.col("valor_unitario").cast("decimal(10,2)").cast("double")
+            .alias("valor_unitario"),
+        F.col("quantidade").cast("bigint").alias("quantidade"),
+        F.col("data_criacao").cast("timestamp").cast("string")
+            .alias("data_criacao_s"),
+        "uf", F.col("id_cliente").cast("bigint").alias("id_cliente"))

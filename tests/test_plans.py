@@ -431,6 +431,7 @@ _BNLJ_OK = {"events_funnel",        # cross of three 1-row stage counts
             "llm_bigram_kneser_ney",  # broadcast bigram-type-count scalar
             "llm_pmi_collocations",  # broadcast pair-total scalar (1 row)
             "llm_bm25_topk",        # broadcast n_docs/avgdl scalar (1 row)
+            "dq_sequence_gaps",     # cross of two 1-row scalar audits
             "llm_hybrid_retrieval_rrf",  # same 1-row bm25 stats broadcast
             "tpch_q22",             # broadcast avg-acctbal scalar
             "dq_freshness",         # broadcast 1-row global-max-ts scalar
