@@ -857,7 +857,8 @@ def events_exp_smoothing(spark, d):
     ), r AS (
         SELECT event_type, day, cusum,
                row_number() OVER (PARTITION BY event_type
-                                  ORDER BY abs(cusum) DESC, day) AS rn,
+                                  ORDER BY round(abs(cusum), 4) DESC,
+                                           day) AS rn,
                count(*) OVER (PARTITION BY event_type) AS n_days
         FROM c
     )
@@ -888,8 +889,12 @@ def events_changepoint_cusum(spark, d):
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     c = (daily.withColumn("mu", mu)
          .withColumn("cusum", F.sum(F.col("x") - F.col("mu")).over(run)))
+    # rank on the ROUNDED magnitude: the running float sums differ in
+    # last ulps across engines, and an unrounded argmax would flip the
+    # winning day on a near-symmetric shift (the round-before-rank
+    # discipline of llm_weighted_sample / the RRF semantic arm)
     w_rank = Window.partitionBy("event_type").orderBy(
-        F.abs("cusum").desc(), "day")
+        F.round(F.abs("cusum"), 4).desc(), "day")
     r = (c.withColumn("rn", F.row_number().over(w_rank))
          .withColumn("n_days", F.count("*").over(
              Window.partitionBy("event_type"))))
@@ -969,7 +974,7 @@ def events_seasonality(spark, d):
     SELECT user_id, n_gaps,
            round(mean_gap, 4) + 0 AS mean_gap,
            round(sd_gap / mean_gap, 4) + 0 AS gap_cv,
-           sd_gap / mean_gap < 0.3 AS bot_like
+           round(sd_gap / mean_gap, 4) < 0.3 AS bot_like
     FROM s
     """,
 )
@@ -1000,9 +1005,13 @@ def events_bot_regularity(spark, d):
               F.avg("gap").alias("mean_gap"),
               F.stddev_samp("gap").alias("sd_gap"))
          .filter((F.col("n_gaps") >= 5) & (F.col("mean_gap") > 0)))
+    # the flag compares the ROUNDED CV: stddev accumulation differs in
+    # last ulps across engines, and an unrounded 0.3 boundary would
+    # flip bot_like while the emitted gap_cv agrees
     return s.select(
         "user_id", "n_gaps",
         (F.round("mean_gap", 4) + F.lit(0.0)).alias("mean_gap"),
         (F.round(F.col("sd_gap") / F.col("mean_gap"), 4) + F.lit(0.0))
             .alias("gap_cv"),
-        (F.col("sd_gap") / F.col("mean_gap") < 0.3).alias("bot_like"))
+        (F.round(F.col("sd_gap") / F.col("mean_gap"), 4) < 0.3)
+            .alias("bot_like"))

@@ -4330,6 +4330,34 @@ SELECT qid, cid, cosine FROM (
 """
 
 
+def _pq_raw(spark, d):
+    """Shared PQ-family input (llm_similarity_pq / llm_similarity_ivfadc):
+    (vec_id, e = double vector, qv = unit-normalized 6-bit integer
+    quantization) over non-null, non-zero-norm embeddings — the ONE
+    definition both operators' oracles replay (_PQ_QV), so a scale or
+    filter change cannot silently diverge them."""
+    norm2 = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x)
+    return (T(spark, d, "embeddings").filter(F.col("embedding").isNotNull())
+            .withColumn("n2", norm2).filter(F.col("n2") > 0)
+            .select("vec_id",
+                    F.col("embedding").cast("array<double>").alias("e"),
+                    F.transform(
+                        "embedding",
+                        lambda x: F.floor(x.cast("double") * 64
+                                          / F.sqrt(F.col("n2")))
+                        .cast("bigint")).alias("qv")))
+
+
+def _pq_subspaces(df, idcol: str):
+    """(id, s, sv): one row per 8-dim subspace slice of qv."""
+    return df.select(
+        F.col("vec_id").alias(idcol),
+        F.posexplode(F.array(*[F.slice("qv", s * 8 + 1, 8)
+                               for s in range(8)])).alias("s", "sv"))
+
+
 @register("llm_similarity_pq", oracle=_PQ_ORACLE)
 def llm_similarity_pq(spark, d):
     """ANN scale path #4 — Product Quantization with refine (Jégou et
@@ -4362,26 +4390,10 @@ def llm_similarity_pq(spark, d):
     re-rank touches 100 rows per query, never the corpus.  At 100 TB
     codebooks come from sampled k-means (256 codes = 8 bits/subspace),
     codes live in a slim column, and an IVF coarse stage prunes before
-    ADC (IVFADC)."""
-    norm2 = F.aggregate(
-        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda a, x: a + x)
-    raw = (T(spark, d, "embeddings").filter(F.col("embedding").isNotNull())
-           .withColumn("n2", norm2).filter(F.col("n2") > 0)
-           .select("vec_id",
-                   F.col("embedding").cast("array<double>").alias("e"),
-                   F.transform(
-                       "embedding",
-                       lambda x: F.floor(x.cast("double") * 64
-                                         / F.sqrt(F.col("n2")))
-                       .cast("bigint")).alias("qv")))
-
-    def _subspaces(df, idcol):
-        # (id, s, sv): one row per 8-dim subspace slice
-        return df.select(
-            F.col("vec_id").alias(idcol),
-            F.posexplode(F.array(*[F.slice("qv", s * 8 + 1, 8)
-                                   for s in range(8)])).alias("s", "sv"))
+    ADC (llm_similarity_ivfadc — which shares _pq_raw/_pq_subspaces
+    with this operator)."""
+    raw = _pq_raw(spark, d)
+    _subspaces = _pq_subspaces
 
     # codebook as DATA, not literals (the literal-inlined form compiled
     # a 64-fold expression tree that cost ~5 s of planning alone):
@@ -5117,18 +5129,7 @@ def llm_similarity_ivfadc(spark, d):
     count grows to ~sqrt(n) so each posting list stays bounded, and the
     coarse centroids come from sampled k-means — the plan shape is
     unchanged."""
-    norm2 = F.aggregate(
-        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda a, x: a + x)
-    raw = (T(spark, d, "embeddings").filter(F.col("embedding").isNotNull())
-           .withColumn("n2", norm2).filter(F.col("n2") > 0)
-           .select("vec_id",
-                   F.col("embedding").cast("array<double>").alias("e"),
-                   F.transform(
-                       "embedding",
-                       lambda x: F.floor(x.cast("double") * 64
-                                         / F.sqrt(F.col("n2")))
-                       .cast("bigint")).alias("qv")))
+    raw = _pq_raw(spark, d)
 
     # coarse centroids: 16 bounded driver rows, shipped to a vectorized
     # numpy kernel (the semdedup gemm discipline).  The literal-HOF
@@ -5173,12 +5174,7 @@ def llm_similarity_ivfadc(spark, d):
             .filter(F.col("vec_id") != F.col("qid"))
             .select("qid", F.col("vec_id").alias("cid")))
 
-    def _subspaces(df, idcol):
-        return df.select(
-            F.col("vec_id").alias(idcol),
-            F.posexplode(F.array(*[F.slice("qv", s * 8 + 1, 8)
-                                   for s in range(8)])).alias("s", "sv"))
-
+    _subspaces = _pq_subspaces
     wj = Window.orderBy("vec_id")
     cb = _subspaces(
         raw.orderBy("vec_id").limit(8)
@@ -5426,9 +5422,7 @@ def llm_hybrid_retrieval_rrf(spark, d):
         SELECT vec_id,
                CAST(count(*) FILTER (WHERE cosine >= 0.35) AS BIGINT)
                    AS n_eval_hits,
-               max(cosine) AS max_cosine,
-               CAST(min(CASE WHEN cosine >= 0.35 THEN eval_id END)
-                    AS BIGINT) AS nearest_eval_id
+               max(cosine) AS max_cosine
         FROM hits GROUP BY vec_id
     )
     SELECT d.source,
@@ -5474,16 +5468,13 @@ def llm_decontaminate_semantic(spark, d):
     dot = F.aggregate(F.zip_with("v", "evv", lambda x, y: x * y),
                       F.lit(0.0), lambda a, x: a + x)
     hits = (tr.join(F.broadcast(ev))
-            .select("vec_id", "eval_id",
+            .select("vec_id",
                     F.round(dot / (F.col("n") * F.col("evn")), 4)
                     .alias("cosine")))
     flagged = (hits.groupBy("vec_id")
                .agg(F.count_if(F.col("cosine") >= 0.35).cast("bigint")
                     .alias("n_eval_hits"),
-                    F.max("cosine").alias("max_cosine"),
-                    F.min(F.when(F.col("cosine") >= 0.35,
-                                 F.col("eval_id"))).cast("bigint")
-                    .alias("nearest_eval_id")))
+                    F.max("cosine").alias("max_cosine")))
     docs = T(spark, d, "documents").select("doc_id", "source")
     return (flagged.join(docs, flagged["vec_id"] == docs["doc_id"])
             .groupBy("source")

@@ -678,10 +678,13 @@ def decode_qoi(buf: bytes):
     index = [(0, 0, 0, 0)] * 64
     pixels = []
     p, run, n = 14, 0, width * height
+    end = len(buf) - 8  # last chunk byte before the 7x00+01 end marker
     while len(pixels) < n:
         if run > 0:
             run -= 1
         else:
+            if p >= end:
+                raise ValueError("truncated QOI stream")
             b1 = buf[p]
             p += 1
             if b1 == 0xFE:  # QOI_OP_RGB

@@ -719,7 +719,13 @@ def register_iceberg_table(spark, table_location: str, catalog, name: str):
     else:
         schema = md["schema"]
     cur = md["current-snapshot-id"]
-    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == cur)
+    snap = next((s for s in md["snapshots"] if s["snapshot-id"] == cur),
+                None)
+    if snap is None:
+        raise ValueError(
+            f"cannot adopt {table_location}: no current snapshot "
+            f"(current-snapshot-id={cur}) — an empty table has nothing "
+            "to register")
     if "manifest-list" in snap:
         manifests = _avro_rows(_local_path(snap["manifest-list"]))
     else:
@@ -736,6 +742,10 @@ def register_iceberg_table(spark, table_location: str, catalog, name: str):
                     f"({dfile['file_path']}): compact the source table "
                     "first (rewrite_data_files folds deletes away)")
             paths.append(_local_path(dfile["file_path"]))
+    if len(set(paths)) != len(paths):
+        # same guard as read_iceberg_table: a path live in two manifests
+        # would double every row of that file, hash-silently
+        raise ValueError("duplicate data file path across live manifests")
     fields = ", ".join(
         f"`{f['name']}` {_spark_type_of(f['type'])}"
         for f in schema["fields"])

@@ -489,9 +489,10 @@ class IceliteTable:
         """Iceberg's ``CALL system.add_files`` / in-place migrate analog:
         register EXISTING parquet files into the table by METADATA ONLY —
         zero bytes move or rewrite, which is the only viable way to adopt
-        a 100 TB directory into a table format.  Files are recorded by
-        absolute path (they live outside the table dir and are never
-        touched by compaction-free maintenance here), tagged with the
+        a 100 TB directory into a table format.  Files outside the
+        table dir are recorded by absolute path; files already under it
+        record tdir-relative (the form every provenance match uses),
+        tagged with the
         current schema version, with footer stats harvested exactly like
         _write_files' own output — so metadata_count and stats-range
         pruning work on imported files too.  Each file must carry every
@@ -502,8 +503,14 @@ class IceliteTable:
         fields = self._schema_fields(meta, meta["current_schema"])
         name_to_id = {f["name"]: f["id"] for f in fields}
         new = []
+        root = os.path.abspath(self.tdir)
         for p in paths:
             full = os.path.abspath(p)
+            # store the tdir-relative form for files already under the
+            # table dir — entries must use the same form _rel_data_paths
+            # produces, or the delete/update provenance match silently
+            # misses them (the r12 imported-path no-op-DELETE class)
+            rel = os.path.relpath(full, root)
             try:
                 import pyarrow.parquet as pq
 
@@ -514,7 +521,7 @@ class IceliteTable:
                         f"add_files: {full} lacks table columns {missing}")
             except ImportError:
                 pass  # no pyarrow: defer to read-time resolution
-            new.append({"path": full,
+            new.append({"path": full if rel.startswith("..") else rel,
                         "schema_version": meta["current_schema"],
                         "partition": None, "spec_key": None,
                         **_footer_entry(full, name_to_id)})
@@ -1884,8 +1891,16 @@ class IceliteTable:
                 f"cherrypick: snapshot {snapshot_id} is a "
                 f"'{snap['operation']}' — only append snapshots can be "
                 f"cherry-picked onto a moved base")
+        if snap["parent"] is not None and snap["parent"] not in by_id:
+            # an expired parent would silently widen the change set to
+            # the picked snapshot's ENTIRE file list (diff vs []) and
+            # resurrect rows deleted from main — refuse instead
+            raise ValueError(
+                f"cherrypick: snapshot {snapshot_id}'s parent "
+                f"{snap['parent']} was expired; its change set can no "
+                "longer be computed")
         base_files = (by_id[snap["parent"]]["files"]
-                      if snap["parent"] in by_id else [])
+                      if snap["parent"] is not None else [])
         added, _removed = _diff_entries(base_files, snap["files"])
         cur_files, cur_dels = [], []
         if meta["current_snapshot"] is not None:

@@ -322,3 +322,7 @@ def test_qoi_decoder_rejects_garbage():
     buf[-1] = 0x02
     with _pytest.raises(ValueError):
         decode_qoi(bytes(buf))
+    # truncation raises the codec family's ValueError, never IndexError
+    full = encode_qoi([(i % 256, 7, 9) for i in range(50)], 50, 1)
+    with _pytest.raises(ValueError):
+        decode_qoi(full[:-12])

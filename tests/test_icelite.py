@@ -949,3 +949,44 @@ def test_rewrite_small_files_keeps_big_files_byte_identical(spark, tmp_path):
     assert _rowset(t.read(version=1)) == _rowset(
         df.filter(F.col("id_cliente") % 10 != 0))  # time travel intact
     assert t.rewrite_small_files(100) == 0     # idempotent no-op
+
+
+def test_cherrypick_expired_parent_refuses(spark, table):
+    """The picked snapshot's change set is a diff vs ITS parent; once
+    expire_snapshots drops that parent the diff would silently widen to
+    the snapshot's ENTIRE file list (resurrecting rows deleted from
+    main) — must raise instead."""
+    t = table
+    t.create_branch("audit")
+    t.write_to_branch("audit", _typed_pedidos(spark).filter("uf = 'RJ'")
+                      .withColumn("id_pedido",
+                                  F.concat(F.lit("P-"), F.col("id_pedido"))))
+    t.insert(_typed_pedidos(spark).limit(1)
+             .withColumn("id_pedido", F.lit("H-1")))
+    expired = t.expire_snapshots(retain_last=1)
+    assert 1 in expired  # the branch snapshot's parent is gone
+    with pytest.raises(ValueError, match="was expired"):
+        t.cherrypick_snapshot(t.refs()["audit"]["snapshot_id"])
+
+
+def test_add_files_inside_table_dir_stays_deletable(spark, table, tmp_path):
+    """add_files on a file already UNDER the table dir must record the
+    tdir-relative path (the form provenance matching uses) — the
+    review-caught asymmetry where an in-tdir absolute entry made
+    DELETE a silent no-op."""
+    t = table
+    extra_dir = os.path.join(t.tdir, "imported")
+    (_typed_pedidos(spark).filter("uf = 'MG'")
+     .withColumn("id_pedido", F.concat(F.lit("IMP-"), F.col("id_pedido")))
+     .coalesce(1).write.mode("overwrite").parquet(extra_dir))
+    pq_files = [os.path.join(extra_dir, n) for n in os.listdir(extra_dir)
+                if n.endswith(".parquet")]
+    t.add_files(pq_files)
+    snap = t._snapshot(t.meta, None)
+    imported = [f["path"] for f in snap["files"]
+                if f["path"].startswith("imported/")]
+    assert imported  # stored relative, not absolute
+    n_imp = t.read().filter("id_pedido LIKE 'IMP-%'").count()
+    assert n_imp > 0
+    t.delete_where("id_pedido LIKE 'IMP-%'")
+    assert t.read().filter("id_pedido LIKE 'IMP-%'").count() == 0
