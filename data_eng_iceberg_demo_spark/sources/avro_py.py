@@ -19,14 +19,20 @@ from the file header so pruning/codegen see an ordinary relation.
 
 Supported schema surface: a record of primitives (``long``, ``int``,
 ``double``, ``float``, ``string``, ``boolean``, ``bytes``), nested
-records, ``array`` of any supported type, and ``["null", T]`` unions —
+records, ``array`` of any supported type, ``["null", T]`` unions —
 the tabular subset a DataFrame round-trips, plus the shapes Iceberg
 manifests need (``equality_ids``/``split_offsets`` arrays, bound maps
-encoded as arrays of key/value records, ``bytes`` stat values).
+encoded as arrays of key/value records, ``bytes`` stat values) — and
+(r12) the three ubiquitous LOGICAL types per the Avro spec:
+``date`` (int days), ``timestamp-micros`` (long µs), and ``decimal``
+(bytes holding the two's-complement big-endian unscaled integer) —
+encoded/decoded as Python ``date``/``datetime``/``Decimal``.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import io
 import json
 import os
@@ -34,6 +40,53 @@ import struct
 import zlib
 
 _MAGIC = b"Obj\x01"
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_DT = _dt.datetime(1970, 1, 1)
+
+
+def _logical_converters(typ: dict):
+    """(to_physical, from_physical) for an annotated primitive, or None
+    when `typ` carries no (supported) logicalType.  Unknown logical
+    types on a supported physical type fall back to the bare physical
+    coding, exactly what the Avro spec prescribes for readers that
+    don't know an annotation."""
+    lt, pt = typ.get("logicalType"), typ.get("type")
+    if lt == "date" and pt == "int":
+        def to_p(v):
+            return ((v - _EPOCH_DATE).days
+                    if isinstance(v, _dt.date) else int(v))
+
+        def from_p(n):
+            return _EPOCH_DATE + _dt.timedelta(days=n)
+        return to_p, from_p
+    if lt == "timestamp-micros" and pt == "long":
+        def to_p(v):
+            if isinstance(v, _dt.datetime):
+                base = (_EPOCH_DT.replace(tzinfo=v.tzinfo)
+                        if v.tzinfo else _EPOCH_DT)
+                delta = v - base
+                return delta.days * 86_400_000_000 + delta.seconds * 1_000_000 \
+                    + delta.microseconds
+            return int(v)
+
+        def from_p(n):
+            return _EPOCH_DT + _dt.timedelta(microseconds=n)
+        return to_p, from_p
+    if lt == "decimal" and pt == "bytes":
+        scale = int(typ.get("scale", 0))
+
+        def to_p(v):
+            unscaled = int(_decimal.Decimal(v).scaleb(scale)
+                           .to_integral_value())
+            length = max(1, (unscaled.bit_length() + 8) // 8)
+            return unscaled.to_bytes(length, "big", signed=True)
+
+        def from_p(b):
+            return _decimal.Decimal(
+                int.from_bytes(b, "big", signed=True)).scaleb(-scale)
+        return to_p, from_p
+    return None
 
 
 # --------------------------------------------------------------- binary codec
@@ -62,6 +115,11 @@ def _zigzag_decode(buf: io.BytesIO) -> int:
 
 
 def _enc_value(v, typ):
+    if isinstance(typ, dict) and "logicalType" in typ:
+        conv = _logical_converters(typ)
+        if conv is not None:
+            return _enc_value(conv[0](v), typ["type"])
+        return _enc_value(v, typ["type"])  # unknown annotation: bare
     if isinstance(typ, list):  # ["null", T]
         if v is None:
             return _zigzag_encode(typ.index("null"))
@@ -106,6 +164,10 @@ def _enc_value(v, typ):
 
 
 def _dec_value(buf: io.BytesIO, typ):
+    if isinstance(typ, dict) and "logicalType" in typ:
+        conv = _logical_converters(typ)
+        raw = _dec_value(buf, typ["type"])
+        return conv[1](raw) if conv is not None else raw
     if isinstance(typ, list):
         branch = typ[_zigzag_decode(buf)]
         return None if branch == "null" else _dec_value(buf, branch)
@@ -182,6 +244,16 @@ def _zz_append(out: bytearray, n: int) -> None:
 
 def _compile_field_encoder(typ):
     """field value -> closure(out: bytearray, v)."""
+    if isinstance(typ, dict) and "logicalType" in typ:
+        conv = _logical_converters(typ)
+        inner = _compile_field_encoder(typ["type"])
+        if conv is None:
+            return inner
+        to_p = conv[0]
+
+        def enc(out, v):
+            inner(out, to_p(v))
+        return enc
     if isinstance(typ, list):  # ["null", T]
         null_ix = typ.index("null")
         t = next(x for x in typ if x != "null")
@@ -265,6 +337,17 @@ def _compile_field_encoder(typ):
 
 def _compile_field_decoder(typ):
     """field -> closure(payload: bytes, pos) -> (value, new_pos)."""
+    if isinstance(typ, dict) and "logicalType" in typ:
+        conv = _logical_converters(typ)
+        inner = _compile_field_decoder(typ["type"])
+        if conv is None:
+            return inner
+        from_p = conv[1]
+
+        def dec(pl, pos):
+            raw, pos = inner(pl, pos)
+            return from_p(raw), pos
+        return dec
     if isinstance(typ, list):
         branches = [None if t == "null" else _compile_field_decoder(t)
                     for t in typ]

@@ -640,3 +640,137 @@ def stream_avro_python(spark, d):
         finally:
             q.stop()
         return sess.table(qname)
+
+
+# ------------------------------------------- avro logical-types roundtrip
+_AVRO_LOGICAL_SCHEMA = {"type": "record", "name": "ord", "fields": [
+    {"name": "o_orderkey", "type": ["null", "long"]},
+    {"name": "o_orderdate",
+     "type": ["null", {"type": "int", "logicalType": "date"}]},
+    {"name": "o_ts",
+     "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}]},
+    {"name": "o_totalprice",
+     "type": ["null", {"type": "bytes", "logicalType": "decimal",
+                       "precision": 12, "scale": 2}]},
+]}
+
+
+class AvroLogicalSinkWriter(DataSourceWriter):
+    """AvroSinkWriter's protocol (one container per partition, two-phase
+    _SUCCESS commit) over the LOGICAL-typed schema — date /
+    timestamp-micros / decimal travel as their spec physical encodings
+    (int days, long µs, two's-complement unscaled bytes)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        from .avro_py import write_avro
+
+        os.makedirs(self.path, exist_ok=True)
+        fp = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
+        rows = [(r.o_orderkey, r.o_orderdate, r.o_ts, r.o_totalprice)
+                for r in iterator]
+        write_avro(fp, rows, _AVRO_LOGICAL_SCHEMA, codec="deflate",
+                   block_rows=1000)
+        return _AvroCommit(fp, len(rows))
+
+    def commit(self, messages):
+        import json
+
+        manifest = {m.path: m.rows for m in messages if m is not None}
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class AvroLogicalSink(DataSource):
+    @classmethod
+    def name(cls):
+        return "pyavro_logical_sink"
+
+    def writer(self, schema, overwrite):
+        return AvroLogicalSinkWriter(self.options)
+
+
+@register(
+    "sink_avro_logical_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate_s,
+           CAST(CAST(o_orderdate AS TIMESTAMP) AS VARCHAR) AS o_ts_s,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+               AS o_totalprice
+    FROM orders WHERE o_orderkey % 4 = 0
+    """,
+)
+def sink_avro_logical_roundtrip(spark, d):
+    """Avro LOGICAL-type roundtrip (r12; hardens the format-gap closure
+    beyond primitives): date / timestamp-micros / decimal(12,2) columns
+    of the orders table stream through the per-partition Python
+    container writer and read back via a file-parallel mapInPandas
+    decode — so the spec physical encodings (int epoch-days, long
+    epoch-µs, two's-complement big-endian unscaled decimal bytes) are
+    all under the hash against the raw parquet oracle.  A day-off
+    epoch base, a ms/µs confusion, or a sign-extension bug in the
+    decimal bytes each shifts values, not just types.
+
+    Scale shape: the write is one container per partition (bounded to
+    8); the read parallelizes per committed file — the same unit a
+    100 TB Avro lake hands any engine; blocks split further when files
+    are few (scan_avro_python's block-parallel path)."""
+    import json
+
+    from ..operators._util import T
+
+    with _pinned_session(spark, AvroLogicalSink) as sess:
+        out = scratch_dir("pyavro_logical_")
+        frame = T(sess, d, "orders").filter(
+            F.col("o_orderkey") % 4 == 0).select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+            F.col("o_totalprice").cast("decimal(12,2)")
+                .alias("o_totalprice"))
+        (frame.coalesce(8).write.format("pyavro_logical_sink")
+         .option("path", out).mode("append").save())
+        with open(os.path.join(out, "_SUCCESS")) as f:
+            committed = sorted(json.load(f))
+
+    def decode(batches):
+        import pandas as pd
+
+        from .avro_py import block_index, read_block, read_header
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                schema, codec, _sync, _pos = read_header(p)
+                rows = []
+                for off, _n, _nb in block_index(p):
+                    rows += read_block(p, off, schema, codec)
+                yield pd.DataFrame({
+                    "o_orderkey": pd.Series(
+                        [r[0] for r in rows], dtype="int64"),
+                    "o_orderdate": [r[1] for r in rows],
+                    "o_ts": [r[2] for r in rows],
+                    "o_totalprice": pd.Series(
+                        [float(r[3]) for r in rows], dtype="float64"),
+                })
+
+    paths = spark.createDataFrame([(p,) for p in committed], "path string") \
+        .repartition(len(committed))
+    back = paths.mapInPandas(
+        decode, "o_orderkey long, o_orderdate date, o_ts timestamp, "
+                "o_totalprice double")
+    return back.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("o_orderdate_s"),
+        F.col("o_ts").cast("string").alias("o_ts_s"),
+        "o_totalprice")

@@ -406,3 +406,53 @@ def test_array_bytes_map_roundtrip_and_negative_count_blocks(tmp_path):
     dec = _compile_field_decoder(arr_t)
     v, pos = dec(bytes(buf), 0)
     assert v == [5, 6] and pos == len(buf)
+
+
+@given(recs=st.lists(st.tuples(
+    st.dates(min_value=__import__("datetime").date(1900, 1, 1),
+             max_value=__import__("datetime").date(2100, 1, 1)),
+    st.datetimes(min_value=__import__("datetime").datetime(1900, 1, 1),
+                 max_value=__import__("datetime").datetime(2100, 1, 1)),
+    st.decimals(min_value=-10**9, max_value=10**9, places=2)),
+    min_size=1, max_size=40))
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_logical_types_roundtrip(tmp_path_factory, recs):
+    """r12 logical types: date (int days), timestamp-micros (long µs)
+    and decimal (two's-complement unscaled bytes) must roundtrip
+    value-exact — pre-epoch dates (negative days), negative decimals
+    (sign extension) and µs precision all inside the sweep."""
+    import os
+
+    from data_eng_iceberg_demo_spark.sources.avro_py import write_avro
+    from data_eng_iceberg_demo_spark.tables.iceberg_export import _avro_rows
+
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts",
+         "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "amt",
+         "type": ["null", {"type": "bytes", "logicalType": "decimal",
+                           "precision": 18, "scale": 2}]},
+    ]}
+    p = os.path.join(str(tmp_path_factory.mktemp("lgl")), "t.avro")
+    write_avro(p, recs, schema)
+    out = _avro_rows(p)
+    assert [(r["d"], r["ts"], r["amt"]) for r in out] == [
+        (d, ts, amt) for d, ts, amt in recs]
+
+
+def test_unknown_logical_annotation_falls_back_to_physical(tmp_path):
+    """Spec behavior: an unrecognized logicalType reads as the bare
+    physical type instead of failing."""
+    import os
+
+    from data_eng_iceberg_demo_spark.sources.avro_py import write_avro
+    from data_eng_iceberg_demo_spark.tables.iceberg_export import _avro_rows
+
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "x",
+         "type": {"type": "long", "logicalType": "time-weird"}}]}
+    p = os.path.join(str(tmp_path), "t.avro")
+    write_avro(p, [(42,)], schema)
+    assert _avro_rows(p)[0]["x"] == 42
