@@ -1015,3 +1015,66 @@ def events_bot_regularity(spark, d):
             .alias("gap_cv"),
         (F.round(F.col("sd_gap") / F.col("mean_gap"), 4) < 0.3)
             .alias("bot_like"))
+
+
+@register(
+    "events_forecast_linear",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               sum(value) AS x
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+    ), idx AS (
+        SELECT event_type, x,
+               date_diff('day', min(day) OVER (PARTITION BY event_type),
+                         day) AS t,
+               date_diff('day', min(day) OVER (PARTITION BY event_type),
+                         max(day) OVER (PARTITION BY event_type)) AS t_max
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(regr_slope(x, t), 4) + 0 AS slope,
+           round(regr_intercept(x, t), 4) + 0 AS intercept,
+           round(regr_intercept(x, t)
+                 + regr_slope(x, t) * (any_value(t_max) + 1), 4) + 0
+               AS forecast_next
+    FROM idx GROUP BY event_type
+    """,
+)
+def events_forecast_linear(spark, d):
+    """Linear trend + one-step forecast per event_type (r12): OLS of
+    the daily value series on its day index via the REGR_* aggregate
+    family — slope (trend per day), intercept, and the next-day
+    point forecast intercept + slope·(t_max+1) — the capacity-planning
+    baseline every dashboard fits before anything fancier.  The
+    regression runs on an EXPLICIT day index (days since the series'
+    first day), so gaps in the calendar weight correctly rather than
+    collapsing.
+
+    Scale shape: daily pre-aggregation first (corpus -> types x days),
+    then regr_slope/regr_intercept as single-pass moment aggregates on
+    the same event_type shuffle — the fit never materializes a matrix
+    or a second scan."""
+    daily = (T(spark, d, "events")
+             .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+             .groupBy("event_type",
+                      F.to_date(F.date_trunc("day", "ts")).alias("day"))
+             .agg(F.sum("value").alias("x")))
+    wt = Window.partitionBy("event_type")
+    idx = (daily
+           .withColumn("t", F.datediff("day", F.min("day").over(wt)))
+           .withColumn("t_max", F.datediff(F.max("day").over(wt),
+                                           F.min("day").over(wt))))
+    return (idx.groupBy("event_type")
+            .agg(F.count("*").alias("n_days"),
+                 (F.round(F.regr_slope("x", "t"), 4) + F.lit(0.0))
+                 .alias("slope"),
+                 (F.round(F.regr_intercept("x", "t"), 4) + F.lit(0.0))
+                 .alias("intercept"),
+                 (F.round(F.regr_intercept("x", "t")
+                          + F.regr_slope("x", "t")
+                          * (F.any_value("t_max") + 1), 4) + F.lit(0.0))
+                 .alias("forecast_next")))
