@@ -872,3 +872,81 @@ def scan_json_multiline(spark, d):
         F.col("data_criacao").cast("timestamp").cast("string")
             .alias("data_criacao_s"),
         "uf", F.col("id_cliente").cast("bigint").alias("id_cliente"))
+
+
+_QCSV_TPL: dict[str, str] = {}
+
+
+def _quoted_multiline_csv(spark) -> str:
+    """Template-cached CSV render of the pedidos fixture where every
+    produto of the SP rows carries an EMBEDDED NEWLINE inside a quoted
+    field ("nota\\nfiscal" style) — the corner that breaks naive
+    line-splitting readers."""
+    import csv
+    import gzip
+    import os
+
+    tpl = _QCSV_TPL.get("p")
+    if tpl is not None and os.path.isdir(tpl):
+        return tpl
+    out = scratch_dir("qcsv_")
+    with gzip.open(f"{FIXTURE_DIR}/pedidos.csv.gz", "rt") as f:
+        rows = list(csv.reader(f, delimiter=";"))
+    header, body = rows[0], rows[1:]
+    uf_ix, prod_ix = header.index("uf"), header.index("produto")
+    for r in body:
+        if r[uf_ix] == "SP":
+            r[prod_ix] = r[prod_ix] + "\nlinha2"
+    with open(os.path.join(out, "pedidos.csv"), "w", newline="") as f:
+        w = csv.writer(f, delimiter=";", quoting=csv.QUOTE_MINIMAL)
+        w.writerow(header)
+        w.writerows(body)
+    _QCSV_TPL["p"] = out
+    return out
+
+
+@register(
+    "scan_csv_quoted_multiline",
+    oracle=f"""
+    SELECT id_pedido,
+           CASE WHEN uf = 'SP' THEN produto || chr(10) || 'linha2'
+                ELSE produto END AS produto,
+           CAST(CAST(valor_unitario AS DECIMAL(10,2)) AS DOUBLE)
+               AS valor_unitario,
+           CAST(quantidade AS BIGINT) AS quantidade,
+           CAST(CAST(data_criacao AS TIMESTAMP) AS VARCHAR)
+               AS data_criacao_s,
+           uf, CAST(id_cliente AS BIGINT) AS id_cliente
+    FROM read_csv('{FIXTURE_DIR}/pedidos.csv.gz', delim=';', header=true,
+                  columns={{'id_pedido':'VARCHAR','produto':'VARCHAR',
+                           'valor_unitario':'VARCHAR','quantidade':'VARCHAR',
+                           'data_criacao':'VARCHAR','uf':'VARCHAR',
+                           'id_cliente':'VARCHAR'}})
+    """,
+)
+def scan_csv_quoted_multiline(spark, d):
+    """Quoted-multiline CSV ingest (r12; the parser corner
+    scan_csv_malformed's PERMISSIVE arm doesn't reach): every SP row's
+    produto carries an embedded newline inside a QUOTED field, so a
+    reader that splits records on raw line boundaries shears those rows
+    in two.  Spark's CSV source handles it only with multiLine=true;
+    the oracle rebuilds the expected value (produto || newline ||
+    'linha2') from the pristine fixture, so a sheared row, a swallowed
+    quote, or a lost newline all fail on values.
+
+    Scale shape: like scan_json_multiline, multiLine CSV gives up
+    record-boundary splitting (quotes can span any split point) — one
+    task per file, restored by sharding into many files at 100 TB; the
+    single-line default stays the splittable fast path when fields are
+    newline-free."""
+    src = _quoted_multiline_csv(spark)
+    raw = (spark.read.option("header", "true").option("sep", ";")
+           .option("multiLine", "true").csv(src))
+    return raw.select(
+        "id_pedido", "produto",
+        F.col("valor_unitario").cast("decimal(10,2)").cast("double")
+            .alias("valor_unitario"),
+        F.col("quantidade").cast("bigint").alias("quantidade"),
+        F.col("data_criacao").cast("timestamp").cast("string")
+            .alias("data_criacao_s"),
+        "uf", F.col("id_cliente").cast("bigint").alias("id_cliente"))
