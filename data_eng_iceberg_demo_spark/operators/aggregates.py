@@ -504,3 +504,56 @@ def agg_min_by_max_by(spark, d):
     return (keyed.groupBy("o_orderpriority")
             .agg(F.min_by("o_orderkey", "v").alias("cheapest_order"),
                  F.max_by("o_orderkey", "v").alias("priciest_order")))
+
+
+@register(
+    "agg_corr_matrix",
+    oracle="""
+    WITH c AS (
+        SELECT round(corr(l_quantity, l_extendedprice), 4) AS qty_price,
+               round(corr(l_quantity, l_discount), 4) AS qty_disc,
+               round(corr(l_quantity, l_tax), 4) AS qty_tax,
+               round(corr(l_extendedprice, l_discount), 4) AS price_disc,
+               round(corr(l_extendedprice, l_tax), 4) AS price_tax,
+               round(corr(l_discount, l_tax), 4) AS disc_tax
+        FROM lineitem
+    )
+    SELECT 'l_quantity' AS var_a, 'l_extendedprice' AS var_b,
+           qty_price + 0 AS pearson_r FROM c
+    UNION ALL SELECT 'l_quantity', 'l_discount', qty_disc + 0 FROM c
+    UNION ALL SELECT 'l_quantity', 'l_tax', qty_tax + 0 FROM c
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', price_disc + 0 FROM c
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', price_tax + 0 FROM c
+    UNION ALL SELECT 'l_discount', 'l_tax', disc_tax + 0 FROM c
+    """,
+)
+def agg_corr_matrix(spark, d):
+    """Pairwise Pearson correlation matrix over the lineitem measures
+    (r12): all six (quantity, extendedprice, discount, tax) pairs in ONE
+    aggregation pass — the feature-screening step every modeling
+    pipeline runs before fitting anything.  ``corr`` is a single-pass
+    moment aggregate (sum x, sum y, sum xy, sum x², sum y², n) with
+    map-side partials, so the six correlations cost one scan and a
+    six-column 1-row exchange, not six scans.  Rounded at 4dp: the
+    moments accumulate in float (order-dependent ulps), the quotient's
+    relative error ~1e-12 sits far inside the rounding guard.  The
+    upper triangle is then unpivoted via ``stack`` into the tidy
+    (var_a, var_b, r) form a heatmap consumes.
+
+    Oracle: same moments via DuckDB's corr + UNION ALL transpose."""
+    c = T(spark, d, "lineitem").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("qty_disc"),
+        F.round(F.corr("l_quantity", "l_tax"), 4).alias("qty_tax"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("price_disc"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 4).alias("price_tax"),
+        F.round(F.corr("l_discount", "l_tax"), 4).alias("disc_tax"))
+    return c.select(F.expr(
+        "stack(6,"
+        " 'l_quantity', 'l_extendedprice', qty_price + 0.0D,"
+        " 'l_quantity', 'l_discount', qty_disc + 0.0D,"
+        " 'l_quantity', 'l_tax', qty_tax + 0.0D,"
+        " 'l_extendedprice', 'l_discount', price_disc + 0.0D,"
+        " 'l_extendedprice', 'l_tax', price_tax + 0.0D,"
+        " 'l_discount', 'l_tax', disc_tax + 0.0D"
+        ") AS (var_a, var_b, pearson_r)"))

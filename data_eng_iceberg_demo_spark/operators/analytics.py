@@ -1078,3 +1078,223 @@ def events_forecast_linear(spark, d):
                           + F.regr_slope("x", "t")
                           * (F.any_value("t_max") + 1), 4) + F.lit(0.0))
                  .alias("forecast_next")))
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               max(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
+               count(*) AS freq,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS money
+        FROM events
+        WHERE ts IS NOT NULL
+        GROUP BY user_id
+    ), rec AS (
+        SELECT user_id, freq, money,
+               date_diff('day', last_day, max(last_day) OVER ()) AS rec_days
+        FROM per_user
+    ), q AS (
+        SELECT user_id, freq, money,
+               ntile(4) OVER (ORDER BY rec_days, user_id) AS r_q,
+               ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_q,
+               ntile(4) OVER (ORDER BY money DESC, user_id) AS m_q
+        FROM rec
+    )
+    SELECT r_q, f_q, m_q,
+           CASE WHEN r_q = 1 AND f_q <= 2 AND m_q <= 2 THEN 'champion'
+                WHEN r_q >= 3 AND (f_q >= 3 OR m_q >= 3) THEN 'at_risk'
+                ELSE 'mid' END AS segment,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CAST(money AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+               AS avg_monetary
+    FROM q GROUP BY r_q, f_q, m_q
+    """,
+)
+def events_rfm_segments(spark, d):
+    """RFM segmentation (r12): per-user Recency (days since the user's
+    last event, against the corpus' latest day), Frequency (event
+    count) and Monetary (exact decimal value sum), each cut into
+    quartiles by ``ntile(4)`` with a user_id tiebreak (ntile is
+    row-order dependent — the unique key pins it cross-engine), then
+    the classic champion / at-risk / mid marketing segments per RFM
+    cell.  Monetary sums ride DECIMAL so no float accumulation order
+    can leak into the quartile ordering; the cell average is ONE
+    division of exact values, emitted unrounded per the §5.3
+    only-round-what-accumulates rule.
+
+    Scale shape: the corpus collapses to one row per user in a single
+    partial-agg shuffle; the ntile windows run over the users-sized
+    relation (100 TB path: approx_percentile cutoffs broadcast back
+    instead of a global sort); the output is O(4^3) cells."""
+    per_user = (T(spark, d, "events")
+                .filter(F.col("ts").isNotNull())
+                .groupBy("user_id")
+                .agg(F.max(F.to_date(F.date_trunc("day", "ts")))
+                     .alias("last_day"),
+                     F.count("*").alias("freq"),
+                     F.sum(F.col("value").cast("decimal(18,6)"))
+                     .cast("double").alias("money")))
+    w_all = Window.partitionBy()
+    rec = F.datediff(F.max("last_day").over(w_all), F.col("last_day"))
+    q = (per_user
+         .withColumn("rec_days", rec)
+         .withColumn("r_q", F.ntile(4).over(
+             Window.orderBy("rec_days", "user_id")))
+         .withColumn("f_q", F.ntile(4).over(
+             Window.orderBy(F.col("freq").desc(), "user_id")))
+         .withColumn("m_q", F.ntile(4).over(
+             Window.orderBy(F.col("money").desc(), "user_id"))))
+    seg = (F.when((F.col("r_q") == 1) & (F.col("f_q") <= 2)
+                  & (F.col("m_q") <= 2), "champion")
+           .when((F.col("r_q") >= 3) & ((F.col("f_q") >= 3)
+                                        | (F.col("m_q") >= 3)), "at_risk")
+           .otherwise("mid"))
+    return (q.groupBy("r_q", "f_q", "m_q")
+            .agg(F.any_value(seg).alias("segment"),
+                 F.count("*").alias("n_users"),
+                 (F.sum(F.col("money").cast("decimal(18,6)")).cast("double")
+                  / F.count("*")).alias("avg_monetary")))
+
+
+@register(
+    "events_ab_test",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ), c AS (
+        SELECT count(*) FILTER (cohort = 'A') AS n_a,
+               count(*) FILTER (cohort = 'B') AS n_b,
+               sum(converted) FILTER (cohort = 'A') AS conv_a,
+               sum(converted) FILTER (cohort = 'B') AS conv_b
+        FROM per_user
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+           CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+           CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+           round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 0.0), 4) + 0 AS z_score,
+           abs(round((CAST(conv_a AS DOUBLE) / n_a
+                      - CAST(conv_b AS DOUBLE) / n_b)
+                 / nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 0.0), 4)) >= 1.96
+               AS significant
+    FROM c
+    """,
+)
+def events_ab_test(spark, d):
+    """Two-proportion z-test between experiment cohorts (r12): cohort =
+    ``user_id % 2`` (the deterministic assignment an experimentation
+    platform would hash), conversion = the user ever fired a
+    ``purchase`` event; pooled standard error, z-score and the
+    |z| >= 1.96 significance verdict — the first readout every A/B
+    dashboard computes.  Every input to the statistic is an integer
+    count, so rates are exact single divisions (unrounded per §5.3);
+    only the z-score, which passes through ``sqrt``, is rounded (4dp)
+    and the significance flag reads the ROUNDED z so both engines
+    decide from the same number.
+
+    Scale shape: corpus -> one row per user (partial-agg shuffle) ->
+    four global counters (map-side combine into a 1-row frame); the
+    statistic itself is driver-free scalar arithmetic in the plan."""
+    per_user = (T(spark, d, "events")
+                .groupBy("user_id")
+                .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                           .otherwise(0)).alias("converted"))
+                .withColumn("cohort",
+                            F.when(F.col("user_id") % 2 == 0, "A")
+                            .otherwise("B")))
+    c = per_user.agg(
+        F.count(F.when(F.col("cohort") == "A", 1)).alias("n_a"),
+        F.count(F.when(F.col("cohort") == "B", 1)).alias("n_b"),
+        F.sum(F.when(F.col("cohort") == "A", F.col("converted"))).alias("conv_a"),
+        F.sum(F.when(F.col("cohort") == "B", F.col("converted"))).alias("conv_b"))
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = ((F.col("conv_a") + F.col("conv_b")).cast("double")
+              / (F.col("n_a") + F.col("n_b")))
+    # nullif guard: a degenerate cohort pair (everyone or no one
+    # converted -> pooled variance 0) has no defined z; emit NULL
+    # rather than divide by zero (hit at sf0.001 where every user buys)
+    z = F.round((rate_a - rate_b)
+                / F.nullif(F.sqrt(pooled * (F.lit(1.0) - pooled)
+                                  * (F.lit(1.0) / F.col("n_a")
+                                     + F.lit(1.0) / F.col("n_b"))),
+                           F.lit(0.0)), 4)
+    return c.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        rate_a.alias("rate_a"), rate_b.alias("rate_b"),
+        (z + F.lit(0.0)).alias("z_score"),
+        (F.abs(z) >= 1.96).alias("significant"))
+
+
+@register(
+    "events_mann_whitney",
+    oracle="""
+    WITH v AS (
+        SELECT event_type AS grp, value
+        FROM events
+        WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+    ), ranked AS (
+        SELECT grp,
+               rank() OVER (ORDER BY value)
+                 + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS avg_rank
+        FROM v
+    ), s AS (
+        SELECT count(*) FILTER (grp = 'purchase') AS n1,
+               count(*) FILTER (grp = 'view') AS n2,
+               sum(avg_rank) FILTER (grp = 'purchase') AS r1
+        FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           r1 - n1 * (n1 + 1) / 2.0 AS u_stat,
+           round((r1 - n1 * (n1 + 1) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12.0), 4)
+               + 0 AS z_score
+    FROM s
+    """,
+)
+def events_mann_whitney(spark, d):
+    """Mann-Whitney U test (r12): are ``purchase`` event values
+    stochastically larger than ``view`` values?  The nonparametric
+    two-sample test — rank the pooled values (average ranks on ties:
+    ``rank() + (tied-1)/2``, both terms exact), U = R1 - n1(n1+1)/2,
+    normal approximation z (no tie-correction term: the fixture values
+    are continuous doubles, stated).  Ranks are integers-plus-halves —
+    exactly representable, so R1 and U are order-independent exact sums
+    (emitted unrounded); only z, which divides by a sqrt, is rounded.
+
+    Scale shape: the filter keeps two cohorts, then ONE global sort
+    assigns ranks (the 100 TB form replaces it with fixed-bin histogram
+    ranks: bin counts partial-aggregate, rank = cumulative offset);
+    everything after is a 1-row reduction."""
+    v = (T(spark, d, "events")
+         .filter(F.col("event_type").isin("purchase", "view")
+                 & F.col("value").isNotNull())
+         .select(F.col("event_type").alias("grp"), "value"))
+    ranked = v.select(
+        "grp",
+        (F.rank().over(Window.orderBy("value"))
+         + (F.count("*").over(Window.partitionBy("value")) - 1) / 2.0)
+        .alias("avg_rank"))
+    s = ranked.agg(
+        F.count(F.when(F.col("grp") == "purchase", 1)).alias("n1"),
+        F.count(F.when(F.col("grp") == "view", 1)).alias("n2"),
+        F.sum(F.when(F.col("grp") == "purchase", F.col("avg_rank")))
+        .alias("r1"))
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mu = F.col("n1").cast("double") * F.col("n2") / 2.0
+    sigma = F.sqrt(F.col("n1").cast("double") * F.col("n2")
+                   * (F.col("n1") + F.col("n2") + 1) / 12.0)
+    return s.select(
+        "n1", "n2", u.alias("u_stat"),
+        (F.round((u - mu) / sigma, 4) + F.lit(0.0)).alias("z_score"))
