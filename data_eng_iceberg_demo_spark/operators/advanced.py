@@ -1361,3 +1361,58 @@ def dq_sequence_gaps(spark, d):
                     "n_dup_ids",
                     ((F.col("n_gaps") == 0) & (F.col("n_dup_ids") == 0))
                     .alias("contiguous")))
+
+
+@register(
+    "dq_dp_histogram",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS true_n
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+    ), noised AS (
+        SELECT event_type, day, true_n,
+               (CAST(concat('0x', substring(md5(concat(event_type, '|',
+                    CAST(day AS VARCHAR))), 1, 8)) AS BIGINT) % 999999 + 1)
+                   / 1000000.0 AS u
+        FROM daily
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           round(true_n
+                 + (CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END)
+                   * ln(1.0 - 2.0 * abs(u - 0.5)), 4) + 0 AS released_n,
+           1.0 AS epsilon
+    FROM noised
+    """,
+)
+def dq_dp_histogram(spark, d):
+    """Differentially-private release of the (event_type, day) count
+    histogram (r12): Laplace(1/eps) noise at eps=1.0, sensitivity 1
+    (one user-event changes one cell by one).  The noise is generated
+    by INVERSE-CDF from a content-keyed uniform (md5 of the cell key
+    mapped into (0,1), the repo's RNG-free discipline) — so the release
+    is reproducible across engines and re-runs, which is exactly how a
+    production DP pipeline derives per-cell noise from a keyed PRF
+    rather than ambient randomness.  Laplace icdf: -b*sign(u-.5)*
+    ln(1-2|u-.5|).  True counts never leave the plan; only the noised
+    value is projected.  ln() is libm on both engines (<=1 ulp apart on
+    doubles) — the 4dp round guards it.
+
+    Scale shape: ONE partial-agg shuffle to the cells, then a narrow
+    per-cell map; noise cost is O(cells), independent of event volume."""
+    daily = (T(spark, d, "events")
+             .filter(F.col("ts").isNotNull())
+             .groupBy("event_type",
+                      F.to_date(F.date_trunc("day", "ts")).alias("day"))
+             .agg(F.count("*").alias("true_n")))
+    u = ((F.conv(F.substring(F.md5(F.concat(
+        F.col("event_type"), F.lit("|"), F.col("day").cast("string"))),
+        1, 8), 16, 10).cast("bigint") % 999999 + 1) / 1000000.0)
+    noise = (F.when(u >= 0.5, -1.0).otherwise(1.0)
+             * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5)))
+    return daily.select(
+        "event_type", F.col("day").cast("string").alias("day"),
+        (F.round(F.col("true_n") + noise, 4) + F.lit(0.0))
+        .alias("released_n"),
+        F.lit(1.0).alias("epsilon"))

@@ -1298,3 +1298,88 @@ def events_mann_whitney(spark, d):
     return s.select(
         "n1", "n2", u.alias("u_stat"),
         (F.round((u - mu) / sigma, 4) + F.lit(0.0)).alias("z_score"))
+
+
+def _markov_oracle() -> str:
+    """Unrolled 12-step power iteration (DuckDB forbids aggregates in a
+    recursive CTE's recursive term, so the fixed iteration count is
+    expanded into chained CTEs at import time — still one static SQL
+    string)."""
+    steps = "".join(
+        f""", v{i + 1} AS (
+        SELECT t.next_type AS event_type,
+               CAST(sum((v.v * t.n) // t.t) AS BIGINT) AS v
+        FROM v{i} v JOIN trans t ON t.prev_type = v.event_type
+        GROUP BY t.next_type
+    )""" for i in range(12))
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY date_trunc('second', ts),
+                                              event_id) AS prev_type
+        FROM events
+    ), cnt AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT prev_type, sum(n) AS t FROM cnt GROUP BY 1
+    ), trans AS (
+        SELECT c.prev_type, c.next_type, c.n, t.t
+        FROM cnt c JOIN tot t USING (prev_type)
+    ), v0 AS (
+        SELECT prev_type AS event_type,
+               CAST(1000000000 AS BIGINT) // (SELECT count(*) FROM tot) AS v
+        FROM tot
+    ){steps}
+    SELECT event_type, v / 1000000000.0 AS stationary FROM v12
+    """
+
+
+@register("events_markov_stationary", oracle=_markov_oracle())
+def events_markov_stationary(spark, d):
+    """Stationary distribution of the event-type Markov chain (r12):
+    where does a user's session settle in the long run?  Power
+    iteration (12 steps from uniform) over the first-order transition
+    matrix — the PageRank-shaped iterative algorithm, made bit-exact
+    cross-engine by FIXED-POINT arithmetic: the probability vector is
+    integers scaled 1e9 and each step's contribution is the exact
+    integer ``(v_i * n_ij) // tot_i``, floored PER TERM so the sum is
+    order-independent (float power iteration would accumulate
+    engine-specific ulps; the tiny mass the floor sheds per step is
+    identical on both sides by construction).  The final value is one
+    exact int-to-double division, emitted unrounded (§5.3).
+
+    Scale shape: the transition counts are ONE user_id-shuffled lag
+    window + a |types|^2 aggregate — that tiny matrix is then driver
+    math (bounded metadata, the k-means-centroid precedent: k event
+    types, not corpus rows).  At a 100 TB 10^9-node graph the same
+    iteration runs as k joins on a distributed edge frame (the
+    llm_dedup_clusters shape); for a types x types chain the driver
+    loop IS the right plan."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.date_trunc("second", "ts"), "event_id")
+    seq = (T(spark, d, "events")
+           .select("user_id", "event_type",
+                   F.lag("event_type").over(w).alias("prev_type"))
+           .filter(F.col("prev_type").isNotNull()))
+    cnt = (seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+           .agg(F.count("*").alias("n")))
+    wt = Window.partitionBy("prev_type")
+    trans = cnt.withColumn("t", F.sum("n").over(wt))
+    rows = trans.collect()  # bounded: |event_types|^2 rows of metadata
+    tot_by_prev = {}
+    for r in rows:
+        tot_by_prev[r["prev_type"]] = r["t"]
+    k = len(tot_by_prev)
+    v = {p: 1_000_000_000 // k for p in sorted(tot_by_prev)}
+    for _ in range(12):
+        nxt: dict[str, int] = {}
+        for r in rows:
+            vi = v.get(r["prev_type"], 0)
+            nxt[r["next_type"]] = (nxt.get(r["next_type"], 0)
+                                   + (vi * r["n"]) // r["t"])
+        v = nxt
+    out = [(t, val / 1e9) for t, val in sorted(v.items())]
+    return spark.createDataFrame(out, "event_type string, stationary double")

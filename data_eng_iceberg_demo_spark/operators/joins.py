@@ -575,3 +575,77 @@ def join_null_safe(spark, d):
             .agg(F.count("*").alias("n_matches"),
                  F.sum(F.when(F.col("ck").isNull(), 1).otherwise(0))
                  .cast("bigint").alias("n_null_matches")))
+
+
+@register(
+    "join_spatial_grid",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS k,
+               (CAST(concat('0x', substring(md5(concat(CAST(c_custkey AS
+                    VARCHAR), 'x')), 1, 8)) AS BIGINT) % 100000) / 1000.0
+                   AS x,
+               (CAST(concat('0x', substring(md5(concat(CAST(c_custkey AS
+                    VARCHAR), 'y')), 1, 8)) AS BIGINT) % 100000) / 1000.0
+                   AS y
+        FROM customer
+    ), cells AS (
+        SELECT k, x, y,
+               CAST(floor(x) AS BIGINT) AS cx, CAST(floor(y) AS BIGINT) AS cy
+        FROM pts
+    )
+    SELECT a.k AS key_a, b.k AS key_b,
+           round(sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)), 4) + 0 AS dist
+    FROM cells a, (SELECT unnest([-1, 0, 1]) AS dx) dxs,
+         (SELECT unnest([-1, 0, 1]) AS dy) dys, cells b
+    WHERE b.cx = a.cx + dxs.dx AND b.cy = a.cy + dys.dy
+      AND a.k < b.k
+      AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 1.0
+    """,
+)
+def join_spatial_grid(spark, d):
+    """Grid-bucketed spatial radius self-join (r12): all customer pairs
+    within Euclidean distance 1.0 on a synthetic 100x100 plane (coords
+    md5-derived from the key — deterministic, uniform, replayable on
+    any engine).  The scale pattern every geo engine uses: bucket
+    points into r-sized grid cells, replicate ONE side to its 3x3
+    neighbor cells, hash-join on cell id, then exact-distance filter —
+    candidate volume is n * (local density), never the n^2 cross
+    product, and the join is a plain shuffled equi-join on (cx, cy).
+    The a.k < b.k guard dedups: a replica lands in exactly one target
+    cell, so each pair is tested once.  Coordinates and squared
+    distances are identical IEEE expressions on both engines; the
+    (0, 1] rounding guard applies only to the reported sqrt.
+
+    100 TB: same plan — cell ids partition-prune, the 9x replication
+    is of the smaller/denser-filtered side, skewed megacells fall to
+    the salted-join recipe."""
+    pts = T(spark, d, "customer").select(
+        F.col("c_custkey").alias("k"),
+        ((F.conv(F.substring(F.md5(F.concat(F.col("c_custkey").cast("string"),
+                                            F.lit("x"))), 1, 8), 16, 10)
+          .cast("bigint") % 100000) / 1000.0).alias("x"),
+        ((F.conv(F.substring(F.md5(F.concat(F.col("c_custkey").cast("string"),
+                                            F.lit("y"))), 1, 8), 16, 10)
+          .cast("bigint") % 100000) / 1000.0).alias("y"))
+    cells = pts.select(
+        "k", "x", "y",
+        F.floor("x").cast("bigint").alias("cx"),
+        F.floor("y").cast("bigint").alias("cy"))
+    a = (cells
+         .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+         .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+         .select(F.col("k").alias("key_a"), F.col("x").alias("xa"),
+                 F.col("y").alias("ya"),
+                 (F.col("cx") + F.col("dx")).alias("jx"),
+                 (F.col("cy") + F.col("dy")).alias("jy")))
+    b = cells.select(F.col("k").alias("key_b"), F.col("x").alias("xb"),
+                     F.col("y").alias("yb"), F.col("cx").alias("jx"),
+                     F.col("cy").alias("jy"))
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    return (a.join(b, ["jx", "jy"])
+            .filter((F.col("key_a") < F.col("key_b")) & (d2 <= 1.0))
+            .select("key_a", "key_b",
+                    (F.round(F.sqrt(d2), 4) + F.lit(0.0)).alias("dist")))
