@@ -5533,3 +5533,232 @@ def llm_weighted_sample(spark, d):
     return (keyed.orderBy(F.col("k").desc(), "doc_id").limit(100)
             .select("doc_id", "source",
                     F.col("n_chars").cast("bigint").alias("weight")))
+
+
+@register(
+    "llm_code_detect",
+    oracle="""
+    WITH aug AS (
+        -- deterministic in-plan fixture staging: the prose-only corpus
+        -- gets a code tail injected on doc_id%3==0 so both arms of the
+        -- router are populated (replayed identically here and in Spark)
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' def f(x): return {x: 1};'
+                    ELSE text END AS t
+        FROM documents WHERE text IS NOT NULL
+    ), feat AS (
+        SELECT doc_id,
+               length(t) AS n,
+               length(t) - length(regexp_replace(t, '[{}();:=\\[\\]]', '',
+                                                 'g')) AS n_sym,
+               CASE WHEN regexp_matches(t, '\\b(def|return|var|function)\\b')
+                    THEN 1 ELSE 0 END AS kw_hit
+        FROM aug
+    )
+    SELECT doc_id, CAST(n_sym AS BIGINT) AS n_sym,
+           CAST(n_sym AS DOUBLE) / n AS sym_ratio,
+           CAST(kw_hit AS BIGINT) AS kw_hit,
+           CASE WHEN n_sym * 100 >= n OR kw_hit = 1
+                THEN 'code' ELSE 'prose' END AS route
+    FROM feat
+    """,
+)
+def llm_code_detect(spark, d):
+    """Code-vs-prose routing (r12): the corpus-curation gate that sends
+    code to a code pipeline (different dedup granularity, different
+    quality rules) and prose to the text one.  Heuristic features every
+    production router starts with: structural-symbol density
+    ({}();:=[] count / length, an exact integer ratio — unrounded per
+    §5.3) and a keyword hit (def/return/var/function at word
+    boundaries).  Route = code when symbols reach 1% (integer
+    cross-multiplication, no float threshold) or a keyword fires.
+    The fixture corpus is prose-only, so a code tail is injected
+    IN-PLAN on doc_id%3==0 — a deterministic augmentation both engines
+    replay, keeping both router arms populated (the non-degeneracy
+    discipline).
+
+    Scale shape: pure narrow map in whole-stage codegen — regexp count
+    + length per row, no shuffle, no UDF."""
+    docs = T(spark, d, "documents").filter(F.col("text").isNotNull())
+    t = F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" def f(x): return {x: 1};"))
+               ).otherwise(F.col("text"))
+    feat = docs.select(
+        "doc_id",
+        F.length(t).alias("n"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[{}();:=\[\]]", "")))
+        .alias("n_sym"),
+        F.when(t.rlike(r"\b(def|return|var|function)\b"), 1).otherwise(0)
+        .alias("kw_hit"))
+    return feat.select(
+        "doc_id", "n_sym",
+        (F.col("n_sym").cast("double") / F.col("n")).alias("sym_ratio"),
+        "kw_hit",
+        F.when((F.col("n_sym") * 100 >= F.col("n")) | (F.col("kw_hit") == 1),
+               "code").otherwise("prose").alias("route"))
+
+
+@register(
+    "llm_kmv_source_jaccard",
+    oracle="""
+    WITH tok AS (
+        SELECT source, string_split(text, ' ') AS w FROM documents
+        WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3
+    ), sh AS (
+        SELECT DISTINCT source,
+               CAST(concat('0x', substring(md5(w[i] || ' ' || w[i+1] || ' '
+                    || w[i+2]), 1, 15)) AS BIGINT) AS hv
+        FROM (SELECT source, w,
+                     unnest(generate_series(1, len(w) - 2)) AS i FROM tok)
+    ), sk AS (
+        SELECT source, hv
+        FROM (SELECT source, hv,
+                     row_number() OVER (PARTITION BY source ORDER BY hv)
+                         AS r FROM sh)
+        WHERE r <= 32
+    ), pairs AS (
+        SELECT a.source AS s1, b.source AS s2
+        FROM (SELECT DISTINCT source FROM sk) a
+        JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+    ), tagged AS (
+        SELECT p.s1, p.s2, s.hv, 1 AS in1, 0 AS in2
+        FROM pairs p JOIN sk s ON s.source = p.s1
+        UNION ALL
+        SELECT p.s1, p.s2, s.hv, 0, 1
+        FROM pairs p JOIN sk s ON s.source = p.s2
+    ), u AS (
+        SELECT s1, s2, hv, max(in1) AS in1, max(in2) AS in2
+        FROM tagged GROUP BY s1, s2, hv
+    ), unionk AS (
+        SELECT s1, s2, in1, in2
+        FROM (SELECT s1, s2, in1, in2,
+                     row_number() OVER (PARTITION BY s1, s2 ORDER BY hv)
+                         AS r FROM u)
+        WHERE r <= 32
+    )
+    SELECT s1, s2,
+           CAST(sum(in1 * in2) AS BIGINT) AS both_in_k,
+           CAST(count(*) AS BIGINT) AS k_union,
+           CAST(sum(in1 * in2) AS DOUBLE) / count(*) AS jaccard_est
+    FROM unionk GROUP BY s1, s2
+    """,
+)
+def llm_kmv_source_jaccard(spark, d):
+    """KMV-sketch Jaccard similarity between every source pair (r12):
+    the SKETCH scale path of llm_source_overlap_matrix — per source,
+    keep the k=32 smallest md5 hashes of its distinct word-3-gram
+    shingles (a K-Minimum-Values sketch; deterministic, mergeable,
+    O(k) per source); for a pair, merge-sort the two sketches to the
+    union's k smallest and estimate J = |both present in union-k| / k
+    (Beyer et al. 2007).  The estimate is an exact integer ratio —
+    unrounded per §5.3 — and identical cross-engine because the hash
+    IS the sample.
+
+    Scale shape: the corpus collapses to |sources| x k sketch rows in
+    one shuffle (the ONLY pass over data); pair expansion and the
+    union ranking run on sketches alone — at 100 TB with 10^5 sources
+    that is 3.2M rows, laptop-sized.  The pair tagging is TWO
+    broadcast equi-joins (never an IN-predicate nested loop)."""
+    tok = (T(spark, d, "documents")
+           .filter(F.col("text").isNotNull())
+           .select("source", F.split("text", " ").alias("w"))
+           .filter(F.size("w") >= 3))
+    pos = tok.select(
+        "source",
+        F.explode(F.expr(
+            "transform(sequence(1, size(w) - 2),"
+            " i -> concat(w[i-1], ' ', w[i], ' ', w[i+1]))")).alias("g"))
+    sh = pos.select(
+        "source",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
+        .alias("hv")).distinct()
+    wk = Window.partitionBy("source").orderBy("hv")
+    sk = (sh.withColumn("r", F.row_number().over(wk))
+          .filter(F.col("r") <= 32).drop("r"))
+    srcs = sk.select("source").distinct()
+    pairs = (srcs.select(F.col("source").alias("s1"))
+             .join(srcs.select(F.col("source").alias("s2")),
+                   F.col("s1") < F.col("s2")))
+    tagged = (F.broadcast(pairs)
+              .join(sk, F.col("source") == F.col("s1"))
+              .select("s1", "s2", "hv", F.lit(1).alias("in1"),
+                      F.lit(0).alias("in2"))
+              .unionAll(
+                  F.broadcast(pairs)
+                  .join(sk, F.col("source") == F.col("s2"))
+                  .select("s1", "s2", "hv", F.lit(0).alias("in1"),
+                          F.lit(1).alias("in2"))))
+    u = (tagged.groupBy("s1", "s2", "hv")
+         .agg(F.max("in1").alias("in1"), F.max("in2").alias("in2")))
+    wu = Window.partitionBy("s1", "s2").orderBy("hv")
+    unionk = (u.withColumn("r", F.row_number().over(wu))
+              .filter(F.col("r") <= 32))
+    return (unionk.groupBy("s1", "s2")
+            .agg(F.sum(F.col("in1") * F.col("in2")).alias("both_in_k"),
+                 F.count("*").alias("k_union"),
+                 (F.sum(F.col("in1") * F.col("in2")).cast("double")
+                  / F.count("*")).alias("jaccard_est")))
+
+
+@register(
+    "llm_fim_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n
+        FROM documents WHERE text IS NOT NULL
+    ), cuts AS (
+        SELECT doc_id, w, n,
+               1 + CAST(concat('0x', substring(md5(array_to_string(w, ' ')
+                    || 'a'), 1, 8)) AS BIGINT) % (n - 2) AS a
+        FROM tok WHERE n >= 4
+    ), cuts2 AS (
+        SELECT doc_id, w, n, a,
+               a + 1 + CAST(concat('0x', substring(md5(array_to_string(w,
+                    ' ') || 'b'), 1, 8)) AS BIGINT) % (n - a - 1) AS b
+        FROM cuts
+    )
+    SELECT doc_id,
+           '<PRE>' || array_to_string(w[1:a], ' ')
+               || '<SUF>' || array_to_string(w[b+1:n], ' ')
+               || '<MID>' || array_to_string(w[a+1:b], ' ') AS psm,
+           CAST(b - a AS BIGINT) AS n_middle
+    FROM cuts2
+    """,
+)
+def llm_fim_pairs(spark, d):
+    """Fill-in-the-middle training pairs (r12; Bavarian et al. 2022 —
+    the OpenAI FIM recipe): split each document at two CONTENT-KEYED
+    token positions (md5 of the text + salt, the llm_train_test_split
+    discipline — re-ingestion never moves a cut) into
+    prefix/middle/suffix and emit the PSM-ordered training string
+    ``<PRE>prefix<SUF>suffix<MID>middle`` — the transformation that
+    teaches a causal LM to infill.  Cut invariants 0 < a < b < n hold
+    by construction (a in [1, n-2], b in [a+1, n-1]); docs under 4
+    tokens are filtered.  Companion of llm_span_corruption (T5-style
+    denoising); this is the decoder-only variant.
+
+    Scale shape: pure narrow map — split, two hashes, three slices,
+    concat; whole-stage codegen, no shuffle, no UDF."""
+    tok = (T(spark, d, "documents")
+           .filter(F.col("text").isNotNull())
+           .select("doc_id", F.split("text", " ").alias("w"))
+           .withColumn("n", F.size("w"))
+           .filter(F.col("n") >= 4))
+    h = lambda salt: F.conv(F.substring(F.md5(
+        F.concat(F.concat_ws(" ", "w"), F.lit(salt))), 1, 8), 16, 10
+        ).cast("bigint")
+    cuts = tok.withColumn("a", 1 + h("a") % (F.col("n") - 2))
+    cuts2 = cuts.withColumn(
+        "b", F.col("a") + 1 + h("b") % (F.col("n") - F.col("a") - 1))
+    return cuts2.select(
+        "doc_id",
+        F.concat(F.lit("<PRE>"),
+                 F.concat_ws(" ", F.slice("w", 1, F.col("a"))),
+                 F.lit("<SUF>"),
+                 F.concat_ws(" ", F.expr("slice(w, b + 1, n - b)")),
+                 F.lit("<MID>"),
+                 F.concat_ws(" ", F.expr("slice(w, a + 1, b - a)")))
+        .alias("psm"),
+        (F.col("b") - F.col("a")).cast("bigint").alias("n_middle"))
