@@ -687,3 +687,128 @@ def stream_pattern_match(spark, d):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return iso.table(qname)
+
+
+@register(
+    "stream_left_outer_join",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      date_trunc('second', ts) AS tss
+               FROM events WHERE ts IS NOT NULL)
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+           CAST(date_diff('second', v.tss, c.tss) AS BIGINT) AS gap_s
+    FROM (SELECT * FROM e WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.tss >= v.tss
+     AND c.tss <= v.tss + INTERVAL 30 MINUTE
+    """,
+)
+def stream_left_outer_join(spark, d):
+    """Stream-stream LEFT OUTER interval join (r12): views joined to
+    the clicks that follow within 30 minutes per user — and views with
+    NO such click emit a NULL-click row once the watermark proves no
+    match can still arrive.  The semantics inner joins can't express:
+    "every impression, converted or not", the funnel-denominator shape.
+    State on both sides is bounded by watermark + interval exactly as
+    in stream_stream_join; the OUTER part adds the eviction-time null
+    emission, which only fires in a LATER micro-batch whose watermark
+    has passed the view's join horizon.
+
+    availableNow subtleties this query pins (all found empirically):
+    (1) the null flush needs a batch to RUN after the watermark
+    advances past the fixture's last view interval — the final batch's
+    own watermark update never gets a successor data batch; (2) a
+    heartbeat row that any filter above the source would drop NEVER
+    advances the watermark, because Catalyst pushes deterministic
+    predicates BELOW the EventTimeWatermark node — this includes
+    side filters AND any post-join output filter (a `user_id >= 0`
+    sentinel-exclusion filter propagated through the join constraint
+    into BOTH scans and silently deleted the heartbeats); (3) the
+    global watermark is the MIN over both sides' event-time stats, so
+    a heartbeat must advance the views AND the clicks branch.  Hence:
+    heartbeat file #1 carries one sentinel view and one sentinel click
+    at 2024-06-02 under huge never-matching user ids (they pass every
+    filter, join nothing); file #2 carries a single day-earlier click
+    whose only job is to trigger one more batch.  Batch(hb#1) raises
+    both watermarks past every fixture interval; batch(hb#2) runs
+    UNDER that watermark and flushes the remaining unmatched fixture
+    views.  The sentinel view itself never emits: its own join horizon
+    (2024-06-02 00:30) stays above the maximum watermark any batch of
+    this run can apply (2024-06-02 minus the 1 h delay) — so no output
+    filter is needed, and none may exist (see 2).  The memory-sink
+    result then equals the batch LEFT interval join (hash oracle) —
+    NULL-ts rows excluded on both sides (the watermark drops them
+    from a stream-stream join).
+
+    100 TB: identical plan; state O(rate x horizon) per side, null
+    emission amortized into normal watermark eviction."""
+    def build(raw, p):
+        import shutil
+
+        ts_t = dict(raw.dtypes)["ts"]
+        one = raw.limit(1)
+
+        def sentinel(eid, ts, uid, etype):
+            return one.select(
+                F.lit(eid).cast("long").alias("event_id"),
+                F.lit(ts).cast("timestamp").cast(ts_t).alias("ts"),
+                F.lit(uid).cast("long").alias("user_id"),
+                F.lit(etype).alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"))
+
+        batches = [
+            sentinel(990000, "2024-06-02 00:00:00", 999_999_901, "view")
+            .unionAll(
+                sentinel(990001, "2024-06-02 00:00:00", 999_999_902,
+                         "click")),
+            sentinel(990002, "2024-06-01 00:00:00", 999_999_902, "click"),
+        ]
+        base_m = os.stat(os.path.join(d, "events.parquet")).st_mtime
+        for i, hb in enumerate(batches):
+            hdir = os.path.join(p, f"_hb{i}")
+            hb.coalesce(1).write.mode("overwrite").parquet(hdir)
+            part = next(f for f in os.listdir(hdir) if f.endswith(".parquet"))
+            dst = os.path.join(p, f"zz_hb{i}.parquet")
+            os.replace(os.path.join(hdir, part), dst)
+            shutil.rmtree(hdir)
+            # pin heartbeat order strictly after the fixture file and
+            # after each other (file source batches by mtime; the
+            # fixture symlink resolves to the read-only testdata
+            # file's own older stamp)
+            os.utime(dst, (base_m + 10 * (i + 1), base_m + 10 * (i + 1)))
+
+    path = _events_plus(spark, d, "louter_join_", build)
+    iso = _state_session(spark, 8)
+    base = (_events_stream(iso, d, path=path, max_files=1)
+            .select("event_id", "user_id", "event_type",
+                    F.date_trunc("second", "ts").alias("tss"))
+            .withWatermark("tss", "1 hour"))
+    views = (base.filter("event_type = 'view'")
+             .select(F.col("event_id").alias("view_id"),
+                     F.col("user_id").alias("v_user"),
+                     F.col("tss").alias("v_tss")))
+    clicks = (base.filter("event_type = 'click'")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("tss").alias("c_tss")))
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_tss") >= F.col("v_tss"))
+        & (F.col("c_tss") <= F.col("v_tss") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter")
+    # NO sentinel filter here: any deterministic predicate would be
+    # pushed below the watermark node and delete the heartbeats at the
+    # scan (docstring point 2); the sentinels are instead constructed
+    # so they cannot reach the output within this run's watermarks.
+    out = joined.select(
+        "view_id", "click_id", F.col("v_user").alias("user_id"),
+        (F.unix_timestamp("c_tss") - F.unix_timestamp("v_tss"))
+        .cast("bigint").alias("gap_s"))
+    qname = f"louter_join_{next(_counter)}"
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return iso.table(qname)
