@@ -1982,6 +1982,44 @@ class IceliteTable:
                               delete_files=kept_dels)
         return len(small)
 
+    def rewrite_position_deletes(self) -> int:
+        """``CALL system.rewrite_position_deletes`` analog: consolidate
+        the current snapshot's pending position-delete files into ONE
+        file — the MoR read-side join input a trickle of small DELETEs
+        fragments (every MoR delete adds a file; the read side pays one
+        join input per file).  Rows pointing at data files no longer in
+        the snapshot are dropped (dangling positions from CoW rewrites),
+        duplicates collapse, data files are untouched, and a 'replace'
+        snapshot commits with the single merged entry — history and
+        time travel keep seeing the old delete files.  Returns the
+        number of input delete files merged (0 = no-op when fewer than
+        two are pending)."""
+        meta = self.meta
+        cur = self._snapshot(meta, None)
+        dels = cur.get("delete_files", [])
+        if len(dels) < 2:
+            return 0
+        live = {f["path"] for f in cur["files"]}
+        paths = [os.path.join(self.tdir, dd["path"]) for dd in dels]
+        rows = self.spark.read.parquet(*paths)
+        # liveness is decided per distinct TARGET FILE (bounded by the
+        # snapshot's file count — metadata-sized), never per delete row
+        abs_targets = [r["file_path"] for r in
+                       rows.select("file_path").distinct().collect()]
+        rel_of = dict(zip(abs_targets, self._rel_data_paths(abs_targets)))
+        live_abs = [a for a, rel in rel_of.items() if rel in live]
+        merged = (rows.filter(F.col("file_path").isin(live_abs))
+                  .select("file_path", "pos").distinct())
+        batch = uuid.uuid4().hex[:12]
+        out_rel = os.path.join("deletes", batch)
+        out = os.path.join(self.tdir, out_rel)
+        merged.coalesce(1).write.mode("overwrite").parquet(out)
+        targets = sorted({rel_of[a] for a in live_abs})
+        entry = self._delete_entry(out_rel, out, targets)
+        self._commit_snapshot(meta, "replace", list(cur["files"]),
+                              delete_files=[entry])
+        return len(dels)
+
     def rewrite_data_files(self, target_files: int = 1,
                            zorder_by: list[str] | None = None,
                            where_range: tuple | None = None) -> None:

@@ -1446,3 +1446,25 @@ def table_register_foreign(spark, d):
     cat.create_namespace("db")
     t = register_iceberg_table(spark, src.tdir, cat, "db.adopted")
     return _as_output(t.read())
+
+
+@register("table_rewrite_position_deletes",
+          oracle=f"""SELECT * FROM ({_CSV_ORACLE_BASE})
+                     WHERE uf <> 'SP' AND uf <> 'RJ'""")
+def table_rewrite_position_deletes(spark, d):
+    """Iceberg ``CALL system.rewrite_position_deletes`` analog (r12):
+    two successive MoR DELETEs (SP, then RJ) leave two pending
+    position-delete files — every MoR trickle-delete adds one, and the
+    read side pays a join input per file; the procedure consolidates
+    them into ONE deduplicated delete file in a metadata-plus-O(deleted
+    rows) commit that never touches data files.  The contract under the
+    hash: the compacted read equals the CSV minus both delete sets —
+    consolidation changes nothing about visible rows.  File-count
+    collapse, data-file identity, dangling-position pruning and
+    idempotence are pytest-pinned (tests/test_r12_properties.py)."""
+    t = _fresh_table(spark)
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    t.delete_where("uf = 'RJ'", mode="merge-on-read")
+    merged = t.rewrite_position_deletes()
+    assert merged == 2, f"expected 2 delete files merged, got {merged}"
+    return _as_output(t.read())

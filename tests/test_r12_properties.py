@@ -90,3 +90,63 @@ def test_weighted_sample_is_weight_biased(spark):
     corpus = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
               .agg(F.avg("n_chars")).collect()[0][0])
     assert sample_mean > corpus * 1.1
+
+
+def test_rewrite_position_deletes_invariants(spark):
+    """The consolidation contract the hash can't see: two MoR deletes
+    leave two pending delete files; the procedure collapses them to
+    ONE, leaves every data file byte-identical (same paths), drops
+    dangling positions (a CoW rewrite between the deletes orphans the
+    rewritten file's positions), keeps the visible rows identical, and
+    a second run is a no-op."""
+    from data_eng_iceberg_demo_spark.tables.queries import (_fresh_table,
+                                                            _as_output)
+
+    t = _fresh_table(spark)
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    t.delete_where("uf = 'RJ'", mode="merge-on-read")
+    before = t._snapshot(t.meta, None)
+    assert len(before.get("delete_files", [])) == 2
+    data_before = sorted(f["path"] for f in before["files"])
+    rows_before = {r["id_pedido"] for r in
+                   _as_output(t.read()).select("id_pedido").collect()}
+
+    assert t.rewrite_position_deletes() == 2
+    after = t._snapshot(t.meta, None)
+    assert len(after["delete_files"]) == 1
+    assert sorted(f["path"] for f in after["files"]) == data_before
+    rows_after = {r["id_pedido"] for r in
+                  _as_output(t.read()).select("id_pedido").collect()}
+    assert rows_after == rows_before
+    # merged entry carries an exact record count (no double counting
+    # of rows both deletes could have targeted)
+    n_merged = after["delete_files"][0].get("record_count")
+    assert n_merged is not None and n_merged > 0
+    # metadata-only COUNT(*) stays truthful after consolidation
+    assert t.metadata_count() == len(rows_after)
+    # second run: fewer than two pending files -> no-op
+    assert t.rewrite_position_deletes() == 0
+
+
+def test_rewrite_position_deletes_drops_dangling_positions(spark):
+    """A CoW rewrite between MoR deletes applies + removes the first
+    delete's targets; consolidation afterwards must not resurrect or
+    carry positions for files that left the snapshot."""
+    from data_eng_iceberg_demo_spark.tables.queries import (_fresh_table,
+                                                            _as_output)
+
+    t = _fresh_table(spark)
+    t.delete_where("uf = 'SP'", mode="merge-on-read")
+    # CoW compaction folds the pending delete away and rewrites files
+    t.rewrite_data_files(target_files=2)
+    t.delete_where("uf = 'RJ'", mode="merge-on-read")
+    t.delete_where("uf = 'MG'", mode="merge-on-read")
+    expect = {r["id_pedido"] for r in
+              _as_output(t.read()).select("id_pedido").collect()}
+    assert t.rewrite_position_deletes() == 2
+    got = {r["id_pedido"] for r in
+           _as_output(t.read()).select("id_pedido").collect()}
+    assert got == expect
+    snap = t._snapshot(t.meta, None)
+    live = {f["path"] for f in snap["files"]}
+    assert set(snap["delete_files"][0]["targets"]) <= live
