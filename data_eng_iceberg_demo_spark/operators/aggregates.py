@@ -557,3 +557,59 @@ def agg_corr_matrix(spark, d):
         " 'l_extendedprice', 'l_tax', price_tax + 0.0D,"
         " 'l_discount', 'l_tax', disc_tax + 0.0D"
         ") AS (var_a, var_b, pearson_r)"))
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               l_extendedprice AS price,
+               CAST(l_quantity AS BIGINT) AS wt
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ), c AS (
+        SELECT l_returnflag, price, wt,
+               sum(wt) OVER (PARTITION BY l_returnflag
+                             ORDER BY price, wt
+                             ROWS UNBOUNDED PRECEDING) AS cum_wt,
+               sum(wt) OVER (PARTITION BY l_returnflag) AS tot_wt
+        FROM w
+    )
+    SELECT l_returnflag,
+           CAST(any_value(tot_wt) AS BIGINT) AS total_weight,
+           min(price) AS weighted_median
+    FROM c WHERE 2 * cum_wt >= tot_wt
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark, d):
+    """Weighted median (r12): the smallest l_extendedprice whose
+    cumulative l_quantity weight reaches half the group's total, per
+    returnflag — the inventory-weighted 'typical price' a plain median
+    mis-states when cheap items dominate row counts but not volume.
+    Weights ride as exact BIGINTs (the fixture quantities are whole),
+    so the running totals and the 2*cum >= tot threshold are pure
+    integer arithmetic — zero float ties cross-engine; the (price, wt)
+    window ordering is total because equal prices with equal weights
+    are interchangeable at the threshold.
+
+    Scale shape: one returnflag shuffle shared by the running-sum and
+    total windows, then the threshold filter collapses each group to
+    its first qualifying row via min().  100 TB path: approx weighted
+    quantile via fixed price bins (two partial-agg passes), same rule."""
+    w = (T(spark, d, "lineitem")
+         .filter(F.col("l_quantity").isNotNull()
+                 & F.col("l_extendedprice").isNotNull())
+         .select("l_returnflag", F.col("l_extendedprice").alias("price"),
+                 F.col("l_quantity").cast("bigint").alias("wt")))
+    from pyspark.sql import Window
+    wp = Window.partitionBy("l_returnflag")
+    c = (w.withColumn("cum_wt", F.sum("wt").over(
+            wp.orderBy("price", "wt").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow)))
+         .withColumn("tot_wt", F.sum("wt").over(wp)))
+    return (c.filter(2 * F.col("cum_wt") >= F.col("tot_wt"))
+            .groupBy("l_returnflag")
+            .agg(F.any_value("tot_wt").cast("bigint").alias("total_weight"),
+                 F.min("price").alias("weighted_median")))

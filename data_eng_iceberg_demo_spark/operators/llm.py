@@ -5762,3 +5762,73 @@ def llm_fim_pairs(spark, d):
                  F.concat_ws(" ", F.expr("slice(w, a + 1, b - a)")))
         .alias("psm"),
         (F.col("b") - F.col("a")).cast("bigint").alias("n_middle"))
+
+
+@register(
+    "llm_char_entropy",
+    oracle="""
+    WITH aug AS (
+        -- in-plan non-degeneracy staging (the llm_code_detect
+        -- discipline): every 11th doc becomes a single-character run,
+        -- the zero-entropy gibberish arm the filter exists to catch
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN repeat('z', 40)
+                    ELSE text END AS t
+        FROM documents WHERE text IS NOT NULL
+    ), ch AS (
+        SELECT doc_id, unnest(string_split_regex(t, '')) AS c FROM aug
+    ), freq AS (
+        SELECT doc_id, c, count(*) AS k FROM ch WHERE c <> ''
+        GROUP BY doc_id, c
+    ), probs AS (
+        SELECT doc_id, k,
+               k * 1.0 / sum(k) OVER (PARTITION BY doc_id) AS p
+        FROM freq
+    ), ent AS (
+        SELECT doc_id,
+               round(-sum(p * ln(p)), 4) + 0 AS entropy_nats,
+               CAST(sum(k) AS BIGINT) AS n_chars_counted
+        FROM probs GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars_counted, entropy_nats,
+           entropy_nats < 1.5 AS low_entropy
+    FROM ent
+    """,
+)
+def llm_char_entropy(spark, d):
+    """Character-entropy quality filter (r12): Shannon entropy (nats)
+    of each document's character distribution — the cheap screen that
+    catches single-character runs, base64 spills and
+    keyboard-mash/gibberish that word-level heuristics miss (Gopher's
+    repetition rules are its cousins).  Docs under 1.5 nats flag
+    ``low_entropy``; every 11th doc is rewritten IN-PLAN to a
+    zero-entropy run so both arms stay populated (the llm_code_detect
+    non-degeneracy discipline).  The entropy sum accumulates ≤
+    |alphabet| float terms — rounded 4dp per §5.3; the flag reads the
+    ROUNDED value so both engines decide from the same number.
+
+    Scale shape: explode to (doc, char) collapses IN-STAGE via
+    partial hash aggregation to at most docs x alphabet rows before
+    the only shuffle — exchange volume is alphabet-bounded per doc,
+    never corpus characters; the window + entropy fold then run inside
+    each doc's partition.  (A mapInPandas per-doc counter is the
+    zero-shuffle alternative; the explode form stays whole-stage
+    codegen and oracle-replayable.)"""
+    aug = (T(spark, d, "documents")
+           .filter(F.col("text").isNotNull())
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 11 == 0, F.repeat(F.lit("z"), 40))
+                   .otherwise(F.col("text")).alias("t")))
+    ch = aug.select("doc_id",
+                    F.explode(F.split("t", "")).alias("c")).filter("c <> ''")
+    freq = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
+    wd = Window.partitionBy("doc_id")
+    p = F.col("k") * 1.0 / F.sum("k").over(wd)
+    ent = (freq
+           .withColumn("term", p * F.log(p))
+           .groupBy("doc_id")
+           .agg((F.round(-F.sum("term"), 4) + F.lit(0.0))
+                .alias("entropy_nats"),
+                F.sum("k").cast("bigint").alias("n_chars_counted")))
+    return ent.select("doc_id", "n_chars_counted", "entropy_nats",
+                      (F.col("entropy_nats") < 1.5).alias("low_entropy"))
