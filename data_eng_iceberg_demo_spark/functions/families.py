@@ -13,6 +13,7 @@ per the ns-vs-µs rule (SURVEY.md §5.3).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from ..operators._util import T
 from ..plans.registry import register
@@ -683,3 +684,70 @@ def fn_generators(spark, d):
         .select("n_nationkey", F.lit("stack").alias("gen"),
                 bn.alias("pos"), "k", "val"))
     return a1.unionByName(a2).unionByName(a3)
+
+
+@register(
+    "fn_geo_haversine",
+    oracle="""
+    WITH pts AS (
+        SELECT n_name,
+               (CAST(concat('0x', substring(md5(n_name || 'lat'), 1, 8))
+                     AS BIGINT) % 140000) / 1000.0 - 70.0 AS lat,
+               (CAST(concat('0x', substring(md5(n_name || 'lon'), 1, 8))
+                     AS BIGINT) % 360000) / 1000.0 - 180.0 AS lon
+        FROM nation
+    ), pairs AS (
+        SELECT a.n_name AS name_a, b.n_name AS name_b,
+               round(2 * 6371.0 * asin(sqrt(
+                   pow(sin(radians(b.lat - a.lat) / 2), 2)
+                   + cos(radians(a.lat)) * cos(radians(b.lat))
+                     * pow(sin(radians(b.lon - a.lon) / 2), 2))), 1)
+                   AS dist_km
+        FROM pts a JOIN pts b ON a.n_name < b.n_name
+    ), ranked AS (
+        SELECT name_a, name_b, dist_km,
+               row_number() OVER (ORDER BY dist_km, name_a, name_b) AS r
+        FROM pairs
+    )
+    SELECT name_a, name_b, dist_km + 0 AS dist_km FROM ranked
+    WHERE r <= 20
+    """,
+)
+def fn_geo_haversine(spark, d):
+    """Geo function family (r12): great-circle (haversine) distance —
+    the building block of every geo join/dedup — over md5-derived
+    nation centroids (deterministic lat in [-70,70), lon in [-180,180),
+    replayable on any engine), reporting the 20 closest country pairs.
+    The formula composes radians/sin/cos/asin/sqrt/pow — all IEEE libm
+    on both engines; distances are ~10^3 km so the 0.1 km rounding
+    guard dwarfs any last-ulp drift.  The pair ranking carries a
+    (dist, name, name) tiebreak so the top-20 cut is total.
+
+    Scale shape: the dimension is tiny so the pair join broadcasts;
+    point-corpus geo joins at 100 TB take the join_spatial_grid
+    cell-bucketed plan with this same distance as the exact verify."""
+    pts = T(spark, d, "nation").select(
+        "n_name",
+        ((F.conv(F.substring(F.md5(F.concat(F.col("n_name"), F.lit("lat"))),
+                             1, 8), 16, 10).cast("bigint") % 140000)
+         / 1000.0 - 70.0).alias("lat"),
+        ((F.conv(F.substring(F.md5(F.concat(F.col("n_name"), F.lit("lon"))),
+                             1, 8), 16, 10).cast("bigint") % 360000)
+         / 1000.0 - 180.0).alias("lon"))
+    a = pts.select(F.col("n_name").alias("name_a"),
+                   F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a"))
+    b = pts.select(F.col("n_name").alias("name_b"),
+                   F.col("lat").alias("lat_b"), F.col("lon").alias("lon_b"))
+    hav = (F.pow(F.sin(F.radians(F.col("lat_b") - F.col("lat_a")) / 2), 2)
+           + F.cos(F.radians("lat_a")) * F.cos(F.radians("lat_b"))
+           * F.pow(F.sin(F.radians(F.col("lon_b") - F.col("lon_a")) / 2), 2))
+    pairs = (a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+             .select("name_a", "name_b",
+                     F.round(2 * 6371.0 * F.asin(F.sqrt(hav)), 1)
+                     .alias("dist_km")))
+    ranked = pairs.withColumn(
+        "r", F.row_number().over(
+            Window.orderBy("dist_km", "name_a", "name_b")))
+    return (ranked.filter(F.col("r") <= 20)
+            .select("name_a", "name_b",
+                    (F.col("dist_km") + F.lit(0.0)).alias("dist_km")))

@@ -950,3 +950,105 @@ def scan_csv_quoted_multiline(spark, d):
         F.col("data_criacao").cast("timestamp").cast("string")
             .alias("data_criacao_s"),
         "uf", F.col("id_cliente").cast("bigint").alias("id_cliente"))
+
+
+_RG_TPL: dict[str, str] = {}
+
+
+def _rowgrouped_lineitem(spark, d) -> str:
+    """Template-cached multi-row-group render of lineitem: four bucket
+    files (l_orderkey % 4), each sorted by (l_orderkey, l_linenumber)
+    and written via pyarrow with row_group_size=5000 — the fixture
+    parquet ships as ONE row group, so row-group-level behaviors need a
+    staged file that actually has several."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..scratch import scratch_dir
+
+    tpl = _RG_TPL.get(d)
+    if tpl is not None and os.path.isdir(tpl):
+        return tpl
+    import duckdb
+
+    tpl = scratch_dir("rowgroups_")
+    con = duckdb.connect()
+    for b in range(4):
+        t = con.sql(f"""
+            SELECT * FROM read_parquet('{d}/lineitem.parquet')
+            WHERE l_orderkey % 4 = {b}
+            ORDER BY l_orderkey, l_linenumber""").arrow()
+        pq.write_table(t, os.path.join(tpl, f"bucket{b}.parquet"),
+                       row_group_size=5000)
+    con.close()
+    _RG_TPL[d] = tpl
+    return tpl
+
+
+@register(
+    "scan_parquet_rowgroup_stats",
+    oracle="""
+    WITH ordered AS (
+        SELECT l_orderkey % 4 AS bucket, l_extendedprice,
+               row_number() OVER (PARTITION BY l_orderkey % 4
+                                  ORDER BY l_orderkey, l_linenumber) AS rn
+        FROM lineitem
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST((rn - 1) // 5000 AS BIGINT) AS row_group,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           max(l_extendedprice) < 90000.0 AS prunable
+    FROM ordered GROUP BY 1, 2
+    """,
+)
+def scan_parquet_rowgroup_stats(spark, d):
+    """Parquet row-group statistics scan (r12): read ONLY the footers
+    of a multi-row-group staging of lineitem (4 bucket files x 5000-row
+    groups) and report, per row group, the row count, the
+    l_extendedprice min/max, and whether a ``l_extendedprice >= 90000``
+    predicate could PRUNE the whole group — the exact decision Spark's
+    parquet reader (and every lakehouse scan planner) makes from these
+    stats before touching data pages.  The oracle recomputes every
+    figure from the DATA via the same deterministic (bucket, sort,
+    5000-chunk) layout, so the hash pins footer truth: a writer that
+    mis-ordered rows, mis-sized groups, or recorded wrong min/max
+    fails on values.
+
+    Scale shape: the Spark side is a mapInPandas over the FILE LIST —
+    one pyarrow ``read_metadata`` per file, zero data pages read, one
+    task per file; a 100 TB table's stats scan costs O(files), which
+    is why engines cache exactly this projection as their scan index."""
+    src = _rowgrouped_lineitem(spark, d)
+    import os
+
+    files = sorted(os.listdir(src))
+    paths = spark.createDataFrame(
+        [(os.path.join(src, f),) for f in files], "path string")
+
+    def footer_stats(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for path in pdf["path"]:
+                md = pq.read_metadata(path)
+                names = md.schema.names
+                col_idx = names.index("l_extendedprice")
+                bucket = int(os.path.basename(path)[6])
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(col_idx).statistics
+                    out.append((bucket, rg, md.row_group(rg).num_rows,
+                                float(st.min), float(st.max),
+                                float(st.max) < 90000.0))
+            yield pd.DataFrame(out, columns=[
+                "bucket", "row_group", "n_rows", "min_price", "max_price",
+                "prunable"])
+
+    return paths.mapInPandas(
+        footer_stats,
+        "bucket bigint, row_group bigint, n_rows bigint, "
+        "min_price double, max_price double, prunable boolean")
