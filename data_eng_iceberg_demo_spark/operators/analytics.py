@@ -1383,3 +1383,82 @@ def events_markov_stationary(spark, d):
         v = nxt
     out = [(t, val / 1e9) for t, val in sorted(v.items())]
     return spark.createDataFrame(out, "event_type string, stationary double")
+
+
+@register(
+    "events_moving_regression",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               sum(CAST(value AS DECIMAL(18,6))) AS y_dec
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+    ), idx AS (
+        SELECT event_type, day,
+               date_diff('day', min(day) OVER (PARTITION BY event_type),
+                         day) AS x,
+               CAST(y_dec AS DOUBLE) AS y
+        FROM daily
+    ), m AS (
+        SELECT event_type, day, x,
+               count(*) OVER w AS n,
+               sum(x) OVER w AS sx,
+               sum(y) OVER w AS sy,
+               sum(x * x) OVER w AS sxx,
+               sum(x * y) OVER w AS sxy
+        FROM idx
+        WINDOW w AS (PARTITION BY event_type ORDER BY x
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) * 1.0
+                 / nullif(n * sxx - sx * sx, 0), 4) + 0 AS slope_7d
+    FROM m WHERE n >= 3
+    """,
+)
+def events_moving_regression(spark, d):
+    """Rolling 7-day OLS trend per event_type (r12): the regression
+    slope of daily value on the day index over a RANGE frame of the
+    trailing week — 'what is the trend RIGHT NOW', recomputed at every
+    day, the moving companion of events_forecast_linear's whole-series
+    fit.  The slope comes from the classic moment identity
+    (n·Σxy − Σx·Σy) / (n·Σxx − Σx²), so ONE window pass accumulates
+    five running moments instead of re-fitting per day; windows with
+    fewer than 3 points are suppressed and a zero denominator (degener-
+    ate single-x window) yields NULL via nullif on both engines.  Daily
+    values pre-aggregate through DECIMAL so float order can't enter
+    the moments; x is an exact integer day index; the slope rounds 4dp
+    (the only accumulated-float quotient).
+
+    Scale shape: corpus collapses to types x days in one partial-agg
+    shuffle; the RANGE frame runs per type over that daily relation.
+    At 100 TB the daily pre-agg IS the heavy step and it is one
+    exchange; the window is days-sized."""
+    daily = (T(spark, d, "events")
+             .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+             .groupBy("event_type",
+                      F.to_date(F.date_trunc("day", "ts")).alias("day"))
+             .agg(F.sum(F.col("value").cast("decimal(18,6)"))
+                  .alias("y_dec")))
+    wt = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type", "day",
+        F.datediff("day", F.min("day").over(wt)).alias("x"),
+        F.col("y_dec").cast("double").alias("y"))
+    w = (Window.partitionBy("event_type").orderBy("x")
+         .rangeBetween(-6, 0))
+    m = idx.select(
+        "event_type", "day", "x",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"))
+    slope = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0
+        / F.nullif(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                   F.lit(0)), 4)
+    return (m.filter(F.col("n") >= 3)
+            .select("event_type", F.col("day").cast("string").alias("day"),
+                    F.col("n").cast("bigint").alias("n"),
+                    (slope + F.lit(0.0)).alias("slope_7d")))

@@ -649,3 +649,49 @@ def join_spatial_grid(spark, d):
             .filter((F.col("key_a") < F.col("key_b")) & (d2 <= 1.0))
             .select("key_a", "key_b",
                     (F.round(F.sqrt(d2), 4) + F.lit(0.0)).alias("dist")))
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=_ASOF_ORACLE_INPUTS + """
+    SELECT event_id, user_id,
+           CASE WHEN ok THEN o_orderkey END AS o_orderkey,
+           CASE WHEN ok THEN gap_s END AS gap_s
+    FROM (
+        SELECT e.event_id, e.user_id, o.o_orderkey,
+               CAST(date_diff('second', o.t, e.t) AS BIGINT) AS gap_s,
+               o.t >= e.t - INTERVAL 2 DAY AS ok,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.t DESC, o.o_orderkey DESC) AS rn
+        FROM e LEFT JOIN o ON o.user_id = e.user_id AND o.t <= e.t
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark, d):
+    """As-of join with a match tolerance (r12; pandas
+    ``merge_asof(tolerance=...)``): each event takes its user's latest
+    order at-or-before the event time ONLY if that order is within 2
+    days — a staler match is worse than none (the feature-freshness
+    rule every point-in-time feature store enforces).  LEFT semantics:
+    every event emits exactly one row; out-of-tolerance and unmatched
+    events carry NULLs.  Completes the as-of family
+    (backward/forward/nearest/tolerance).
+
+    Same single-shuffle union/last-value window plan as join_asof (the
+    matched order's own timestamp rides inside the picked struct, so
+    the tolerance check is a post-window narrow map — no second join);
+    the oracle is the exploding LEFT join + row_number form."""
+    e, o = _asof_inputs(spark, d)
+    u = _asof_tagged_union(e, o, ["o_orderkey", "o_totalprice", "t"])
+    w = (Window.partitionBy("user_id")
+         .orderBy("t", "tag", F.col("ord.o_orderkey").asc_nulls_first())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    picked = (u.withColumn("m", F.last("ord", ignorenulls=True).over(w))
+              .filter(F.col("tag") == 1))
+    ok = F.col("m.t") >= F.col("t") - F.expr("INTERVAL 2 DAYS")
+    return picked.select(
+        "event_id", "user_id",
+        F.when(ok, F.col("m.o_orderkey")).alias("o_orderkey"),
+        F.when(ok, (F.unix_timestamp("t") - F.unix_timestamp("m.t"))
+               .cast("bigint")).alias("gap_s"))

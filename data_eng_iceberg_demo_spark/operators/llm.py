@@ -5832,3 +5832,109 @@ def llm_char_entropy(spark, d):
                 F.sum("k").cast("bigint").alias("n_chars_counted")))
     return ent.select("doc_id", "n_chars_counted", "entropy_nats",
                       (F.col("entropy_nats") < 1.5).alias("low_entropy"))
+
+
+@register(
+    "llm_topic_labels",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 64)
+                                        AS BIGINT)) AS q
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), c AS (
+        SELECT vec_id AS cid, q AS cq FROM q ORDER BY vec_id LIMIT 4
+    ), dist AS (
+        SELECT q.vec_id, c.cid,
+               list_sum(list_transform(generate_series(1, 64),
+                        i -> (q.q[i] - c.cq[i]) * (q.q[i] - c.cq[i])))
+                   AS dist2
+        FROM q CROSS JOIN c
+    ), assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist2, cid) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ), tok AS (
+        SELECT a.cid, t.tk
+        FROM assign a
+        JOIN documents d ON d.doc_id = a.vec_id
+        JOIN LATERAL (SELECT unnest(string_split(d.text, ' ')) AS tk) t
+          ON true
+        WHERE d.text IS NOT NULL AND t.tk <> ''
+    ), tf AS (
+        SELECT cid, tk, count(*) AS tf FROM tok GROUP BY cid, tk
+    ), df AS (
+        SELECT tk, count(*) AS df FROM (
+            SELECT DISTINCT cid, tk FROM tok
+        ) GROUP BY tk
+    ), scored AS (
+        SELECT tf.cid, tf.tk, tf.tf, df.df,
+               tf.tf * 1000000 // df.df AS score
+        FROM tf JOIN df USING (tk)
+    )
+    SELECT cid AS cluster_id, tk AS token,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS clusters_with,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT cid, tk, tf, df,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY score DESC, tk) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def llm_topic_labels(spark, d):
+    """Cluster topic labeling (r12): after semantic clustering, name
+    each cluster by its 3 most DISTINCTIVE tokens — term frequency
+    within the cluster scaled by the inverse of how many clusters the
+    token appears in at all (cluster-level tf-idf, the readout every
+    embedding-clustering pipeline prints next to its cluster ids).
+    Assignment reuses the llm_semantic_cluster_assign kernel: first-4
+    quantized vectors as centroids, exact int64 L2 — deterministic, so
+    the oracle replays it verbatim.  The distinctiveness score is
+    integer cross-multiplied (tf * 1e6 // df), zero float ties; the
+    top-3 cut carries a token tiebreak.
+
+    Scale shape: assignment is a broadcast of k centroids (zero
+    exchange for the corpus side); token stats are two partial-agg
+    shuffles (cluster x token, then token); the ranking window runs on
+    cluster-x-vocab rows — nothing downstream scales with the corpus."""
+    emb = T(spark, d, "embeddings").filter(F.col("embedding").isNotNull())
+    q = emb.select(
+        "vec_id",
+        F.expr("transform(embedding,"
+               " x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))")
+        .alias("q"))
+    cents = (q.orderBy("vec_id").limit(4)
+             .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq")))
+    dist = (q.join(F.broadcast(cents))
+            .select("vec_id", "cid",
+                    F.expr("aggregate(zip_with(q, cq, (a, b) ->"
+                           " (a - b) * (a - b)), 0L, (s, x) -> s + x)")
+                    .alias("dist2")))
+    wv = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    assign = (dist.withColumn("rn", F.row_number().over(wv))
+              .filter("rn = 1").select("vec_id", "cid"))
+    docs = (T(spark, d, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "text"))
+    tok = (assign.join(docs, assign.vec_id == docs.doc_id)
+           .select("cid", F.explode(F.split("text", " ")).alias("tk"))
+           .filter("tk <> ''"))
+    tf = tok.groupBy("cid", "tk").agg(F.count("*").alias("tf"))
+    df_ = (tok.select("cid", "tk").distinct()
+           .groupBy("tk").agg(F.count("*").alias("df")))
+    scored = (tf.join(df_, "tk")
+              .withColumn("score", F.expr("tf * 1000000 div df")))
+    wc = Window.partitionBy("cid").orderBy(F.col("score").desc(), "tk")
+    return (scored.withColumn("rank", F.row_number().over(wc))
+            .filter(F.col("rank") <= 3)
+            .select(F.col("cid").alias("cluster_id"),
+                    F.col("tk").alias("token"),
+                    F.col("tf").cast("bigint").alias("tf"),
+                    F.col("df").cast("bigint").alias("clusters_with"),
+                    F.col("rank").cast("bigint").alias("rank")))
