@@ -1416,3 +1416,46 @@ def dq_dp_histogram(spark, d):
         (F.round(F.col("true_n") + noise, 4) + F.lit(0.0))
         .alias("released_n"),
         F.lit(1.0).alias("epsilon"))
+
+
+@register(
+    "dq_out_of_order_audit",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, date_trunc('second', ts) AS tss,
+               lag(date_trunc('second', ts)) OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS prev_ts
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (tss < prev_ts) AS BIGINT) AS out_of_order,
+           CAST(count(*) FILTER (tss < prev_ts) AS DOUBLE) / count(*)
+               AS ooo_rate
+    FROM seq GROUP BY user_id
+    """,
+)
+def dq_out_of_order_audit(spark, d):
+    """Out-of-order arrival audit (r12): per user, how many events
+    arrived with an event time EARLIER than the previously ingested
+    one (ingest order = event_id) — the number that sizes a stream's
+    watermark delay and flags broken producer clocks; the companion of
+    dq_sequence_gaps (which audits the id axis, this audits the time
+    axis).  The rate is an exact integer division, unrounded (§5.3).
+
+    Scale shape: ONE user_id shuffle shared by the lag window and the
+    per-user aggregate; output O(users)."""
+    from pyspark.sql import Window
+
+    seq = (T(spark, d, "events")
+           .filter(F.col("ts").isNotNull())
+           .select("user_id", "event_id",
+                   F.date_trunc("second", "ts").alias("tss"))
+           .withColumn("prev_ts", F.lag("tss").over(
+               Window.partitionBy("user_id").orderBy("event_id"))))
+    return (seq.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.count(F.when(F.col("tss") < F.col("prev_ts"), 1))
+                 .alias("out_of_order"),
+                 (F.count(F.when(F.col("tss") < F.col("prev_ts"), 1))
+                  .cast("double") / F.count("*")).alias("ooo_rate")))

@@ -812,3 +812,48 @@ def stream_left_outer_join(spark, d):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return iso.table(qname)
+
+
+@register(
+    "stream_complete_mode_topk",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    ORDER BY total_value DESC, event_type
+    LIMIT 3
+    """,
+)
+def stream_complete_mode_topk(spark, d):
+    """COMPLETE output mode (r12 — the one streaming output mode the
+    suite had not exercised; append and update are covered elsewhere):
+    a global leaderboard — top-3 event types by total value — where
+    every trigger REWRITES the whole result table instead of appending
+    deltas.  Complete mode is what makes unwatermarked global
+    aggregations + sorting legal in a stream (Spark rejects ORDER BY
+    in append mode without watermark): the sink always holds the full
+    recomputed answer, so after availableNow drains the fixture the
+    memory table IS the batch aggregate — hash-oracled directly.
+    Value sums ride DECIMAL (order-free), the top-3 cut carries an
+    event_type tiebreak.
+
+    100 TB note: complete mode re-emits the FULL result per trigger,
+    so it is only sane for small aggregate outputs (leaderboards,
+    counters) — exactly this shape; per-key large state belongs to
+    update/append mode."""
+    iso = _state_session(spark, 8)
+    base = _events_stream(iso, d).filter(F.col("value").isNotNull())
+    agg = (base.groupBy("event_type")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                .alias("total_value"))
+           .orderBy(F.col("total_value").desc(), "event_type")
+           .limit(3))
+    qname = f"complete_topk_{next(_counter)}"
+    q = (agg.writeStream.format("memory").queryName(qname)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return iso.table(qname)
