@@ -1462,3 +1462,180 @@ def events_moving_regression(spark, d):
             .select("event_type", F.col("day").cast("string").alias("day"),
                     F.col("n").cast("bigint").alias("n"),
                     (slope + F.lit(0.0)).alias("slope_7d")))
+
+
+@register(
+    "events_graph_triangles",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+        FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+                      AND user_id IS NOT NULL
+    ), edges AS (
+        SELECT x.user_id AS u, y.user_id AS v
+        FROM act x JOIN act y ON x.h = y.h AND x.user_id < y.user_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), deg AS (
+        SELECT node, count(*) AS dg FROM (
+            SELECT u AS node FROM edges
+            UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+    ), oriented AS (
+        -- orient each edge from the (degree, id)-smaller endpoint: the
+        -- degree-ordered DAG in which every triangle a<b<c appears as
+        -- exactly the edge set {a->b, a->c, b->c}
+        SELECT CASE WHEN (du.dg, u) < (dv.dg, v) THEN u ELSE v END AS s,
+               CASE WHEN (du.dg, u) < (dv.dg, v) THEN v ELSE u END AS t,
+               CASE WHEN (du.dg, u) < (dv.dg, v) THEN dv.dg ELSE du.dg
+                   END AS t_dg
+        FROM edges
+        JOIN deg du ON du.node = u
+        JOIN deg dv ON dv.node = v
+    ), wedges AS (
+        SELECT e1.t AS b, e2.t AS c
+        FROM oriented e1 JOIN oriented e2 ON e1.s = e2.s
+        WHERE (e1.t_dg, e1.t) < (e2.t_dg, e2.t)
+    ), tri AS (
+        SELECT count(*) AS n_tri
+        FROM wedges w JOIN oriented e ON e.s = w.b AND e.t = w.c
+    ), wn AS (SELECT count(*) AS n_wedges FROM wedges),
+    base AS (
+        SELECT (SELECT count(*) FROM deg) AS n_nodes,
+               (SELECT count(*) FROM edges) AS n_edges
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_tri AS BIGINT) AS n_triangles,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(n_tri AS DOUBLE) / nullif(n_wedges, 0)
+               AS closure_rate
+    FROM base, tri, wn
+    """,
+)
+def events_graph_triangles(spark, d):
+    """Triangle count on the user co-purchase graph (r12): edges join
+    users who purchased in the same hour at least twice; triangles are
+    counted on the DEGREE-ORIENTED DAG — each edge points from its
+    (degree, id)-smaller endpoint, so every triangle a<b<c materializes
+    exactly once as the wedge (a->b, a->c) closed by (b->c).  That
+    orientation is THE distributed-triangle trick (node-iterator++/
+    Cohen): wedge fan-out per node is bounded by out-degree, which the
+    orientation caps near the graph's arboricity — a hub with degree
+    10^6 contributes its wedges as the SMALLER endpoint of almost no
+    edge, instead of exploding 10^12 pairs.  Output: node/edge/wedge/
+    triangle counts and the global closure rate (exact integer division,
+    unrounded; NULL when wedge-free).
+
+    Scale shape: edges = one hour-bucket equi-self-join + partial-agg;
+    degrees = one aggregate; wedges + closure = two equi-joins keyed on
+    node then (b, c).  Every stage is a keyed hash join — no cross
+    product anywhere."""
+    act = (T(spark, d, "events")
+           .filter((F.col("event_type") == "purchase")
+                   & F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+           .select("user_id", F.date_trunc("hour", "ts").alias("h"))
+           .distinct())
+    x = act.select(F.col("user_id").alias("u"), "h")
+    y = act.select(F.col("user_id").alias("v"), "h")
+    edges = (x.join(y, "h")
+             .filter(F.col("u") < F.col("v"))
+             .groupBy("u", "v").agg(F.count("*").alias("k"))
+             .filter(F.col("k") >= 2).drop("k"))
+    deg = (edges.select(F.col("u").alias("node"))
+           .unionAll(edges.select("v"))
+           .groupBy("node").agg(F.count("*").alias("dg")))
+    du = deg.select(F.col("node").alias("u"), F.col("dg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("dg").alias("dv"))
+    ann = edges.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | \
+        ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = ann.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("t_dg"))
+    e1 = oriented.select("s", F.col("t").alias("b"),
+                         F.col("t_dg").alias("b_dg"))
+    e2 = oriented.select("s", F.col("t").alias("c"),
+                         F.col("t_dg").alias("c_dg"))
+    wedges = (e1.join(e2, "s")
+              .filter((F.col("b_dg") < F.col("c_dg"))
+                      | ((F.col("b_dg") == F.col("c_dg"))
+                         & (F.col("b") < F.col("c"))))
+              .select("b", "c"))
+    closing = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    n_tri = wedges.join(closing, ["b", "c"]).count()
+    n_wedges = wedges.count()
+    n_nodes = deg.count()
+    n_edges = edges.count()
+    out = [(n_nodes, n_edges, n_tri, n_wedges,
+            (n_tri / n_wedges) if n_wedges else None)]
+    return spark.createDataFrame(
+        out, "n_nodes bigint, n_edges bigint, n_triangles bigint, "
+             "n_wedges bigint, closure_rate double")
+
+
+@register(
+    "orders_market_basket",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey % 50 AS item
+        FROM lineitem WHERE l_partkey IS NOT NULL
+    ), n AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+    supp AS (
+        SELECT item, count(*) AS s FROM items GROUP BY item
+    ), pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b, count(*) AS co
+        FROM items a JOIN items b
+          ON a.ok = b.ok AND a.item < b.item
+        GROUP BY 1, 2 HAVING count(*) >= 20
+    )
+    SELECT item_a, item_b,
+           CAST(co AS BIGINT) AS together,
+           CAST(sa.s AS BIGINT) AS n_a, CAST(sb.s AS BIGINT) AS n_b,
+           CAST(co AS DOUBLE) / sa.s AS confidence,
+           co * 1.0 * (SELECT n_orders FROM n) / (sa.s * sb.s) AS lift
+    FROM pairs
+    JOIN supp sa ON sa.item = item_a
+    JOIN supp sb ON sb.item = item_b
+    """,
+)
+def orders_market_basket(spark, d):
+    """Market-basket association rules (r12): for item pairs bought in
+    the same order (items = part classes, l_partkey % 50), support,
+    confidence P(b|a) and lift co·N/(s_a·s_b) — the co-purchase signal
+    behind "frequently bought together".  Pair generation is the
+    WITHIN-BASKET self-join: fan-out per order is (lines choose 2),
+    bounded by basket size (~7), never corpus²; a min-support HAVING
+    of 20 prunes the long tail before the stats joins.  Confidence is
+    an exact integer division and lift one fixed mult/div tree of
+    exact integers — both emitted unrounded (§5.3).
+
+    Scale shape: one orderkey shuffle for the basket join (baskets are
+    co-located by key), one partial-agg per pair, support joins are
+    item-domain sized; the 1-row order count broadcasts.  At 100 TB
+    this is FP-Growth's candidate-pair base case, and min-support
+    pruning is what keeps it tractable there too."""
+    items = (T(spark, d, "lineitem")
+             .filter(F.col("l_partkey").isNotNull())
+             .select(F.col("l_orderkey").alias("ok"),
+                     (F.col("l_partkey") % 50).alias("item"))
+             .distinct())
+    n_orders = items.select("ok").distinct().count()
+    supp = items.groupBy("item").agg(F.count("*").alias("s"))
+    a = items.select("ok", F.col("item").alias("item_a"))
+    b = items.select("ok", F.col("item").alias("item_b"))
+    pairs = (a.join(b, "ok")
+             .filter(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b").agg(F.count("*").alias("co"))
+             .filter(F.col("co") >= 20))
+    sa = supp.select(F.col("item").alias("item_a"), F.col("s").alias("n_a"))
+    sb = supp.select(F.col("item").alias("item_b"), F.col("s").alias("n_b"))
+    return (pairs.join(sa, "item_a").join(sb, "item_b")
+            .select("item_a", "item_b",
+                    F.col("co").cast("bigint").alias("together"),
+                    F.col("n_a").cast("bigint").alias("n_a"),
+                    F.col("n_b").cast("bigint").alias("n_b"),
+                    (F.col("co").cast("double") / F.col("n_a"))
+                    .alias("confidence"),
+                    (F.col("co") * 1.0 * F.lit(n_orders)
+                     / (F.col("n_a") * F.col("n_b"))).alias("lift")))

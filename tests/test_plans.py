@@ -290,6 +290,11 @@ _BROADCAST_HINT_OK = {
         "least(floor(n_chars/100), 5) — clamped to 6 values by the "
         "expression itself, so the global histogram is bounded at 6 "
         "rows regardless of corpus size",
+    ("llm_kmv_source_jaccard", "documents"):
+        "the hinted subtree is the s1<s2 self-pairing of DISTINCT "
+        "source (a grouped aggregate on the source catalog): rows are "
+        "bounded by the source-domain cardinality squared, not corpus "
+        "documents — the events_anomaly closed-domain class",
     ("tpch_q15", "lineitem"):
         "winners = per-supplier revenue joined on equality with its own "
         "1-row max -> cardinality is the number of exact-decimal ties (~1)",
@@ -432,6 +437,13 @@ _BNLJ_OK = {"events_funnel",        # cross of three 1-row stage counts
             "llm_pmi_collocations",  # broadcast pair-total scalar (1 row)
             "llm_bm25_topk",        # broadcast n_docs/avgdl scalar (1 row)
             "dq_sequence_gaps",     # cross of two 1-row scalar audits
+            # s1<s2 pair expansion of DISTINCT sources — catalog-domain
+            # sized on both sides (and the 20-closest-pairs nation
+            # self-join, a _BOUNDED_TABLES dim on both sides)
+            "llm_kmv_source_jaccard", "fn_geo_haversine",
+            # k=4 LIMIT-bounded centroid side broadcast onto the
+            # quantized vectors (the semantic-cluster assignment shape)
+            "llm_topic_labels",
             "llm_hybrid_retrieval_rrf",  # same 1-row bm25 stats broadcast
             "tpch_q22",             # broadcast avg-acctbal scalar
             "dq_freshness",         # broadcast 1-row global-max-ts scalar
