@@ -1563,6 +1563,11 @@ def events_graph_triangles(spark, d):
                          & (F.col("b") < F.col("c"))))
               .select("b", "c"))
     closing = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    # four scalar counters, each a small keyed-join job over the edge
+    # build (measured: recomputing the sub-second edge join 4x beats a
+    # .cache() of it — the cache's extra materialization pass and its
+    # optimization barrier cost ~2x here; a 100 TB run would checkpoint
+    # the edge frame once instead)
     n_tri = wedges.join(closing, ["b", "c"]).count()
     n_wedges = wedges.count()
     n_nodes = deg.count()
