@@ -5938,3 +5938,129 @@ def llm_topic_labels(spark, d):
                     F.col("tf").cast("bigint").alias("tf"),
                     F.col("df").cast("bigint").alias("clusters_with"),
                     F.col("rank").cast("bigint").alias("rank")))
+
+
+@register(
+    "llm_epoch_schedule",
+    oracle="""
+    WITH tok AS (
+        SELECT source,
+               sum(len(string_split(text, ' '))) AS tokens
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY source
+    ), q AS (
+        -- temperature-0.5 mixture weight as FIXED-POINT sqrt: IEEE
+        -- sqrt is correctly rounded, so floor(sqrt(t)*1000) is
+        -- bit-identical cross-engine
+        SELECT source, tokens,
+               CAST(floor(sqrt(tokens) * 1000) AS BIGINT) AS w
+        FROM tok
+    ), tot AS (
+        SELECT sum(w) AS wq, 3 * sum(tokens) // 2 AS budget FROM q
+    )
+    SELECT source, CAST(tokens AS BIGINT) AS tokens,
+           CAST(w AS BIGINT) AS weight,
+           CAST(budget * w // wq AS BIGINT) AS alloc_tokens,
+           CAST(budget * w // wq AS DOUBLE) / tokens AS epochs,
+           CAST(budget * w // wq AS DOUBLE) / tokens > 4.0 AS over_cap
+    FROM q, tot
+    """,
+)
+def llm_epoch_schedule(spark, d):
+    """Training-mixture epoch planner (r12): given a token budget (1.5x
+    the corpus here, derived in-plan) and temperature-0.5 mixture
+    weights (w_s = sqrt(tokens_s) — upweights small sources, the
+    standard tempered-sampling recipe), allocate budget tokens per
+    source and report the implied EPOCH count — the number every
+    data-curation review reads to spot sources that would repeat past
+    the memorization threshold (flagged at 4 epochs).  All arithmetic
+    is engine-exact: token counts are integers, the weight is
+    fixed-point over IEEE's correctly-rounded sqrt, allocations are
+    integer floor-division shares, and the epoch figure is ONE exact
+    int/int division (unrounded, §5.3).
+
+    Scale shape: one partial-agg shuffle to sources x 1 row, a 1-row
+    total broadcast back — planner cost is independent of corpus size
+    beyond the single token-count pass."""
+    tok = (T(spark, d, "documents")
+           .filter(F.col("text").isNotNull())
+           .groupBy("source")
+           .agg(F.sum(F.size(F.split("text", " "))).alias("tokens")))
+    q = tok.withColumn(
+        "w", F.floor(F.sqrt("tokens") * 1000).cast("bigint"))
+    tot = q.agg(F.sum("w").alias("wq"),
+                F.expr("3 * sum(tokens) div 2").alias("budget"))
+    alloc = F.expr("budget * w div wq")
+    return (q.join(F.broadcast(tot))
+            .select("source", F.col("tokens").cast("bigint").alias("tokens"),
+                    F.col("w").cast("bigint").alias("weight"),
+                    alloc.cast("bigint").alias("alloc_tokens"),
+                    (alloc.cast("double") / F.col("tokens")).alias("epochs"),
+                    (alloc.cast("double") / F.col("tokens") > 4.0)
+                    .alias("over_cap")))
+
+
+@register(
+    "llm_dataset_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL
+    ), v2 AS (
+        -- the next corpus version, derived in-plan: every 17th doc
+        -- dropped, every remaining 13th re-crawled (content changed),
+        -- every 19th spawning a NEW doc id
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                        ELSE text END) AS h
+        FROM documents WHERE text IS NOT NULL AND doc_id % 17 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, md5(text || ' new')
+        FROM documents WHERE text IS NOT NULL AND doc_id % 19 = 0
+    )
+    SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.h <> v2.h THEN 'modified'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    """,
+)
+def llm_dataset_diff(spark, d):
+    """Dataset version diff (r12): the corpus-versioning readout —
+    which documents were added, removed, modified or untouched between
+    two crawl snapshots, detected by id alignment + content-hash
+    comparison (never by comparing text bytes across the wire).  The
+    v2 snapshot is derived IN-PLAN from v1 by deterministic rules
+    (drop %17, modify %13, add %19 under new ids) so both engines
+    replay the same pair of versions — the llm_code_detect staging
+    discipline.  This is the diff an incremental training pipeline
+    feeds to its dedup/tokenize stages so unchanged docs are never
+    reprocessed.
+
+    Scale shape: two narrow hash projections + ONE full-outer hash
+    join on doc_id; at 100 TB both sides co-partition on id (zero
+    extra exchange on a bucketed layout), and 'unchanged' rows exit
+    the pipeline immediately after this join."""
+    v1 = (T(spark, d, "documents")
+          .filter(F.col("text").isNotNull())
+          .select("doc_id", F.md5("text").alias("h")))
+    base = T(spark, d, "documents").filter(F.col("text").isNotNull())
+    v2 = (base.filter(F.col("doc_id") % 17 != 0)
+          .select("doc_id",
+                  F.md5(F.when(F.col("doc_id") % 13 == 0,
+                               F.concat(F.col("text"), F.lit(" v2")))
+                        .otherwise(F.col("text"))).alias("h"))
+          .unionAll(
+              base.filter(F.col("doc_id") % 19 == 0)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      F.md5(F.concat(F.col("text"), F.lit(" new")))
+                      .alias("h"))))
+    j = v1.alias("a").join(v2.alias("b"),
+                           F.col("a.doc_id") == F.col("b.doc_id"),
+                           "full_outer")
+    return j.select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.h") != F.col("b.h"), "modified")
+        .otherwise("unchanged").alias("status"))
