@@ -1087,9 +1087,10 @@ def events_forecast_linear(spark, d):
         SELECT user_id,
                max(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
                count(*) AS freq,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS money
+               coalesce(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                             AS DOUBLE), 0.0) AS money
         FROM events
-        WHERE ts IS NOT NULL
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
         GROUP BY user_id
     ), rec AS (
         SELECT user_id, freq, money,
@@ -1129,13 +1130,19 @@ def events_rfm_segments(spark, d):
     relation (100 TB path: approx_percentile cutoffs broadcast back
     instead of a global sort); the output is O(4^3) cells."""
     per_user = (T(spark, d, "events")
-                .filter(F.col("ts").isNotNull())
+                .filter(F.col("ts").isNotNull()
+                        & F.col("user_id").isNotNull())
                 .groupBy("user_id")
                 .agg(F.max(F.to_date(F.date_trunc("day", "ts")))
                      .alias("last_day"),
                      F.count("*").alias("freq"),
-                     F.sum(F.col("value").cast("decimal(18,6)"))
-                     .cast("double").alias("money")))
+                     # coalesce: a user whose every value is NULL has
+                     # monetary 0, not NULL — an unguarded nullable
+                     # ORDER BY would shift ntile buckets per engine
+                     # null-ordering defaults (§5.2)
+                     F.coalesce(
+                         F.sum(F.col("value").cast("decimal(18,6)"))
+                         .cast("double"), F.lit(0.0)).alias("money")))
     w_all = Window.partitionBy()
     rec = F.datediff(F.max("last_day").over(w_all), F.col("last_day"))
     q = (per_user
@@ -1373,6 +1380,9 @@ def events_markov_stationary(spark, d):
     for r in rows:
         tot_by_prev[r["prev_type"]] = r["t"]
     k = len(tot_by_prev)
+    if k == 0:  # empty chain (zero-row slice): no stationary state
+        return spark.createDataFrame(
+            [], "event_type string, stationary double")
     v = {p: 1_000_000_000 // k for p in sorted(tot_by_prev)}
     for _ in range(12):
         nxt: dict[str, int] = {}

@@ -38,6 +38,11 @@ SAMPLE = [
     "llm_pack_sequences", "llm_docs_to_chunks", "llm_winnow_fingerprint",
     "llm_dedup_incremental", "llm_unigram_logprob", "sort_multikey_nulls",
     "sink_partitioned", "join_dpp_partitioned",
+    # r12 second-continuation additions with division/iteration arms
+    "events_ab_test", "events_mann_whitney", "events_markov_stationary",
+    "events_rfm_segments", "events_graph_triangles", "orders_market_basket",
+    "llm_kmv_source_jaccard", "llm_char_entropy", "llm_epoch_schedule",
+    "agg_weighted_median", "join_spatial_grid", "dq_dp_histogram",
 ]
 
 
