@@ -6064,3 +6064,74 @@ def llm_dataset_diff(spark, d):
         .when(F.col("b.doc_id").isNull(), "removed")
         .when(F.col("a.h") != F.col("b.h"), "modified")
         .otherwise("unchanged").alias("status"))
+
+
+@register(
+    "llm_rag_context_assembly",
+    oracle=f"""
+    WITH base AS ({_BM25_ORACLE}),
+    dl2 AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+            FROM documents),
+    r AS (
+        SELECT b.qid, b.doc_id, dl2.dl,
+               row_number() OVER (PARTITION BY b.qid
+                                  ORDER BY b.bm25 DESC, b.doc_id) AS rank
+        FROM base b JOIN dl2 USING (doc_id)
+    ), c AS (
+        SELECT *, sum(dl) OVER (PARTITION BY qid ORDER BY rank) AS cum
+        FROM r
+    )
+    SELECT qid,
+           CAST(count(*) FILTER (cum <= 600) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(dl) FILTER (cum <= 600), 0) AS BIGINT)
+               AS total_tokens,
+           coalesce(string_agg(CASE WHEN cum <= 600
+                               THEN CAST(doc_id AS VARCHAR) END, ','
+                               ORDER BY rank), '') AS context_ids,
+           count(*) FILTER (cum > 600) > 0 AS truncated
+    FROM c GROUP BY qid
+    """,
+)
+def llm_rag_context_assembly(spark, d):
+    """RAG context assembly (r12): for each query, retrieve the BM25
+    top-10 (the llm_bm25_topk scorer, composed as a declared-operator
+    building block) and PACK documents into the prompt in rank order
+    under a 600-token context budget — the include-while-it-fits
+    prefix rule every retrieval-augmented pipeline applies between
+    retriever and LLM.  Emits per query the included doc count, the
+    token total, the ordered context id list (the prompt recipe) and
+    whether the budget truncated the retrieval.  Token counts are
+    integers and the cut is a running-sum threshold — engine-exact.
+
+    Scale shape: retrieval cost is llm_bm25_topk's (query-term
+    keep-list broadcast, postings-only shuffle); packing adds one
+    window over qid x 10 rows — nothing corpus-sized.  At serve time
+    the same plan runs per query batch with the corpus side bucketed
+    by term."""
+    from pyspark.sql import Window
+
+    base = llm_bm25_topk(spark, d)
+    dl2 = (T(spark, d, "documents")
+           .select("doc_id", F.size(F.split("text", " ")).alias("dl")))
+    wq = Window.partitionBy("qid").orderBy(F.col("bm25").desc(), "doc_id")
+    r = (base.join(dl2, "doc_id")
+         .withColumn("rank", F.row_number().over(wq)))
+    c = r.withColumn("cum", F.sum("dl").over(
+        Window.partitionBy("qid").orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    inc = F.col("cum") <= 600
+    return (c.groupBy("qid")
+            .agg(F.count(F.when(inc, 1)).alias("n_docs"),
+                 F.coalesce(F.sum(F.when(inc, F.col("dl"))), F.lit(0))
+                 .cast("bigint").alias("total_tokens"),
+                 F.coalesce(
+                     F.array_join(F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(inc, F.struct(
+                                 "rank",
+                                 F.col("doc_id").cast("string")
+                                 .alias("did"))))),
+                         lambda x: x["did"]), ","), F.lit(""))
+                 .alias("context_ids"),
+                 (F.count(F.when(F.col("cum") > 600, 1)) > 0)
+                 .alias("truncated")))

@@ -1052,3 +1052,80 @@ def scan_parquet_rowgroup_stats(spark, d):
         footer_stats,
         "bucket bigint, row_group bigint, n_rows bigint, "
         "min_price double, max_price double, prunable boolean")
+
+
+_WT_TPL: dict[str, str] = {}
+
+
+def _wholetext_files(spark, d) -> str:
+    """Template-cached 3-bucket text render of lineitem keys: bucket
+    b = l_orderkey % 3, one text file per bucket, lines
+    "orderkey,linenumber" in (orderkey, linenumber) order — a layout
+    the oracle can rebuild byte-for-byte with string_agg."""
+    import os
+
+    from ..scratch import scratch_dir
+    from ..sources import load
+
+    tpl = _WT_TPL.get(d)
+    if tpl is not None and os.path.isdir(tpl):
+        return tpl
+    tpl = scratch_dir("wholetext_")
+    li = (load(spark, d, "lineitem")
+          .select((F.col("l_orderkey") % 3).cast("int").alias("b"),
+                  F.concat_ws(",", F.col("l_orderkey"),
+                              F.col("l_linenumber")).alias("value"),
+                  "l_orderkey", "l_linenumber"))
+    (li.repartition(3, "b")
+     .sortWithinPartitions("b", "l_orderkey", "l_linenumber")
+     .select("b", "value")
+     .write.partitionBy("b").mode("overwrite").text(tpl))
+    _WT_TPL[d] = tpl
+    return tpl
+
+
+@register(
+    "scan_text_wholefile",
+    oracle="""
+    WITH lines AS (
+        SELECT l_orderkey % 3 AS b,
+               l_orderkey || ',' || l_linenumber AS line,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    )
+    SELECT CAST(b AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           md5(string_agg(line, chr(10)
+                          ORDER BY l_orderkey, l_linenumber)
+               || chr(10)) AS content_md5
+    FROM lines GROUP BY b
+    """,
+)
+def scan_text_wholefile(spark, d):
+    """Whole-file text ingest (r12): ``spark.read.text(...,
+    wholetext=True)`` — ONE ROW PER FILE instead of per line, the mode
+    that feeds document-level parsers (a log bundle, a source file, a
+    transcript) where line-splitting would destroy the unit of work.
+    Three staged bucket files carry lineitem keys in a pinned order;
+    the query reads each file whole, recovers the bucket from the
+    partition path, and emits line count + the md5 of the EXACT byte
+    content — which the oracle rebuilds with an ordered string_agg, so
+    a dropped trailing newline, reordered write, or partial read fails
+    the hash.
+
+    Scale shape: wholetext makes the FILE the parallelism unit (one
+    task per file, no line splitting) — the documented trade: fine for
+    many modest files (the document corpus shape), wrong for one giant
+    file; row-level sources stay the splittable path."""
+    src = _wholetext_files(spark, d)
+    txt = (spark.read.option("recursiveFileLookup", "false")
+           .text(f"{src}/b=*", wholetext=True)
+           .select(F.col("value"),
+                   F.regexp_extract(F.col("_metadata.file_path"),
+                                    r"b=(\d+)", 1).cast("bigint")
+                   .alias("bucket")))
+    return txt.select(
+        "bucket",
+        (F.size(F.split("value", "\n")) - 1).cast("bigint")
+        .alias("n_lines"),
+        F.md5(F.col("value").cast("binary")).alias("content_md5"))
