@@ -919,10 +919,14 @@ class IceliteTable:
         return out
 
     def read(self, version: int | None = None,
-             ref: str | None = None) -> DataFrame:
+             ref: str | None = None,
+             as_of_ts: float | None = None) -> DataFrame:
         """Current read, time travel when version=snapshot_id (VERSION AS
-        OF, README.md:255-258), or a named-ref read when ref=tag/branch
-        name (Iceberg's ``VERSION AS OF 'ref'``).  Each snapshot applies
+        OF, README.md:255-258), a named-ref read when ref=tag/branch
+        name (Iceberg's ``VERSION AS OF 'ref'``), or TIMESTAMP AS OF
+        when as_of_ts=epoch-seconds — resolved to the LATEST snapshot
+        whose commit timestamp is <= the given instant, exactly
+        Iceberg's ``FOR TIMESTAMP AS OF`` rule.  Each snapshot applies
         exactly the delete files committed as of that snapshot, so time
         travel across merge-on-read deletes is position-exact."""
         meta = self.meta
@@ -931,6 +935,15 @@ class IceliteTable:
             if r is None:
                 raise ValueError(f"no ref: {ref}")
             version = r["snapshot_id"]
+        if as_of_ts is not None:
+            if version is not None:
+                raise ValueError("version and as_of_ts are exclusive")
+            eligible = [s for s in meta["snapshots"]
+                        if s["ts"] <= as_of_ts]
+            if not eligible:
+                raise ValueError(
+                    f"no snapshot at or before timestamp {as_of_ts}")
+            version = max(eligible, key=lambda s: (s["ts"], s["id"]))["id"]
         if meta["current_snapshot"] is None and version is None:
             return self._read_files([], meta)
         snap = self._snapshot(meta, version)

@@ -1468,3 +1468,20 @@ def table_rewrite_position_deletes(spark, d):
     merged = t.rewrite_position_deletes()
     assert merged == 2, f"expected 2 delete files merged, got {merged}"
     return _as_output(t.read())
+
+
+@register("table_time_travel_timestamp", oracle=_CSV_ORACLE_BASE)
+def table_time_travel_timestamp(spark, d):
+    """TIMESTAMP AS OF time travel (r12; Iceberg ``FOR TIMESTAMP AS
+    OF``): resolve the latest snapshot committed at or before a given
+    instant.  The instant is captured from snapshot 1's own commit
+    timestamp (read from .history) BETWEEN the insert and the DELETE,
+    so the read must resolve to the pre-delete table and hash-match
+    the full CSV — a resolver that picks the wrong side of the
+    boundary (first-after instead of last-before) surfaces as the
+    missing/present SP rows.  Resolution-rule corners (between-commit
+    instants, before-first-commit error) are pytest-pinned."""
+    t = _fresh_table(spark)
+    snap1_ts = [s["ts"] for s in t.meta["snapshots"] if s["id"] == 1][0]
+    t.delete_where("uf = 'SP'")
+    return _as_output(t.read(as_of_ts=snap1_ts))

@@ -150,3 +150,31 @@ def test_rewrite_position_deletes_drops_dangling_positions(spark):
     snap = t._snapshot(t.meta, None)
     live = {f["path"] for f in snap["files"]}
     assert set(snap["delete_files"][0]["targets"]) <= live
+
+
+def test_timestamp_as_of_resolution_rules(spark):
+    """FOR TIMESTAMP AS OF picks the LATEST snapshot at-or-before the
+    instant; an instant before the first commit is an error; an instant
+    after the head resolves to the head."""
+    import pytest as _pytest
+
+    from data_eng_iceberg_demo_spark.tables.queries import _fresh_table
+
+    t = _fresh_table(spark)
+    t.delete_where("uf = 'SP'")
+    snaps = sorted(t.meta["snapshots"], key=lambda s: s["id"])
+    ts1, ts2 = snaps[0]["ts"], snaps[1]["ts"]
+    # exactly at commit 1 -> snapshot 1 (inclusive bound)
+    assert t.read(as_of_ts=ts1).filter("uf = 'SP'").count() > 0
+    # between commits -> still snapshot 1
+    mid = (ts1 + ts2) / 2
+    if ts1 < mid < ts2:
+        assert t.read(as_of_ts=mid).filter("uf = 'SP'").count() > 0
+    # at/after the delete commit -> SP rows gone
+    assert t.read(as_of_ts=ts2 + 1.0).filter("uf = 'SP'").count() == 0
+    # before the first commit -> error
+    with _pytest.raises(ValueError):
+        t.read(as_of_ts=ts1 - 1000.0)
+    # exclusive with version=
+    with _pytest.raises(ValueError):
+        t.read(version=1, as_of_ts=ts1)
