@@ -284,6 +284,11 @@ SKEW_SAMPLE = [
     # r8: per-stratum rank under a hot stratum (WindowGroupLimit must
     # cap reducer input) and the vocab build under hot tokens
     "llm_stratified_sample", "llm_vocab_coverage",
+    # r12 second continuation: the hot-user wedge explosion the degree
+    # orientation must cap, the hot-shingle KMV sketch, the per-doc
+    # char-frequency agg under the 201-copy family, and banded pHash
+    "events_graph_triangles", "llm_kmv_source_jaccard",
+    "llm_char_entropy", "llm_image_phash_dedup", "events_mann_whitney",
 ]
 
 
