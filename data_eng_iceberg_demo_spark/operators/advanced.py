@@ -1459,3 +1459,100 @@ def dq_out_of_order_audit(spark, d):
                  .alias("out_of_order"),
                  (F.count(F.when(F.col("tss") < F.col("prev_ts"), 1))
                   .cast("double") / F.count("*")).alias("ooo_rate")))
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate IS NOT NULL AND l_quantity > 10
+    GROUP BY l_returnflag
+    HAVING count(*) > 100
+    """,
+)
+def sql_pipe_syntax(spark, d):
+    """SQL pipe syntax (r12; Spark 4's ``|>`` operators — the
+    top-to-bottom query form): FROM |> WHERE |> EXTEND |> AGGREGATE
+    ... GROUP BY |> WHERE-over-aggregate, demonstrating that each pipe
+    stage is sugar over the same Catalyst plan the ANSI oracle
+    produces — filters still push to the scan, the aggregate still
+    partial-aggregates.  Revenue rides DECIMAL so the sum is
+    order-exact.
+
+    Scale shape: identical to the equivalent ANSI query — pipe syntax
+    is parse-time sugar, zero plan difference (verified by the hash)."""
+    T(spark, d, "lineitem").createOrReplaceTempView("pipe_lineitem")
+    return spark.sql("""
+        FROM pipe_lineitem
+        |> WHERE l_shipdate IS NOT NULL AND l_quantity > 10
+        |> EXTEND CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,4)) AS net
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(net) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag
+        |> WHERE n > 100
+        |> SELECT l_returnflag, n, revenue
+    """)
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS max_price
+    FROM orders
+    WHERE o_totalprice > 200000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark, d):
+    """Named-parameter SQL (r12; ``spark.sql(..., args={...})`` —
+    Spark's server-side parameter binding): the injection-safe way a
+    service templates user input into queries, with literals bound by
+    the PARSER (so Catalyst still constant-folds and pushes them into
+    the scan) rather than by string concatenation.  The oracle carries
+    the same literals inline — the hash proves bound parameters and
+    inline literals plan to the same result.
+
+    Scale shape: parameter binding is parse-time; the plan (and its
+    pushed filters) is byte-identical to the literal form."""
+    T(spark, d, "orders").createOrReplaceTempView("param_orders")
+    return spark.sql(
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                      AS max_price
+           FROM param_orders
+           WHERE o_totalprice > :min_price AND o_orderstatus = :status
+           GROUP BY o_orderpriority""",
+        args={"min_price": 200000.0, "status": "F"})
+
+
+@register(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 5000.0
+    GROUP BY n_name
+    """,
+)
+def sql_execute_immediate(spark, d):
+    """EXECUTE IMMEDIATE (r12; Spark 4's dynamic-SQL statement): a
+    query held in a string variable executes with positional ``USING``
+    binds — the stored-procedure idiom migrated workloads lean on.
+    The statement text itself is assembled at runtime (as a dynamic
+    dashboard would), the binds are parser-level parameters, and the
+    hash proves the dynamic path equals the static oracle.
+
+    Scale shape: dynamic SQL is parse-time indirection; the executed
+    plan is the ordinary broadcast-joined aggregate."""
+    T(spark, d, "customer").createOrReplaceTempView("ei_customer")
+    T(spark, d, "nation").createOrReplaceTempView("ei_nation")
+    stmt = ("SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers "
+            "FROM ei_customer JOIN ei_nation ON c_nationkey = n_nationkey "
+            "WHERE c_acctbal > ? GROUP BY n_name")
+    return spark.sql(f"EXECUTE IMMEDIATE '{stmt}' USING 5000.0D")

@@ -5557,7 +5557,7 @@ def llm_weighted_sample(spark, d):
         FROM aug
     )
     SELECT doc_id, CAST(n_sym AS BIGINT) AS n_sym,
-           CAST(n_sym AS DOUBLE) / n AS sym_ratio,
+           CAST(n_sym AS DOUBLE) / nullif(n, 0) AS sym_ratio,
            CAST(kw_hit AS BIGINT) AS kw_hit,
            CASE WHEN n_sym * 100 >= n OR kw_hit = 1
                 THEN 'code' ELSE 'prose' END AS route
@@ -5593,7 +5593,10 @@ def llm_code_detect(spark, d):
         .alias("kw_hit"))
     return feat.select(
         "doc_id", "n_sym",
-        (F.col("n_sym").cast("double") / F.col("n")).alias("sym_ratio"),
+        # nullif: zero-length docs have no defined symbol ratio (hit by
+        # the empty-string rows in the nulls mirror fixture)
+        (F.col("n_sym").cast("double") / F.nullif(F.col("n"), F.lit(0)))
+        .alias("sym_ratio"),
         "kw_hit",
         F.when((F.col("n_sym") * 100 >= F.col("n")) | (F.col("kw_hit") == 1),
                "code").otherwise("prose").alias("route"))
