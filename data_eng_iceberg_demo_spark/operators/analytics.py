@@ -1654,3 +1654,88 @@ def orders_market_basket(spark, d):
                     .alias("confidence"),
                     (F.col("co") * 1.0 * F.lit(n_orders)
                      / (F.col("n_a") * F.col("n_b"))).alias("lift")))
+
+
+@register(
+    "events_survival_km",
+    oracle="""
+    WITH span AS (
+        SELECT user_id,
+               CAST(min(date_trunc('day', ts)) AS DATE) AS first_day,
+               CAST(max(date_trunc('day', ts)) AS DATE) AS last_day
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY user_id
+    ), horizon AS (SELECT max(last_day) AS h FROM span),
+    obs AS (
+        SELECT date_diff('day', first_day, last_day) AS t,
+               last_day < (SELECT h FROM horizon) AS churned
+        FROM span
+    ), risk AS (
+        SELECT t,
+               CAST(count(*) FILTER (churned) AS BIGINT) AS d,
+               CAST((SELECT count(*) FROM obs) -
+                    sum(count(*)) OVER (ORDER BY t
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS BIGINT) AS n
+        FROM obs GROUP BY t
+    ), km AS (
+        SELECT t, d, coalesce(n, (SELECT count(*) FROM obs)) AS n_risk,
+               round(exp(sum(ln(1.0 - CAST(d AS DOUBLE)
+                                 / coalesce(n, (SELECT count(*) FROM obs))))
+                         OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 4)
+                   AS survival
+        FROM risk WHERE d > 0
+    )
+    SELECT CAST(t AS BIGINT) AS t_days, d AS churned, n_risk,
+           survival + 0 AS survival
+    FROM km
+    """,
+)
+def events_survival_km(spark, d):
+    """Kaplan-Meier churn survival curve (r12): time-to-churn per user
+    (days between first and last activity; users still active on the
+    corpus' final day are CENSORED — the estimator's whole point), the
+    at-risk count n(t) from a running frame, and the product-limit
+    estimate S(t) = Π(1 - d_i/n_i) — computed as exp of a RUNNING sum
+    of logs, whose addition order is pinned by the window frame on
+    both engines (a plain aggregate product would be order-free only
+    by luck); 4dp rounding guards libm's last ulp.  d and n are exact
+    integers.  This is the retention readout growth teams fit before
+    any parametric model.
+
+    Scale shape: corpus collapses to one (first, last) row per user in
+    one shuffle; everything after runs on the days-sized event-time
+    relation; the running frames order by t within ONE partition of
+    observed durations (bounded by the calendar, not users)."""
+    span = (T(spark, d, "events")
+            .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(F.min(F.to_date(F.date_trunc("day", "ts")))
+                 .alias("first_day"),
+                 F.max(F.to_date(F.date_trunc("day", "ts")))
+                 .alias("last_day")))
+    w_all = Window.partitionBy()
+    obs = span.select(
+        F.datediff("last_day", "first_day").alias("t"),
+        (F.col("last_day") < F.max("last_day").over(w_all))
+        .alias("churned"))
+    total = obs.count()  # 1-row scalar: the initial at-risk cohort
+    risk = (obs.groupBy("t")
+            .agg(F.count(F.when(F.col("churned"), 1)).alias("d"),
+                 F.count("*").alias("all_t")))
+    w_ord = Window.orderBy("t")
+    prev = F.sum("all_t").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    risk = risk.withColumn(
+        "n_risk", (F.lit(total) - F.coalesce(prev, F.lit(0))).cast("bigint"))
+    km = (risk.filter(F.col("d") > 0)
+          .withColumn(
+              "survival",
+              F.round(F.exp(F.sum(
+                  F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+              ).over(Window.orderBy("t").rowsBetween(
+                  Window.unboundedPreceding, Window.currentRow))), 4)))
+    return km.select(F.col("t").cast("bigint").alias("t_days"),
+                     F.col("d").cast("bigint").alias("churned"),
+                     "n_risk",
+                     (F.col("survival") + F.lit(0.0)).alias("survival"))

@@ -1995,6 +1995,38 @@ class IceliteTable:
                               delete_files=kept_dels)
         return len(small)
 
+    def analyze_table(self, columns: list[str]) -> dict:
+        """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS analog
+        (Iceberg stores these as a Puffin statistics file bound to a
+        snapshot; icelite stores the same shape in table metadata):
+        exact NDV / null count / min / max per column over the CURRENT
+        snapshot, recorded with the snapshot id so stale stats are
+        detectable.  Stats are advisory metadata — writing them is NOT
+        a table commit (no new snapshot), matching Iceberg, where the
+        statistics file updates metadata without changing data state."""
+        stats = _analyze_columns(self, columns)
+        meta = self.meta
+        meta.setdefault("statistics", []).append(stats)
+        _write_meta(self.tdir, meta)
+        return stats
+
+    def column_stats_df(self):
+        """The latest recorded statistics as a DataFrame (the
+        ``db.t.statistics``-style readout), with a staleness flag
+        comparing the stats' snapshot to the current one."""
+        meta = self.meta
+        if not meta.get("statistics"):
+            raise ValueError("no statistics recorded; run analyze_table")
+        st = meta["statistics"][-1]
+        cur = meta["current_snapshot"]
+        rows = [(c, int(v["ndv"]), int(v["null_count"]), v["min"], v["max"],
+                 int(st["row_count"]), st["snapshot_id"] == cur)
+                for c, v in sorted(st["columns"].items())]
+        return self.spark.createDataFrame(
+            rows, "column string, ndv bigint, null_count bigint, "
+                  "min_value string, max_value string, row_count bigint, "
+                  "is_current boolean")
+
     def rewrite_position_deletes(self) -> int:
         """``CALL system.rewrite_position_deletes`` analog: consolidate
         the current snapshot's pending position-delete files into ONE
@@ -2234,3 +2266,30 @@ class IceliteTable:
                 f"ALTER TABLE {name} WRITE ORDERED BY "
                 f"({', '.join(order)})")
         return out
+
+
+def _analyze_columns(table, columns: list[str]) -> dict:
+    """Exact per-column statistics over the current snapshot: NDV,
+    null count, row count, min/max (rendered to strings).  One
+    aggregation pass — every figure is a partial-aggregatable
+    aggregate, so the pass scales like any groupBy-less reduce."""
+    import pyspark.sql.functions as F
+
+    df = table.read()
+    aggs = [F.count("*").alias("__rows")]
+    for c in columns:
+        aggs += [
+            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs).collect()[0]  # 1-row scalar reduce
+    return {
+        "snapshot_id": table.meta["current_snapshot"],
+        "row_count": row["__rows"],
+        "columns": {c: {"ndv": row[f"{c}__ndv"],
+                        "null_count": row[f"{c}__nulls"],
+                        "min": row[f"{c}__min"],
+                        "max": row[f"{c}__max"]} for c in columns},
+    }

@@ -1485,3 +1485,44 @@ def table_time_travel_timestamp(spark, d):
     snap1_ts = [s["ts"] for s in t.meta["snapshots"] if s["id"] == 1][0]
     t.delete_where("uf = 'SP'")
     return _as_output(t.read(as_of_ts=snap1_ts))
+
+
+@register(
+    "table_column_stats",
+    oracle=f"""
+    WITH base AS ({_CSV_ORACLE_BASE})
+    SELECT 'uf' AS column, CAST(count(DISTINCT uf) AS BIGINT) AS ndv,
+           CAST(count(*) FILTER (uf IS NULL) AS BIGINT) AS null_count,
+           min(uf) AS min_value, max(uf) AS max_value,
+           CAST(count(*) AS BIGINT) AS row_count, true AS is_current
+    FROM base
+    UNION ALL
+    SELECT 'quantidade', count(DISTINCT quantidade),
+           count(*) FILTER (quantidade IS NULL),
+           CAST(min(quantidade) AS VARCHAR), CAST(max(quantidade) AS VARCHAR),
+           count(*), true
+    FROM base
+    UNION ALL
+    SELECT 'id_cliente', count(DISTINCT id_cliente),
+           count(*) FILTER (id_cliente IS NULL),
+           CAST(min(id_cliente) AS VARCHAR), CAST(max(id_cliente) AS VARCHAR),
+           count(*), true
+    FROM base
+    """,
+)
+def table_column_stats(spark, d):
+    """ANALYZE TABLE column statistics (r12; the Puffin-statistics-file
+    analog): exact NDV, null count, min/max and row count per analyzed
+    column, recorded in table metadata BOUND TO the snapshot that was
+    current at analysis time — writing stats is not a commit (no new
+    snapshot), exactly Iceberg's statistics-file semantics, and the
+    readout carries an is_current staleness flag the planner would
+    check before trusting NDV for join sizing.  Staleness-flag flip
+    after a later commit is pytest-pinned.
+
+    Scale shape: ONE groupBy-less aggregation pass computes every
+    figure (all partial-aggregatable); the stats themselves are O(cols)
+    metadata."""
+    t = _fresh_table(spark)
+    t.analyze_table(["uf", "quantidade", "id_cliente"])
+    return t.column_stats_df()

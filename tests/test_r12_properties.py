@@ -178,3 +178,25 @@ def test_timestamp_as_of_resolution_rules(spark):
     # exclusive with version=
     with _pytest.raises(ValueError):
         t.read(version=1, as_of_ts=ts1)
+
+
+def test_column_stats_staleness_and_non_commit(spark):
+    """Stats binding rules: analyze_table is NOT a commit (snapshot
+    count unchanged), the readout is current right after analysis, a
+    later DELETE flips is_current to False, and re-analysis both
+    refreshes the flag and reflects the new values."""
+    from data_eng_iceberg_demo_spark.tables.queries import _fresh_table
+
+    t = _fresh_table(spark)
+    n_snaps = len(t.meta["snapshots"])
+    t.analyze_table(["uf"])
+    assert len(t.meta["snapshots"]) == n_snaps  # not a commit
+    df = t.column_stats_df()
+    assert df.filter("column = 'uf'").first()["is_current"] is True
+    ndv_before = df.first()["ndv"]
+    t.delete_where("uf = 'SP'")
+    assert t.column_stats_df().first()["is_current"] is False  # stale
+    t.analyze_table(["uf"])
+    row = t.column_stats_df().first()
+    assert row["is_current"] is True
+    assert row["ndv"] == ndv_before - 1  # SP gone from the domain
