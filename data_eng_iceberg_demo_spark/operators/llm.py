@@ -6138,3 +6138,72 @@ def llm_rag_context_assembly(spark, d):
                  .alias("context_ids"),
                  (F.count(F.when(F.col("cum") > 600, 1)) > 0)
                  .alias("truncated")))
+
+
+@register(
+    "llm_judge_agreement",
+    oracle="""
+    WITH j AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) BETWEEN 20 AND 120 AS a,
+               length(replace(text, ' ', '')) * 10
+                   <= 45 * len(string_split(text, ' ')) AS b
+        FROM documents WHERE text IS NOT NULL
+    ), c AS (
+        SELECT CAST(count(*) FILTER (a AND b) AS BIGINT) AS yy,
+               CAST(count(*) FILTER (a AND NOT b) AS BIGINT) AS yn,
+               CAST(count(*) FILTER (NOT a AND b) AS BIGINT) AS ny,
+               CAST(count(*) FILTER (NOT a AND NOT b) AS BIGINT) AS nn,
+               CAST(count(*) AS BIGINT) AS n
+        FROM j
+    )
+    SELECT yy, yn, ny, nn,
+           CAST(yy + nn AS DOUBLE) / n AS observed_agreement,
+           CAST((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn) AS DOUBLE)
+               / (n * n) AS expected_agreement,
+           round((CAST(yy + nn AS DOUBLE) / n
+                  - CAST((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn)
+                         AS DOUBLE) / (n * n))
+                 / (1.0 - CAST((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn)
+                               AS DOUBLE) / (n * n)), 4) + 0 AS kappa
+    FROM c
+    """,
+)
+def llm_judge_agreement(spark, d):
+    """Inter-judge agreement (r12; Cohen's kappa): two independent
+    quality judges — a length-band rule (20..120 words, the Gopher
+    shape) and a mean-word-length rule (<= 4.5 chars/word, integer
+    cross-multiplied; thresholds probed so all four confusion cells
+    are populated: 15/28/236/221 at sf0.01) — scored over the corpus, with the 2x2 confusion counts,
+    observed and chance agreement, and kappa = (p_o - p_e)/(1 - p_e).
+    This is the calibration readout every LLM-as-judge or
+    multi-annotator labeling pipeline computes before trusting a
+    single judge's labels.  All four cells are exact integers;
+    p_o and p_e are exact single divisions (unrounded, §5.3); only
+    kappa, a quotient of differences of those, rounds (4dp).
+
+    Scale shape: two narrow boolean maps in the scan projection, then
+    a 1-row groupBy-less reduce with map-side partials — judge
+    agreement over 100 TB costs one pass."""
+    j = (T(spark, d, "documents")
+         .filter(F.col("text").isNotNull())
+         .select(
+             F.size(F.split("text", " ")).between(20, 120).alias("a"),
+             (F.length(F.regexp_replace("text", " ", "")) * 10
+              <= 45 * F.size(F.split("text", " "))).alias("b")))
+    c = j.agg(
+        F.count(F.when(F.col("a") & F.col("b"), 1)).alias("yy"),
+        F.count(F.when(F.col("a") & ~F.col("b"), 1)).alias("yn"),
+        F.count(F.when(~F.col("a") & F.col("b"), 1)).alias("ny"),
+        F.count(F.when(~F.col("a") & ~F.col("b"), 1)).alias("nn"),
+        F.count("*").alias("n"))
+    po = (F.col("yy") + F.col("nn")).cast("double") / F.col("n")
+    pe = ((F.col("yy") + F.col("yn")) * (F.col("yy") + F.col("ny"))
+          + (F.col("ny") + F.col("nn")) * (F.col("yn") + F.col("nn"))
+          ).cast("double") / (F.col("n") * F.col("n"))
+    return c.select(
+        "yy", "yn", "ny", "nn",
+        po.alias("observed_agreement"),
+        pe.alias("expected_agreement"),
+        (F.round((po - pe) / (F.lit(1.0) - pe), 4) + F.lit(0.0))
+        .alias("kappa"))
