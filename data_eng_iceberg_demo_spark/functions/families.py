@@ -751,3 +751,70 @@ def fn_geo_haversine(spark, d):
     return (ranked.filter(F.col("r") <= 20)
             .select("name_a", "name_b",
                     (F.col("dist_km") + F.lit(0.0)).alias("dist_km")))
+
+
+@register(
+    "fn_uuid_deterministic",
+    oracle="""
+    WITH h AS (
+        SELECT o_orderkey,
+               md5('orders.icelite:' || CAST(o_orderkey AS VARCHAR)) AS x
+        FROM orders
+    ), u AS (
+        SELECT o_orderkey,
+               substring(x, 1, 8) || '-' || substring(x, 9, 4) || '-3'
+               || substring(x, 14, 3) || '-'
+               || CASE CAST(concat('0x', substring(x, 17, 1)) AS BIGINT) % 4
+                      WHEN 0 THEN '8' WHEN 1 THEN '9'
+                      WHEN 2 THEN 'a' ELSE 'b' END
+               || substring(x, 18, 3) || '-' || substring(x, 21, 12)
+                   AS uuid
+        FROM h
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT uuid) AS BIGINT) AS n_distinct,
+           min(uuid) AS min_uuid, max(uuid) AS max_uuid,
+           CAST(count(*) FILTER (substring(uuid, 15, 1) = '3'
+                                 AND substring(uuid, 20, 1)
+                                     IN ('8', '9', 'a', 'b'))
+                AS BIGINT) AS rfc_layout_ok
+    FROM u
+    """,
+)
+def fn_uuid_deterministic(spark, d):
+    """Deterministic surrogate-key UUIDs (r12; the name-based UUIDv3
+    construction of RFC 4122 §4.3 over a string namespace): md5 of
+    ``namespace:natural_key`` laid out 8-4-4-4-12 with the version
+    nibble forced to 3 and the variant nibble to 10xx — the stable-ID
+    minting every warehouse needs when joining re-ingested feeds (same
+    input, same UUID, on ANY engine; rand-based uuid() cannot give
+    that).  The query proves the three contract properties under one
+    hash: injectivity on the fixture (n == n_distinct), determinism
+    (min/max of the generated set), and the RFC bit layout
+    (version/variant positions).
+
+    Scale shape: a narrow map in whole-stage codegen plus one
+    groupBy-less reduce — key minting is scan-speed."""
+    h = T(spark, d, "orders").select(
+        "o_orderkey",
+        F.md5(F.concat(F.lit("orders.icelite:"),
+                       F.col("o_orderkey").cast("string"))).alias("x"))
+    var_digit = (F.when(F.conv(F.substring("x", 17, 1), 16, 10)
+                        .cast("bigint") % 4 == 0, "8")
+                 .when(F.conv(F.substring("x", 17, 1), 16, 10)
+                       .cast("bigint") % 4 == 1, "9")
+                 .when(F.conv(F.substring("x", 17, 1), 16, 10)
+                       .cast("bigint") % 4 == 2, "a")
+                 .otherwise("b"))
+    u = h.select(F.concat(
+        F.substring("x", 1, 8), F.lit("-"), F.substring("x", 9, 4),
+        F.lit("-3"), F.substring("x", 14, 3), F.lit("-"), var_digit,
+        F.substring("x", 18, 3), F.lit("-"), F.substring("x", 21, 12))
+        .alias("uuid"))
+    return u.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("uuid").alias("n_distinct"),
+        F.min("uuid").alias("min_uuid"), F.max("uuid").alias("max_uuid"),
+        F.count(F.when((F.substring("uuid", 15, 1) == "3")
+                       & F.substring("uuid", 20, 1).isin("8", "9", "a", "b"),
+                       1)).alias("rfc_layout_ok"))
