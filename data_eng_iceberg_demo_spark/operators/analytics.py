@@ -1739,3 +1739,133 @@ def events_survival_km(spark, d):
                      F.col("d").cast("bigint").alias("churned"),
                      "n_risk",
                      (F.col("survival") + F.lit(0.0)).alias("survival"))
+
+
+@register(
+    "orders_abc_pareto",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey % 50 AS item,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+        FROM lineitem WHERE l_partkey IS NOT NULL
+        GROUP BY 1
+    ), ranked AS (
+        SELECT item, r,
+               sum(r) OVER (ORDER BY r DESC, item
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(r) OVER () AS tot
+        FROM rev
+    ), classed AS (
+        SELECT item, r,
+               CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                    WHEN cum * 100 <= tot * 95 THEN 'B'
+                    ELSE 'C' END AS cls
+        FROM ranked
+    )
+    SELECT cls, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(r) AS DOUBLE) AS revenue,
+           CAST(sum(r) AS DOUBLE) / (SELECT CAST(sum(r) AS DOUBLE) FROM rev)
+               AS revenue_share
+    FROM classed GROUP BY cls
+    """,
+)
+def orders_abc_pareto(spark, d):
+    """ABC / Pareto inventory classification (r12): item classes (part
+    % 50) ranked by DECIMAL-exact revenue, cumulative-share cut at
+    80% (A) and 95% (B) — the 80/20 analysis every supply-chain and
+    storage-tiering review starts from.  The class boundary is an
+    integer-cross-multiplied DECIMAL comparison (cum*100 <= tot*80),
+    so no float ever decides a class; the share is one exact-decimal
+    to double division per class row (unrounded, §5.3); the
+    cumulative window carries an item tiebreak.
+
+    Scale shape: corpus -> item-domain rows in one partial-agg
+    shuffle; the ranking window runs over the bounded item domain."""
+    rev = (T(spark, d, "lineitem")
+           .filter(F.col("l_partkey").isNotNull())
+           .groupBy((F.col("l_partkey") % 50).alias("item"))
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .alias("r")))
+    w_ord = Window.orderBy(F.col("r").desc(), "item").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = (rev.withColumn("cum", F.sum("r").over(w_ord))
+              .withColumn("tot", F.sum("r").over(w_all)))
+    cls = (F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+           .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+           .otherwise("C"))
+    classed = ranked.select("item", "r", cls.alias("cls"))
+    tot_d = rev.agg(F.sum("r").cast("double").alias("t"))
+    return (classed.groupBy("cls")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum("r").cast("double").alias("revenue"))
+            .join(F.broadcast(tot_d))
+            .select("cls", "n_items", "revenue",
+                    (F.col("revenue") / F.col("t")).alias("revenue_share")))
+
+
+@register(
+    "events_next_event_eval",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY date_trunc('second', ts),
+                                              event_id) AS prev_type
+        FROM events
+    ), cnt AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), pred AS (
+        SELECT prev_type, next_type AS predicted FROM (
+            SELECT prev_type, next_type,
+                   row_number() OVER (PARTITION BY prev_type
+                                      ORDER BY n DESC, next_type) AS rn
+            FROM cnt
+        ) WHERE rn = 1
+    )
+    SELECT c.prev_type, p.predicted,
+           CAST(sum(c.n) AS BIGINT) AS n_transitions,
+           CAST(sum(CASE WHEN c.next_type = p.predicted
+                         THEN c.n ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN c.next_type = p.predicted
+                         THEN c.n ELSE 0 END) AS DOUBLE) / sum(c.n)
+               AS accuracy
+    FROM cnt c JOIN pred p USING (prev_type)
+    GROUP BY c.prev_type, p.predicted
+    """,
+)
+def events_next_event_eval(spark, d):
+    """Next-event predictor evaluation (r12): the majority-class
+    baseline every sequence model must beat — predict the most likely
+    next event type per current type (argmax of the transition counts,
+    ties by name) and score it against ALL observed transitions,
+    reporting per-state prediction, support and accuracy.  Counts are
+    exact integers; accuracy is one exact division (unrounded, §5.3).
+    The honest-evaluation shape: the model (argmax) and the eval join
+    both derive from the same deterministic count matrix, so the
+    oracle replays training AND scoring.
+
+    Scale shape: one user_id-shuffled lag window builds transitions;
+    everything after runs on the |types|^2 count matrix."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.date_trunc("second", "ts"), "event_id")
+    seq = (T(spark, d, "events")
+           .select("user_id", "event_type",
+                   F.lag("event_type").over(w).alias("prev_type"))
+           .filter(F.col("prev_type").isNotNull()))
+    cnt = (seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+           .agg(F.count("*").alias("n")))
+    wp = Window.partitionBy("prev_type").orderBy(
+        F.col("n").desc(), "next_type")
+    pred = (cnt.withColumn("rn", F.row_number().over(wp))
+            .filter("rn = 1")
+            .select("prev_type", F.col("next_type").alias("predicted")))
+    correct = F.when(F.col("next_type") == F.col("predicted"),
+                     F.col("n")).otherwise(F.lit(0))
+    return (cnt.join(pred, "prev_type")
+            .groupBy("prev_type", "predicted")
+            .agg(F.sum("n").cast("bigint").alias("n_transitions"),
+                 F.sum(correct).cast("bigint").alias("n_correct"),
+                 (F.sum(correct).cast("double") / F.sum("n"))
+                 .alias("accuracy")))
