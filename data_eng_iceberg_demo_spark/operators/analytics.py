@@ -1598,11 +1598,16 @@ def events_graph_triangles(spark, d):
     ), n AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
     supp AS (
         SELECT item, count(*) AS s FROM items GROUP BY item
-    ), pairs AS (
+    ), pairs_all AS (
         SELECT a.item AS item_a, b.item AS item_b, count(*) AS co
         FROM items a JOIN items b
           ON a.ok = b.ok AND a.item < b.item
-        GROUP BY 1, 2 HAVING count(*) >= 20
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT sum(co) AS s, count(*) AS m FROM pairs_all
+    ), pairs AS (
+        SELECT item_a, item_b, co FROM pairs_all, tot
+        WHERE co * m >= s
     )
     SELECT item_a, item_b,
            CAST(co AS BIGINT) AS together,
@@ -1639,10 +1644,13 @@ def orders_market_basket(spark, d):
     supp = items.groupBy("item").agg(F.count("*").alias("s"))
     a = items.select("ok", F.col("item").alias("item_a"))
     b = items.select("ok", F.col("item").alias("item_b"))
-    pairs = (a.join(b, "ok")
-             .filter(F.col("item_a") < F.col("item_b"))
-             .groupBy("item_a", "item_b").agg(F.count("*").alias("co"))
-             .filter(F.col("co") >= 20))
+    pairs_all = (a.join(b, "ok")
+                 .filter(F.col("item_a") < F.col("item_b"))
+                 .groupBy("item_a", "item_b").agg(F.count("*").alias("co")))
+    tot = pairs_all.agg(F.sum("co").alias("s"), F.count("*").alias("m"))
+    pairs = (pairs_all.join(F.broadcast(tot))
+             .filter(F.col("co") * F.col("m") >= F.col("s"))
+             .select("item_a", "item_b", "co"))
     sa = supp.select(F.col("item").alias("item_a"), F.col("s").alias("n_a"))
     sb = supp.select(F.col("item").alias("item_b"), F.col("s").alias("n_b"))
     return (pairs.join(sa, "item_a").join(sb, "item_b")

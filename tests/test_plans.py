@@ -444,6 +444,10 @@ _BNLJ_OK = {"events_funnel",        # cross of three 1-row stage counts
             # k=4 LIMIT-bounded centroid side broadcast onto the
             # quantized vectors (the semantic-cluster assignment shape)
             "llm_topic_labels",
+            # 1-row scalar broadcasts (budget/weight totals, BM25 stats
+            # via composition, revenue total, pair-mean support cut)
+            "llm_epoch_schedule", "llm_rag_context_assembly",
+            "orders_abc_pareto", "orders_market_basket",
             "llm_hybrid_retrieval_rrf",  # same 1-row bm25 stats broadcast
             "tpch_q22",             # broadcast avg-acctbal scalar
             "dq_freshness",         # broadcast 1-row global-max-ts scalar
