@@ -1556,3 +1556,51 @@ def sql_execute_immediate(spark, d):
             "FROM ei_customer JOIN ei_nation ON c_nationkey = n_nationkey "
             "WHERE c_acctbal > ? GROUP BY n_name")
     return spark.sql(f"EXECUTE IMMEDIATE '{stmt}' USING 5000.0D")
+
+
+@register(
+    "dq_replication_checksum",
+    oracle="""
+    WITH h AS (
+        SELECT o_orderkey % 16 AS bucket,
+               CAST(concat('0x', substring(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus
+                   || '|' || CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                  AS VARCHAR)
+                   || '|' || CAST(o_orderdate AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(hv) AS BIGINT) AS checksum
+    FROM h GROUP BY bucket
+    """,
+)
+def dq_replication_checksum(spark, d):
+    """Replication / migration checksum (r12): an ORDER-INDEPENDENT
+    per-bucket table fingerprint — xor-fold of a row-content hash
+    (md5 over a canonical '|'-serialization with DECIMAL-normalized
+    money and ISO dates) plus row counts, bucketed by key %% 16 so a
+    mismatch localizes to 1/16th of the table before any row-level
+    diff runs.  XOR is the right fold: commutative/associative (any
+    partition order), overflow-free (unlike SUM of 60-bit hashes),
+    and a single changed row always flips the checksum.  This is the
+    cheap trust check run after every copy/engine migration — compare
+    16 rows, not the table.  Caveat stated: xor is blind to an even
+    number of IDENTICAL duplicate rows — the row count beside it
+    catches exactly that.
+
+    Scale shape: one narrow hash map + a 16-group partial aggregate —
+    bytes shuffled ~ buckets, never rows."""
+    h = T(spark, d, "orders").select(
+        (F.col("o_orderkey") % 16).alias("bucket"),
+        F.conv(F.substring(F.md5(F.concat_ws(
+            "|", F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            F.col("o_orderdate").cast("string"))), 1, 15), 16, 10)
+        .cast("bigint").alias("hv"))
+    return (h.groupBy("bucket")
+            .agg(F.count("*").alias("n_rows"),
+                 F.expr("bit_xor(hv)").cast("bigint").alias("checksum")))
