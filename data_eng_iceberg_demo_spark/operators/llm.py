@@ -6207,3 +6207,68 @@ def llm_judge_agreement(spark, d):
         pe.alias("expected_agreement"),
         (F.round((po - pe) / (F.lit(1.0) - pe), 4) + F.lit(0.0))
         .alias("kappa"))
+
+
+@register(
+    "llm_safety_keyword_filter",
+    oracle="""
+    WITH aug AS (
+        -- non-degeneracy staging (the llm_code_detect discipline):
+        -- every 9th doc gets an OBFUSCATED blocklist term appended,
+        -- every 13th a plain one
+        SELECT doc_id,
+               CASE WHEN doc_id % 9 = 0 THEN text || ' uns4f3_t3rm'
+                    WHEN doc_id % 13 = 0 THEN text || ' unsafe_term'
+                    ELSE text END AS t
+        FROM documents WHERE text IS NOT NULL
+    ), norm AS (
+        -- leet-fold BEFORE matching: 0->o 1->i 3->e 4->a 5->s 7->t
+        SELECT doc_id, t,
+               translate(lower(t), '013457', 'oieast') AS folded
+        FROM aug
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(folded,
+                '\\b(unsafe_term|banned_phrase)\\b')) AS BIGINT) AS n_hits,
+           len(regexp_extract_all(folded,
+                '\\b(unsafe_term|banned_phrase)\\b')) > 0 AS blocked,
+           regexp_matches(t, '\\b(unsafe_term|banned_phrase)\\b')
+               AS plain_hit
+    FROM norm
+    """,
+)
+def llm_safety_keyword_filter(spark, d):
+    """Safety blocklist filter with obfuscation folding (r12): the
+    corpus-safety gate that catches not just a blocklisted term but
+    its leet-speak disguises — the text is case-folded and
+    digit-substitution-normalized (0→o 1→i 3→e 4→a 5→s 7→t, one
+    ``translate`` in codegen) BEFORE word-boundary matching, so
+    'UnS4f3_T3rm' hits the same rule as 'unsafe_term'.  Emits the hit
+    count, the block verdict, and whether a PLAIN (unfolded) match
+    would also have fired — the delta between the two columns is
+    exactly the obfuscated traffic a naive filter misses (every 9th
+    doc here, planted in-plan; every 13th carries the plain term).
+
+    Scale shape: narrow map — translate + regexp over the scan, no
+    shuffle, no UDF; a production blocklist of 10^4 terms compiles to
+    one alternation or an Aho-Corasick mapInPandas, same plan shape."""
+    docs = T(spark, d, "documents").filter(F.col("text").isNotNull())
+    t = (F.when(F.col("doc_id") % 9 == 0,
+                F.concat(F.col("text"), F.lit(" uns4f3_t3rm")))
+         .when(F.col("doc_id") % 13 == 0,
+               F.concat(F.col("text"), F.lit(" unsafe_term")))
+         .otherwise(F.col("text")))
+    pat = r"\b(unsafe_term|banned_phrase)\b"
+    # inside a SQL string literal the regex backslashes need their own
+    # escaping ('\b' would parse as a backspace character)
+    pat_sql = pat.replace("\\", "\\\\")
+    hits = F.size(F.expr(
+        f"regexp_extract_all(translate(lower(CASE WHEN doc_id % 9 = 0 "
+        f"THEN concat(text, ' uns4f3_t3rm') WHEN doc_id % 13 = 0 "
+        f"THEN concat(text, ' unsafe_term') ELSE text END), "
+        f"'013457', 'oieast'), '{pat_sql}', 0)"))
+    return docs.select(
+        "doc_id",
+        hits.cast("bigint").alias("n_hits"),
+        (hits > 0).alias("blocked"),
+        t.rlike(pat).alias("plain_hit"))
