@@ -1877,3 +1877,49 @@ def events_next_event_eval(spark, d):
                  F.sum(correct).cast("bigint").alias("n_correct"),
                  (F.sum(correct).cast("double") / F.sum("n"))
                  .alias("accuracy")))
+
+
+@register(
+    "events_gini_concentration",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, count(*) AS c FROM events
+        WHERE user_id IS NOT NULL GROUP BY user_id
+    ), ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM x
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS tot,
+               CAST(sum(i * c) AS BIGINT) AS weighted
+        FROM ranked
+    )
+    SELECT n, tot,
+           CAST(2 * weighted - (n + 1) * tot AS DOUBLE) / (n * tot) AS gini
+    FROM s
+    """,
+)
+def events_gini_concentration(spark, d):
+    """Gini coefficient of activity concentration (r12): how unequal
+    is event volume across users — the whale/abuse concentration
+    readout (0 = uniform, ->1 = one user is the corpus).  The exact
+    rank formulation G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over
+    ascending-sorted counts with a user tiebreak: every term is an
+    exact integer, the coefficient ONE exact division (unrounded,
+    §5.3) — no trapezoid float accumulation.
+
+    Scale shape: corpus -> per-user counts (one partial-agg shuffle);
+    the rank runs over the users-sized relation (100 TB: histogram
+    ranks, same formula on bin midpoints)."""
+    x = (T(spark, d, "events")
+         .filter(F.col("user_id").isNotNull())
+         .groupBy("user_id").agg(F.count("*").alias("c")))
+    ranked = x.select(
+        "c", F.row_number().over(Window.orderBy("c", "user_id")).alias("i"))
+    s = ranked.agg(F.count("*").alias("n"),
+                   F.sum("c").alias("tot"),
+                   F.sum(F.col("i") * F.col("c")).alias("weighted"))
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("tot").cast("bigint").alias("tot"),
+        ((2 * F.col("weighted") - (F.col("n") + 1) * F.col("tot"))
+         .cast("double") / (F.col("n") * F.col("tot"))).alias("gini"))

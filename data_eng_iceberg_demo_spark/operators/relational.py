@@ -1129,3 +1129,82 @@ def scan_text_wholefile(spark, d):
         (F.size(F.split("value", "\n")) - 1).cast("bigint")
         .alias("n_lines"),
         F.md5(F.col("value").cast("binary")).alias("content_md5"))
+
+
+_PEDIDOS_CSV_ORACLE = f"""
+    SELECT id_pedido, produto,
+           CAST(CAST(valor_unitario AS DECIMAL(10,2)) AS DOUBLE) AS valor_unitario,
+           CAST(quantidade AS BIGINT) AS quantidade,
+           CAST(CAST(data_criacao AS TIMESTAMP) AS VARCHAR) AS data_criacao_s,
+           uf, CAST(id_cliente AS BIGINT) AS id_cliente
+    FROM read_csv('{FIXTURE_DIR}/pedidos.csv.gz', delim=';', header=true,
+                  columns={{'id_pedido':'VARCHAR','produto':'VARCHAR',
+                           'valor_unitario':'VARCHAR','quantidade':'VARCHAR',
+                           'data_criacao':'VARCHAR','uf':'VARCHAR',
+                           'id_cliente':'VARCHAR'}})
+"""
+
+
+_CSV_REORDER_TPL: dict[str, str] = {}
+
+
+def _reordered_csv_files(spark) -> str:
+    """Template-cached two-file CSV render of the pedidos fixture with
+    DIFFERENT column orders (the multi-exporter reality: each upstream
+    system writes its own header order)."""
+    import csv
+    import gzip
+    import os
+
+    from ..scratch import scratch_dir
+    from ..tables.queries import FIXTURE
+
+    tpl = _CSV_REORDER_TPL.get("pedidos")
+    if tpl is not None and os.path.isdir(tpl):
+        return tpl
+    tpl = scratch_dir("csv_reorder_")
+    opener = gzip.open if FIXTURE.endswith(".gz") else open
+    with opener(FIXTURE, "rt") as f:
+        rows = list(csv.DictReader(f, delimiter=";"))
+    orders = {
+        "a.csv": ["id_pedido", "produto", "valor_unitario", "quantidade",
+                  "data_criacao", "uf", "id_cliente"],
+        "b.csv": ["id_cliente", "uf", "data_criacao", "quantidade",
+                  "valor_unitario", "produto", "id_pedido"],
+    }
+    for i, (name, cols) in enumerate(sorted(orders.items())):
+        part = [r for j, r in enumerate(rows) if j % 2 == i]
+        with open(os.path.join(tpl, name), "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=cols, delimiter=";")
+            w.writeheader()
+            w.writerows(part)
+    _CSV_REORDER_TPL["pedidos"] = tpl
+    return tpl
+
+
+@register("scan_csv_column_reorder", oracle=_PEDIDOS_CSV_ORACLE)
+def scan_csv_column_reorder(spark, d):
+    """Header-driven column reconciliation (r12): two CSV exports of
+    the same table with DIFFERENT column orders (each upstream system
+    writes its own header) — each file is read with header=True so
+    columns bind by NAME, then ``unionByName`` reassembles the table;
+    a positional union would silently transpose id_cliente into
+    id_pedido and fail the CSV-oracle hash on values.
+
+    Scale shape: per-file narrow scans + a zero-shuffle union; schema
+    reconciliation is parse-time."""
+    src = _reordered_csv_files(spark)
+    from ..sources import read_csv
+
+    a = read_csv(spark, f"{src}/a.csv", sep=";", header=True)
+    b = read_csv(spark, f"{src}/b.csv", sep=";", header=True)
+    raw = a.unionByName(b)
+    return raw.select(
+        "id_pedido", "produto",
+        F.col("valor_unitario").cast("decimal(10,2)").cast("double")
+        .alias("valor_unitario"),
+        F.col("quantidade").cast("bigint").alias("quantidade"),
+        F.col("data_criacao").cast("timestamp").cast("string")
+        .alias("data_criacao_s"),
+        "uf",
+        F.col("id_cliente").cast("bigint").alias("id_cliente"))
