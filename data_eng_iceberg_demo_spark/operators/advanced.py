@@ -1564,11 +1564,12 @@ def sql_execute_immediate(spark, d):
     WITH h AS (
         SELECT o_orderkey % 16 AS bucket,
                CAST(concat('0x', substring(md5(
-                   CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus
-                   || '|' || CAST(CAST(o_totalprice AS DECIMAL(18,2))
-                                  AS VARCHAR)
-                   || '|' || CAST(o_orderdate AS VARCHAR)), 1, 15))
-                    AS BIGINT) AS hv
+                   coalesce(CAST(o_orderkey AS VARCHAR), '~')
+                   || '|' || coalesce(o_orderstatus, '~')
+                   || '|' || coalesce(CAST(CAST(o_totalprice
+                                  AS DECIMAL(18,2)) AS VARCHAR), '~')
+                   || '|' || coalesce(CAST(o_orderdate AS VARCHAR), '~')),
+                   1, 15)) AS BIGINT) AS hv
         FROM orders
     )
     SELECT CAST(bucket AS BIGINT) AS bucket,
@@ -1593,13 +1594,20 @@ def dq_replication_checksum(spark, d):
 
     Scale shape: one narrow hash map + a 16-group partial aggregate —
     bytes shuffled ~ buckets, never rows."""
+    # NULL fields coalesce to a sentinel BEFORE serialization: without
+    # it Spark's concat_ws silently SKIPS NULLs (so (a,NULL,b) and
+    # (a,b,NULL) collide) while a ||-built oracle nulls the whole row
+    # out — the null-mirror suite caught exactly that divergence
     h = T(spark, d, "orders").select(
         (F.col("o_orderkey") % 16).alias("bucket"),
         F.conv(F.substring(F.md5(F.concat_ws(
-            "|", F.col("o_orderkey").cast("string"),
-            F.col("o_orderstatus"),
-            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
-            F.col("o_orderdate").cast("string"))), 1, 15), 16, 10)
+            "|",
+            F.coalesce(F.col("o_orderkey").cast("string"), F.lit("~")),
+            F.coalesce(F.col("o_orderstatus"), F.lit("~")),
+            F.coalesce(F.col("o_totalprice").cast("decimal(18,2)")
+                       .cast("string"), F.lit("~")),
+            F.coalesce(F.col("o_orderdate").cast("string"), F.lit("~")))),
+            1, 15), 16, 10)
         .cast("bigint").alias("hv"))
     return (h.groupBy("bucket")
             .agg(F.count("*").alias("n_rows"),

@@ -6158,14 +6158,16 @@ def llm_rag_context_assembly(spark, d):
         FROM j
     )
     SELECT yy, yn, ny, nn,
-           CAST(yy + nn AS DOUBLE) / n AS observed_agreement,
+           CAST(yy + nn AS DOUBLE) / nullif(n, 0) AS observed_agreement,
            CAST((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn) AS DOUBLE)
-               / (n * n) AS expected_agreement,
-           round((CAST(yy + nn AS DOUBLE) / n
+               / nullif(n * n, 0) AS expected_agreement,
+           round((CAST(yy + nn AS DOUBLE) / nullif(n, 0)
                   - CAST((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn)
-                         AS DOUBLE) / (n * n))
-                 / (1.0 - CAST((yy + yn) * (yy + ny) + (ny + nn) * (yn + nn)
-                               AS DOUBLE) / (n * n)), 4) + 0 AS kappa
+                         AS DOUBLE) / nullif(n * n, 0))
+                 / nullif(1.0 - CAST((yy + yn) * (yy + ny)
+                                     + (ny + nn) * (yn + nn)
+                               AS DOUBLE) / nullif(n * n, 0), 0.0), 4) + 0
+               AS kappa
     FROM c
     """,
 )
@@ -6197,16 +6199,20 @@ def llm_judge_agreement(spark, d):
         F.count(F.when(~F.col("a") & F.col("b"), 1)).alias("ny"),
         F.count(F.when(~F.col("a") & ~F.col("b"), 1)).alias("nn"),
         F.count("*").alias("n"))
-    po = (F.col("yy") + F.col("nn")).cast("double") / F.col("n")
-    pe = ((F.col("yy") + F.col("yn")) * (F.col("yy") + F.col("ny"))
-          + (F.col("ny") + F.col("nn")) * (F.col("yn") + F.col("nn"))
-          ).cast("double") / (F.col("n") * F.col("n"))
+    # nullif guards: an empty slice (n=0) or perfect chance agreement
+    # (pe=1) has no defined kappa — NULL, never a zero-division error
+    po = ((F.col("yy") + F.col("nn")).cast("double")
+          / F.nullif(F.col("n"), F.lit(0)))
+    pe = (((F.col("yy") + F.col("yn")) * (F.col("yy") + F.col("ny"))
+           + (F.col("ny") + F.col("nn")) * (F.col("yn") + F.col("nn"))
+           ).cast("double")
+          / F.nullif(F.col("n") * F.col("n"), F.lit(0)))
     return c.select(
         "yy", "yn", "ny", "nn",
         po.alias("observed_agreement"),
         pe.alias("expected_agreement"),
-        (F.round((po - pe) / (F.lit(1.0) - pe), 4) + F.lit(0.0))
-        .alias("kappa"))
+        (F.round((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)), 4)
+         + F.lit(0.0)).alias("kappa"))
 
 
 @register(
