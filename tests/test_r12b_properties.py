@@ -114,3 +114,72 @@ def test_weighted_median_defining_inequality(spark):
         below = sum(w for p, w in rows if p < m)
         assert 2 * at_or_below >= tot >= 1, flag
         assert 2 * below < tot, flag
+
+
+def test_uuid_deterministic_matches_rfc_library(spark):
+    """The in-plan v3-style construction must agree with CPython's
+    uuid module given the same md5 input bytes: same hex, version
+    nibble 3, RFC variant — checked for a sample of keys."""
+    import hashlib
+    import uuid as _uuid
+
+    import duckdb
+
+    con = duckdb.connect()
+    for key in (1, 42, 99999):
+        x = hashlib.md5(f"orders.icelite:{key}".encode()).hexdigest()
+        got = con.execute("""
+            SELECT substring($1, 1, 8) || '-' || substring($1, 9, 4)
+                || '-3' || substring($1, 14, 3) || '-'
+                || CASE CAST(concat('0x', substring($1, 17, 1)) AS BIGINT)
+                        % 4 WHEN 0 THEN '8' WHEN 1 THEN '9'
+                        WHEN 2 THEN 'a' ELSE 'b' END
+                || substring($1, 18, 3) || '-' || substring($1, 21, 12)
+        """, [x]).fetchone()[0]
+        u = _uuid.UUID(got)
+        assert u.version == 3
+        assert u.variant == _uuid.RFC_4122
+        # all non-patched nibbles carry the md5 verbatim
+        plain = got.replace("-", "")
+        assert plain[:12] == x[:12] and plain[13:16] == x[13:16]
+        assert plain[17:] == x[17:]
+
+
+def test_spatial_grid_boundary_pairs_not_lost(spark):
+    """A pair at Euclidean distance exactly 1.0 (cell-diagonal
+    neighbors) must be found: plant two synthetic points in adjacent
+    cells at unit distance and run the same candidate generation."""
+    import pyspark.sql.functions as F
+
+    pts = spark.createDataFrame(
+        [(1, 0.6, 0.8), (2, 1.2, 1.6)], "k long, x double, y double")
+    cells = pts.select(
+        "k", "x", "y", F.floor("x").cast("bigint").alias("cx"),
+        F.floor("y").cast("bigint").alias("cy"))
+    a = (cells
+         .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+         .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+         .select(F.col("k").alias("ka"), F.col("x").alias("xa"),
+                 F.col("y").alias("ya"),
+                 (F.col("cx") + F.col("dx")).alias("jx"),
+                 (F.col("cy") + F.col("dy")).alias("jy")))
+    b = cells.select(F.col("k").alias("kb"), F.col("x").alias("xb"),
+                     F.col("y").alias("yb"), F.col("cx").alias("jx"),
+                     F.col("cy").alias("jy"))
+    d2 = ((F.col("xa") - F.col("xb")) ** 2 + (F.col("ya") - F.col("yb")) ** 2)
+    got = (a.join(b, ["jx", "jy"])
+           .filter((F.col("ka") < F.col("kb")) & (d2 <= 1.0 + 1e-12))
+           .count())
+    assert got == 1
+
+
+def test_safety_filter_fold_table(spark):
+    """Every leet substitution the filter claims must fold to its
+    letter: the translate map is the contract."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("UnS4f3_T3rm",), ("un5af3_term",), ("uns4fe_t3rm",)], "s string")
+    folded = [r[0] for r in df.select(
+        F.translate(F.lower("s"), "013457", "oieast")).collect()]
+    assert folded == ["unsafe_term"] * 3
