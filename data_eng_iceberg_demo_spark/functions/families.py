@@ -818,3 +818,58 @@ def fn_uuid_deterministic(spark, d):
         F.count(F.when((F.substring("uuid", 15, 1) == "3")
                        & F.substring("uuid", 20, 1).isin("8", "9", "a", "b"),
                        1)).alias("rfc_layout_ok"))
+
+
+@register(
+    "fn_ip_cidr",
+    oracle="""
+    WITH ip AS (
+        SELECT c_custkey AS k,
+               CAST(concat('0x', substring(md5(CAST(c_custkey AS VARCHAR)
+                    || ':ip'), 1, 8)) AS BIGINT) % 4294967296 AS ip_int
+        FROM customer
+    ), parts AS (
+        SELECT k, ip_int,
+               CAST(ip_int // 16777216 AS VARCHAR) || '.'
+               || CAST((ip_int // 65536) % 256 AS VARCHAR) || '.'
+               || CAST((ip_int // 256) % 256 AS VARCHAR) || '.'
+               || CAST(ip_int % 256 AS VARCHAR) AS dotted
+        FROM ip
+    )
+    SELECT k, dotted,
+           ip_int // 1048576 = (10 * 16777216) // 1048576 AS in_10_slash_12,
+           ip_int // 16777216 = 10 AS in_10_slash_8,
+           CAST(ip_int // 2147483648 AS BIGINT) = 1 AS high_half
+    FROM parts
+    """,
+)
+def fn_ip_cidr(spark, d):
+    """IP address family (r12): dotted-quad rendering and CIDR
+    membership over md5-derived 32-bit addresses — the
+    network-partitioning functions access-log pipelines need (Spark
+    ships no inet type; integer arithmetic IS the implementation, and
+    the same prefix shift works as a join/partition key at any scale).
+    Membership in a /N block is one integer division: ip >> (32-N)
+    compared against the block's prefix — replayed with identical
+    semantics on both engines since all values are exact ints.
+
+    Scale shape: pure narrow map in codegen; CIDR prefixes used as
+    equi-join keys give block-local joins for free."""
+    ip = T(spark, d, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (F.conv(F.substring(F.md5(F.concat(
+            F.col("c_custkey").cast("string"), F.lit(":ip"))), 1, 8),
+            16, 10).cast("bigint") % 4294967296).alias("ip_int"))
+    dotted = F.concat_ws(
+        ".",
+        F.expr("ip_int div 16777216").cast("string"),
+        F.expr("(ip_int div 65536) % 256").cast("string"),
+        F.expr("(ip_int div 256) % 256").cast("string"),
+        (F.col("ip_int") % 256).cast("string"))
+    return ip.select(
+        "k", dotted.alias("dotted"),
+        (F.expr("ip_int div 1048576")
+         == (10 * 16777216) // 1048576).alias("in_10_slash_12"),
+        F.expr("ip_int div 16777216 = 10").alias("in_10_slash_8"),
+        (F.expr("ip_int div 2147483648").cast("bigint") == 1)
+        .alias("high_half"))

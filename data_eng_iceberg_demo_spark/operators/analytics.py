@@ -1923,3 +1923,71 @@ def events_gini_concentration(spark, d):
         F.col("tot").cast("bigint").alias("tot"),
         ((2 * F.col("weighted") - (F.col("n") + 1) * F.col("tot"))
          .cast("double") / (F.col("n") * F.col("tot"))).alias("gini"))
+
+
+@register(
+    "events_bounce_rate",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, date_trunc('second', ts) AS tss
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), flagged AS (
+        SELECT user_id, tss,
+               CASE WHEN tss - lag(tss) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)
+    ), sess AS (
+        SELECT user_id, tss,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY tss
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, sid,
+               CAST(min(tss) AS DATE) AS day,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (n_events = 1) AS BIGINT) AS n_bounces,
+           CAST(count(*) FILTER (n_events = 1) AS DOUBLE) / count(*)
+               AS bounce_rate
+    FROM per_session GROUP BY day
+    """,
+)
+def events_bounce_rate(spark, d):
+    """Daily bounce rate (r12): 30-minute-gap sessionization (the
+    window_sessionize_batch construction with an event_id tiebreak on
+    the lag ordering), sessions attributed to the day of their FIRST
+    event, bounce = a single-event session — the engagement headline
+    every web-analytics dashboard leads with.  The rate is an exact
+    integer division (unrounded, §5.3).
+
+    Scale shape: ONE user_id shuffle shared by the gap lag and the
+    running session counter, then a partial-agg collapse to sessions
+    and a days-sized aggregate; nothing re-shuffles after the first
+    exchange."""
+    e = (T(spark, d, "events")
+         .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+         .select("user_id", "event_id",
+                 F.date_trunc("second", "ts").alias("tss")))
+    w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(F.col("tss").cast("long")
+               - F.lag(F.col("tss").cast("long")).over(w) <= 1800, 0)
+        .otherwise(1))
+    sess = flagged.withColumn(
+        "sid", F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("tss")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    per_session = (sess.groupBy("user_id", "sid")
+                   .agg(F.to_date(F.min("tss")).alias("day"),
+                        F.count("*").alias("n_events")))
+    return (per_session.groupBy(F.col("day").cast("string").alias("day"))
+            .agg(F.count("*").alias("n_sessions"),
+                 F.count(F.when(F.col("n_events") == 1, 1))
+                 .alias("n_bounces"),
+                 (F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
+                  / F.count("*")).alias("bounce_rate")))
