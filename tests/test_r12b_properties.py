@@ -183,3 +183,40 @@ def test_safety_filter_fold_table(spark):
     folded = [r[0] for r in df.select(
         F.translate(F.lower("s"), "013457", "oieast")).collect()]
     assert folded == ["unsafe_term"] * 3
+
+
+def test_replication_checksum_flips_on_single_row_change(spark):
+    """The xor fold's whole job: one changed row must flip its
+    bucket's checksum and leave the other 15 untouched."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+    from data_eng_iceberg_demo_spark.plans.registry import REGISTRY
+
+    base = {r["bucket"]: r["checksum"]
+            for r in REGISTRY["dq_replication_checksum"]
+            .fn(spark, SF).collect()}
+    # recompute the oracle with ONE order's status flipped
+    con = duckdb.connect()
+    con.sql(f"""CREATE VIEW orders AS
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey = 7 THEN 'X' ELSE o_orderstatus END
+                   AS o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM '{SF}/orders.parquet'""")
+    mutated = {r[0]: r[2] for r in con.execute(
+        REGISTRY["dq_replication_checksum"].oracle).fetchall()}
+    changed = [b for b in base if base[b] != mutated[b]]
+    assert changed == [7 % 16]
+
+
+def test_ip_cidr_dotted_quad_inverts(spark):
+    """dotted-quad render must invert back to the integer for every
+    produced row (sampled)."""
+    from data_eng_iceberg_demo_spark.plans.registry import REGISTRY
+
+    rows = (REGISTRY["fn_ip_cidr"].fn(spark, SF).limit(50).collect())
+    assert rows
+    for r in rows:
+        o = [int(p) for p in r["dotted"].split(".")]
+        assert all(0 <= x <= 255 for x in o)
