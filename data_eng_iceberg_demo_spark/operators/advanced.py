@@ -1381,23 +1381,24 @@ def dq_sequence_gaps(spark, d):
     SELECT event_type, CAST(day AS VARCHAR) AS day,
            round(true_n
                  + (CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END)
-                   * ln(1.0 - 2.0 * abs(u - 0.5)), 4) + 0 AS released_n,
-           1.0 AS epsilon
+                   * ln(1.0 - 2.0 * abs(u - 0.5)), 4) + 0 AS released_n
     FROM noised
     """,
 )
 def dq_dp_histogram(spark, d):
-    """Differentially-private release of the (event_type, day) count
-    histogram (r12): Laplace(1/eps) noise at eps=1.0, sensitivity 1
-    (one user-event changes one cell by one).  The noise is generated
-    by INVERSE-CDF from a content-keyed uniform (md5 of the cell key
-    mapped into (0,1), the repo's RNG-free discipline) — so the release
-    is reproducible across engines and re-runs, which is exactly how a
-    production DP pipeline derives per-cell noise from a keyed PRF
-    rather than ambient randomness.  Laplace icdf: -b*sign(u-.5)*
-    ln(1-2|u-.5|).  True counts never leave the plan; only the noised
-    value is projected.  ln() is libm on both engines (<=1 ulp apart on
-    doubles) — the 4dp round guards it.
+    """Deterministic Laplace-noise histogram release of the
+    (event_type, day) counts (r12; reframed r13 per advice).  The
+    noise is generated by INVERSE-CDF from a uniform derived with md5
+    from the PUBLIC cell key — so the release is reproducible across
+    engines and re-runs, which demonstrates the plan shape of a noised
+    release but is NOT differential privacy: anyone who knows the cell
+    key can recompute the noise and recover the exact count.  A
+    production DP release keeps this exact plan and swaps the bare
+    md5(cell_key) for HMAC(secret_key, cell_key) — a secret PRF —
+    which is a one-line substitution in the `u` expression; no epsilon
+    is claimed here and none is emitted.  Laplace icdf:
+    -b*sign(u-.5)*ln(1-2|u-.5|).  ln() is libm on both engines (<=1
+    ulp apart on doubles) — the 4dp round guards it.
 
     Scale shape: ONE partial-agg shuffle to the cells, then a narrow
     per-cell map; noise cost is O(cells), independent of event volume."""
@@ -1414,8 +1415,7 @@ def dq_dp_histogram(spark, d):
     return daily.select(
         "event_type", F.col("day").cast("string").alias("day"),
         (F.round(F.col("true_n") + noise, 4) + F.lit(0.0))
-        .alias("released_n"),
-        F.lit(1.0).alias("epsilon"))
+        .alias("released_n"))
 
 
 @register(

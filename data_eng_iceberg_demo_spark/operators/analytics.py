@@ -1932,14 +1932,14 @@ def events_gini_concentration(spark, d):
         SELECT user_id, event_id, date_trunc('second', ts) AS tss
         FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
     ), flagged AS (
-        SELECT user_id, tss,
+        SELECT user_id, event_id, tss,
                CASE WHEN tss - lag(tss) OVER w <= INTERVAL 30 MINUTE
                     THEN 0 ELSE 1 END AS new_session
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)
     ), sess AS (
         SELECT user_id, tss,
                sum(new_session) OVER (PARTITION BY user_id
-                                      ORDER BY tss
+                                      ORDER BY tss, event_id
                                       ROWS UNBOUNDED PRECEDING) AS sid
         FROM flagged
     ), per_session AS (
@@ -1959,10 +1959,13 @@ def events_gini_concentration(spark, d):
 def events_bounce_rate(spark, d):
     """Daily bounce rate (r12): 30-minute-gap sessionization (the
     window_sessionize_batch construction with an event_id tiebreak on
-    the lag ordering), sessions attributed to the day of their FIRST
-    event, bounce = a single-event session — the engagement headline
-    every web-analytics dashboard leads with.  The rate is an exact
-    integer division (unrounded, §5.3).
+    BOTH windows — the gap lag AND the running session counter share
+    the total (tss, event_id) order, so per-row session assignment is
+    deterministic even with same-second per-user ties; r13 fix per
+    advice), sessions attributed to the day of their FIRST event,
+    bounce = a single-event session — the engagement headline every
+    web-analytics dashboard leads with.  The rate is an exact integer
+    division (unrounded, §5.3).
 
     Scale shape: ONE user_id shuffle shared by the gap lag and the
     running session counter, then a partial-agg collapse to sessions
@@ -1980,7 +1983,7 @@ def events_bounce_rate(spark, d):
         .otherwise(1))
     sess = flagged.withColumn(
         "sid", F.sum("new_session").over(
-            Window.partitionBy("user_id").orderBy("tss")
+            Window.partitionBy("user_id").orderBy("tss", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     per_session = (sess.groupBy("user_id", "sid")
                    .agg(F.to_date(F.min("tss")).alias("day"),

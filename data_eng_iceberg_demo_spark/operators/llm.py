@@ -6017,7 +6017,7 @@ def llm_epoch_schedule(spark, d):
                         ELSE text END) AS h
         FROM documents WHERE text IS NOT NULL AND doc_id % 17 <> 0
         UNION ALL
-        SELECT doc_id + 1000000, md5(text || ' new')
+        SELECT -doc_id - 1, md5(text || ' new')
         FROM documents WHERE text IS NOT NULL AND doc_id % 19 = 0
     )
     SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
@@ -6036,7 +6036,10 @@ def llm_dataset_diff(spark, d):
     v2 snapshot is derived IN-PLAN from v1 by deterministic rules
     (drop %17, modify %13, add %19 under new ids) so both engines
     replay the same pair of versions — the llm_code_detect staging
-    discipline.  This is the diff an incremental training pipeline
+    discipline.  Added ids live OUTSIDE the natural key space
+    (-doc_id-1, always negative vs the non-negative v1 ids; r13 fix
+    per advice — a '+1e6' offset collides with genuine v1 ids once
+    the corpus exceeds 1e6 docs and silently reclassifies rows).  This is the diff an incremental training pipeline
     feeds to its dedup/tokenize stages so unchanged docs are never
     reprocessed.
 
@@ -6055,7 +6058,7 @@ def llm_dataset_diff(spark, d):
                         .otherwise(F.col("text"))).alias("h"))
           .unionAll(
               base.filter(F.col("doc_id") % 19 == 0)
-              .select((F.col("doc_id") + 1000000).alias("doc_id"),
+              .select((-F.col("doc_id") - 1).alias("doc_id"),
                       F.md5(F.concat(F.col("text"), F.lit(" new")))
                       .alias("h"))))
     j = v1.alias("a").join(v2.alias("b"),

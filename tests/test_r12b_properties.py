@@ -212,11 +212,21 @@ def test_replication_checksum_flips_on_single_row_change(spark):
 
 def test_ip_cidr_dotted_quad_inverts(spark):
     """dotted-quad render must invert back to the integer for every
-    produced row (sampled)."""
+    produced row (sampled): ip_int is not projected by fn_ip_cidr, so
+    recompute it from k via the SAME md5 derivation the operator uses
+    and assert the big-endian octet recomposition equals it — a
+    renderer that permuted or truncated octets fails (r13 fix per
+    advice: the old form only range-checked octets)."""
+    import hashlib
+
     from data_eng_iceberg_demo_spark.plans.registry import REGISTRY
 
     rows = (REGISTRY["fn_ip_cidr"].fn(spark, SF).limit(50).collect())
     assert rows
     for r in rows:
         o = [int(p) for p in r["dotted"].split(".")]
-        assert all(0 <= x <= 255 for x in o)
+        assert len(o) == 4 and all(0 <= x <= 255 for x in o)
+        ip_int = int(hashlib.md5(
+            f"{r['k']}:ip".encode()).hexdigest()[:8], 16) % 4294967296
+        assert (o[0] * 2**24 + o[1] * 2**16 + o[2] * 2**8 + o[3]
+                == ip_int), (r["k"], r["dotted"], ip_int)
