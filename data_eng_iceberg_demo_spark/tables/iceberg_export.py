@@ -36,11 +36,15 @@ bounds) are optional per spec and omitted; the required fields —
 content, file_path, file_format, partition, record_count,
 file_size_in_bytes — are all populated, with partition values in the
 spec's PHYSICAL types (day/month/year/hour/bucket -> int ordinals,
-truncate -> source type).  Files written under a REPLACED partition
-spec cannot be exported (icelite retains only the current spec
-definition) — the emitter raises rather than mis-stamp them; pre-spec
-unpartitioned files export under the always-present empty spec 0 in
-their own manifest.
+truncate -> source type).  Partition-spec EVOLUTION exports spec-
+correctly (r13): set_partition retains replaced spec definitions in
+partition_spec_history, and the emitter writes one partition-specs
+entry per spec the table ever used (ids 1..N, per-spec partition field
+ids 1000+sid-1), bucketing each snapshot's files into one manifest PER
+SPEC with that spec's typed partition struct; pre-spec unpartitioned
+files export under the always-present empty spec 0.  Only a pre-r13
+table whose replaced spec definition was genuinely lost still raises
+(loudly, never mis-stamping).
 
 The companion reader (`read_iceberg_table`) accepts FOREIGN-written
 metadata too, not just this emitter's output: format-version 1 and 2,
@@ -97,7 +101,7 @@ _TRANSFORMS = {"days": "day", "months": "month", "years": "year",
                "hours": "hour"}
 
 
-def _spec_fields(spec: dict | None) -> list[dict]:
+def _spec_fields(spec: dict | None, field_id: int = 1000) -> list[dict]:
     if spec is None:
         return []
     t = spec["transform"]
@@ -107,7 +111,7 @@ def _spec_fields(spec: dict | None) -> list[dict]:
         transform = f"{t}[{spec['param']}]"
     else:
         transform = t
-    return [{"source-id": spec["source_id"], "field-id": 1000,
+    return [{"source-id": spec["source_id"], "field-id": field_id,
              "transform": transform, "name": spec["name"]}]
 
 
@@ -170,7 +174,8 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
     }
 
 
-def _partition_avro_fields(spec: dict | None, source_type: str | None) -> list[dict]:
+def _partition_avro_fields(spec: dict | None, source_type: str | None,
+                           field_id: int = 1000) -> list[dict]:
     """Spec PHYSICAL types for partition values (r11 advice): time
     transforms and bucket produce int ordinals, truncate keeps the
     source type — a real external reader (Trino/Spark+Iceberg) type-
@@ -186,7 +191,7 @@ def _partition_avro_fields(spec: dict | None, source_type: str | None) -> list[d
     else:
         avro_t = "string"
     return [{"name": spec["name"], "type": ["null", avro_t],
-             "field-id": 1000}]
+             "field-id": field_id}]
 
 
 _EPOCH = datetime.date(1970, 1, 1)
@@ -243,38 +248,62 @@ def export_iceberg_metadata(table) -> str:
         })
 
     spec = meta.get("partition_spec")
-    src_type = None
-    if spec is not None:
-        cur_fields = next(sv["fields"] for sv in meta["schema_versions"]
-                          if sv["version"] == meta["current_schema"])
-        src_type = next(f["type"] for f in cur_fields
-                        if f["id"] == spec["source_id"])
-    part_avro = _partition_avro_fields(spec, src_type)
-    # one manifest entry schema per partition spec a file may carry:
-    # spec 0 (the always-present empty spec — pre-evolution files) and,
-    # when a spec is set, spec 1 with the typed partition struct.  The
-    # spec forbids mixing files of different specs in one manifest.
-    entry_schemas = {0: _manifest_entry_schema([]),
-                     1: _manifest_entry_schema(part_avro)}
-    cur_key = table._spec_key(spec)
+
+    def _source_type(source_id: int) -> str | None:
+        # field ids are stable across add/rename, so the newest schema
+        # version that knows the id wins (a renamed source keeps type)
+        for sv in reversed(meta["schema_versions"]):
+            for f in sv["fields"]:
+                if f["id"] == source_id:
+                    return f["type"]
+        return None
+
+    # spec catalog (r13, multi-spec export): every partition spec the
+    # table EVER used, in adoption order — replaced specs retained by
+    # set_partition in partition_spec_history plus the current one.
+    # spec-id 0 is the always-present empty spec (pre-evolution files);
+    # historical/current specs get ids 1..N with per-spec partition
+    # field ids 1000+sid-1 (unique table-wide, as Iceberg assigns them).
+    # The spec forbids mixing files of different specs in one manifest,
+    # so each spec id gets its own manifest entry schema and bucket.
+    all_specs = list(meta.get("partition_spec_history", []))
+    if spec is not None and table._spec_key(spec) not in {
+            table._spec_key(s) for s in all_specs}:
+        all_specs.append(spec)
+    key_to_sid: dict[str, int] = {}
+    spec_by_sid: dict[int, dict] = {}
+    src_type_by_sid: dict[int, str | None] = {}
+    part_avro_by_sid: dict[int, list] = {}
+    entry_schemas = {0: _manifest_entry_schema([])}
+    for i, s2 in enumerate(all_specs):
+        sid2 = i + 1
+        key_to_sid[table._spec_key(s2)] = sid2
+        spec_by_sid[sid2] = s2
+        src_type_by_sid[sid2] = _source_type(s2["source_id"])
+        part_avro_by_sid[sid2] = _partition_avro_fields(
+            s2, src_type_by_sid[sid2], 1000 + sid2 - 1)
+        entry_schemas[sid2] = _manifest_entry_schema(part_avro_by_sid[sid2])
 
     def _spec_bucket(e) -> int:
         k = e.get("spec_key")
         if k is None:
             return 0
-        if k == cur_key:
-            return 1
-        # icelite keeps only the CURRENT spec definition; a file written
-        # under a replaced spec cannot be exported with spec-correct
-        # partition metadata (r11 advice: fail loudly, don't mis-stamp)
-        raise ValueError(
-            f"file {e['path']!r} was written under a historical partition "
-            f"spec ({k!r}) that icelite no longer retains; spec-correct "
-            "export is impossible — rewrite_data_files first")
+        sid2 = key_to_sid.get(k)
+        if sid2 is None:
+            # pre-r13 tables replaced specs without retaining them; a
+            # file keyed to a LOST spec cannot be exported with
+            # spec-correct partition metadata — fail loudly, never
+            # mis-stamp (r11 advice)
+            raise ValueError(
+                f"file {e['path']!r} was written under a historical "
+                f"partition spec ({k!r}) whose definition icelite no "
+                "longer retains; spec-correct export is impossible — "
+                "rewrite_data_files first")
+        return sid2
 
     snaps = sorted(meta.get("snapshots", []), key=lambda s: s["id"])
     by_id = {s["id"]: s for s in snaps}
-    spec_id = 0 if spec is None else 1
+    spec_id = key_to_sid.get(table._spec_key(spec), 0) if spec else 0
     # spec: EXISTING (status=0) entries must carry explicit snapshot/
     # sequence numbers — null inheritance is only legal for ADDED — so
     # remember which snapshot first added each path
@@ -303,9 +332,11 @@ def export_iceberg_metadata(table) -> str:
             else:
                 parts = [full]
             part_val = {}
-            if bucket == 1 and part_avro:
-                part_val = {part_avro[0]["name"]: _typed_partition_value(
-                    spec, src_type, e.get("partition"))}
+            if bucket > 0:
+                pav = part_avro_by_sid[bucket]
+                part_val = {pav[0]["name"]: _typed_partition_value(
+                    spec_by_sid[bucket], src_type_by_sid[bucket],
+                    e.get("partition"))}
             origin = sid if status == 1 else first_added[e["path"]]
             out = []
             for i, p in enumerate(parts):
@@ -344,7 +375,8 @@ def export_iceberg_metadata(table) -> str:
                 "schema": json.dumps(snap_schema),
                 "schema-id": str(snap_schema_id),
                 "partition-spec": json.dumps(
-                    _spec_fields(spec) if bucket == 1 else []),
+                    _spec_fields(spec_by_sid[bucket], 1000 + bucket - 1)
+                    if bucket else []),
                 "partition-spec-id": str(bucket),
                 "format-version": "2",
             }
@@ -432,10 +464,12 @@ def export_iceberg_metadata(table) -> str:
         "last-column-id": next_id[0] - 1,
         "schemas": schemas,
         "current-schema-id": meta["current_schema"],
-        "partition-specs": [{"spec-id": 0, "fields": []}] + (
-            [{"spec-id": 1, "fields": _spec_fields(spec)}] if spec else []),
+        "partition-specs": [{"spec-id": 0, "fields": []}] + [
+            {"spec-id": sid2,
+             "fields": _spec_fields(spec_by_sid[sid2], 1000 + sid2 - 1)}
+            for sid2 in sorted(spec_by_sid)],
         "default-spec-id": spec_id,
-        "last-partition-id": 1000 if spec else 999,
+        "last-partition-id": 999 + len(spec_by_sid),
         "sort-orders": [{"order-id": 0, "fields": []}],
         "default-sort-order-id": 0,
         "properties": {k: str(v)

@@ -1184,9 +1184,21 @@ class IceliteTable:
                 sid = f["id"]
         if sid is None:
             raise ValueError(f"no column: {source_col}")
-        meta["partition_spec"] = {
+        new_spec = {
             "transform": transform, "source": source_col, "source_id": sid,
             "name": partition_name or f"p_{transform}", "param": param}
+        # spec evolution retains REPLACED spec definitions (r13): files
+        # already written under the old spec keep their spec_key, and
+        # export_iceberg_metadata needs the definition to emit a
+        # spec-correct partition-specs entry + typed partition values
+        # for them (Iceberg keeps every historical spec for the same
+        # reason).  Keyed dedup: re-adding an old spec records nothing.
+        old = meta.get("partition_spec")
+        if old is not None and self._spec_key(old) != self._spec_key(new_spec):
+            hist = meta.setdefault("partition_spec_history", [])
+            if all(self._spec_key(h) != self._spec_key(old) for h in hist):
+                hist.append(old)
+        meta["partition_spec"] = new_spec
         _write_meta(self.tdir, meta)
 
     def set_partition_days(self, source_col: str,

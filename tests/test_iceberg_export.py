@@ -323,17 +323,86 @@ def test_prespec_files_export_under_spec0(spark, tmp_path):
     assert got == exp
 
 
-def test_historical_spec_files_are_rejected(spark, tmp_path):
-    """Files written under a REPLACED spec can't be exported spec-
-    correctly (icelite keeps only the current spec definition): the
-    emitter must raise, not silently stamp them with the wrong spec."""
+def test_multi_spec_export_roundtrips_three_spec_table(spark, tmp_path):
+    """Partition-spec evolution exports spec-correctly (r12 verdict
+    task 4): a table that lived through unpartitioned -> bucket(4) ->
+    days() emits one partition-specs entry per spec (ids 1..N, unique
+    partition field ids 1000+sid-1), one manifest per spec bucket with
+    that spec's typed partition struct, and read_iceberg_table
+    reassembles the full content across all three layouts."""
+    from data_eng_iceberg_demo_spark.tables.iceberg_export import (
+        read_iceberg_table)
+
     cat = IceliteCatalog(spark, str(tmp_path))
     cat.create_namespace("db")
     t = cat.create_table("db.respec", PEDIDOS_SCHEMA)
+    df = _typed_pedidos(spark)
+    t.insert(df.filter("id_cliente % 3 = 0"))          # spec 0 (none)
+    t.set_partition("bucket", "id_cliente", param=4)
+    t.insert(df.filter("id_cliente % 3 = 1"))          # spec 1 (bucket)
+    t.set_partition_days("data_criacao")
+    t.insert(df.filter("id_cliente % 3 = 2"))          # spec 2 (days)
+    md = json.load(open(export_iceberg_metadata(t)))
+
+    specs = {s["spec-id"]: s for s in md["partition-specs"]}
+    assert set(specs) == {0, 1, 2}
+    assert specs[0]["fields"] == []
+    assert specs[1]["fields"][0]["transform"] == "bucket[4]"
+    assert specs[1]["fields"][0]["field-id"] == 1000
+    assert specs[2]["fields"][0]["transform"] == "day"
+    assert specs[2]["fields"][0]["field-id"] == 1001
+    assert md["default-spec-id"] == 2
+    assert md["last-partition-id"] == 1001
+
+    # the LAST snapshot carries files of all three specs: its manifest
+    # list must hold one data manifest per spec, each stamped with ITS
+    # spec id and carrying ITS partition struct (bucket -> int ordinal,
+    # days -> int days-since-epoch)
+    snap = md["snapshots"][-1]
+    _s, mrows = _read_avro_rows(snap["manifest-list"])
+    data_specs = sorted(r[2] for r in mrows if r[3] == 0)
+    assert data_specs == [0, 1, 2]
+    for r in mrows:
+        eschema, erows = _read_avro_rows(r[0])
+        part_field = next(f for f in eschema["fields"]
+                          if f["name"] == "data_file")
+        r102 = next(f for f in part_field["type"]["fields"]
+                    if f["name"] == "partition")
+        pf = r102["type"]["fields"]
+        if r[2] == 0:
+            assert pf == []
+        else:
+            assert len(pf) == 1
+            for row in erows:
+                val = row[4]["partition"][pf[0]["name"]]
+                assert isinstance(val, int), (r[2], val)
+                if r[2] == 1:
+                    assert 0 <= val <= 3          # bucket ordinal
+                else:
+                    assert val > 19000            # days since epoch
+
+    got = sorted(map(tuple, read_iceberg_table(spark, t.tdir)
+                     .select("id_pedido", "uf").collect()))
+    exp = sorted(map(tuple, t.read().select("id_pedido", "uf").collect()))
+    assert got == exp and got
+
+
+def test_lost_historical_spec_still_rejected(spark, tmp_path):
+    """A pre-r13 table whose replaced spec definition was never retained
+    (no partition_spec_history) must still fail LOUDLY: mis-stamping a
+    file with the wrong spec corrupts external pruning."""
+    cat = IceliteCatalog(spark, str(tmp_path))
+    cat.create_namespace("db")
+    t = cat.create_table("db.lostspec", PEDIDOS_SCHEMA)
     t.set_partition_days("data_criacao")
     t.insert(_typed_pedidos(spark).limit(4))
     t.set_partition("bucket", "id_cliente", param=4)   # replace the spec
     t.insert(_typed_pedidos(spark).limit(2))
+    # simulate the pre-r13 metadata shape: history entry dropped
+    meta = t.meta
+    meta.pop("partition_spec_history", None)
+    from data_eng_iceberg_demo_spark.tables.icelite import _write_meta
+    _write_meta(t.tdir, meta)
     with pytest.raises(ValueError, match="historical partition spec"):
         export_iceberg_metadata(t)
 
