@@ -640,3 +640,85 @@ def test_ivfadc_recall_against_brute_force(spark, sf_dir):
                              else (0.6, 0.4))
     assert sum(recalls) / len(recalls) >= floor_mean
     assert min(recalls) >= floor_min
+
+
+def _clustered_adversarial_corpus(spark, tmp_path, k=16, dim=64):
+    """Clustered NON-UNIFORM corpus adversarial for lowest-id centroid
+    seeding (r12 verdict task 5): the 16 lowest vec_ids — including all
+    5 query ids — sit in ONE tight cluster, so the declared ivfadc
+    default (centroids = 16 lowest-id qv rows) shatters that cluster
+    across ~16 near-identical cells and nprobe=2 sees ~2/16 of every
+    query's true neighbors.  Cluster j lives on the one-hot direction
+    e_{4j} with 0.05-scale seeded noise (cosine ~0.999 within, ~0
+    across) and non-uniform sizes (21 then 11..25) chosen so any two
+    probed cells fit the top-50 ADC shortlist: with a TRAINED coarse
+    quantizer every candidate then reaches the exact re-rank, which is
+    the IVFADC sizing contract (shortlist >= nprobe * cell size) — the
+    PQ stage only decides when candidates exceed the shortlist."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    sizes = [21] + [10 + j for j in range(1, k)]
+    # ids 0..15: all cluster 0 (the adversarial block), then the rest
+    members = [(0, i) for i in range(16)]
+    for j in range(k):
+        take = sizes[j] - (16 if j == 0 else 0)
+        members += [(j, None)] * max(take, 0)
+    vid = 0
+    for j, _pre in members:
+        mean = np.zeros(dim)
+        mean[4 * j] = 1.0
+        v = mean + rng.normal(0, 0.05, dim)
+        rows.append((vid, [float(x) for x in v], j))
+        vid += 1
+    d = str(tmp_path / "clustered")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int") \
+        .coalesce(2).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+def test_trained_centroids_beat_lowest_id_on_clustered_corpus(spark, tmp_path):
+    """The r12 verdict's IVF/IVFADC design note, falsified and fixed:
+    on a clustered corpus whose lowest ids all share one cluster,
+    lowest-id coarse seeding measurably collapses recall, while the
+    sampled-k-means path (ivfadc_trained_centroids / the farthest-point
+    ivf_centroids init) holds a >= 0.9 mean recall@10 floor."""
+    from collections import defaultdict
+
+    from data_eng_iceberg_demo_spark.operators import llm
+    from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
+                                                            _load_all_modules)
+    _load_all_modules()
+
+    d = _clustered_adversarial_corpus(spark, tmp_path)
+
+    def topsets(df):
+        out = defaultdict(set)
+        for r in df.collect():
+            out[r["qid"]].add(r["cid"])
+        return out
+
+    ex = topsets(REGISTRY["llm_similarity_topk"].fn(spark, d))
+    assert ex and all(len(s) == 10 for s in ex.values())
+
+    def mean_recall(got):
+        return sum(len(ex[q] & got[q]) / len(ex[q]) for q in ex) / len(ex)
+
+    # (a) lowest-id seeding degrades: the declared default's coarse
+    # stage shatters the query cluster — nprobe=2 of ~16 shard cells
+    default_r = mean_recall(topsets(llm.llm_similarity_ivfadc(spark, d)))
+    assert default_r <= 0.6, default_r
+
+    # (b) sampled k-means recovers the structure: one cell per true
+    # cluster, the probed cells hold every true neighbor
+    cmat = llm.ivfadc_trained_centroids(llm._pq_raw(spark, d))
+    trained_r = mean_recall(
+        topsets(llm.llm_similarity_ivfadc(spark, d, centroids=cmat)))
+    assert trained_r >= 0.9, (trained_r, default_r)
+
+    # (c) llm_similarity_ivf's diversity-filtered k-means init (the
+    # r13 replacement for bare first-k-rows init) holds the same floor
+    ivf_r = mean_recall(topsets(REGISTRY["llm_similarity_ivf"].fn(spark, d)))
+    assert ivf_r >= 0.9, ivf_r
