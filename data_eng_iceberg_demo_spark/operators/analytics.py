@@ -1486,7 +1486,7 @@ def events_moving_regression(spark, d):
 
 @register(
     "events_graph_triangles",
-    oracle="""
+    oracle=f"""
     WITH act AS (
         SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
         FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
@@ -1494,14 +1494,17 @@ def events_moving_regression(spark, d):
     ), hn AS (
         SELECT h, count(*) AS n_h FROM act GROUP BY h
     ), capped AS (
-        -- heavy-hour guard (r13): hours over 1024 co-active purchasers
-        -- keep a deterministic ~1024-user hash-threshold sample
+        -- heavy-hour guard (r13): hours over TRI_HOUR_CAP co-active
+        -- purchasers keep a deterministic ~CAP-user hash sample (the
+        -- constant is interpolated so Spark and oracle share ONE
+        -- source of truth for the cap)
         SELECT user_id, h
         FROM act JOIN hn USING (h)
-        WHERE n_h <= 1024
+        WHERE n_h <= {TRI_HOUR_CAP}
            OR (CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)
                   || '@' || CAST(CAST(epoch(h) AS BIGINT) AS VARCHAR)),
-                  1, 8)) AS BIGINT) % 1000000) * n_h <= 1024 * 1000000
+                  1, 8)) AS BIGINT) % 1000000) * n_h
+              <= {TRI_HOUR_CAP} * 1000000
     ), edges AS (
         SELECT x.user_id AS u, y.user_id AS v
         FROM capped x JOIN capped y ON x.h = y.h AND x.user_id < y.user_id
@@ -1514,7 +1517,7 @@ def events_moving_regression(spark, d):
     ), oriented AS (
         -- orient each edge from the (degree, id)-smaller endpoint: the
         -- degree-ordered DAG in which every triangle a<b<c appears as
-        -- exactly the edge set {a->b, a->c, b->c}
+        -- exactly the edge set {{a->b, a->c, b->c}}
         SELECT CASE WHEN (du.dg, u) < (dv.dg, v) THEN u ELSE v END AS s,
                CASE WHEN (du.dg, u) < (dv.dg, v) THEN v ELSE u END AS t,
                CASE WHEN (du.dg, u) < (dv.dg, v) THEN dv.dg ELSE du.dg

@@ -1407,6 +1407,36 @@ def _diverse_seed_indices(X, k, thr=0.8):
     return sel
 
 
+def _lloyd_train(X, k, iters, cosine):
+    """Shared bounded-sample Lloyd loop behind ivf_centroids and
+    ivfadc_trained_centroids (ONE source of truth for the seeding,
+    iteration count and empty-cell carry-over — the r12 'PQ helper
+    duplication' lesson applied up front): diversity-filtered seeding,
+    then `iters` mean-update rounds.  cosine=True assigns by max dot
+    and re-normalizes (unit centroids over unit rows); cosine=False
+    assigns by L2 argmin in the raw space (the filter still runs on
+    unit rows so the threshold stays a cosine)."""
+    import numpy as np
+
+    if cosine:
+        C = _diverse_seed_init(X, k)
+    else:
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        C = X[_diverse_seed_indices(X / np.maximum(norms, 1e-300), k)].copy()
+    for _ in range(iters):
+        if cosine:
+            assign = (X @ C.T).argmax(axis=1)
+        else:
+            assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2).argmin(1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        if cosine:
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
+    return C
+
+
 def ivf_centroids(emb_df, k=16, iters=5, sample_n=2048):
     """Train the IVF coarse quantizer: Lloyd iterations over a BOUNDED,
     deterministic sample (first sample_n vectors by vec_id) with
@@ -1429,15 +1459,7 @@ def ivf_centroids(emb_df, k=16, iters=5, sample_n=2048):
     X = X[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
     if not len(X):
         return None
-    C = _diverse_seed_init(X, k)
-    for _ in range(iters):
-        assign = (X @ C.T).argmax(axis=1)
-        for j in range(len(C)):
-            members = X[assign == j]
-            if len(members):
-                C[j] = members.mean(axis=0)
-        C /= np.linalg.norm(C, axis=1, keepdims=True)
-    return C
+    return _lloyd_train(X, k, iters, cosine=True)
 
 
 @register("llm_similarity_ivf")  # rows-only: ANN recall is approximate
@@ -5149,7 +5171,7 @@ def ivfadc_trained_centroids(raw, k=16, iters=5, sample_n=2048):
     """Sampled k-means coarse quantizer for llm_similarity_ivfadc (r13,
     r12 verdict task 5): Lloyd over the first sample_n qv rows (the
     bounded deterministic sample discipline of ivf_centroids) with
-    farthest-point init, rounded back to int64 so the ADC stage's
+    diversity-filtered seeding, rounded back to int64 so the ADC stage's
     integer L2² math and ties-to-lowest-cell ordering are unchanged.
     The DECLARED fixture query keeps its lowest-id seeding — that
     choice is what its hash oracle replays in SQL — while a production
@@ -5162,18 +5184,10 @@ def ivfadc_trained_centroids(raw, k=16, iters=5, sample_n=2048):
     if not sample:
         return None
     X = np.array([list(r["qv"]) for r in sample], dtype=np.float64)
-    # diversity filter runs on unit rows (cosine threshold); Lloyd runs
-    # in the raw integer qv space the ADC stage measures distances in
-    norms = np.linalg.norm(X, axis=1, keepdims=True)
-    U = X / np.maximum(norms, 1e-300)
-    C = X[_diverse_seed_indices(U, k)].copy()
-    for _ in range(iters):
-        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2).argmin(1)
-        for j in range(len(C)):
-            members = X[assign == j]
-            if len(members):
-                C[j] = members.mean(axis=0)
-    return np.rint(C).astype(np.int64)
+    # Lloyd runs in the raw integer qv space the ADC stage measures
+    # distances in (_lloyd_train's cosine=False arm normalizes rows
+    # only for the diversity filter)
+    return np.rint(_lloyd_train(X, k, iters, cosine=False)).astype(np.int64)
 
 
 @register("llm_similarity_ivfadc", oracle=_IVFADC_ORACLE)

@@ -683,8 +683,9 @@ def test_trained_centroids_beat_lowest_id_on_clustered_corpus(spark, tmp_path):
     """The r12 verdict's IVF/IVFADC design note, falsified and fixed:
     on a clustered corpus whose lowest ids all share one cluster,
     lowest-id coarse seeding measurably collapses recall, while the
-    sampled-k-means path (ivfadc_trained_centroids / the farthest-point
-    ivf_centroids init) holds a >= 0.9 mean recall@10 floor."""
+    sampled-k-means path (ivfadc_trained_centroids / the
+    diversity-filtered ivf_centroids init) holds a >= 0.9 mean
+    recall@10 floor."""
     from collections import defaultdict
 
     from data_eng_iceberg_demo_spark.operators import llm
