@@ -1627,15 +1627,27 @@ def events_graph_triangles(spark, d):
                          & (F.col("b") < F.col("c"))))
               .select("b", "c"))
     closing = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
-    # four scalar counters, each a small keyed-join job over the edge
-    # build (measured: recomputing the sub-second edge join 4x beats a
-    # .cache() of it — the cache's extra materialization pass and its
+    # THREE scalar-counter jobs over the edge build, r13 (was four —
+    # measured: recomputing the sub-second edge join per job beats a
+    # .cache() of it; the cache's extra materialization pass and its
     # optimization barrier cost ~2x here; a 100 TB run would checkpoint
-    # the edge frame once instead)
+    # the edge frame once instead):
+    #   1. n_nodes AND n_edges from ONE deg aggregate (each edge is
+    #      counted at both endpoints, so n_edges = sum(dg)/2 exactly);
+    #   2. n_wedges WITHOUT materializing a single wedge — the oriented
+    #      DAG emits C(out_degree, 2) wedges per source, so one
+    #      groupBy(s) + sum(c*(c-1)/2) replaces the second full wedge
+    #      join (at the r12 inflated density that join was 162M rows
+    #      materialized twice; the count is now an O(sources) agg);
+    #   3. n_tri from the wedge-closure join (the only consumer that
+    #      genuinely needs wedge rows).
+    nn = deg.agg(F.count("*").alias("n"),
+                 (F.sum("dg") / 2).cast("bigint").alias("e")).first()
+    n_nodes, n_edges = (nn["n"], nn["e"]) if nn["e"] is not None else (0, 0)
+    n_wedges = (oriented.groupBy("s").agg(F.count("*").alias("c"))
+                .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2)
+                     .cast("bigint").alias("w")).first()["w"]) or 0
     n_tri = wedges.join(closing, ["b", "c"]).count()
-    n_wedges = wedges.count()
-    n_nodes = deg.count()
-    n_edges = edges.count()
     out = [(n_nodes, n_edges, n_tri, n_wedges,
             (n_tri / n_wedges) if n_wedges else None)]
     return spark.createDataFrame(
