@@ -202,9 +202,12 @@ def _write_meta(tdir: str, meta: dict) -> None:
     them; a crash in between leaves an unreferenced manifest that
     remove_orphan_files collects.
 
-    In-memory, snapshots keep carrying full `files`/`delete_files`
-    lists (every operator reads those); this function is the only
-    place that encodes, `_load_meta` the only place that decodes."""
+    In-memory, snapshots keep PRESENTING full `files`/`delete_files`
+    lists (every operator reads those), but since r13 the decoder hands
+    them out lazily (_LazySnap) — so headers also carry the manifest
+    base and entry counts, letting decode and history()-style consumers
+    skip manifest bodies entirely.  This function is the only place
+    that encodes, the `meta` property the only place that decodes."""
     mdir = os.path.join(tdir, _MANIFEST_DIR)
     snaps = sorted(meta.get("snapshots", []), key=lambda s: s["id"])
     by_id = {s["id"]: s for s in snaps}
@@ -236,15 +239,61 @@ def _write_meta(tdir: str, meta: dict) -> None:
                 json.dump(body, f)
             s["_manifest"] = mf
             s["_manifest_base"] = body["base"]
+        # counts come from the already-known header when the lazy lists
+        # were never materialized — len(s["files"]) here would force a
+        # full chain replay per snapshot on every commit
+        nf = s["_n_files"] if ("_n_files" in s and "files" not in s) \
+            else len(s["files"])
+        nd = s["_n_delete_files"] if ("_n_delete_files" in s
+                                      and "delete_files" not in s) \
+            else len(s.get("delete_files", []))
         headers.append({"id": s["id"], "parent": s.get("parent"),
                         "ts": s["ts"], "operation": s["operation"],
-                        "manifest": s["_manifest"]})
+                        "manifest": s["_manifest"],
+                        "manifest_base": s["_manifest_base"],
+                        "n_files": nf, "n_delete_files": nd})
     slim = {k: v for k, v in meta.items() if k != "snapshots"}
     slim["snapshots"] = headers
     tmp = os.path.join(tdir, f".{_META}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
         json.dump(slim, f, indent=1)
     os.replace(tmp, os.path.join(tdir, _META))
+
+
+class _LazySnap(dict):
+    """Snapshot dict whose `files`/`delete_files` lists materialize on
+    first access by replaying the manifest delta chain (r13).  Decoding
+    a pointer file is O(snapshots) — not O(snapshots x files), which at
+    10k retained snapshots over a 100k-file table made EVERY metadata
+    load (and thus every commit) replay ~10^9 list entries on the
+    driver.  Operators keep the flat {files, delete_files} contract;
+    only consumers that genuinely touch a snapshot's file set pay its
+    chain replay.  The lists must be materialized before a maintenance
+    op deletes manifests (expire_snapshots resolves what it needs
+    before rewriting the pointer, so internal flows are safe)."""
+
+    def __init__(self, header: dict, tbl: "IceliteTable",
+                 chain: dict, inline: dict):
+        super().__init__(header)
+        self._tbl, self._chain, self._inline = tbl, chain, inline
+
+    def _materialize(self) -> None:
+        files, dels = self._tbl._resolve_chain(
+            self._chain, self._inline, self["id"])
+        dict.setdefault(self, "files", files)
+        dict.setdefault(self, "delete_files", dels)
+
+    def __missing__(self, key):
+        if key in ("files", "delete_files"):
+            self._materialize()
+            return dict.__getitem__(self, key)
+        raise KeyError(key)
+
+    def get(self, key, default=None):
+        # dict.get never consults __missing__, so the lazy keys need it
+        if key in ("files", "delete_files") and key not in self:
+            self._materialize()
+        return dict.get(self, key, default)
 
 
 class IceliteTable:
@@ -254,6 +303,58 @@ class IceliteTable:
         # manifests are immutable once written, so cache by filename —
         # each is read from disk at most once per table handle
         self._mcache: dict[str, dict] = {}
+        # resolved (files, delete_files) per manifest, small LRU: makes
+        # sequential all-snapshot scans (entries_df, expire) one delta
+        # replay per level instead of a full chain walk per snapshot,
+        # while single-snapshot reads keep O(files) memory
+        from collections import OrderedDict
+        self._rcache: "OrderedDict[str, tuple]" = OrderedDict()
+
+    _RCACHE_CAP = 8
+
+    def _resolve_chain(self, chain: dict, inline: dict,
+                       sid: int) -> tuple[list, list]:
+        """Materialize snapshot `sid`'s full (files, delete_files) by
+        replaying its manifest delta chain root-forward, exactly the
+        order the eager decoder used (per-level remove-then-add, so a
+        path removed and later re-added — rollback — resolves
+        correctly).  The upward walk stops early at an LRU-cached
+        ancestor resolution or an inline legacy snapshot."""
+        bodies: list[dict] = []
+        files: list = []
+        dels: list = []
+        cur = sid
+        while cur is not None:
+            name = chain.get(cur)
+            if name is None:            # legacy inline snapshot body
+                f0, d0 = inline[cur]
+                files, dels = list(f0), list(d0)
+                break
+            hit = self._rcache.get(name)
+            if hit is not None:
+                self._rcache.move_to_end(name)
+                files, dels = list(hit[0]), list(hit[1])
+                break
+            body = self._manifest(name)
+            bodies.append(body)
+            cur = body["base"]
+        for body in reversed(bodies):
+            if body["removed"]:
+                rm = set(body["removed"])
+                files = [f for f in files if f["path"] not in rm]
+            files = files + list(body["added"])
+            if body["removed_deletes"]:
+                rmd = set(body["removed_deletes"])
+                dels = [d for d in dels if d["path"] not in rmd]
+            dels = dels + list(body["added_deletes"])
+        name = chain.get(sid)
+        if name is not None:
+            self._rcache[name] = (files, dels)
+            while len(self._rcache) > self._RCACHE_CAP:
+                self._rcache.popitem(last=False)
+        # hand out copies: callers may extend/filter their lists, the
+        # cache must keep the resolved truth
+        return list(files), list(dels)
 
     # ------------------------------------------------------------ metadata
     def _manifest(self, name: str) -> dict:
@@ -266,39 +367,40 @@ class IceliteTable:
 
     @property
     def meta(self) -> dict:
-        """Load the pointer file and materialize every snapshot's full
-        file list from its manifest chain (deltas replay onto their
-        base in snapshot-id order — a parent always has a smaller id,
-        so one forward pass resolves every chain).  Operators keep
+        """Load the pointer file: O(snapshots) header decode, ZERO
+        manifest bodies opened (r13 — the eager decoder materialized
+        every snapshot's full file list here, making each metadata load
+        O(snapshots x files); a 10k-snapshot 100k-file table paid ~10^9
+        driver-side list entries per commit).  Snapshots come back as
+        _LazySnap dicts that replay their manifest delta chain only
+        when `files`/`delete_files` is actually read.  Operators keep
         seeing the flat {files, delete_files} shape; only this decoder
         and _write_meta know the on-disk manifest encoding."""
         with open(os.path.join(self.tdir, _META)) as f:
             meta = json.load(f)
-        resolved: dict[int, dict] = {}
+        chain: dict[int, str] = {}
+        inline: dict[int, tuple] = {}
         out = []
         for h in sorted(meta.get("snapshots", []), key=lambda s: s["id"]):
             if "files" in h:           # legacy inline encoding
                 s = dict(h)
                 s.setdefault("delete_files", [])
+                inline[s["id"]] = (s["files"], s["delete_files"])
+                out.append(s)
+                continue
+            chain[h["id"]] = h["manifest"]
+            hdr = {"id": h["id"], "parent": h.get("parent"), "ts": h["ts"],
+                   "operation": h["operation"], "_manifest": h["manifest"]}
+            if "manifest_base" in h:
+                hdr["_manifest_base"] = h["manifest_base"]
             else:
-                body = self._manifest(h["manifest"])
-                if body["base"] is None:
-                    files = list(body["added"])
-                    dels = list(body["added_deletes"])
-                else:
-                    base = resolved[body["base"]]
-                    rm = set(body["removed"])
-                    files = [f for f in base["files"]
-                             if f["path"] not in rm] + list(body["added"])
-                    rmd = set(body["removed_deletes"])
-                    dels = [d for d in base["delete_files"]
-                            if d["path"] not in rmd] + list(body["added_deletes"])
-                s = {"id": h["id"], "parent": h.get("parent"), "ts": h["ts"],
-                     "operation": h["operation"], "files": files,
-                     "delete_files": dels, "_manifest": h["manifest"],
-                     "_manifest_base": body["base"]}
-            resolved[s["id"]] = s
-            out.append(s)
+                # pre-r13 pointer file: one body read fills the gap
+                # (cached per handle)
+                hdr["_manifest_base"] = self._manifest(h["manifest"])["base"]
+            if "n_files" in h:
+                hdr["_n_files"] = h["n_files"]
+                hdr["_n_delete_files"] = h.get("n_delete_files", 0)
+            out.append(_LazySnap(hdr, self, chain, inline))
         meta["snapshots"] = out
         return meta
 
@@ -1321,7 +1423,10 @@ class IceliteTable:
             anc.add(sid)
             sid = by_id[sid]["parent"]
         rows = [(s["id"], s["parent"], s["operation"], float(s["ts"]),
-                 len(s["files"]), s["id"] in anc)
+                 # header count when present: keeps history O(snapshots)
+                 # with zero manifest chain replays (r13)
+                 s["_n_files"] if "_n_files" in s else len(s["files"]),
+                 s["id"] in anc)
                 for s in meta["snapshots"]]
         return self.spark.createDataFrame(
             rows, "snapshot_id bigint, parent_id bigint, operation string, "

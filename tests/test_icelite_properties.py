@@ -159,3 +159,136 @@ def test_zorder_scan_range_equals_full_filter(zorder_table, col, lo, width):
     want = sorted(r for r, v in full.items() if lo <= v[idx] <= hi)
     got = sorted(r["rid"] for r in t.scan_range(col, lo=lo, hi=hi).collect())
     assert got == want
+
+
+# ---------------------------------------------------------------- r13:
+# lazy metadata decode (the icelite inflated sweep's finding: eager
+# decode made every pointer load O(snapshots x files) — 0.263 s at
+# 400 snapshots / 2000 files, quadratic in history length — so every
+# commit paid it twice; lazy chain replay took the same load to 3 ms)
+
+def _many_snapshot_table(spark, tmp_path, n_commits=6, overwrite_at=3,
+                         rollback=True):
+    """Small history exercising every chain shape: appends, an
+    overwrite (full manifest), a row-level delete (removed paths), and
+    a rollback (paths removed then re-added — the order-sensitive
+    case for chain replay)."""
+    cat = IceliteCatalog(spark, str(tmp_path / "lazymeta"))
+    t = cat.create_table("ns.lazy", BASE_SCHEMA)
+    for i in range(n_commits):
+        df = spark.createDataFrame(
+            [(i * 10 + j, f"v{i}") for j in range(3)], BASE_SCHEMA)
+        if i == overwrite_at:
+            t.insert_overwrite(df)
+        else:
+            t.insert(df)
+    t.delete_where("k % 10 = 1")
+    if rollback:
+        hist = {r["snapshot_id"] for r in t.history().collect()}
+        t.rollback_to_snapshot(sorted(hist)[overwrite_at])
+    return cat, t
+
+
+def _eager_resolution(tbl):
+    """Brute-force reference decode: replay every snapshot's manifest
+    chain independently, no caches — the ground truth the lazy decoder
+    must reproduce exactly (same entries, same ORDER)."""
+    import json as _json
+    import os as _os
+    with open(_os.path.join(tbl.tdir, "metadata.json")) as f:
+        raw = _json.load(f)
+
+    def body_of(name):
+        with open(_os.path.join(tbl.tdir, "manifests", name)) as f:
+            return _json.load(f)
+
+    name_of = {h["id"]: h["manifest"] for h in raw["snapshots"]}
+
+    def resolve(sid):
+        bodies, cur = [], sid
+        while cur is not None:
+            b = body_of(name_of[cur])
+            bodies.append(b)
+            cur = b["base"]
+        files, dels = [], []
+        for b in reversed(bodies):
+            rm = set(b["removed"])
+            files = [f for f in files if f["path"] not in rm] + b["added"]
+            rmd = set(b["removed_deletes"])
+            dels = ([d for d in dels if d["path"] not in rmd]
+                    + b["added_deletes"])
+        return files, dels
+
+    return {h["id"]: resolve(h["id"]) for h in raw["snapshots"]}
+
+
+def test_lazy_meta_matches_brute_force_replay(spark, tmp_path):
+    """Every snapshot's lazily-resolved (files, delete_files) must equal
+    an independent no-cache chain replay — entries AND order — across
+    appends, overwrite, MOR delete, and rollback (re-added paths)."""
+    cat, t = _many_snapshot_table(spark, tmp_path)
+    want = _eager_resolution(t)
+    fresh = cat.load_table("ns.lazy")
+    meta = fresh.meta
+    for s in meta["snapshots"]:
+        wf, wd = want[s["id"]]
+        assert s["files"] == wf, f"files diverged at snapshot {s['id']}"
+        assert s["delete_files"] == wd, \
+            f"delete_files diverged at snapshot {s['id']}"
+
+
+def test_meta_decode_opens_no_manifest_bodies(spark, tmp_path):
+    """The pointer decode itself must be O(snapshots): zero manifest
+    bodies read until a snapshot's file list is actually touched, and
+    history() must run entirely from header counts."""
+    cat, t = _many_snapshot_table(spark, tmp_path)
+    fresh = cat.load_table("ns.lazy")
+    meta = fresh.meta
+    assert fresh._mcache == {}, "decode opened manifest bodies"
+    for s in meta["snapshots"]:
+        assert "files" not in s and "delete_files" not in s
+    n_hist = fresh.history().count()
+    assert fresh._mcache == {}, "history() replayed manifest chains"
+    assert n_hist == len(meta["snapshots"])
+    # first touch materializes, and get() honors the lazy keys (plain
+    # dict.get would return the default without resolving)
+    cur = fresh._snapshot(meta, None)
+    assert isinstance(cur.get("delete_files", []), list)
+    assert "files" in cur or cur["files"] is not None
+
+
+def test_lazy_get_never_returns_default_for_real_deletes(spark, tmp_path):
+    """s.get('delete_files', []) on a NEVER-materialized snapshot that
+    HAS delete files must return them — the dict.get/__missing__ trap."""
+    cat = IceliteCatalog(spark, str(tmp_path / "getdeltrap"))
+    t = cat.create_table("ns.g", BASE_SCHEMA,
+                         properties={"format-version": "2",
+                                     "write.delete.mode": "merge-on-read"})
+    t.insert(spark.createDataFrame([(1, "x"), (2, "y")], BASE_SCHEMA))
+    t.delete_where("k = 1")
+    fresh = cat.load_table("ns.g")
+    cur = fresh._snapshot(fresh.meta, None)
+    assert cur.get("delete_files", []) != [], \
+        "lazy get() returned the default instead of resolving"
+
+
+def test_pre_r13_pointer_file_decodes(spark, tmp_path):
+    """Back-compat: a pointer whose headers lack manifest_base/n_files
+    (pre-r13 layout) must decode and read identically — the decoder
+    falls back to one cached body read per snapshot."""
+    import json as _json
+    import os as _os
+    cat, t = _many_snapshot_table(spark, tmp_path, rollback=False)
+    want = t.read().sort("k").collect()
+    mpath = _os.path.join(t.tdir, "metadata.json")
+    with open(mpath) as f:
+        raw = _json.load(f)
+    for h in raw["snapshots"]:
+        h.pop("manifest_base", None)
+        h.pop("n_files", None)
+        h.pop("n_delete_files", None)
+    with open(mpath, "w") as f:
+        _json.dump(raw, f)
+    fresh = cat.load_table("ns.lazy")
+    assert fresh.read().sort("k").collect() == want
+    assert fresh.history().count() == len(raw["snapshots"])
