@@ -50,6 +50,25 @@ def _staged_input(tag: str, d: str, build) -> str:
     return p
 
 
+def _link_events(d: str, dstdir: str) -> None:
+    """Symlink the fixture events parquet into a stream-source scratch
+    dir.  The driver fixture is a single file, but any real corpus (and
+    the inflated sweeps) is a DIRECTORY-shaped parquet dataset — the
+    file source does not recurse into a symlinked subdirectory, so a
+    directory fixture must link each member part file instead (sorted,
+    zero-padded names keep the member order stable under the file
+    source's (mtime, path) batching)."""
+    src = os.path.join(d, "events.parquet")
+    if os.path.isdir(src):
+        members = sorted(f for f in os.listdir(src)
+                         if f.endswith(".parquet"))
+        for i, f in enumerate(members):
+            os.symlink(os.path.join(src, f),
+                       os.path.join(dstdir, f"events_{i:05d}.parquet"))
+    else:
+        os.symlink(src, os.path.join(dstdir, "events.parquet"))
+
+
 def _state_session(spark, n: int = 8):
     """Child session sized for a stateful streaming query: each shuffle
     partition owns one state-store instance, so partition count should
@@ -70,15 +89,15 @@ def _state_session(spark, n: int = 8):
 def _events_stream(spark, d, path=None, max_files=None):
     """readStream over the events parquet (schema from a batch peek of the
     raw file — ts arrives as int64 nanos, converted to µs timestamp).
-    The file source wants a directory, so the single fixture file is
-    symlinked into a scratch dir."""
+    The file source wants a flat directory of files, so the fixture
+    (single file, or the member part files of a directory-shaped
+    corpus) is symlinked into a scratch dir."""
     if path is None:
         # one symlink dir per sf_dir, reused across queries in the process
         path = _events_src_cache.get(d)
         if path is None or not os.path.isdir(path):
             path = scratch_dir("events_src_")
-            os.symlink(f"{d}/events.parquet",
-                       os.path.join(path, "events.parquet"))
+            _link_events(d, path)
             _events_src_cache[d] = path
     # ts may be TIMESTAMP(NANOS) in the fixture parquet; a session that
     # didn't set nanosAsLong at build time would otherwise fail this batch
@@ -118,8 +137,7 @@ def _events_plus(spark, d, tag: str, extra_build) -> str:
         ensure_session_defaults(spark)  # nanos fixtures need nanosAsLong
         raw = spark.read.parquet(os.path.join(d, "events.parquet"))
         extra_build(raw, p)
-        os.symlink(os.path.join(d, "events.parquet"),
-                   os.path.join(p, "events.parquet"))
+        _link_events(d, p)
     return _staged_input(tag, d, _stage)
 
 
