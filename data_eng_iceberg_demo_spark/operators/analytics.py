@@ -1601,10 +1601,20 @@ def events_graph_triangles(spark, d):
               .select("user_id", "h"))
     x = capped.select(F.col("user_id").alias("u"), "h")
     y = capped.select(F.col("user_id").alias("v"), "h")
+    # localCheckpoint materializes the edge set ONCE for the four
+    # consumers below (two counter aggs, the wedge-closure join's two
+    # scans) — measured 5.1 -> 2.8 s at sf0.1.  r12 tried .cache() and
+    # measured it WORSE than recompute (the extra materialization pass
+    # plus its optimization barrier); checkpoint differs: it truncates
+    # lineage, so consumers plan against a short in-storage scan
+    # instead of re-optimizing the full join tree per job.  This is
+    # the "checkpoint the edge frame once" shape the 100 TB plan
+    # always called for; blocks free when the frame goes out of scope.
     edges = (x.join(y, "h")
              .filter(F.col("u") < F.col("v"))
              .groupBy("u", "v").agg(F.count("*").alias("k"))
-             .filter(F.col("k") >= 2).drop("k"))
+             .filter(F.col("k") >= 2).drop("k")
+             .localCheckpoint(eager=True))
     deg = (edges.select(F.col("u").alias("node"))
            .unionAll(edges.select("v"))
            .groupBy("node").agg(F.count("*").alias("dg")))
@@ -1627,11 +1637,8 @@ def events_graph_triangles(spark, d):
                          & (F.col("b") < F.col("c"))))
               .select("b", "c"))
     closing = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
-    # THREE scalar-counter jobs over the edge build, r13 (was four —
-    # measured: recomputing the sub-second edge join per job beats a
-    # .cache() of it; the cache's extra materialization pass and its
-    # optimization barrier cost ~2x here; a 100 TB run would checkpoint
-    # the edge frame once instead):
+    # THREE scalar-counter jobs over the ONE checkpointed edge frame
+    # (r13; was four jobs x full recompute):
     #   1. n_nodes AND n_edges from ONE deg aggregate (each edge is
     #      counted at both endpoints, so n_edges = sum(dg)/2 exactly);
     #   2. n_wedges WITHOUT materializing a single wedge — the oriented
