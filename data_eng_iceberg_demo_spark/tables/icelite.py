@@ -185,6 +185,13 @@ def _diff_entries(base: list[dict], cur: list[dict]) -> tuple[list, list]:
     return added, removed
 
 
+# Longest manifest delta chain a commit may extend before _write_meta
+# rolls the new snapshot up into a full manifest (Iceberg's
+# commit.manifest.min-count-to-merge analog): bounds a fresh reader's
+# chain walk regardless of retention length.
+_MAX_CHAIN_DEPTH = 32
+
+
 def _write_meta(tdir: str, meta: dict) -> None:
     """Atomic metadata swap with Iceberg-style manifest separation.
 
@@ -212,6 +219,7 @@ def _write_meta(tdir: str, meta: dict) -> None:
     snaps = sorted(meta.get("snapshots", []), key=lambda s: s["id"])
     by_id = {s["id"]: s for s in snaps}
     headers = []
+    depth_by_id: dict[int, int] = {}  # delta-chain depth per snapshot
     for s in snaps:
         mf = s.get("_manifest")
         base_ok = s.get("_manifest_base") is None or \
@@ -220,7 +228,16 @@ def _write_meta(tdir: str, meta: dict) -> None:
             parent = s.get("parent")
             base = by_id.get(parent) if parent is not None else None
             body = None
-            if base is not None:
+            # chain rollup (r13): a delta whose chain would exceed
+            # _MAX_CHAIN_DEPTH is written FULL instead — Iceberg's
+            # manifest-merge move.  Bounds a fresh reader's chain walk
+            # at ~_MAX_CHAIN_DEPTH body reads for ANY retention length,
+            # at an amortized O(files/_MAX_CHAIN_DEPTH) extra write per
+            # commit; time travel is untouched (older snapshots keep
+            # their manifests).
+            chain_ok = depth_by_id.get(
+                s.get("parent"), 0) + 1 <= _MAX_CHAIN_DEPTH
+            if base is not None and chain_ok:
                 added, removed = _diff_entries(base["files"], s["files"])
                 d_added, d_removed = _diff_entries(
                     base.get("delete_files", []), s.get("delete_files", []))
@@ -239,6 +256,9 @@ def _write_meta(tdir: str, meta: dict) -> None:
                 json.dump(body, f)
             s["_manifest"] = mf
             s["_manifest_base"] = body["base"]
+        mb = s["_manifest_base"]
+        depth_by_id[s["id"]] = 0 if mb is None \
+            else depth_by_id.get(mb, 0) + 1
         # counts come from the already-known header when the lazy lists
         # were never materialized — len(s["files"]) here would force a
         # full chain replay per snapshot on every commit

@@ -292,3 +292,28 @@ def test_pre_r13_pointer_file_decodes(spark, tmp_path):
     fresh = cat.load_table("ns.lazy")
     assert fresh.read().sort("k").collect() == want
     assert fresh.history().count() == len(raw["snapshots"])
+
+
+def test_chain_rollup_bounds_fresh_reader_walk(spark, tmp_path):
+    """After many commits, a FRESH handle materializing the current
+    snapshot must open at most _MAX_CHAIN_DEPTH + 1 manifest bodies —
+    the commit path rolls a too-deep delta chain up into a full
+    manifest — while every historical snapshot stays time-travelable
+    and the live contents stay exact."""
+    from data_eng_iceberg_demo_spark.tables.icelite import _MAX_CHAIN_DEPTH
+    cat = IceliteCatalog(spark, str(tmp_path / "rollup"))
+    t = cat.create_table("ns.r", BASE_SCHEMA)
+    n_commits = _MAX_CHAIN_DEPTH * 2 + 7
+    for i in range(n_commits):
+        t.insert(spark.createDataFrame([(i, f"v{i}")], BASE_SCHEMA))
+    fresh = cat.load_table("ns.r")
+    meta = fresh.meta
+    cur = fresh._snapshot(meta, None)
+    _ = cur["files"]
+    opened = len(fresh._mcache)
+    assert opened <= _MAX_CHAIN_DEPTH + 1, \
+        f"fresh reader walked {opened} manifests"
+    assert {r["k"] for r in fresh.read().collect()} == set(range(n_commits))
+    # time travel across a rollup boundary still resolves exactly
+    mid = meta["snapshots"][_MAX_CHAIN_DEPTH + 3]["id"]
+    assert fresh.read(version=mid).count() == _MAX_CHAIN_DEPTH + 4
