@@ -81,6 +81,17 @@ UNICODE_SAMPLE = [
     # tokenization, digest-based dup counting
     "llm_quality_classifier", "llm_cdc_chunking", "llm_vocab_coverage",
     "llm_dataset_card", "llm_bpe_train_merges", "llm_pmi_collocations",
+    # r9-r13 text additions (pinned r13 continuation, all green on
+    # first probe): leet folding, per-char entropy, char slicing,
+    # shingle containment, KMV hashing, edit-distance bands, KN
+    # smoothing, BPE apply, rolling winnow hashes, n-gram lang-id,
+    # repetition windows
+    "llm_safety_keyword_filter", "llm_char_entropy", "llm_code_detect",
+    "llm_fim_pairs", "llm_curriculum_order", "llm_containment_dedup",
+    "llm_decontaminate_semantic", "llm_kmv_source_jaccard",
+    "llm_edit_distance_dedup", "llm_bigram_kneser_ney", "llm_bpe_encode",
+    "llm_bpe_pair_counts", "llm_winnow_fingerprint", "llm_lang_id",
+    "llm_repetition_filter",
 ]
 
 
