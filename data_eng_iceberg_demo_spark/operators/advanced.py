@@ -1372,8 +1372,13 @@ def dq_sequence_gaps(spark, d):
         FROM events WHERE ts IS NOT NULL
         GROUP BY 1, 2
     ), noised AS (
+        -- the cell key is NULL-safe (sentinel): DuckDB's concat skips
+        -- NULL args while Spark's concat nulls out, so a NULL
+        -- event_type cell would otherwise get noise on one engine and
+        -- NULL on the other
         SELECT event_type, day, true_n,
-               (CAST(concat('0x', substring(md5(concat(event_type, '|',
+               (CAST(concat('0x', substring(md5(concat(
+                    coalesce(event_type, chr(31) || 'null'), '|',
                     CAST(day AS VARCHAR))), 1, 8)) AS BIGINT) % 999999 + 1)
                    / 1000000.0 AS u
         FROM daily
@@ -1407,8 +1412,11 @@ def dq_dp_histogram(spark, d):
              .groupBy("event_type",
                       F.to_date(F.date_trunc("day", "ts")).alias("day"))
              .agg(F.count("*").alias("true_n")))
+    # NULL-safe cell key: a NULL event_type still gets its noised cell
+    # (sentinel = \x1f||'null', outside any real event_type alphabet)
     u = ((F.conv(F.substring(F.md5(F.concat(
-        F.col("event_type"), F.lit("|"), F.col("day").cast("string"))),
+        F.coalesce(F.col("event_type"), F.lit("\x1fnull")),
+        F.lit("|"), F.col("day").cast("string"))),
         1, 8), 16, 10).cast("bigint") % 999999 + 1) / 1000000.0)
     noise = (F.when(u >= 0.5, -1.0).otherwise(1.0)
              * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5)))

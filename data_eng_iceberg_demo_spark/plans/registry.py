@@ -155,6 +155,12 @@ _REVERIFY = {
     # driver fixtures, but the certificate should match the current
     # oracle text).
     "fn_higher_order": 10, "fn_string": 10,
+    # r13 continuation: NULL-safe noise cell key (sentinel coalesce)
+    # added to query AND oracle after the dq-family null-mirror sweep
+    # caught Spark concat nulling the md5 key where DuckDB concat
+    # skips NULL args; results identical on the null-free driver
+    # fixtures, but the certificate should match the current oracle.
+    "dq_dp_histogram": 13,
 }
 
 # Round-8 target window (VERDICT r7 task 3): every name the driver has

@@ -130,9 +130,12 @@ PARITY_FAMILY = sorted(
     if REGISTRY[n].oracle is not None
     and n.startswith(("llm_", "events_", "join_asof", "join_interval",
                       "window_", "stream_",
-                      # r8: the k-anonymity audit groups directly on the
-                      # null-injected lang/source quasi-identifiers
-                      "dq_k_anonymity")))
+                      # r13: the WHOLE dq_ family (was only
+                      # dq_k_anonymity) — the widened sweep immediately
+                      # caught dq_dp_histogram's NULL cell key
+                      # diverging (Spark concat nulls, DuckDB concat
+                      # skips NULL args)
+                      "dq_")))
 
 
 def _mirror_duck(d):
