@@ -132,8 +132,12 @@ def fn_math(spark, d):
            round(CAST(embedding[1] AS DOUBLE), 6) + 0 AS first_elem,
            round((SELECT sum(CAST(x AS DOUBLE)) FROM unnest(embedding) AS u(x)), 4) + 0
                AS vec_sum,
-           CAST((SELECT count(*) FROM unnest(embedding) AS u(x) WHERE x > 0) AS BIGINT)
-               AS n_positive,
+           -- NULL embedding => NULL count (a bare scalar-subquery
+           -- count(*) would force 0 where Spark's size(filter(NULL))
+           -- is NULL — caught by the r13 null-mirror widening)
+           CASE WHEN embedding IS NULL THEN NULL
+                ELSE CAST((SELECT count(*) FROM unnest(embedding) AS u(x)
+                           WHERE x > 0) AS BIGINT) END AS n_positive,
            round((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 2.0)
                   FROM unnest(embedding) AS u(x)), 4) AS sum_sq_doubled,
            round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) + 0 AS min_elem

@@ -165,7 +165,10 @@ def udf_map_in_pandas(spark, d):
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "lang": pdf["lang"],
-                "n_tokens": pdf["text"].str.split(" ").str.len().astype("int64"),
+                # nullable Int64: a NULL text row must yield NULL, not
+                # crash the astype (pandas IntCastingNaNError — caught
+                # by the r13 null-mirror widening)
+                "n_tokens": pdf["text"].str.split(" ").str.len().astype("Int64"),
                 "n_chars": pdf["n_chars"],
             })
 

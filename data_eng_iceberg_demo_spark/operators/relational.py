@@ -530,18 +530,23 @@ def sink_json_roundtrip(spark, d):
 
 @register(
     "scan_text",
-    oracle="SELECT text AS value FROM documents",
+    oracle="SELECT text AS value FROM documents WHERE text IS NOT NULL",
 )
 def scan_text(spark, d):
     """Whole-line text source (spark.read.text): the raw-corpus ingest
     path for LLM pipelines — one row per line, no parsing.  Written out
     from the documents fixture first so the round trip is byte-exact;
     reading N text files is embarrassingly parallel (one split per
-    128 MB block, no shuffle)."""
+    128 MB block, no shuffle).  NULL text is excluded on BOTH sides:
+    the line format has no NULL representation (a NULL would silently
+    round-trip as an empty line, conflating it with a real '' doc —
+    caught by the r13 null-mirror widening)."""
     import tempfile
 
     out = scratch_dir("scan_text_")
-    T(spark, d, "documents").select("text").write.mode("overwrite").text(out)
+    (T(spark, d, "documents").select("text")
+     .filter(F.col("text").isNotNull())
+     .write.mode("overwrite").text(out))
     return spark.read.text(out)
 
 

@@ -161,6 +161,14 @@ _REVERIFY = {
     # skips NULL args; results identical on the null-free driver
     # fixtures, but the certificate should match the current oracle.
     "dq_dp_histogram": 13,
+    # r13 continuation: NULL text excluded on both sides (the line
+    # format cannot represent NULL — it round-tripped as '') after the
+    # null-mirror widening; fixture results unchanged (no NULL text).
+    "scan_text": 13,
+    # r13 continuation: oracle's n_positive now preserves NULL for a
+    # NULL embedding (bare scalar-subquery count forced 0 where Spark's
+    # size(filter(NULL)) is NULL); fixture embeddings are all non-NULL.
+    "fn_array": 13,
 }
 
 # Round-8 target window (VERDICT r7 task 3): every name the driver has

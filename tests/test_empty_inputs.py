@@ -126,16 +126,24 @@ NULL_SAMPLE = sorted(n for n in REGISTRY
 # events table) — TPC-H-only queries would just duplicate the normal
 # parity run against identical data
 PARITY_FAMILY = sorted(
-    n for n in REGISTRY
-    if REGISTRY[n].oracle is not None
-    and n.startswith(("llm_", "events_", "join_asof", "join_interval",
+    [n for n in REGISTRY
+     if REGISTRY[n].oracle is not None
+     and n.startswith(("llm_", "events_", "join_asof", "join_interval",
                       "window_", "stream_",
                       # r13: the WHOLE dq_ family (was only
                       # dq_k_anonymity) — the widened sweep immediately
                       # caught dq_dp_histogram's NULL cell key
                       # diverging (Spark concat nulls, DuckDB concat
                       # skips NULL args)
-                      "dq_")))
+                      "dq_"))]
+    # r13: every other hash-oracled query that reads the null-injected
+    # tables (found by source scan) — the same widening caught
+    # scan_text round-tripping NULL as '' and udf_map_in_pandas
+    # crashing its Arrow kernel on NULL text
+    + ["fn_array", "fn_json", "fn_map", "fn_regexp", "fn_variant",
+       "scan_binary_files", "scan_text", "sink_avro_roundtrip",
+       "sink_python_datasource", "udf_map_in_arrow", "udf_map_in_pandas",
+       "udtf_python_analyze", "udtf_table_argument"])
 
 
 def _mirror_duck(d):

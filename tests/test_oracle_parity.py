@@ -34,9 +34,24 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             out[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         elif pd.api.types.is_float_dtype(s):
-            out[c] = s.astype("float64").map(
-                lambda x: "NaN" if (x is None or (isinstance(x, float) and math.isnan(x)))
-                else repr(round(x, 9)))
+            f = s.astype("float64")
+            # a bigint column with NULLs arrives as float64 from Spark's
+            # toPandas but as nullable Int64 from DuckDB; when NULLs are
+            # present and every non-null value is integral, render both
+            # like the Int64 branch ("37"/"NULL", not "37.0"/"NaN") so
+            # the comparison is representation-blind (r13 null-mirror
+            # widening).  Null-free float columns keep the round-to-9
+            # path — they cannot be disguised int columns, and the
+            # rounding still normalizes last-ulp libm differences.
+            nonnull = f.dropna()
+            if f.isna().any() and (nonnull == nonnull.round()).all():
+                out[c] = f.map(
+                    lambda x: "NULL" if (x is None or math.isnan(x))
+                    else str(int(x)))
+            else:
+                out[c] = f.map(
+                    lambda x: "NaN" if (x is None or (isinstance(x, float) and math.isnan(x)))
+                    else repr(round(x, 9)))
         elif pd.api.types.is_integer_dtype(s):
             out[c] = s.astype("Int64").astype("object").map(
                 lambda x: "NULL" if pd.isna(x) else str(int(x)))
