@@ -92,6 +92,10 @@ UNICODE_SAMPLE = [
     "llm_edit_distance_dedup", "llm_bigram_kneser_ney", "llm_bpe_encode",
     "llm_bpe_pair_counts", "llm_winnow_fingerprint", "llm_lang_id",
     "llm_repetition_filter",
+    # non-llm queries that read document text (UTF-8 through the text
+    # source roundtrip, Arrow string kernels, regexp, binaryFile)
+    "scan_text", "udf_map_in_pandas", "udf_map_in_arrow",
+    "udtf_python_analyze", "fn_regexp", "scan_binary_files",
 ]
 
 
