@@ -1463,7 +1463,10 @@ def events_moving_regression(spark, d):
     wt = Window.partitionBy("event_type")
     idx = daily.select(
         "event_type", "day",
-        F.datediff("day", F.min("day").over(wt)).alias("x"),
+        # long x: Spark's datediff is int32 (DuckDB's date_diff is
+        # BIGINT) and x*x overflows ANSI int32 once a series spans
+        # ~46k+ days — caught by the r13 timestamp-adversarial sweep
+        F.datediff("day", F.min("day").over(wt)).cast("long").alias("x"),
         F.col("y_dec").cast("double").alias("y"))
     w = (Window.partitionBy("event_type").orderBy("x")
          .rangeBetween(-6, 0))
@@ -1760,12 +1763,26 @@ def orders_market_basket(spark, d):
                                         AND 1 PRECEDING) AS BIGINT) AS n
         FROM obs GROUP BY t
     ), km AS (
-        SELECT t, d, coalesce(n, (SELECT count(*) FROM obs)) AS n_risk,
-               round(exp(sum(ln(1.0 - CAST(d AS DOUBLE)
-                                 / coalesce(n, (SELECT count(*) FROM obs))))
-                         OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 4)
-                   AS survival
-        FROM risk WHERE d > 0
+        -- a time point where EVERY remaining at-risk user churns
+        -- (d = n) zeroes the product-limit factor: ln(0) raises in
+        -- DuckDB and NULLs in Spark, but the estimator itself is
+        -- defined — S hits 0 and stays 0.  Zero factors are counted
+        -- in a running flag and excluded from the log sum (r13
+        -- timestamp-adversarial sweep).
+        SELECT t, d, n_risk,
+               round(CASE WHEN sum(CASE WHEN d >= n_risk THEN 1
+                                        ELSE 0 END)
+                              OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                              > 0 THEN 0.0
+                          ELSE exp(sum(CASE WHEN d < n_risk
+                                            THEN ln(1.0 - CAST(d AS DOUBLE)
+                                                      / n_risk) END)
+                                   OVER (ORDER BY t
+                                         ROWS UNBOUNDED PRECEDING))
+                     END, 4) AS survival
+        FROM (SELECT t, d,
+                     coalesce(n, (SELECT count(*) FROM obs)) AS n_risk
+              FROM risk WHERE d > 0)
     )
     SELECT CAST(t AS BIGINT) AS t_days, d AS churned, n_risk,
            survival + 0 AS survival
@@ -1809,13 +1826,21 @@ def events_survival_km(spark, d):
         w_ord.rowsBetween(Window.unboundedPreceding, -1))
     risk = risk.withColumn(
         "n_risk", (F.lit(total) - F.coalesce(prev, F.lit(0))).cast("bigint"))
+    # d = n_risk zeroes the factor: S hits 0 and stays 0 (ln(0) would
+    # NULL here and raise in DuckDB) — running zero-flag + filtered
+    # log sum, mirrored in the oracle
+    wrun = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    run_zero = F.sum(F.when(F.col("d") >= F.col("n_risk"), 1)
+                     .otherwise(0)).over(wrun)
+    run_log = F.sum(F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")))).over(wrun)
     km = (risk.filter(F.col("d") > 0)
           .withColumn(
               "survival",
-              F.round(F.exp(F.sum(
-                  F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
-              ).over(Window.orderBy("t").rowsBetween(
-                  Window.unboundedPreceding, Window.currentRow))), 4)))
+              F.round(F.when(run_zero > 0, F.lit(0.0))
+                      .otherwise(F.exp(run_log)), 4)))
     return km.select(F.col("t").cast("bigint").alias("t_days"),
                      F.col("d").cast("bigint").alias("churned"),
                      "n_risk",

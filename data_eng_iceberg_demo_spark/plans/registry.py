@@ -169,6 +169,11 @@ _REVERIFY = {
     # NULL embedding (bare scalar-subquery count forced 0 where Spark's
     # size(filter(NULL)) is NULL); fixture embeddings are all non-NULL.
     "fn_array": 13,
+    # r13 continuation: KM zero-factor guard (d = n_risk time point —
+    # ln(0)) added to query AND oracle after the timestamp-adversarial
+    # sweep; no fixture cohort fully churns, so certified values are
+    # unchanged.
+    "events_survival_km": 13,
 }
 
 # Round-8 target window (VERDICT r7 task 3): every name the driver has
