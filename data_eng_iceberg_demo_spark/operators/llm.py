@@ -1846,17 +1846,22 @@ def llm_winnow_fingerprint(spark, d):
     Everything is higher-order array functions in codegen: zero shuffle,
     zero Python, sketch keys are 8-byte ints regardless of document
     size."""
-    docs = T(spark, d, "documents")
-    w = F.split("text", " ")
     k, win = _WINNOW_K, _WINNOW_WIN
+    # w must be a materialized COLUMN before the transform lambda
+    # touches it: a raw split(text) expression inside a higher-order
+    # lambda re-evaluates PER ELEMENT — O(tokens^2) per document,
+    # measured 105.7 s -> 0.44 s on a 40k-token doc (r13 big-doc probe)
+    toks = (T(spark, d, "documents")
+            .select("doc_id", "lang", F.split("text", " ").alias("w"))
+            .filter(F.size("w") >= k + win - 1))
+    w = F.col("w")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - (k - 1)),
         lambda i: F.concat_ws(" ", F.slice(w, i, k)))
     gh = F.transform(
         grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
         .cast("bigint"))
-    staged = (docs.filter(F.size(w) >= k + win - 1)
-              .select("doc_id", "lang", gh.alias("gh")))
+    staged = toks.select("doc_id", "lang", gh.alias("gh"))
     sketch = F.array_sort(F.array_distinct(F.transform(
         F.sequence(F.lit(1), F.size("gh") - (win - 1)),
         lambda i: F.array_min(F.slice("gh", i, win)))))
@@ -1927,9 +1932,15 @@ def llm_dedup_incremental(spark, d):
 
     staged = _sketch_index_cache.get(d)
     if staged is None or not os.path.isdir(staged):
-        docs = T(spark, d, "documents")
-        w = F.split("text", " ")
         k, win = _WINNOW_K, _WINNOW_WIN
+        # w staged as a COLUMN before any lambda touches it (the raw
+        # split(text) expression re-evaluates per element inside a
+        # higher-order lambda — the llm_winnow_fingerprint O(tokens^2)
+        # finding, r13 big-doc probe)
+        toks = (T(spark, d, "documents")
+                .select("doc_id", F.split("text", " ").alias("w"))
+                .filter(F.size("w") >= k + win - 1))
+        w = F.col("w")
         grams = F.transform(
             F.sequence(F.lit(1), F.size(w) - (k - 1)),
             lambda i: F.concat_ws(" ", F.slice(w, i, k)))
@@ -1944,8 +1955,7 @@ def llm_dedup_incremental(spark, d):
         # project collapse inline the whole gram-hash pipeline into every
         # window-min reference (O(n²) md5 evaluations per doc — measured
         # 11 s vs 0.5 s for this shape at sf0.01)
-        idx_df = (docs.filter(F.size(w) >= k + win - 1)
-                  .select("doc_id", gh.alias("gh"))
+        idx_df = (toks.select("doc_id", gh.alias("gh"))
                   .select("doc_id", F.explode(sketch).alias("hx")))
         staged = scratch_dir("winnow_idx_")
         idx_df.write.mode("overwrite").parquet(staged)
@@ -4683,13 +4693,15 @@ def llm_pipeline_end_to_end(spark, d):
           .drop("keep"))
 
     def _shingles(df):
-        w = F.split("text", " ")
-        return df.filter(F.size(w) >= 8).select(
-            "doc_id",
-            F.explode(F.transform(
-                F.sequence(F.lit(0), F.size(w) - 8),
-                lambda i: F.concat_ws(" ", F.slice(w, i + 1, 8))))
-            .alias("sh"))
+        # w staged as a COLUMN before the lambda (raw split(text) in a
+        # higher-order lambda re-evaluates per element — O(tokens^2)
+        # per doc, the llm_winnow_fingerprint finding)
+        return (df.select("doc_id", F.split("text", " ").alias("w"))
+                .filter(F.size("w") >= 8)
+                .select("doc_id", F.explode(F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 8),
+                    lambda i: F.concat_ws(" ", F.slice("w", i + 1, 8))))
+                 .alias("sh")))
 
     ev = (_shingles(T(spark, d, "documents")
                     .filter(F.col("text").isNotNull()
