@@ -1620,3 +1620,78 @@ def dq_replication_checksum(spark, d):
     return (h.groupBy("bucket")
             .agg(F.count("*").alias("n_rows"),
                  F.expr("bit_xor(hv)").cast("bigint").alias("checksum")))
+
+
+@register(
+    "dq_embedding_dim_audit",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               CASE WHEN vec_id % 101 = 0 THEN embedding[1:0]
+                    WHEN vec_id % 97 = 0 THEN embedding[1:63]
+                    ELSE embedding END AS emb
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, label, CAST(len(emb) AS BIGINT) AS dim FROM e
+    ), c AS (
+        SELECT dim, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+               CAST(min(vec_id) AS BIGINT) AS sample_vec_id
+        FROM s GROUP BY dim
+    ), m AS (
+        SELECT dim AS mode_dim FROM c
+        ORDER BY n_rows DESC, dim DESC LIMIT 1
+    ), t AS (SELECT sum(n_rows) AS total FROM c)
+    SELECT c.dim, c.n_rows, c.n_labels, c.sample_vec_id,
+           coalesce(c.dim = (SELECT mode_dim FROM m), FALSE) AS is_modal,
+           round(CAST(c.n_rows AS DOUBLE) / (SELECT total FROM t), 6)
+               AS row_share
+    FROM c
+    """,
+)
+def dq_embedding_dim_audit(spark, d):
+    """Ragged-vector quarantine audit (r14; the r13 ragged-embedding
+    probe's operational follow-through, SURVEY.md §5): BEFORE any gemm /
+    LSH / IVF kernel touches an embeddings table, this one-shuffle audit
+    reports every distinct vector dimensionality against the table MODE
+    — the 12 of 16 embedding-reading kernels that crash on ragged rows
+    do so BY CONTRACT (fixed dim is the table's schema contract), and
+    this query is the upstream gate that makes that contract checkable
+    at ingest.  Each report row carries the dim, its row count, how many
+    labels (source proxy) it touches, the lowest offending vec_id (an
+    actionable pointer into the corpus), whether it IS the modal dim,
+    and its row share.  The fixture table is dimension-clean, so the
+    query injects deterministic raggedness first (vec_id % 101 -> empty
+    vector, vec_id % 97 -> 63-dim truncation — the dq_constraint_check
+    fails-by-design discipline) and the oracle replays the injection,
+    so both verdict shapes (modal + ragged classes) exercise at every
+    SF.
+
+    Scale shape: size() is a narrow codegen map (array HEADER read — no
+    element access, so this never decodes vector payloads); the
+    per-dim rollup is a partial-aggregated shuffle whose cardinality is
+    the number of DISTINCT dims (a handful, whatever the corpus size);
+    the mode and total are 1-row broadcasts joined back to the tiny
+    per-dim frame.  Bytes shuffled ~ distinct dims, never rows — the
+    audit a 100 TB ingest runs first, for the cost of one column scan."""
+    e = T(spark, d, "embeddings").select(
+        "vec_id", "label",
+        F.when(F.col("vec_id") % 101 == 0, F.slice("embedding", 1, 0))
+        .when(F.col("vec_id") % 97 == 0, F.slice("embedding", 1, 63))
+        .otherwise(F.col("embedding")).alias("emb"))
+    c = (e.select("vec_id", "label",
+                  F.size("emb").cast("bigint").alias("dim"))
+         .groupBy("dim")
+         .agg(F.count("*").alias("n_rows"),
+              F.countDistinct("label").alias("n_labels"),
+              F.min("vec_id").alias("sample_vec_id")))
+    mode = (c.orderBy(F.desc("n_rows"), F.desc("dim")).limit(1)
+            .select(F.col("dim").alias("mode_dim")))
+    total = c.agg(F.sum("n_rows").alias("total"))
+    return (c.crossJoin(F.broadcast(mode)).crossJoin(F.broadcast(total))
+            .select(
+                "dim", "n_rows", "n_labels", "sample_vec_id",
+                F.coalesce(F.col("dim") == F.col("mode_dim"),
+                           F.lit(False)).alias("is_modal"),
+                F.round(F.col("n_rows").cast("double") / F.col("total"),
+                        6).alias("row_share")))

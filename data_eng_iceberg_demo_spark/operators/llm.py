@@ -6401,3 +6401,37 @@ def llm_safety_keyword_filter(spark, d):
         hits.cast("bigint").alias("n_hits"),
         (hits > 0).alias("blocked"),
         t.rlike(pat).alias("plain_hit"))
+
+
+@register("llm_similarity_ivfadc_trained")  # rows-only: k-means trains on a
+# data-dependent sample, so the coarse cells are not ANSI-SQL-replayable;
+# recall bands pinned in tests/test_llm_dedup.py (driver checks rows+schema)
+def llm_similarity_ivfadc_trained(spark, d):
+    """ANN scale path #5, PRODUCTION quantizer (r14; r13 verdict task 2):
+    llm_similarity_ivfadc with its coarse cells TRAINED by sampled
+    k-means (ivfadc_trained_centroids: bounded deterministic sample,
+    diversity-filtered seeding, 5 Lloyd rounds in the integer qv space)
+    instead of the declared fixture query's lowest-id seeding.  This is
+    the path a real index build runs — lowest-id seeding has NO recall
+    guarantee on clustered corpora (it shatters the cluster the first
+    ids share while real clusters collapse into giant cells; the >= 0.9
+    trained vs <= 0.6 lowest-id contrast is pinned on an adversarial
+    clustered corpus in tests/test_llm_dedup.py) — declared here so the
+    driver certifies the trained pipeline end-to-end every round, not
+    just under pytest.
+
+    Rows-only BY CONSTRUCTION: Lloyd's means are data-dependent floats
+    (deterministic, but replaying 5 assignment/update rounds with greedy
+    diversity seeding is not expressible as the one-pass ANSI SQL the
+    oracle contract wants), so the driver records rows+schema while the
+    recall floors live in pytest — the same split every approximate
+    family member uses (SURVEY.md §2).
+
+    Scale shape: identical to llm_similarity_ivfadc — training touches
+    only sample_n driver rows (the faiss recipe), assignment is one
+    Arrow-batched numpy pass against a 16x64 broadcast matrix, probing
+    explodes queries x nprobe cells, candidates come from ONE equi-join
+    on the cell id, and ADC + exact re-rank touch candidates only."""
+    raw = _pq_raw(spark, d)
+    return llm_similarity_ivfadc(
+        spark, d, centroids=ivfadc_trained_centroids(raw))

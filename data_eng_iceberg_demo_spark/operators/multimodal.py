@@ -427,8 +427,12 @@ def decode_wav(buf: bytes):
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     tag, n_channels, rate, _byte_rate, _align, bits = fmt
-    if tag != 1 or bits != 16:
-        raise ValueError(f"unsupported WAV encoding tag={tag} bits={bits}")
+    # n_channels < 1 guards the frame-count division below: a bit flip
+    # zeroing the channel field otherwise escapes the per-row decode
+    # contract as ZeroDivisionError (r14 corruption-sweep catch)
+    if tag != 1 or bits != 16 or n_channels < 1:
+        raise ValueError(f"unsupported WAV encoding tag={tag} bits={bits} "
+                         f"channels={n_channels}")
     samples = struct.unpack(f"<{len(data) // 2}h", data)
     return (n_channels, rate, bits, len(samples) // n_channels,
             sum(samples), sum(abs(s) for s in samples),
@@ -1032,3 +1036,139 @@ def llm_image_phash_dedup(spark, d):
             .select("doc_id", "phash",
                     F.coalesce(F.col("m"), F.col("doc_id")).alias("canonical"),
                     F.col("m").isNotNull().alias("is_dup")))
+
+
+def try_decode(decoder, buf: bytes):
+    """Fail-the-ROW decode contract (r14; r13 verdict task 3 — the
+    fn_try_family discipline applied to binary payloads): run a codec
+    over one payload, mapping every decode failure to a quarantine
+    class instead of letting it kill the job.  Classes:
+
+      * ``bad_magic``   — the container signature check rejected the
+        payload ("not a ..." ValueError from any of the four codecs);
+      * ``unsupported`` — a recognized container with an encoding this
+        codec does not handle (bpp != 24, non-PCM WAV, ...);
+      * ``corrupt``     — everything else: truncation, bad end markers,
+        short structs, out-of-range reads (ValueError / struct.error /
+        IndexError from anywhere inside the parse).
+
+    Returns ``(result_tuple, None)`` on success, ``(None, err_class)``
+    on failure.  All four stdlib codecs do bounded work under ARBITRARY
+    corruption — each parse loop either advances through the payload or
+    fails on an out-of-bounds read, so a bit-flipped dimension field
+    costs O(payload), never O(declared dims) — which is what makes the
+    per-row catch safe at scale (one poison row quarantines itself in
+    microseconds instead of stalling an executor); the hypothesis sweep
+    in tests/test_multimodal_corruption.py drives random truncations
+    and bit flips through every codec to hold exactly this contract."""
+    import struct
+
+    try:
+        return decoder(buf), None
+    except ValueError as e:
+        msg = str(e)
+        if msg.startswith("not a"):
+            return None, "bad_magic"
+        if msg.startswith("unsupported"):
+            return None, "unsupported"
+        return None, "corrupt"
+    except (struct.error, IndexError):
+        return None, "corrupt"
+
+
+@register(
+    "llm_multimodal_decode_quarantine",
+    oracle="""
+    WITH cls AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN 'bad_magic'
+                    WHEN doc_id % 7 = 0 THEN 'corrupt'
+                    WHEN doc_id % 5 = 0 THEN 'unsupported'
+                    ELSE 'ok' END AS status
+        FROM documents
+    ), px AS (
+        SELECT doc_id, i FROM documents CROSS JOIN range(0, 24) t(i)
+    ), st AS (
+        SELECT doc_id,
+               CAST(sum((doc_id * 13 + i * 5) % 256) AS BIGINT) AS sum_r,
+               CAST(sum((doc_id * 17 + i * 11) % 256) AS BIGINT) AS sum_g,
+               CAST(sum((doc_id * 31 + i * 7) % 256) AS BIGINT) AS sum_b
+        FROM px GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.status,
+           CASE WHEN c.status = 'ok' THEN 6 END AS width,
+           CASE WHEN c.status = 'ok' THEN 4 END AS height,
+           CASE WHEN c.status = 'ok' THEN 24 END AS bpp,
+           CASE WHEN c.status = 'ok' THEN st.sum_r END AS sum_r,
+           CASE WHEN c.status = 'ok' THEN st.sum_g END AS sum_g,
+           CASE WHEN c.status = 'ok' THEN st.sum_b END AS sum_b,
+           CASE WHEN c.status = 'ok'
+                THEN CAST(doc_id * 31 % 256 AS BIGINT) END AS top_left_b
+    FROM cls c JOIN st USING (doc_id)
+    """,
+)
+def llm_multimodal_decode_quarantine(spark, d):
+    """Corrupt-payload quarantine over the binary decode path (r14; r13
+    verdict task 3): every payload decodes under the fail-the-ROW
+    contract — a valid BMP yields its exact container stats, a corrupted
+    one yields NULL stats plus a quarantine class, and NO payload can
+    fail the job.  The fixture corpus is all-valid, so the encode stage
+    injects the three failure classes deterministically (doc_id % 11 ->
+    magic bytes zeroed, % 7 -> payload truncated mid-pixel-array, % 5 ->
+    bpp field flipped to an unsupported 8 — the dq_constraint_check
+    fails-by-design discipline), and the oracle replays both the class
+    arithmetic and the closed-form pixel sums for the surviving rows, so
+    the hash certifies the happy path AND the quarantine routing in one
+    result.
+
+    Scale shape: identical to llm_multimodal_decode_bmp — two fused
+    mapInPandas stages over Arrow batches, zero shuffle, payload bytes
+    never leave the executor; the try/except adds nothing to the plan.
+    At 100 TB this is THE ingest posture: real corpora always carry
+    truncated downloads and mislabeled containers, and one uncaught
+    ValueError in a million-row batch would otherwise retry-loop the
+    whole task (4 attempts, then job death) — the quarantine column
+    turns poison rows into a filterable audit trail instead."""
+    import struct
+
+    def encode_and_corrupt(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                p = encode_bmp(i)
+                if i % 11 == 0:
+                    p = b"XX" + p[2:]                       # magic gone
+                elif i % 7 == 0:
+                    p = p[:60]                  # truncated mid-pixel-array
+                elif i % 5 == 0:
+                    p = p[:28] + struct.pack("<H", 8) + p[30:]  # bpp -> 8
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    def decode(batches):
+        for pdf in batches:
+            rows = [try_decode(decode_bmp, b) for b in pdf["payload"]]
+            stats = [r[0] if r[0] is not None else (None,) * 7
+                     for r in rows]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "status": ["ok" if r[1] is None else r[1] for r in rows],
+                "width": pd.array([s[0] for s in stats], dtype="Int32"),
+                "height": pd.array([s[1] for s in stats], dtype="Int32"),
+                "bpp": pd.array([s[2] for s in stats], dtype="Int32"),
+                "sum_r": pd.array([s[3] for s in stats], dtype="Int64"),
+                "sum_g": pd.array([s[4] for s in stats], dtype="Int64"),
+                "sum_b": pd.array([s[5] for s in stats], dtype="Int64"),
+                "top_left_b": pd.array([s[6] for s in stats],
+                                       dtype="Int64"),
+            })
+
+    docs = T(spark, d, "documents").select("doc_id")
+    media = docs.mapInPandas(encode_and_corrupt,
+                             "doc_id bigint, payload binary")
+    return media.mapInPandas(
+        decode,
+        "doc_id bigint, status string, width int, height int, bpp int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint, top_left_b bigint")

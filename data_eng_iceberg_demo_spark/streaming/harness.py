@@ -62,6 +62,15 @@ def _link_events(d: str, dstdir: str) -> None:
     if os.path.isdir(src):
         members = sorted(f for f in os.listdir(src)
                          if f.endswith(".parquet"))
+        if not members:
+            # Hive-partitioned subdirectories or .snappy-suffix variants
+            # would otherwise yield an EMPTY stream source and vacuously
+            # passing streaming queries (r14, advisor finding) — fail
+            # loudly instead.
+            raise FileNotFoundError(
+                f"{src} is a directory with no top-level *.parquet "
+                "members (partitioned layout?); refusing to build an "
+                "empty stream source")
         for i, f in enumerate(members):
             os.symlink(os.path.join(src, f),
                        os.path.join(dstdir, f"events_{i:05d}.parquet"))

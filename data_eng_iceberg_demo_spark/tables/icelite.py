@@ -57,11 +57,25 @@ from pyspark.sql.types import StructType
 
 _META = "metadata.json"
 _MANIFEST_DIR = "manifests"
+_LAZY_KEYS = ("files", "delete_files")
 
 
 class CommitConflict(RuntimeError):
     """Another writer advanced the table between base-read and commit;
     re-read the table and re-apply the operation."""
+
+
+class StaleSnapshotError(RuntimeError):
+    """A snapshot handle outlived its manifests: the lazy file-list was
+    first accessed AFTER a maintenance op (``expire_snapshots`` /
+    ``_gc_manifests`` — possibly via another handle or process) deleted
+    the manifest chain it needs.  The eager pre-r13 decoder was immune
+    because it materialized every list at load time; the lazy decoder
+    trades that for O(snapshots) loads and surfaces the race here
+    instead of a bare ``FileNotFoundError``.  Recovery: reload
+    ``table.meta`` (or re-open the table) for a fresh, consistent view —
+    internal flows are safe because maintenance ops resolve every list
+    they touch *before* rewriting the pointer."""
 
 
 def _footer_stats(path: str, name_to_id: dict[str, int]) -> dict:
@@ -261,11 +275,14 @@ def _write_meta(tdir: str, meta: dict) -> None:
             else depth_by_id.get(mb, 0) + 1
         # counts come from the already-known header when the lazy lists
         # were never materialized — len(s["files"]) here would force a
-        # full chain replay per snapshot on every commit
-        nf = s["_n_files"] if ("_n_files" in s and "files" not in s) \
+        # full chain replay per snapshot on every commit.  The probe is
+        # dict.__contains__ (physical presence): _LazySnap.__contains__
+        # answers True for the lazy keys without materializing (r14).
+        phys = dict.__contains__
+        nf = s["_n_files"] if ("_n_files" in s and not phys(s, "files")) \
             else len(s["files"])
         nd = s["_n_delete_files"] if ("_n_delete_files" in s
-                                      and "delete_files" not in s) \
+                                      and not phys(s, "delete_files")) \
             else len(s.get("delete_files", []))
         headers.append({"id": s["id"], "parent": s.get("parent"),
                         "ts": s["ts"], "operation": s["operation"],
@@ -304,16 +321,64 @@ class _LazySnap(dict):
         dict.setdefault(self, "delete_files", dels)
 
     def __missing__(self, key):
-        if key in ("files", "delete_files"):
+        if key in _LAZY_KEYS:
             self._materialize()
             return dict.__getitem__(self, key)
         raise KeyError(key)
 
     def get(self, key, default=None):
         # dict.get never consults __missing__, so the lazy keys need it
-        if key in ("files", "delete_files") and key not in self:
+        if key in _LAZY_KEYS and not dict.__contains__(self, key):
             self._materialize()
         return dict.get(self, key, default)
+
+    # --- dict-protocol completeness (r14, advisor finding) ---------------
+    # Any whole-dict view — iteration, keys()/items()/values(), len(),
+    # dict(s), {**s}, copy(), pickling — materializes first, so a consumer
+    # that treats snapshots as plain dicts can never silently miss the
+    # lazy keys.  `'files' in s` answers True without materializing (the
+    # key is always logically present; reading it pays the chain replay).
+    # The ONE intentionally non-materializing physical probe is
+    # `dict.__contains__(s, "files")`, which _write_meta uses to keep an
+    # untouched snapshot's commit cost O(1).
+
+    def _ensure(self) -> None:
+        if not dict.__contains__(self, "files") or \
+                not dict.__contains__(self, "delete_files"):
+            self._materialize()
+
+    def __contains__(self, key):
+        return key in _LAZY_KEYS or dict.__contains__(self, key)
+
+    def keys(self):
+        self._ensure()
+        return dict.keys(self)
+
+    def items(self):
+        self._ensure()
+        return dict.items(self)
+
+    def values(self):
+        self._ensure()
+        return dict.values(self)
+
+    def __iter__(self):
+        self._ensure()
+        return dict.__iter__(self)
+
+    def __len__(self):
+        self._ensure()
+        return dict.__len__(self)
+
+    def copy(self):
+        self._ensure()
+        return dict(dict.items(self))
+
+    __copy__ = copy
+
+    def __reduce__(self):
+        self._ensure()
+        return (dict, (dict(dict.items(self)),))
 
 
 class IceliteTable:
@@ -380,8 +445,16 @@ class IceliteTable:
     def _manifest(self, name: str) -> dict:
         body = self._mcache.get(name)
         if body is None:
-            with open(os.path.join(self.tdir, _MANIFEST_DIR, name)) as f:
-                body = json.load(f)
+            try:
+                with open(os.path.join(self.tdir,
+                                       _MANIFEST_DIR, name)) as f:
+                    body = json.load(f)
+            except FileNotFoundError as e:
+                raise StaleSnapshotError(
+                    f"manifest {name!r} is gone: this snapshot handle was "
+                    "decoded before a maintenance operation "
+                    "(expire_snapshots / manifest GC) collected its chain; "
+                    "reload table.meta for a fresh view") from e
             self._mcache[name] = body
         return body
 

@@ -990,3 +990,87 @@ def test_add_files_inside_table_dir_stays_deletable(spark, table, tmp_path):
     assert n_imp > 0
     t.delete_where("id_pedido LIKE 'IMP-%'")
     assert t.read().filter("id_pedido LIKE 'IMP-%'").count() == 0
+
+
+def test_stale_snapshot_access_raises_descriptive_error(spark, table):
+    """r14 (advisor): a _LazySnap held across a maintenance op that GCs
+    its manifests must fail its deferred 'files' access with the
+    descriptive StaleSnapshotError (advising a fresh meta load), not a
+    bare FileNotFoundError — the race the eager pre-r13 decoder was
+    structurally immune to."""
+    from data_eng_iceberg_demo_spark.tables.icelite import \
+        StaleSnapshotError
+
+    table.delete_where("uf = 'SP'")
+    # a SECOND handle decodes the pointer lazily BEFORE maintenance
+    from data_eng_iceberg_demo_spark.tables.icelite import IceliteTable
+    stale = IceliteTable(spark, table.tdir)
+    held = {s["id"]: s for s in stale.meta["snapshots"]}
+    table.expire_snapshots(retain_last=1)   # GCs snapshot 1's manifests
+    with pytest.raises(StaleSnapshotError, match="reload table.meta"):
+        held[1]["files"]
+    # the surviving snapshot may share a GC'd delta base — either a
+    # successful resolve or the SAME descriptive error is acceptable;
+    # what must never surface is a bare FileNotFoundError
+    try:
+        held[2]["files"]
+    except StaleSnapshotError:
+        pass
+    # a fresh load sees a consistent view
+    fresh = IceliteTable(spark, table.tdir)
+    assert [s["id"] for s in fresh.meta["snapshots"]] == [2]
+    assert fresh.meta["snapshots"][0]["files"]
+
+
+def test_lazysnap_dict_protocol_materializes(spark, table):
+    """r14 (advisor): whole-dict views of a lazy snapshot — iteration,
+    keys/items/len, dict(s), {**s}, copy() — must include the lazy
+    files/delete_files keys, and 'files' in s must answer True, so
+    consumers that treat snapshots as plain dicts never silently lose
+    the file lists."""
+    from data_eng_iceberg_demo_spark.tables.icelite import _LazySnap
+
+    table.delete_where("uf = 'SP'")
+    snap = IceliteTable_latest_lazy(spark, table)
+    assert isinstance(snap, _LazySnap)
+    assert "files" in snap and "delete_files" in snap
+    assert "files" in set(snap.keys()) and "delete_files" in set(snap)
+    d1 = dict(snap)
+    assert d1["files"] and "delete_files" in d1
+    d2 = {**IceliteTable_latest_lazy(spark, table)}
+    assert d2["files"] == d1["files"]
+    d3 = IceliteTable_latest_lazy(spark, table).copy()
+    assert d3["files"] == d1["files"]
+    assert any(k == "files" for k, _v in
+               IceliteTable_latest_lazy(spark, table).items())
+    assert len(IceliteTable_latest_lazy(spark, table)) == len(d1)
+    import copy as _copy
+    assert _copy.copy(IceliteTable_latest_lazy(spark, table))["files"] \
+        == d1["files"]
+
+
+def IceliteTable_latest_lazy(spark, table):
+    """A FRESH unmaterialized _LazySnap for the current snapshot."""
+    from data_eng_iceberg_demo_spark.tables.icelite import IceliteTable
+    t = IceliteTable(spark, table.tdir)
+    meta = t.meta
+    return max(meta["snapshots"], key=lambda s: s["id"])
+
+
+def test_lazysnap_commit_cost_stays_lazy_through_write_meta(spark, table):
+    """The dict-protocol completeness must NOT resurrect the O(snapshots
+    x files) commit cost: an append through a fresh handle leaves the
+    untouched historical snapshots unmaterialized (physical probe via
+    dict.__contains__)."""
+    from data_eng_iceberg_demo_spark.tables.icelite import IceliteTable
+
+    table.delete_where("uf = 'SP'")
+    t = IceliteTable(spark, table.tdir)
+    meta = t.meta
+    before = meta["snapshots"]
+    # _write_meta over lazily-decoded snapshots (the commit path)
+    from data_eng_iceberg_demo_spark.tables.icelite import _write_meta
+    _write_meta(t.tdir, meta)
+    unmaterialized = [s for s in before
+                      if not dict.__contains__(s, "files")]
+    assert unmaterialized, "commit materialized every snapshot"

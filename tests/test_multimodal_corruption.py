@@ -1,0 +1,84 @@
+"""Corrupt-payload contract for the multimodal codecs (r14; r13 verdict
+task 3): arbitrary truncations and bit flips through every stdlib codec
+must land in try_decode's fail-the-ROW contract — a classified
+quarantine result, never an uncaught exception class and never unbounded
+work (a bit-flipped dimension field must cost O(payload), not
+O(declared dims); hypothesis's per-example deadline enforces the bound).
+
+The declared query llm_multimodal_decode_quarantine pins the routing
+end-to-end under the driver's hash; this sweep is the adversarial
+breadth behind it."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from data_eng_iceberg_demo_spark.operators.multimodal import (
+    _qoi_doc_pixels, decode_bmp, decode_ppm, decode_qoi, decode_wav,
+    encode_bmp, encode_ppm, encode_qoi, encode_wav, try_decode)
+
+_CLASSES = {None, "bad_magic", "unsupported", "corrupt"}
+
+
+def _payload(codec: str, doc_id: int) -> bytes:
+    if codec == "bmp":
+        return encode_bmp(doc_id)
+    if codec == "wav":
+        return encode_wav(doc_id)
+    if codec == "ppm":
+        return encode_ppm(doc_id)
+    return encode_qoi(_qoi_doc_pixels(doc_id), 8, 4)
+
+
+_DECODER = {"bmp": decode_bmp, "wav": decode_wav,
+            "ppm": decode_ppm, "qoi": decode_qoi}
+
+CODECS = sorted(_DECODER)
+
+
+@pytest.mark.parametrize("codec", CODECS)
+def test_valid_payload_decodes_clean(codec):
+    for doc_id in (0, 1, 7, 255, 4999):
+        res, err = try_decode(_DECODER[codec], _payload(codec, doc_id))
+        assert err is None and res is not None
+
+
+@pytest.mark.parametrize("codec", CODECS)
+@settings(max_examples=200, deadline=1000)
+@given(doc_id=st.integers(0, 4999), data=st.data())
+def test_truncation_is_classified(codec, doc_id, data):
+    buf = _payload(codec, doc_id)
+    cut = data.draw(st.integers(0, len(buf) - 1))
+    res, err = try_decode(_DECODER[codec], buf[:cut])
+    assert err in _CLASSES
+    # a PREFIX of a valid container can never decode to a full result:
+    # every codec checks its pixel/sample payload length or end marker
+    if err is None:
+        assert res is not None
+
+
+@pytest.mark.parametrize("codec", CODECS)
+@settings(max_examples=300, deadline=1000)
+@given(doc_id=st.integers(0, 4999), data=st.data())
+def test_bitflip_is_classified(codec, doc_id, data):
+    buf = bytearray(_payload(codec, doc_id))
+    n_flips = data.draw(st.integers(1, 4))
+    for _ in range(n_flips):
+        pos = data.draw(st.integers(0, len(buf) - 1))
+        bit = data.draw(st.integers(0, 7))
+        buf[pos] ^= 1 << bit
+    res, err = try_decode(_DECODER[codec], bytes(buf))
+    assert err in _CLASSES
+    if err is None:
+        assert res is not None  # silent data corruption may decode "ok"
+        # — that is the stated limit: container checks catch structure,
+        # not payload bits (a checksum column is the upstream answer)
+
+
+@pytest.mark.parametrize("codec", CODECS)
+@settings(max_examples=100, deadline=1000)
+@given(data=st.binary(min_size=0, max_size=256))
+def test_garbage_is_classified(codec, data):
+    res, err = try_decode(_DECODER[codec], data)
+    assert err in _CLASSES

@@ -12,8 +12,11 @@ instead of just a hash difference.
 from __future__ import annotations
 
 import math
+from decimal import Decimal
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
@@ -25,6 +28,31 @@ HASHED = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
 ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 
 
+def _mapper(t):
+    """Arrow→pandas types_mapper keeping NULL distinguishable from NaN:
+    numeric/bool columns land as masked extension arrays (pd.NA = real
+    NULL; an unmasked float NaN = the engine genuinely computed NaN).
+    Plain-numpy frames (the sibling suites' toPandas()/df() path) keep
+    the historical conflating behavior — see canon's float branch."""
+    if pa.types.is_float64(t) or pa.types.is_float32(t):
+        return pd.Float64Dtype()
+    if pa.types.is_integer(t):
+        return pd.Int64Dtype()
+    if pa.types.is_boolean(t):
+        return pd.BooleanDtype()
+    return None
+
+
+def spark_frame(df) -> pd.DataFrame:
+    """Fetch a Spark result preserving the NULL/NaN distinction."""
+    return df.toArrow().to_pandas(types_mapper=_mapper)
+
+
+def duck_frame(cur) -> pd.DataFrame:
+    """Fetch a DuckDB result preserving the NULL/NaN distinction."""
+    return cur.arrow().to_pandas(types_mapper=_mapper)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     """Canonicalize a result frame: column order by name, every cell to a
     comparable primitive, rows sorted."""
@@ -34,7 +62,26 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             out[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         elif pd.api.types.is_float_dtype(s):
-            f = s.astype("float64")
+            # Masked (Arrow-fetched) input distinguishes a genuine NULL
+            # (mask set -> "NULL") from an engine-computed NaN (unmasked
+            # NaN value -> "NaN"), so a query returning NaN where the
+            # oracle returns NULL FAILS parity (r14, advisor finding).
+            # Plain-numpy input cannot make that distinction (Spark's
+            # toPandas collapses both to np.nan); it keeps the historical
+            # conflating renderings so the sibling adversarial suites'
+            # documented exclusions stay bit-compatible.
+            arr = s.array
+            masked = hasattr(arr, "_mask")
+            if masked:
+                data = np.asarray(arr._data, dtype="float64").copy()
+                null_mask = np.asarray(arr._mask, dtype=bool)
+                data[null_mask] = np.nan   # masked slots hold garbage
+                nan_mask = np.isnan(data) & ~null_mask
+            else:
+                data = s.to_numpy(dtype="float64", na_value=np.nan)
+                null_mask = np.isnan(data)
+                nan_mask = np.zeros(len(s), dtype=bool)
+            valid = data[~null_mask & ~nan_mask]
             # a bigint column with NULLs arrives as float64 from Spark's
             # toPandas but as nullable Int64 from DuckDB; when NULLs are
             # present and every non-null value is integral, render both
@@ -43,12 +90,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             # widening).  Null-free float columns keep the round-to-9
             # path — they cannot be disguised int columns, and the
             # rounding still normalizes last-ulp libm differences.
-            nonnull = f.dropna()
-            if f.isna().any() and (nonnull == nonnull.round()).all():
-                out[c] = f.map(
-                    lambda x: "NULL" if (x is None or math.isnan(x))
-                    else str(int(x)))
+            if null_mask.any() and bool((valid == np.round(valid)).all()):
+                out[c] = ["NULL" if nu else ("NaN" if na else str(int(v)))
+                          for v, nu, na in zip(data, null_mask, nan_mask)]
+            elif masked:
+                out[c] = ["NULL" if nu else
+                          ("NaN" if na else repr(round(float(v), 9)))
+                          for v, nu, na in zip(data, null_mask, nan_mask)]
             else:
+                f = pd.Series(data)
                 out[c] = f.map(
                     lambda x: "NaN" if (x is None or (isinstance(x, float) and math.isnan(x)))
                     else repr(round(x, 9)))
@@ -58,9 +108,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_bool_dtype(s):
             out[c] = s.map(lambda x: "NULL" if pd.isna(x) else str(bool(x)))
         else:
+            # Decimal normalizes through float like the historical
+            # .df() fetch did (duck's .arrow() keeps decimal128 as
+            # decimal.Decimal, whose str keeps trailing zeros — "10.50"
+            # vs the float repr "10.5")
             out[c] = s.map(
-                lambda x: "NULL" if x is None or (isinstance(x, float) and math.isnan(x))
-                else (repr(round(float(x), 9)) if isinstance(x, float) else str(x)))
+                lambda x: "NULL" if x is None or (isinstance(x, float) and math.isnan(x)) or x is pd.NA
+                else (repr(round(float(x), 9))
+                      if isinstance(x, (float, Decimal)) else str(x)))
     res = pd.DataFrame(out)
     return res.sort_values(by=list(res.columns), kind="mergesort").reset_index(drop=True)
 
@@ -68,8 +123,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize("name", HASHED)
 def test_hash_query_matches_oracle(name, driver_spark, duck, sf_dir):
     spec = REGISTRY[name]
-    got = canon(spec.fn(driver_spark, sf_dir).toPandas())
-    want = canon(duck.execute(spec.oracle).df())
+    got = canon(spark_frame(spec.fn(driver_spark, sf_dir)))
+    want = canon(duck_frame(duck.execute(spec.oracle)))
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}")
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
