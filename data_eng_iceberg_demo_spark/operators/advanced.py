@@ -1671,9 +1671,15 @@ def dq_embedding_dim_audit(spark, d):
     element access, so this never decodes vector payloads); the
     per-dim rollup is a partial-aggregated shuffle whose cardinality is
     the number of DISTINCT dims (a handful, whatever the corpus size);
-    the mode and total are 1-row broadcasts joined back to the tiny
-    per-dim frame.  Bytes shuffled ~ distinct dims, never rows — the
-    audit a 100 TB ingest runs first, for the cost of one column scan."""
+    the mode and total then come from WINDOWS over that tiny per-dim
+    frame, so the corpus is scanned exactly ONCE (the first-draft
+    scalar-subquery form re-planned the scan three times — caught by
+    this round's .explain audit).  Bytes shuffled ~ distinct dims,
+    never rows — the audit a 100 TB ingest runs first, for the cost of
+    one column scan; the unpartitioned windows run on a frame of
+    ~distinct-dims rows, not data."""
+    from pyspark.sql import Window
+
     e = T(spark, d, "embeddings").select(
         "vec_id", "label",
         F.when(F.col("vec_id") % 101 == 0, F.slice("embedding", 1, 0))
@@ -1685,13 +1691,15 @@ def dq_embedding_dim_audit(spark, d):
          .agg(F.count("*").alias("n_rows"),
               F.countDistinct("label").alias("n_labels"),
               F.min("vec_id").alias("sample_vec_id")))
-    mode = (c.orderBy(F.desc("n_rows"), F.desc("dim")).limit(1)
-            .select(F.col("dim").alias("mode_dim")))
-    total = c.agg(F.sum("n_rows").alias("total"))
-    return (c.crossJoin(F.broadcast(mode)).crossJoin(F.broadcast(total))
-            .select(
-                "dim", "n_rows", "n_labels", "sample_vec_id",
-                F.coalesce(F.col("dim") == F.col("mode_dim"),
-                           F.lit(False)).alias("is_modal"),
-                F.round(F.col("n_rows").cast("double") / F.col("total"),
-                        6).alias("row_share")))
+    # global-first over the ordered tiny frame = the mode pick the
+    # oracle's ORDER BY n_rows DESC, dim DESC LIMIT 1 makes
+    w_rank = (Window.orderBy(F.col("n_rows").desc_nulls_last(),
+                             F.col("dim").desc_nulls_last())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tot = Window.partitionBy()
+    return c.select(
+        "dim", "n_rows", "n_labels", "sample_vec_id",
+        F.coalesce(F.col("dim") == F.first("dim").over(w_rank),
+                   F.lit(False)).alias("is_modal"),
+        F.round(F.col("n_rows").cast("double")
+                / F.sum("n_rows").over(w_tot), 6).alias("row_share"))

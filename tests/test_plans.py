@@ -855,3 +855,23 @@ def test_similarity_incremental_refresh_reads_delta_only(spark, sf_dir):
     one_shot = llm_similarity_topk(spark, sf_dir)
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, one_shot.collect()))
+
+
+def test_embedding_dim_audit_single_scan_tiny_windows(spark, sf_dir):
+    """The ragged-vector audit (r14) must scan the embeddings table
+    exactly ONCE: mode and total come from windows over the tiny per-dim
+    frame, not scalar-subquery re-scans (the first-draft crossJoin form
+    planned THREE corpus scans — caught by the round's .explain audit)."""
+    p = plan_of(spark, sf_dir, "dq_embedding_dim_audit")
+    assert node_count(p, "Scan parquet") == 1
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_decode_quarantine_zero_shuffle_pruned_scan(spark, sf_dir):
+    """Corrupt-payload quarantine (r14): two fused Arrow-batched Python
+    stages over a doc_id-pruned scan — zero exchanges, payload bytes
+    never leave the executor."""
+    p = plan_of(spark, sf_dir, "llm_multimodal_decode_quarantine")
+    assert node_count(p, "Exchange") == 0
+    assert node_count(p, "MapInPandas") == 2
+    assert "struct<doc_id:bigint>" in p  # only doc_id read from parquet
