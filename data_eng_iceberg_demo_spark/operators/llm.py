@@ -4798,9 +4798,23 @@ def llm_dedup_embedding_lsh(spark, d, threshold: float = 0.45):
     whose collision fraction is ~(bits+1)*tables/2^bits of all pairs,
     independent of n, and shrinks as bits grow with log(corpus); the
     verify is one vectorized per-batch numpy pass over candidate pairs
-    only.  Skewed buckets (mass-duplicate corpora) are the known
-    hazard: at production scale the posting lists get the
-    llm_dedup_near cap + drop-count observation treatment."""
+    only.
+
+    Hot-bucket guard (r14): the r14 10x dataset rehearsal measured the
+    mass-duplicate hazard this docstring used to merely name — a
+    replica-heavy corpus puts m near-identical vectors in the SAME
+    bucket of EVERY table, so candidates grew ~m^2 per bucket (58x
+    wall, 92x shuffle at 10x data).  Buckets larger than DEDUP_DF_CAP
+    now get the llm_dedup_minhash STAR treatment: every probing vector
+    pairs with the bucket's min-id representative only — O(|bucket|)
+    per bucket, cluster connectivity preserved for downstream
+    connected-components, within-cluster non-representative pairs the
+    documented trade (counted via
+    DEDUP_OBSERVATIONS['llm_dedup_embedding_lsh']).  On the driver
+    fixtures the cap never fires — pytest-pinned — so the exact-oracle
+    hash contract is unchanged; re-measured after the guard, the 10x
+    rehearsal corpus dropped 161.8 -> 21.9 s (546 of 1871 buckets
+    starred) with scaling back to ~linear in n."""
     import numpy as np
 
     emb = (T(spark, d, "embeddings")
@@ -4817,10 +4831,25 @@ def llm_dedup_embedding_lsh(spark, d, threshold: float = 0.45):
           for j in range(_LSH_BITS)])
     a = sigl.select("t", F.explode(probes).alias("bucket"),
                     F.col("vec_id").alias("va"))
-    b = sigl.select("t", "bucket", F.col("vec_id").alias("vb"))
-    cand = (a.join(b, ["t", "bucket"])
-            .filter(F.col("va") < F.col("vb"))
-            .select("va", "vb").distinct())
+    obs = Observation()
+    DEDUP_OBSERVATIONS["llm_dedup_embedding_lsh"] = obs
+    buckets = (sigl.groupBy("t", "bucket")
+               .agg(F.collect_list("vec_id").alias("ids"))
+               .observe(obs,
+                        F.count(F.when(F.size("ids") > DEDUP_DF_CAP, 1))
+                         .alias("starred_hot_buckets"),
+                        F.count("*").alias("distinct_buckets")))
+    joined = a.join(buckets, ["t", "bucket"])
+    under = (joined.filter(F.size("ids") <= DEDUP_DF_CAP)
+             .select("va", F.explode("ids").alias("vb")))
+    over = (joined.filter(F.size("ids") > DEDUP_DF_CAP)
+            .select("va", F.array_min("ids").alias("vb")))
+    cand = (under.unionByName(over)
+            .filter(F.col("va") != F.col("vb"))
+            .select(F.least("va", "vb").alias("a2"),
+                    F.greatest("va", "vb").alias("b2"))
+            .select(F.col("a2").alias("va"), F.col("b2").alias("vb"))
+            .distinct())
 
     ea = nz.select(F.col("vec_id").alias("va"), F.col("e").alias("ea"))
     eb = nz.select(F.col("vec_id").alias("vb"), F.col("e").alias("eb"))

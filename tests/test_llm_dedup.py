@@ -369,6 +369,55 @@ def test_fixture_corpus_fires_zero_hot_key_drops(spark, sf_dir):
     mh = llm.DEDUP_OBSERVATIONS["llm_dedup_minhash"].get
     assert mh["starred_hot_buckets"] == 0, mh
 
+    llm.llm_dedup_embedding_lsh(spark, sf_dir).collect()
+    el = llm.DEDUP_OBSERVATIONS["llm_dedup_embedding_lsh"].get
+    assert el["starred_hot_buckets"] == 0, el
+
+
+def test_embedding_lsh_hot_bucket_star_expanded(spark, tmp_path):
+    """r14: the 10x dataset rehearsal measured the mass-duplicate hazard
+    on llm_dedup_embedding_lsh (m replicas share every LSH bucket ->
+    ~m^2 candidates; 58x wall at 10x data).  With the minhash star
+    guard applied: a 3*cap-size identical-vector cluster surfaces as
+    |cluster|-1 representative pairs at cosine 1.0 (connectivity for
+    downstream CC, linear expansion), the observation counts the
+    starred buckets, and an unrelated near-dup pair still surfaces."""
+    import numpy as np
+
+    from data_eng_iceberg_demo_spark.operators import llm
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64)
+    rows = []
+    # 200 copies of one direction: every table's bucket blows the cap
+    for i in range(200):
+        rows.append((i, [float(x) for x in base], 0))
+    # a genuine near-dup pair, distinct direction
+    v = rng.standard_normal(64)
+    rows.append((1000, [float(x) for x in v], 1))
+    rows.append((1001, [float(x) for x in (v + 0.01 * rng.standard_normal(64))], 1))
+    # background noise
+    for i in range(40):
+        rows.append((2000 + i, [float(x) for x in rng.standard_normal(64)], 2))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = str(tmp_path / "hotvec")
+    import os
+    os.makedirs(d, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"]
+           for r in llm.llm_dedup_embedding_lsh(spark, d).collect()}
+    # the whole clone cluster reaches representative 0 at cosine 1.0
+    rep_pairs = {(0, i) for i in range(1, 200)}
+    assert rep_pairs <= set(got), sorted(rep_pairs - set(got))[:5]
+    assert all(got[p] == 1.0 for p in rep_pairs)
+    # linear, not quadratic: no non-representative clone pair survives
+    clone_pairs = {p for p in got if p[0] < 200 and p[1] < 200}
+    assert clone_pairs == rep_pairs, sorted(clone_pairs - rep_pairs)[:5]
+    assert (1000, 1001) in got
+    el = llm.DEDUP_OBSERVATIONS["llm_dedup_embedding_lsh"].get
+    assert el["starred_hot_buckets"] >= 1, el
+
 
 def test_line_dedup_report_is_internally_consistent(spark, sf_dir):
     """llm_line_dedup's per-doc report must reconcile with the raw
