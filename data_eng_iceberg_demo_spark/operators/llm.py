@@ -4810,11 +4810,16 @@ def llm_dedup_embedding_lsh(spark, d, threshold: float = 0.45):
     per bucket, cluster connectivity preserved for downstream
     connected-components, within-cluster non-representative pairs the
     documented trade (counted via
-    DEDUP_OBSERVATIONS['llm_dedup_embedding_lsh']).  On the driver
+    DEDUP_OBSERVATIONS['llm_dedup_embedding_lsh']).  The guard carries
+    NO posting lists: per-bucket size + min-id come from a plain
+    partial aggregate (at most tables * 2^bits rows) broadcast to both
+    probe arms, so hot-bucket members never ride an agg buffer or the
+    wire (the collect_list draft did both — r14 review).  On the driver
     fixtures the cap never fires — pytest-pinned — so the exact-oracle
     hash contract is unchanged; re-measured after the guard, the 10x
-    rehearsal corpus dropped 161.8 -> 21.9 s (546 of 1871 buckets
-    starred) with scaling back to ~linear in n."""
+    rehearsal corpus dropped 161.8 -> ~22-32 s across host conditions
+    (546 of 1871 buckets starred), scaling back to ~linear in n at a
+    ~1.2x fixture-scale cost (3.7 vs 3.05 s ledger)."""
     import numpy as np
 
     emb = (T(spark, d, "embeddings")
@@ -4831,24 +4836,40 @@ def llm_dedup_embedding_lsh(spark, d, threshold: float = 0.45):
           for j in range(_LSH_BITS)])
     a = sigl.select("t", F.explode(probes).alias("bucket"),
                     F.col("vec_id").alias("va"))
+    # per-bucket SIZE + min-id representative via a plain partial
+    # aggregate — no collect_list anywhere, so no unbounded posting
+    # array in an agg buffer and no m-element array copied onto every
+    # probe row (r14 review: the first guard draft carried the full ids
+    # list through the join, keeping the O(m^2) bytes it claimed to
+    # remove).  Under-cap buckets keep the ORIGINAL (t,bucket)
+    # equi-self-join restricted by the stats; over-cap buckets join to
+    # the 1-row representative instead.
     obs = Observation()
     DEDUP_OBSERVATIONS["llm_dedup_embedding_lsh"] = obs
-    buckets = (sigl.groupBy("t", "bucket")
-               .agg(F.collect_list("vec_id").alias("ids"))
-               .observe(obs,
-                        F.count(F.when(F.size("ids") > DEDUP_DF_CAP, 1))
-                         .alias("starred_hot_buckets"),
-                        F.count("*").alias("distinct_buckets")))
-    joined = a.join(buckets, ["t", "bucket"])
-    under = (joined.filter(F.size("ids") <= DEDUP_DF_CAP)
-             .select("va", F.explode("ids").alias("vb")))
-    over = (joined.filter(F.size("ids") > DEDUP_DF_CAP)
-            .select("va", F.array_min("ids").alias("vb")))
+    stats = (sigl.groupBy("t", "bucket")
+             .agg(F.count("*").alias("bsz"), F.min("vec_id").alias("rep"))
+             .observe(obs,
+                      F.count(F.when(F.col("bsz") > DEDUP_DF_CAP, 1))
+                       .alias("starred_hot_buckets"),
+                      F.count("*").alias("distinct_buckets")))
+    # stats has at most tables * 2^bits rows (2048 here) — a broadcast
+    # dim, so neither probe side pays an extra shuffle for the guard;
+    # at production bit counts (~log2(n/target_bucket)) it stays MBs
+    # through bits ~ 16, beyond which the hint should be dropped and
+    # AQE left to pick the join side
+    b = sigl.select("t", "bucket", F.col("vec_id").alias("vb"))
+    b_sized = b.join(F.broadcast(stats), ["t", "bucket"])
+    under = (a.join(b_sized.filter(F.col("bsz") <= DEDUP_DF_CAP)
+                    .select("t", "bucket", "vb"), ["t", "bucket"])
+             .select("va", "vb"))
+    over = (a.join(F.broadcast(stats.filter(F.col("bsz") > DEDUP_DF_CAP)
+                               .select("t", "bucket", "rep")),
+                   ["t", "bucket"])
+            .select("va", F.col("rep").alias("vb")))
     cand = (under.unionByName(over)
             .filter(F.col("va") != F.col("vb"))
-            .select(F.least("va", "vb").alias("a2"),
-                    F.greatest("va", "vb").alias("b2"))
-            .select(F.col("a2").alias("va"), F.col("b2").alias("vb"))
+            .select(F.least("va", "vb").alias("va"),
+                    F.greatest("va", "vb").alias("vb"))
             .distinct())
 
     ea = nz.select(F.col("vec_id").alias("va"), F.col("e").alias("ea"))

@@ -36,6 +36,19 @@ def decode_image(payload: bytes):
                               "use the byte-level feature path")
 
 
+class BadMagic(ValueError):
+    """Payload's container signature check failed — not this format at
+    all.  A dedicated type (r14 review): try_decode's quarantine classes
+    are part of the hash-certified contract, and classifying by message
+    prefix collided with Python's own wording by one character ("not a
+    BMP payload" vs "not enough values to unpack")."""
+
+
+class UnsupportedEncoding(ValueError):
+    """Recognized container, but an encoding variant this codec does not
+    handle (bpp != 24, non-PCM WAV, zero channels, ...)."""
+
+
 def _media(spark, d):
     """Synthesize the multimodal table: documents with the text payload as
     an opaque binary 'media' column + typed metadata struct."""
@@ -266,12 +279,18 @@ def decode_bmp(buf: bytes):
     import struct
 
     if buf[:2] != b"BM":
-        raise ValueError("not a BMP payload")
+        raise BadMagic("not a BMP payload")
     (off,) = struct.unpack_from("<I", buf, 10)
     _hdrsz, width, height, _planes, bpp = struct.unpack_from("<IiiHH", buf, 14)
     if bpp != 24:
-        raise ValueError(f"unsupported bpp {bpp}")
+        raise UnsupportedEncoding(f"unsupported bpp {bpp}")
     stride = (width * 3 + 3) // 4 * 4
+    # the declared pixel array (stride padding included) must fit the
+    # payload: rejects truncated downloads whose missing bytes are only
+    # trailing padding (r14 corruption-sweep catch) and bounds the walk
+    # before a corrupted dimension field is trusted
+    if width < 0 or off + stride * abs(height) > len(buf):
+        raise ValueError("truncated BMP pixel array")
     sum_r = sum_g = sum_b = 0
     top_left_b = None
     for yy in range(abs(height)):
@@ -414,11 +433,18 @@ def decode_wav(buf: bytes):
     import struct
 
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
+        raise BadMagic("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(buf):
         cid, size = buf[pos:pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
         body = buf[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            # a chunk shorter than its declared size is a truncated
+            # download — without this check an even-length cut inside
+            # the data chunk decoded 'ok' with silently wrong sums
+            # (r14 review catch, the fail-the-row contract's one hole)
+            raise ValueError(f"truncated {cid!r} chunk: "
+                             f"{len(body)} of {size} bytes")
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
@@ -431,8 +457,9 @@ def decode_wav(buf: bytes):
     # zeroing the channel field otherwise escapes the per-row decode
     # contract as ZeroDivisionError (r14 corruption-sweep catch)
     if tag != 1 or bits != 16 or n_channels < 1:
-        raise ValueError(f"unsupported WAV encoding tag={tag} bits={bits} "
-                         f"channels={n_channels}")
+        raise UnsupportedEncoding(
+            f"unsupported WAV encoding tag={tag} bits={bits} "
+            f"channels={n_channels}")
     samples = struct.unpack(f"<{len(data) // 2}h", data)
     return (n_channels, rate, bits, len(samples) // n_channels,
             sum(samples), sum(abs(s) for s in samples),
@@ -532,7 +559,7 @@ def decode_ppm(buf: bytes):
     terminates maxval.  Returns (width, height, maxval, sum_r, sum_g,
     sum_b, top_left_r)."""
     if buf[:2] != b"P6":
-        raise ValueError("not a P6 PPM payload")
+        raise BadMagic("not a P6 PPM payload")
     pos, toks = 2, []
     while len(toks) < 3:
         while pos < len(buf) and buf[pos:pos + 1].isspace():
@@ -674,7 +701,7 @@ def decode_qoi(buf: bytes):
     and the 7x00+01 end marker.  Returns (width, height, channels,
     pixels) with pixels a list of (r, g, b, a)."""
     if buf[:4] != b"qoif":
-        raise ValueError("not a QOI payload")
+        raise BadMagic("not a QOI payload")
     width = int.from_bytes(buf[4:8], "big")
     height = int.from_bytes(buf[8:12], "big")
     channels, _colorspace = buf[12], buf[13]
@@ -1045,12 +1072,14 @@ def try_decode(decoder, buf: bytes):
     class instead of letting it kill the job.  Classes:
 
       * ``bad_magic``   — the container signature check rejected the
-        payload ("not a ..." ValueError from any of the four codecs);
+        payload (the typed :class:`BadMagic` from any of the four
+        codecs);
       * ``unsupported`` — a recognized container with an encoding this
-        codec does not handle (bpp != 24, non-PCM WAV, ...);
+        codec does not handle (:class:`UnsupportedEncoding`: bpp != 24,
+        non-PCM WAV, zero channels, ...);
       * ``corrupt``     — everything else: truncation, bad end markers,
-        short structs, out-of-range reads (ValueError / struct.error /
-        IndexError from anywhere inside the parse).
+        short structs, out-of-range reads (plain ValueError /
+        struct.error / IndexError from anywhere inside the parse).
 
     Returns ``(result_tuple, None)`` on success, ``(None, err_class)``
     on failure.  All four stdlib codecs do bounded work under ARBITRARY
@@ -1065,14 +1094,15 @@ def try_decode(decoder, buf: bytes):
 
     try:
         return decoder(buf), None
-    except ValueError as e:
-        msg = str(e)
-        if msg.startswith("not a"):
-            return None, "bad_magic"
-        if msg.startswith("unsupported"):
-            return None, "unsupported"
-        return None, "corrupt"
-    except (struct.error, IndexError):
+    except BadMagic:
+        return None, "bad_magic"
+    except UnsupportedEncoding:
+        return None, "unsupported"
+    except (ValueError, struct.error, IndexError):
+        # truncation, bad end markers, short structs, out-of-range reads
+        # — classified by TYPE, not message prefix (r14 review: "not a
+        # BMP payload" vs Python's own "not enough values to unpack"
+        # differ at one character)
         return None, "corrupt"
 
 

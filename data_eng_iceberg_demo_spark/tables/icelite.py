@@ -380,6 +380,31 @@ class _LazySnap(dict):
         self._ensure()
         return (dict, (dict(dict.items(self)),))
 
+    # mutation paths (r14 review): dict.setdefault checks PHYSICAL
+    # presence, so on an unmaterialized snapshot s.setdefault("files",
+    # []) would insert [] and permanently shadow the real manifest
+    # chain; pop/del on a lazy key would raise KeyError while
+    # `'files' in s` answers True.  Materialize first on all three.
+
+    def setdefault(self, key, default=None):
+        if key in _LAZY_KEYS:
+            self._ensure()
+        return dict.setdefault(self, key, default)
+
+    def pop(self, key, *default):
+        if key in _LAZY_KEYS:
+            self._ensure()
+        return dict.pop(self, key, *default)
+
+    def __delitem__(self, key):
+        if key in _LAZY_KEYS:
+            self._ensure()
+        dict.__delitem__(self, key)
+
+    def popitem(self):
+        self._ensure()
+        return dict.popitem(self)
+
 
 class IceliteTable:
     def __init__(self, spark: SparkSession, tdir: str):

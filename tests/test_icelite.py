@@ -1057,6 +1057,23 @@ def IceliteTable_latest_lazy(spark, table):
     return max(meta["snapshots"], key=lambda s: s["id"])
 
 
+def test_lazysnap_mutation_paths_materialize_first(spark, table):
+    """r14 review: dict.setdefault checks PHYSICAL presence, so on an
+    unmaterialized snapshot setdefault('files', []) would silently
+    shadow the real manifest chain with []; pop/del would raise
+    KeyError while `'files' in s` answers True.  All three must
+    materialize first."""
+    table.delete_where("uf = 'SP'")
+    snap = IceliteTable_latest_lazy(spark, table)
+    truth = list(IceliteTable_latest_lazy(spark, table)["files"])
+    assert snap.setdefault("files", []) == truth  # NOT the default
+    snap2 = IceliteTable_latest_lazy(spark, table)
+    assert snap2.pop("files") == truth
+    snap3 = IceliteTable_latest_lazy(spark, table)
+    del snap3["delete_files"]
+    assert "delete_files" not in dict(dict.items(snap3))
+
+
 def test_lazysnap_commit_cost_stays_lazy_through_write_meta(spark, table):
     """The dict-protocol completeness must NOT resurrect the O(snapshots
     x files) commit cost: an append through a fresh handle leaves the
@@ -1138,8 +1155,6 @@ def test_writer_concurrency_sweep_no_lost_updates(spark, table):
     for th in threads:
         th.join()
     assert not errors, errors
-    # racing commits on one table MUST collide at least once
-    assert conflicts, "no CommitConflict observed — the race was vacuous"
 
     fresh = IceliteTable(spark, table.tdir)
     rows = [r["id_pedido"] for r in fresh.read().collect()]
@@ -1163,3 +1178,12 @@ def test_writer_concurrency_sweep_no_lost_updates(spark, table):
     after = [r["id_pedido"] for r in IceliteTable(
         spark, table.tdir).read().collect()]
     assert sorted(after) == sorted(expected)
+
+    # racing commits on one table are EXPECTED to collide; on a host
+    # that happens to serialize the whole storm every contract above
+    # still verified, but the race itself proved nothing — mark that
+    # honestly instead of failing spuriously (r14 review: a
+    # timing-dependent hard assert) or passing vacuously
+    if not conflicts:
+        pytest.skip("host serialized the writer storm — zero contention "
+                    "observed; lost-update/linear-history checks all ran")

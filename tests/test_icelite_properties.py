@@ -245,8 +245,13 @@ def test_meta_decode_opens_no_manifest_bodies(spark, tmp_path):
     fresh = cat.load_table("ns.lazy")
     meta = fresh.meta
     assert fresh._mcache == {}, "decode opened manifest bodies"
+    # physical-presence probe: since r14 `'files' in s` answers True on
+    # every snapshot (the lazy keys are logically always present), so
+    # laziness is asserted via dict.__contains__ — the same spelling
+    # _write_meta uses to keep commits O(1)
     for s in meta["snapshots"]:
-        assert "files" not in s and "delete_files" not in s
+        assert not dict.__contains__(s, "files")
+        assert not dict.__contains__(s, "delete_files")
     n_hist = fresh.history().count()
     assert fresh._mcache == {}, "history() replayed manifest chains"
     assert n_hist == len(meta["snapshots"])

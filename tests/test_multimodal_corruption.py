@@ -51,11 +51,11 @@ def test_truncation_is_classified(codec, doc_id, data):
     buf = _payload(codec, doc_id)
     cut = data.draw(st.integers(0, len(buf) - 1))
     res, err = try_decode(_DECODER[codec], buf[:cut])
-    assert err in _CLASSES
-    # a PREFIX of a valid container can never decode to a full result:
-    # every codec checks its pixel/sample payload length or end marker
-    if err is None:
-        assert res is not None
+    # a STRICT PREFIX of a valid container must NEVER decode 'ok': every
+    # codec validates payload length against its declared structure
+    # (r14 review catch: WAV's chunk walk didn't — an even-length cut
+    # inside the data chunk decoded clean with silently wrong sums)
+    assert err in _CLASSES and err is not None, (cut, res)
 
 
 @pytest.mark.parametrize("codec", CODECS)

@@ -59,3 +59,73 @@ def test_parity_canon_distinguishes_nan_from_null():
     legacy = pd.DataFrame({"x": [37.0, float("nan")]})
     got2 = op.canon(legacy)
     assert set(got2["x"]) == {"37", "NULL"}
+
+
+def _process_committer(args):
+    """Worker for the cross-PROCESS commit race: M empty append commits
+    with retry-on-conflict against a shared table dir.  Runs without any
+    SparkSession — the icelite commit protocol is pure metadata, which
+    is exactly what makes a process-level race testable and cheap."""
+    tdir, worker, n_commits = args
+    import sys
+    import time as _t
+    sys.path.insert(0, "/root/repo")
+    from data_eng_iceberg_demo_spark.tables.icelite import (CommitConflict,
+                                                            IceliteTable)
+    t = IceliteTable(None, tdir)
+    conflicts = 0
+    for i in range(n_commits):
+        for attempt in range(200):
+            meta = t.meta
+            try:
+                t._commit_snapshot(meta, "append", [])
+                break
+            except CommitConflict:
+                conflicts += 1
+                _t.sleep(0.01 * (attempt % 3))
+        else:
+            return (worker, conflicts, f"starved at commit {i}")
+    return (worker, conflicts, None)
+
+
+def test_commit_race_across_processes(tmp_path):
+    """r14: the two-thread race test shares one GIL and one page cache —
+    this races 6 PROCESSES x 4 commits on one table dir, the honest test
+    of the O_CREAT|O_EXCL marker arbitration and the atomic pointer
+    swap.  Every commit must publish exactly once: contiguous ids,
+    linear parent chain, zero lost updates."""
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
+    from data_eng_iceberg_demo_spark.tables.icelite import (_write_meta,
+                                                            IceliteTable)
+
+    tdir = str(tmp_path / "racetab")
+    os.makedirs(tdir)
+    _write_meta(tdir, {
+        "schema_versions": [{"version": 1, "fields": []}],
+        "current_schema": 1, "current_snapshot": None,
+        "snapshots": [], "refs": {}, "partition_spec": []})
+
+    n_proc, n_commits = 6, 4
+    with ProcessPoolExecutor(n_proc) as ex:
+        results = list(ex.map(_process_committer,
+                              [(tdir, w, n_commits) for w in range(n_proc)]))
+    assert all(err is None for _w, _c, err in results), results
+
+    meta = IceliteTable(None, tdir).meta
+    snaps = sorted(meta["snapshots"], key=lambda s: s["id"])
+    assert len(snaps) == n_proc * n_commits
+    assert [s["id"] for s in snaps] == list(range(1, len(snaps) + 1))
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert cur["parent"] == prev["id"]
+    assert meta["current_snapshot"] == snaps[-1]["id"]
+
+    # process spawn stagger can serialize the whole pool on a loaded
+    # host — the exactly-once contract above still verified; only the
+    # contention claim is then unproven (r14 review: don't hard-assert
+    # a timing outcome)
+    total_conflicts = sum(c for _w, c, _e in results)
+    if total_conflicts == 0:
+        pytest.skip("processes never contended — exactly-once checks "
+                    "all ran")
