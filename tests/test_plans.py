@@ -320,6 +320,13 @@ _BROADCAST_HINT_OK = {
         "both hinted subtrees are pinned to 5 vec_ids by construction: "
         "the probe list (5 queries x 8 tables x 9 probes = 360 fixed-"
         "width rows) and the 5 query vectors for the re-rank",
+    ("llm_dedup_embedding_lsh", "embeddings"):
+        "both hinted sides are the per-(table,bucket) size/min-id "
+        "aggregate of the r14 hot-bucket guard: output is bounded at "
+        "tables * 2^bits rows (8 x 256 = 2048 here) by the SIGNATURE "
+        "DOMAIN, not the corpus — the events_anomaly closed-domain "
+        "class; at production bit counts (~16+) the docstring says to "
+        "drop the hint and let AQE pick the side",
     ("llm_similarity_funnel", "embeddings"):
         "query side is pinned to 5 vec_ids by construction — the same "
         "tiny-query-set contract as llm_similarity_topk, probed twice "
