@@ -967,7 +967,8 @@ def llm_audio_vad(spark, d):
     GROUP BY h.doc_id, h.phash
     """,
 )
-def llm_image_phash_dedup(spark, d):
+def llm_image_phash_dedup(spark, d, width: int = 6, height: int = 4,
+                          band_bits: int = 6):
     """Perceptual-hash image dedup (r12): the near-dup detector a
     byte-digest dedup (llm_multimodal_dedup) cannot be — a re-encoded
     or slightly-retouched image hashes to a DIFFERENT md5 but an
@@ -984,10 +985,26 @@ def llm_image_phash_dedup(spark, d):
     populated.
 
     Scale shape: hash = one fused mapInPandas pass (image bytes never
-    leave the executor); banding explodes 4 rows/image; candidates
-    come from a (band, value) equi-self-join on ~uniform 6-bit keys;
-    the verify is two integer ops.  The same plan at 100 TB is
-    pix2pix-scale image dedup: O(n) hash pass + banded join."""
+    leave the executor); banding explodes hash_bits/band_bits rows per
+    image; candidates come from a (band, value) equi-self-join; the
+    verify is two integer ops.  With a FIXED hash/band width the
+    candidate volume is O(n^2 / 2^band_bits) — measured 12.9x at the
+    r14 10x rehearsal — so the 100 TB knob is DIMENSIONAL (the
+    ivfadc-centroids pattern): width/height/band_bits parameters grow
+    the hash (<= 63 pixels, the sign bit of a Spark long is off
+    limits) and the band width ~log2(n/target_bucket), keeping buckets
+    bounded under the SAME plan shape; the declared query keeps the
+    6x4/6-bit form its hash oracle replays verbatim, and the wide form
+    is pinned by test_phash_wide_band_bounds_buckets (7x9 image,
+    9-bit bands: max bucket collapses ~30x, planted recall holds).  A
+    hot-bucket star cap is deliberately NOT applied here: unlike the
+    embedding-LSH mass-dup buckets, narrow pHash buckets are mostly
+    RANDOM collisions, so a star representative usually fails the
+    Hamming verify and genuine pairs would be lost."""
+    n_pix = width * height
+    if n_pix > 63:
+        raise ValueError("phash width*height must be <= 63 (Spark long)")
+    n_bands = (n_pix + band_bits - 1) // band_bits
     docs = T(spark, d, "documents").select("doc_id")
 
     def phash(batches):
@@ -1000,7 +1017,7 @@ def llm_image_phash_dedup(spark, d):
                 did = int(did)
                 s = did + 1 if did % 5 == 0 else did
                 pixels = []
-                for i in range(24):
+                for i in range(n_pix):
                     hx = hashlib.md5(f"{s}:{i}".encode()).hexdigest()
                     r, g, b = (int(hx[0:2], 16), int(hx[2:4], 16),
                                int(hx[4:6], 16))
@@ -1008,7 +1025,6 @@ def llm_image_phash_dedup(spark, d):
                         r = (r + 8) % 256
                     pixels.append((r, g, b))
                 # REAL encode: 24-bit BMP, 4-byte stride, bottom-up rows
-                width, height = 6, 4
                 stride = (width * 3 + 3) // 4 * 4
                 header = struct.pack("<2sIHHI", b"BM",
                                      54 + stride * height, 0, 0, 54)
@@ -1036,7 +1052,7 @@ def llm_image_phash_dedup(spark, d):
                 sg = sum(grays)
                 hv = 0
                 for i, gr in enumerate(grays):
-                    if 24 * gr >= sg:
+                    if n_pix * gr >= sg:
                         hv |= 1 << i
                 out_doc.append(did)
                 out_h.append(hv)
@@ -1045,9 +1061,10 @@ def llm_image_phash_dedup(spark, d):
     h = docs.mapInPandas(phash, "doc_id long, phash long")
     bands = h.select(
         "doc_id", "phash",
-        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"))
+        F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("b"))
     bands = bands.withColumn(
-        "bv", F.expr("(phash div (1 << (6 * b))) % 64"))
+        "bv", F.expr(f"(phash div (1 << ({band_bits} * b))) "
+                     f"% {1 << band_bits}"))
     a = bands.select(F.col("doc_id").alias("lo"), F.col("phash").alias("ph_a"),
                      "b", "bv")
     c = bands.select(F.col("doc_id").alias("hi"), F.col("phash").alias("ph_b"),

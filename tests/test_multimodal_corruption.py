@@ -82,3 +82,46 @@ def test_bitflip_is_classified(codec, doc_id, data):
 def test_garbage_is_classified(codec, data):
     res, err = try_decode(_DECODER[codec], data)
     assert err in _CLASSES
+
+
+def test_phash_wide_band_bounds_buckets(spark, sf_dir):
+    """r14: the pHash dedup scale knob is DIMENSIONAL (the
+    ivfadc-centroids pattern) — the 10x rehearsal measured the fixed
+    24-bit/6-bit-band form at O(n^2/2^bits) candidate growth (12.9x),
+    and the fix is a wider hash + wider bands, NOT a hot-bucket star
+    cap (narrow pHash buckets are random collisions; a star rep
+    usually fails the Hamming verify, losing genuine pairs).  The
+    7x9-pixel / 9-bit-band form must keep every planted retouch pair
+    while collapsing the max band bucket."""
+    from collections import Counter
+
+    from data_eng_iceberg_demo_spark.operators import multimodal as mm
+
+    rows = mm.llm_image_phash_dedup(
+        spark, sf_dir, width=7, height=9, band_bits=9).collect()
+    planted = [r for r in rows if r["doc_id"] % 5 == 1 and r["doc_id"] > 0]
+    found = [r for r in planted
+             if r["is_dup"] and r["canonical"] == r["doc_id"] - 1]
+    assert planted and len(found) / len(planted) >= 0.95, (
+        len(found), len(planted))
+
+    def max_bucket(width, height, band_bits):
+        n_pix = width * height
+        n_bands = (n_pix + band_bits - 1) // band_bits
+        h = mm.llm_image_phash_dedup(
+            spark, sf_dir, width=width, height=height,
+            band_bits=band_bits).select("doc_id", "phash").collect()
+        c = Counter()
+        for r in h:
+            for b in range(n_bands):
+                c[(b, (r["phash"] >> (band_bits * b)) % (1 << band_bits))] += 1
+        return max(c.values())
+
+    wide, narrow = max_bucket(7, 9, 9), max_bucket(6, 4, 6)
+    # wider bands bound the buckets: candidates/bucket shrink ~2^3
+    assert wide < narrow, (wide, narrow)
+
+    # the Spark-long sign bit is off limits: >63 pixels must refuse
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="63"):
+        mm.llm_image_phash_dedup(spark, sf_dir, width=8, height=8)
