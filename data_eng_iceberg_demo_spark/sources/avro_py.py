@@ -567,6 +567,13 @@ def block_index(path: str) -> list[tuple[int, int, int]]:
             head = io.BytesIO(f.read(20))
             n = _zigzag_decode(head)
             nbytes = _zigzag_decode(head)
+            # corruption guard (r14): a negative byte-size would move
+            # pos BACKWARD and wedge the DRIVER in an infinite planning
+            # loop; a negative count is equally impossible per spec
+            if n < 0 or nbytes < 0:
+                raise ValueError(
+                    f"corrupt avro block header at offset {pos}: "
+                    f"count={n} byte_size={nbytes}")
             out.append((pos, n, nbytes))
             pos += head.tell() + nbytes + 16  # payload + sync marker
     return out
@@ -585,6 +592,22 @@ def read_block(path: str, offset: int, schema: dict, codec: str):
     if codec == "deflate":
         payload = zlib.decompress(payload, -15)
     decoders = [_compile_field_decoder(t) for _n, t in fields]
+    # corruption guards (r14): the row count comes straight from the
+    # (possibly corrupted) block header, and rows of a zero-width
+    # schema consume ZERO payload bytes — an attacker-controlled count
+    # over an empty payload decoded 50M phantom rows in the repro
+    # (executor OOM at container scale).  Any real row with >= 1 field
+    # consumes >= 1 byte, so count <= payload length for nonzero-width
+    # schemas; zero-width (fieldless / all-null) schemas get an
+    # absolute plausibility cap instead.
+    if n < 0 or nbytes < 0:
+        raise ValueError(
+            f"corrupt avro block header at offset {offset}: "
+            f"count={n} byte_size={nbytes}")
+    if n > len(payload) and n > (1 << 24):
+        raise ValueError(
+            f"implausible avro block at offset {offset}: count={n} "
+            f"exceeds payload capacity ({len(payload)} bytes)")
     pos, rows = 0, []
     for _ in range(n):
         vals = []

@@ -456,3 +456,109 @@ def test_unknown_logical_annotation_falls_back_to_physical(tmp_path):
     p = os.path.join(str(tmp_path), "t.avro")
     write_avro(p, [(42,)], schema)
     assert _avro_rows(p)[0]["x"] == 42
+
+
+# --------------------------------------------------- corruption contract (r14)
+# The container SCAN's failure contract differs from the multimodal
+# payload codecs: a corrupt FILE fails the read (spark-avro FAILFAST, the
+# parquet norm) — but it must fail in BOUNDED time with a classified
+# error, never hang the driver's planning loop or decode phantom rows.
+# Two repro'd hazards guarded in avro_py: a negative block byte-size
+# moved block_index's cursor BACKWARD (infinite driver loop), and an
+# attacker-controlled row count over a zero-width schema decoded 50M
+# phantom rows from an EMPTY payload.
+
+_DECODE_ERRORS = (ValueError, KeyError, IndexError, OverflowError)
+
+
+def _zz(n: int) -> bytes:
+    u = ((n << 1) ^ (n >> 63)) & ((1 << 70) - 1) if n < 0 else (n << 1)
+    out = bytearray()
+    while u > 0x7F:
+        out.append((u & 0x7F) | 0x80)
+        u >>= 7
+    out.append(u)
+    return bytes(out)
+
+
+def _craft(schema: dict, blocks: list[bytes]) -> bytes:
+    import json as _json
+    sync = b"pyavro-sync-16bb"
+    hdr = b"Obj\x01" + _zz(2)
+    for k, v in (("avro.schema", _json.dumps(schema).encode()),
+                 ("avro.codec", b"null")):
+        hdr += _zz(len(k)) + k.encode() + _zz(len(v)) + v
+    hdr += _zz(0) + sync
+    return hdr + b"".join(b + sync for b in blocks)
+
+
+def test_negative_block_size_fails_fast_not_forever(tmp_path):
+    p = str(tmp_path / "neg.avro")
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "k", "type": "long"}]}
+    with open(p, "wb") as f:
+        f.write(_craft(schema, [_zz(1) + _zz(-36)]))
+    with pytest.raises(ValueError, match="corrupt avro block header"):
+        block_index(p)
+
+
+def test_phantom_row_count_on_zero_width_schema_rejected(tmp_path):
+    p = str(tmp_path / "phantom.avro")
+    schema = {"type": "record", "name": "r", "fields": []}
+    body = _craft(schema, [_zz(50_000_000) + _zz(0)])
+    with open(p, "wb") as f:
+        f.write(body)
+    schema_r, codec, _sync, hdr_end = read_header(p)
+    with pytest.raises(ValueError, match="implausible avro block"):
+        read_block(p, hdr_end, schema_r, codec)
+
+
+def test_oversized_count_on_real_schema_fails_on_payload_bounds(tmp_path):
+    p = str(tmp_path / "overcount.avro")
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "k", "type": "long"}]}
+    # 1000 declared rows, 2 bytes of payload: must raise, not fabricate
+    with open(p, "wb") as f:
+        f.write(_craft(schema, [_zz(1000) + _zz(2) + _zz(7)]))
+    schema_r, codec, _sync, hdr_end = read_header(p)
+    with pytest.raises(_DECODE_ERRORS):
+        read_block(p, hdr_end, schema_r, codec)
+
+
+@given(data=st.data())
+@settings(max_examples=150, deadline=2000,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_container_corruption_classified_and_bounded(tmp_path_factory, data):
+    """Truncations and bit flips anywhere in a VALID container must
+    either still read (flips in string bodies are silent data
+    corruption — the documented limit, same as the multimodal codecs)
+    or raise a classified decode error in bounded time (hypothesis's
+    deadline): never an exotic exception class, never a hang."""
+    import zlib
+
+    d = tmp_path_factory.mktemp("avrocorrupt")
+    p = str(d / "t.avro")
+    recs = [(i, f"s{i}", float(i) if i % 3 else None, bool(i % 2))
+            for i in range(17)]
+    write_avro(p, recs, SCHEMA, block_rows=5,
+               codec=data.draw(st.sampled_from(["null", "deflate"])))
+    buf = bytearray(open(p, "rb").read())
+    if data.draw(st.booleans()):
+        cut = data.draw(st.integers(4, len(buf) - 1))
+        buf = buf[:cut]
+    else:
+        for _ in range(data.draw(st.integers(1, 4))):
+            pos = data.draw(st.integers(4, len(buf) - 1))
+            buf[pos] ^= 1 << data.draw(st.integers(0, 7))
+    with open(p, "wb") as f:
+        f.write(bytes(buf))
+    try:
+        out = _read_all(p)
+        assert isinstance(out, list)  # survived: silent-bit-flip class
+    except (_DECODE_ERRORS + (zlib.error, UnicodeDecodeError,
+                              EOFError, struct_error)):
+        pass  # classified, bounded
+
+
+from struct import error as struct_error  # noqa: E402  (used above)
