@@ -921,6 +921,30 @@ def llm_audio_vad(spark, d):
                       (F.col("energy") >= 100000).alias("active"))
 
 
+def phash_bands(h, n_bands: int, band_bits: int):
+    """Explode a (doc_id, phash) frame into its LSH band rows with the
+    ENGINE-computed band value ``bv`` — shared by the declared query,
+    the wide scale form, and the bucket-bound test (which must measure
+    the join keys Spark actually used, not a Python re-derivation).
+
+    The band value is ``(phash >> (band_bits * b)) % 2^band_bits`` via
+    ``shiftrightunsigned``: a plain ``1 << (band_bits * b)`` divisor
+    wraps — Spark masks an INT left-shift count mod 32 (``1 << 54`` =
+    ``1 << 22``), so any band starting at bit >= 32 (exactly the wide
+    forms the scale knob exists for) would silently read the wrong
+    bits: high hash bits never reach candidate generation and high
+    bands alias low bits, INFLATING buckets instead of bounding them.
+    ``phash`` is always < 2^63 here (the 63-pixel cap keeps the sign
+    bit clear), so the unsigned right shift is the plain bit window."""
+    return (h.select(
+                "doc_id", "phash",
+                F.explode(F.array(*[F.lit(b) for b in range(n_bands)]))
+                .alias("b"))
+            .withColumn(
+                "bv", F.expr(f"shiftrightunsigned(phash, {band_bits} * b)"
+                             f" % {1 << band_bits}")))
+
+
 @register(
     "llm_image_phash_dedup",
     oracle="""
@@ -1059,12 +1083,7 @@ def llm_image_phash_dedup(spark, d, width: int = 6, height: int = 4,
             yield pd.DataFrame({"doc_id": out_doc, "phash": out_h})
 
     h = docs.mapInPandas(phash, "doc_id long, phash long")
-    bands = h.select(
-        "doc_id", "phash",
-        F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("b"))
-    bands = bands.withColumn(
-        "bv", F.expr(f"(phash div (1 << ({band_bits} * b))) "
-                     f"% {1 << band_bits}"))
+    bands = phash_bands(h, n_bands, band_bits)
     a = bands.select(F.col("doc_id").alias("lo"), F.col("phash").alias("ph_a"),
                      "b", "bv")
     c = bands.select(F.col("doc_id").alias("hi"), F.col("phash").alias("ph_b"),

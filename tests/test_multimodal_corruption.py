@@ -106,15 +106,27 @@ def test_phash_wide_band_bounds_buckets(spark, sf_dir):
         len(found), len(planted))
 
     def max_bucket(width, height, band_bits):
+        # bucket sizes from the ENGINE-computed bv (phash_bands is the
+        # very frame the dedup joins on) — a Python >> re-derivation
+        # would mask a Spark band-arithmetic bug (the r14 advisor found
+        # exactly that: Spark wraps an INT shift count mod 32, so
+        # bands starting at bit >= 32 silently aliased low bits while
+        # this test's native-int recount looked healthy)
         n_pix = width * height
         n_bands = (n_pix + band_bits - 1) // band_bits
-        h = mm.llm_image_phash_dedup(
-            spark, sf_dir, width=width, height=height,
-            band_bits=band_bits).select("doc_id", "phash").collect()
+        h = (mm.llm_image_phash_dedup(
+                spark, sf_dir, width=width, height=height,
+                band_bits=band_bits).select("doc_id", "phash"))
+        bands = mm.phash_bands(h, n_bands, band_bits).collect()
         c = Counter()
-        for r in h:
-            for b in range(n_bands):
-                c[(b, (r["phash"] >> (band_bits * b)) % (1 << band_bits))] += 1
+        expect = Counter()
+        for r in bands:
+            c[(r["b"], r["bv"])] += 1
+            expect[(r["b"], (r["phash"] >> (band_bits * r["b"]))
+                    % (1 << band_bits))] += 1
+        # the engine's band keys must BE the intended bit windows —
+        # fails if Spark's shift arithmetic ever diverges again
+        assert c == expect
         return max(c.values())
 
     wide, narrow = max_bucket(7, 9, 9), max_bucket(6, 4, 6)
