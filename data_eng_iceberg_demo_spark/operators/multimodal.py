@@ -945,9 +945,15 @@ def phash_bands(h, n_bands: int, band_bits: int):
                              f" % {1 << band_bits}")))
 
 
-@register(
-    "llm_image_phash_dedup",
-    oracle="""
+def _phash_oracle(n_pix: int, n_bands: int, band_bits: int,
+                  one: str = "1") -> str:
+    """DuckDB replay of llm_image_phash_dedup at a given hash geometry.
+    ``one`` is the band-divisor shift base: the default 24-bit form
+    keeps the historically-certified text (``1 <<`` — max shift 18,
+    INT-safe), while wide forms pass ``1::BIGINT`` because a band
+    starting at bit >= 31 needs a 64-bit divisor (the same wrap class
+    the Spark side fixed with shiftrightunsigned)."""
+    return f"""
     WITH seed AS (
         -- re-encoded variant plant: every 5th doc's image is its
         -- neighbor's image with pixel 0 brightened by +8 on one
@@ -968,16 +974,16 @@ def phash_bands(h, n_bands: int, band_bits: int):
                        AS BIGINT)
                 + CAST(concat('0x', substring(md5(s || ':' || i), 5, 2))
                        AS BIGINT)) AS gray
-        FROM seed CROSS JOIN range(0, 24) t(i)
+        FROM seed CROSS JOIN range(0, {n_pix}) t(i)
     ), tot AS (SELECT doc_id, sum(gray) AS sg FROM px GROUP BY doc_id),
     h AS (
         SELECT px.doc_id,
-               CAST(sum(CASE WHEN 24 * gray >= sg THEN 1::BIGINT << i
+               CAST(sum(CASE WHEN {n_pix} * gray >= sg THEN 1::BIGINT << i
                              ELSE 0 END) AS BIGINT) AS phash
         FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id
     ), bands AS (
-        SELECT doc_id, phash, b, (phash // (1 << (6 * b))) % 64 AS bv
-        FROM h CROSS JOIN range(0, 4) t(b)
+        SELECT doc_id, phash, b, (phash // ({one} << ({band_bits} * b))) % {1 << band_bits} AS bv
+        FROM h CROSS JOIN range(0, {n_bands}) t(b)
     ), pairs AS (
         SELECT DISTINCT a.doc_id AS lo, c.doc_id AS hi
         FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv
@@ -989,8 +995,10 @@ def phash_bands(h, n_bands: int, band_bits: int):
            min(p.lo) IS NOT NULL AS is_dup
     FROM h LEFT JOIN pairs p ON p.hi = h.doc_id
     GROUP BY h.doc_id, h.phash
-    """,
-)
+    """
+
+
+@register("llm_image_phash_dedup", oracle=_phash_oracle(24, 4, 6))
 def llm_image_phash_dedup(spark, d, width: int = 6, height: int = 4,
                           band_bits: int = 6):
     """Perceptual-hash image dedup (r12): the near-dup detector a
@@ -1099,6 +1107,30 @@ def llm_image_phash_dedup(spark, d, width: int = 6, height: int = 4,
             .select("doc_id", "phash",
                     F.coalesce(F.col("m"), F.col("doc_id")).alias("canonical"),
                     F.col("m").isNotNull().alias("is_dup")))
+
+
+@register("llm_image_phash_dedup_wide",
+          oracle=_phash_oracle(63, 7, 9, one="1::BIGINT"))
+def llm_image_phash_dedup_wide(spark, d):
+    """The pHash dedup's SCALE form, declared (r15; r14 verdict task 2):
+    llm_image_phash_dedup at 7x9 pixels / 9-bit bands — 63 hash bits
+    (the full Spark-long budget below the sign bit), 7 bands.  The r14
+    10x rehearsal measured the 24-bit demo width at O(n^2/2^bits)
+    candidate growth (12.9x per 10x docs) because a FIXED hash space
+    saturates: expected band-bucket size is n/2^band_bits, so the scale
+    knob is DIMENSIONAL — grow the hash and the band width with
+    log2(corpus) and buckets stay bounded under the SAME plan shape
+    (mapInPandas hash, one band-value equi-self-join, popcount verify).
+    Until r15 that knob existed only as parameters pinned by pytest;
+    this entry makes the wide geometry a first-class declared query
+    with its own hash oracle (the generator, threshold hash, 9-bit
+    band split with a 64-bit divisor — a 32-bit `1 <<` wraps at band 4,
+    the r14 advisor find — and Hamming<=2 verify all replayed in SQL),
+    so the driver certifies the production width every rotation.
+    Planted retouch recall >= 0.95 at this geometry is pinned in
+    tests/test_multimodal_corruption.py alongside the engine-computed
+    bucket-bound check."""
+    return llm_image_phash_dedup(spark, d, width=7, height=9, band_bits=9)
 
 
 def try_decode(decoder, buf: bytes):
