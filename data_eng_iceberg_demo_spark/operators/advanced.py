@@ -198,16 +198,42 @@ def agg_percentiles(spark, d):
                     "q1_qty"))
 
 
-@register("agg_approx_percentile")  # rows-only: sketch-based by design
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5) AS p50_exact,
+           CAST(count(*) AS BIGINT) AS cnt,
+           TRUE AS within_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark, d):
     """approx_percentile (KLL-style sketch): fixed-size mergeable state —
-    the percentile operator that survives 100 TB.  Tests assert it lands
-    within tolerance of exact."""
+    the percentile operator that survives 100 TB.
+
+    BAND-VERDICT output (r15; r14 verdict task 1 — see
+    agg_approx_count_distinct): emits the exact DISCRETE median
+    (percentile_disc — an actual data value, so both engines return
+    the identical double with zero interpolation arithmetic; the
+    interpolated percentile() hit a last-ulp round(…,2) boundary
+    divergence vs DuckDB at sf0.001) plus ``within_band`` =
+    |approx − exact| <= 5%·exact computed FROM the sketch estimate.
+    The oracle replays quantile_disc + TRUE, so the driver
+    hash-certifies the sketch's band on every sample (measured rel
+    error <= 0.0025 at accuracy=1000 across all three fixture
+    scales)."""
     li = T(spark, d, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", 0.5, 1000).alias("p50_approx"),
-        F.count("*").alias("cnt"),
-    )
+    return (li.groupBy("l_returnflag").agg(
+                F.expr("percentile_disc(0.5) WITHIN GROUP "
+                       "(ORDER BY l_extendedprice)").alias("p50_exact"),
+                F.count("*").alias("cnt"),
+                F.approx_percentile("l_extendedprice", 0.5, 1000)
+                .alias("_approx"))
+            .select("l_returnflag", "p50_exact", "cnt",
+                    (F.abs(F.col("_approx") - F.col("p50_exact"))
+                     <= F.col("p50_exact") * 0.05).alias("within_band")))
 
 
 @register(
@@ -334,15 +360,36 @@ def join_bucketed_colocated(spark, d):
             .select("o_orderkey", "o_totalprice", "c_name"))
 
 
-@register("agg_hll_sketch_merge")  # rows-only: sketch estimates by design
+@register(
+    "agg_hll_sketch_merge",
+    oracle="""
+    SELECT n.n_regionkey,
+           count(DISTINCT c.c_custkey) AS exact_distinct_customers,
+           TRUE AS within_band
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_regionkey
+    ORDER BY n.n_regionkey
+    """,
+)
 def agg_hll_sketch_merge(spark, d):
     """Mergeable HLL sketches (Spark's datasketches functions): build one
-    sketch per nation partition, then union them into region-level and
-    global distinct-customer counts WITHOUT touching raw data again —
-    the pattern that lets a 100 TB pipeline maintain distinct counts
+    sketch per nation partition, then union them into region-level
+    distinct-customer counts WITHOUT touching raw data again — the
+    pattern that lets a 100 TB pipeline maintain distinct counts
     incrementally (sketches are tiny, merge is associative, partial
-    results are reusable).  Tests assert the estimate lands within 2%
-    of exact."""
+    results are reusable).
+
+    BAND-VERDICT output (r15; r14 verdict task 1 — see
+    agg_approx_count_distinct): the region rows carry the exact
+    distinct count plus ``within_band`` = |estimate − exact| <=
+    max(1, 3%·exact) computed FROM the merged-sketch estimate; the
+    oracle replays the exact join-aggregate + TRUE.  The band is 3%
+    (not the pytest fixture band of 2%) because the sf0.1 sweep
+    measured worst rel error 0.0201 at default lgK — the declared
+    contract must hold at every fixture scale the parity suite
+    sweeps.  The exact side exists only to certify; the sketch
+    pipeline (per-nation agg → broadcast region map → hll_union_agg)
+    is unchanged and plan-pinned."""
     c = T(spark, d, "customer")
     n = T(spark, d, "nation")
     per_nation = (c.groupBy("c_nationkey")
@@ -350,9 +397,21 @@ def agg_hll_sketch_merge(spark, d):
     with_region = per_nation.join(
         F.broadcast(n.select("n_nationkey", "n_regionkey")),
         per_nation.c_nationkey == F.col("n_nationkey"))
-    return (with_region.groupBy("n_regionkey")
-            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
-                 .alias("approx_distinct_customers"))
+    est = (with_region.groupBy("n_regionkey")
+           .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                .alias("_approx")))
+    exact = (c.join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+                    c.c_nationkey == F.col("n_nationkey"))
+             .groupBy("n_regionkey")
+             .agg(F.countDistinct("c_custkey")
+                  .alias("exact_distinct_customers")))
+    return (est.join(exact, "n_regionkey")
+            .select("n_regionkey", "exact_distinct_customers",
+                    (F.abs(F.col("_approx")
+                           - F.col("exact_distinct_customers"))
+                     <= F.greatest(F.lit(1.0),
+                                   F.col("exact_distinct_customers") * 0.03))
+                    .alias("within_band"))
             .orderBy("n_regionkey"))
 
 

@@ -76,16 +76,42 @@ def agg_count_distinct(spark, d):
     )
 
 
-@register("agg_approx_count_distinct")  # rows-only: approximate by design
+@register(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           CAST(count(*) AS BIGINT) AS cnt,
+           TRUE AS within_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark, d):
     """HyperLogLog++ distinct estimate — sketch merges are associative, so
     the shuffle carries fixed-size sketches regardless of data volume (the
-    100 TB-scale answer to count-distinct).  Not hash-checkable against an
-    exact oracle; tests assert ±5% of exact."""
-    return T(spark, d, "lineitem").groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.count("*").alias("cnt"),
-    )
+    100 TB-scale answer to count-distinct).
+
+    BAND-VERDICT output (r15; r14 verdict task 1): the raw estimate is
+    not ANSI-replayable, and the driver has no rows-only channel (a
+    missing oracle records ``err: no_oracle`` and checks NOTHING —
+    proven by the r7/r9/r14 samples), so the query emits the exact
+    count plus ``within_band`` = |estimate − exact| <= max(1, 5%·exact)
+    computed FROM the estimate.  The oracle replays the exact side and
+    asserts the band as a TRUE literal, so every driver sample now
+    hash-certifies the sketch's accuracy contract instead of skipping
+    it (measured rel error <= 0.0067 at rsd=0.01 across all three
+    fixture scales; the plan-pin test keeps the HLL aggregate in the
+    plan so the boolean can never degenerate to a constant)."""
+    return (T(spark, d, "lineitem").groupBy("l_returnflag").agg(
+                F.countDistinct("l_partkey").alias("exact_parts"),
+                F.count("*").alias("cnt"),
+                F.approx_count_distinct("l_partkey", 0.01).alias("_approx"))
+            .select("l_returnflag", "exact_parts", "cnt",
+                    (F.abs(F.col("_approx") - F.col("exact_parts"))
+                     <= F.greatest(F.lit(1.0),
+                                   F.col("exact_parts") * 0.05))
+                    .alias("within_band")))
 
 
 @register(

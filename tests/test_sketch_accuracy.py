@@ -14,10 +14,21 @@ _load_all_modules()
 
 
 def test_hll_sketch_merge_within_2pct(spark, sf_dir):
-    est = {r[0]: r[1] for r in
-           REGISTRY["agg_hll_sketch_merge"].fn(spark, sf_dir).collect()}
+    """Fixture band tighter than the declared 3% (sf0.1 measured worst
+    rel 0.0201, so the DECLARED within_band is 3%): the sketch itself
+    stays within 2% on the local fixture, asserted from an independent
+    estimate recomputation; the declared query's rows must carry the
+    matching exact counts with every within_band TRUE, and the plan
+    must still contain the HLL union aggregate (the band boolean can
+    never degenerate into a constant that skips the sketch)."""
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
+    per_nation = (c.groupBy("c_nationkey")
+                  .agg(F.hll_sketch_agg("c_custkey").alias("sk")))
+    est = {r[0]: r[1] for r in
+           (per_nation.join(n, per_nation.c_nationkey == n.n_nationkey)
+            .groupBy("n_regionkey")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))).collect())}
     exact = {r[0]: r[1] for r in
              (c.join(n, c.c_nationkey == n.n_nationkey)
               .groupBy("n_regionkey")
@@ -26,22 +37,52 @@ def test_hll_sketch_merge_within_2pct(spark, sf_dir):
     for k, e in exact.items():
         assert abs(est[k] - e) <= max(1, 0.02 * e), (k, est[k], e)
 
+    df = REGISTRY["agg_hll_sketch_merge"].fn(spark, sf_dir)
+    assert "hll_union_agg" in df._jdf.queryExecution().optimizedPlan().toString()
+    rows = df.collect()
+    assert {r["n_regionkey"]: r["exact_distinct_customers"]
+            for r in rows} == exact
+    assert all(r["within_band"] for r in rows)
+
 
 def test_approx_percentile_within_tolerance(spark, sf_dir):
-    approx = {r["l_returnflag"]: r["p50_approx"] for r in
-              REGISTRY["agg_approx_percentile"].fn(spark, sf_dir).collect()}
+    """Independent sketch recomputation within 5% of the interpolated
+    exact percentile; the declared query's p50_exact must equal the
+    engine's percentile_disc and every within_band must be TRUE with
+    the sketch still in the plan."""
     li = load(spark, sf_dir, "lineitem")
-    exact = {r[0]: r[1] for r in
-             li.groupBy("l_returnflag")
-             .agg(F.expr("percentile(l_extendedprice, 0.5)")).collect()}
-    for k, e in exact.items():
-        assert abs(approx[k] - e) / e < 0.05, (k, approx[k], e)
+    both = {r["l_returnflag"]: r for r in
+            li.groupBy("l_returnflag").agg(
+                F.approx_percentile("l_extendedprice", 0.5, 1000)
+                .alias("ap"),
+                F.expr("percentile(l_extendedprice, 0.5)").alias("ex"),
+                F.expr("percentile_disc(0.5) WITHIN GROUP "
+                       "(ORDER BY l_extendedprice)").alias("exd"),
+            ).collect()}
+    for k, r in both.items():
+        assert abs(r["ap"] - r["ex"]) / r["ex"] < 0.05, (k, r)
+
+    df = REGISTRY["agg_approx_percentile"].fn(spark, sf_dir)
+    assert "approx_percentile" in df._jdf.queryExecution().optimizedPlan().toString()
+    rows = df.collect()
+    assert {r["l_returnflag"]: r["p50_exact"] for r in rows} \
+        == {k: r["exd"] for k, r in both.items()}
+    assert all(r["within_band"] for r in rows)
 
 
 def test_approx_count_distinct_within_5pct(spark, sf_dir):
+    """The declared query's exact_parts must equal an independent exact
+    count-distinct, every within_band TRUE, and the HLL++ estimate
+    still in the plan."""
+    li = load(spark, sf_dir, "lineitem")
+    exact = {r[0]: r[1] for r in
+             li.groupBy("l_returnflag")
+             .agg(F.countDistinct("l_partkey")).collect()}
     df = REGISTRY["agg_approx_count_distinct"].fn(spark, sf_dir)
-    row = df.collect()
-    assert len(row) >= 1  # shape; per-value bands live in the query's test
+    assert "approx_count_distinct" in df._jdf.queryExecution().optimizedPlan().toString()
+    rows = df.collect()
+    assert {r["l_returnflag"]: r["exact_parts"] for r in rows} == exact
+    assert all(r["within_band"] for r in rows)
 
 
 def test_kmv_estimate_within_band(spark, sf_dir):
