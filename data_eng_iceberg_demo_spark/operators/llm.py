@@ -1470,8 +1470,54 @@ def ivf_centroids(emb_df, k=16, iters=5, sample_n=2048):
     return _lloyd_train(X, k, iters, cosine=True)
 
 
-@register("llm_similarity_ivf")  # rows-only: ANN recall is approximate
-def llm_similarity_ivf(spark, d):
+_ANN_VERDICT_ORACLE_FMT = """
+    SELECT qid, CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(cid) AS BIGINT) AS exact_cid_sum,
+           max(cosine) AS exact_best_cosine,
+           TRUE AS recall_ok
+    FROM ({exact}) exact
+    GROUP BY qid
+"""
+
+
+def _ann_recall_verdict(spark, d, ann, floor):
+    """BAND-VERDICT wrapper for ANN queries (r15; r14 verdict task 1):
+    the driver has no rows-only channel — a query without an oracle
+    records ``err: no_oracle`` and checks NOTHING (r7/r9/r14 samples) —
+    so the declared output of an approximate-recall query is the
+    deterministic, DuckDB-replayable EXACT side per query vector
+    (count, id-sum and best cosine of the brute-force top-10) plus
+    ``recall_ok`` = |ANN ∩ exact| / |exact| >= floor computed FROM the
+    ANN result.  The oracle replays the exact aggregate + TRUE, so a
+    recall collapse now breaks a hash row on every driver sample
+    instead of living only in pytest.  The exact side reuses
+    _cosine_prep/_cosine_topk10 — byte-identical expressions to
+    llm_similarity_topk, whose parity pin certifies the exact replay.
+
+    ANN is deterministic by construction (counter-based weights,
+    stable argsort, explicit tiebreaks), so the boolean is stable; the
+    per-query floor is calibrated per entry point with a regeneration
+    margin under the measured minimum across all three fixture
+    scales."""
+    emb = _cosine_prep(T(spark, d, "embeddings"))
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+                 F.col("norm").alias("qnorm")))
+    exact = _cosine_topk10(q, emb)
+    ex_stats = exact.groupBy("qid").agg(
+        F.count("*").alias("n_exact"),
+        F.sum("cid").cast("bigint").alias("exact_cid_sum"),
+        F.max("cosine").alias("exact_best_cosine"))
+    hits = (ann.select("qid", "cid")
+            .join(exact.select("qid", "cid"), ["qid", "cid"])
+            .groupBy("qid").agg(F.count("*").alias("n_hit")))
+    return (ex_stats.join(hits, "qid", "left")
+            .select("qid", "n_exact", "exact_cid_sum", "exact_best_cosine",
+                    ((F.coalesce(F.col("n_hit"), F.lit(0))
+                      / F.col("n_exact")) >= floor).alias("recall_ok")))
+
+
+def _ivf_ann(spark, d):
     """ANN scale path #2 — IVF (inverted-file) partitioning: a 16-cell
     coarse quantizer assigns every vector to its nearest centroid; each
     query probes only its nprobe=6 nearest cells, so the exact re-rank
@@ -1544,6 +1590,23 @@ def llm_similarity_ivf(spark, d):
                                           F.col("cid").asc())
     return (sims.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 10).select("qid", "cid", "cosine"))
+
+
+@register("llm_similarity_ivf",
+          oracle=_ANN_VERDICT_ORACLE_FMT.format(exact=_COSINE_ORACLE))
+def llm_similarity_ivf(spark, d):
+    """IVF ANN, declared as its BAND-VERDICT form (r15; r14 verdict
+    task 1): _ivf_ann's top-10 (the engine, docstring there) scored
+    against the brute-force exact top-10 — per query vector the output
+    is the exact side's deterministic aggregate plus ``recall_ok`` =
+    recall@10 >= 0.7, hash-oracled via the exact replay + TRUE (see
+    _ann_recall_verdict).  Floor 0.7: measured per-query minimum 0.8
+    at nprobe=6 across all three fixture scales (mean 0.90-0.98,
+    pinned in tests/test_llm_dedup.py); the certification adds one
+    broadcast brute-force pass over the 5-query set, which is the
+    price of making the driver check recall every sample instead of
+    recording err:no_oracle and checking nothing."""
+    return _ann_recall_verdict(spark, d, _ivf_ann(spark, d), floor=0.7)
 
 
 @register(
@@ -5261,7 +5324,8 @@ def ivfadc_trained_centroids(raw, k=16, iters=5, sample_n=2048):
 
 
 @register("llm_similarity_ivfadc", oracle=_IVFADC_ORACLE)
-def llm_similarity_ivfadc(spark, d, centroids=None):
+def llm_similarity_ivfadc(spark, d, centroids=None, nprobe=2,
+                          shortlist=50):
     """ANN scale path #5 — IVFADC (r12; the composition
     llm_similarity_pq's docstring promises): an IVF coarse quantizer
     (16 cells, centroids = the 16 lowest-id unit-normalized quantized
@@ -5326,7 +5390,7 @@ def llm_similarity_ivfadc(spark, d, centroids=None):
                 "vec_id": pdf["vec_id"],
                 "cell": _cell_d2(pdf).argmin(1).astype("int64")})
 
-    def probe_fn(batches, nprobe=2):
+    def probe_fn(batches, nprobe=nprobe):
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -5378,7 +5442,7 @@ def llm_similarity_ivfadc(spark, d, centroids=None):
     w_adc = Window.partitionBy("qid").orderBy(F.col("pq_dist2").asc(),
                                               F.col("cid").asc())
     shortlist = (adc.withColumn("rn", F.row_number().over(w_adc))
-                 .filter(F.col("rn") <= 50).select("qid", "cid"))
+                 .filter(F.col("rn") <= shortlist).select("qid", "cid"))
 
     qe = raw.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
     ce = raw.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
@@ -6453,9 +6517,8 @@ def llm_safety_keyword_filter(spark, d):
         t.rlike(pat).alias("plain_hit"))
 
 
-@register("llm_similarity_ivfadc_trained")  # rows-only: k-means trains on a
-# data-dependent sample, so the coarse cells are not ANSI-SQL-replayable;
-# recall bands pinned in tests/test_llm_dedup.py (driver checks rows+schema)
+@register("llm_similarity_ivfadc_trained",
+          oracle=_ANN_VERDICT_ORACLE_FMT.format(exact=_COSINE_ORACLE))
 def llm_similarity_ivfadc_trained(spark, d):
     """ANN scale path #5, PRODUCTION quantizer (r14; r13 verdict task 2):
     llm_similarity_ivfadc with its coarse cells TRAINED by sampled
@@ -6470,18 +6533,30 @@ def llm_similarity_ivfadc_trained(spark, d):
     driver certifies the trained pipeline end-to-end every round, not
     just under pytest.
 
-    Rows-only BY CONSTRUCTION: Lloyd's means are data-dependent floats
-    (deterministic, but replaying 5 assignment/update rounds with greedy
-    diversity seeding is not expressible as the one-pass ANSI SQL the
-    oracle contract wants), so the driver records rows+schema while the
-    recall floors live in pytest — the same split every approximate
-    family member uses (SURVEY.md §2).
+    Declared as its BAND-VERDICT form (r15; r14 verdict task 1): the
+    Lloyd means are data-dependent floats no one-pass ANSI SQL can
+    replay, but the verdict output doesn't need them — the exact
+    brute-force side is replayable and ``recall_ok`` = recall@10 >=
+    0.6 carries the ANN's accuracy into the hash (see
+    _ann_recall_verdict).  Production probe budget: nprobe=4 of 16
+    cells and an ADC shortlist of 200 (the declared fixture ivfadc
+    keeps nprobe=2/50 because its oracle replays those literals) —
+    with the 8-codeword demonstration PQ codebook the ADC stage, not
+    the coarse quantizer, is the recall bottleneck on random
+    near-orthogonal vectors (nprobe=6 alone still bottomed at 0.2),
+    and the wider shortlist fixes exactly that: measured per-query
+    minimum 0.7 / mean >= 0.84 across all three fixture scales.
+    Floor 0.6 leaves the regeneration margin; the >= 0.9 clustered
+    floor stays pinned in pytest through the same composition.
 
     Scale shape: identical to llm_similarity_ivfadc — training touches
     only sample_n driver rows (the faiss recipe), assignment is one
     Arrow-batched numpy pass against a 16x64 broadcast matrix, probing
     explodes queries x nprobe cells, candidates come from ONE equi-join
-    on the cell id, and ADC + exact re-rank touch candidates only."""
+    on the cell id, and ADC + exact re-rank touch candidates only
+    (shortlist 200 of the probed ~quarter of the corpus)."""
     raw = _pq_raw(spark, d)
-    return llm_similarity_ivfadc(
-        spark, d, centroids=ivfadc_trained_centroids(raw))
+    ann = llm_similarity_ivfadc(
+        spark, d, centroids=ivfadc_trained_centroids(raw),
+        nprobe=4, shortlist=200)
+    return _ann_recall_verdict(spark, d, ann, floor=0.6)

@@ -82,20 +82,34 @@ def test_ivf_recall_against_brute_force(spark, sf_dir):
     """IVF with nprobe=6 of k=16 cells scans ~38% of the corpus per query;
     on the fixture embeddings that buys >= 0.85 mean recall@10 vs the exact
     brute-force ranking (each query individually stays above 0.7; measured
-    mean is 0.90-0.98 across sf0.001/0.01/0.1)."""
+    mean is 0.90-0.98 across sf0.001/0.01/0.1).  The DECLARED query is the
+    band-verdict form (r15): its recall_ok booleans must all be TRUE and
+    its exact-side stats must equal an aggregate of the brute-force
+    top-10 — the verdict cannot drift from the engine it certifies."""
     from collections import defaultdict
 
+    from data_eng_iceberg_demo_spark.operators import llm
     from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
                                                             _load_all_modules)
     _load_all_modules()
     ex, iv = defaultdict(set), defaultdict(set)
+    best = {}
     for r in REGISTRY["llm_similarity_topk"].fn(spark, sf_dir).collect():
         ex[r["qid"]].add(r["cid"])
-    for r in REGISTRY["llm_similarity_ivf"].fn(spark, sf_dir).collect():
+        best[r["qid"]] = max(best.get(r["qid"], -2.0), r["cosine"])
+    for r in llm._ivf_ann(spark, sf_dir).collect():
         iv[r["qid"]].add(r["cid"])
     recalls = [len(ex[q] & iv[q]) / len(ex[q]) for q in ex]
     assert min(recalls) >= 0.7
     assert sum(recalls) / len(recalls) >= 0.85
+
+    verdict = REGISTRY["llm_similarity_ivf"].fn(spark, sf_dir).collect()
+    assert {r["qid"] for r in verdict} == set(ex)
+    for r in verdict:
+        assert r["recall_ok"], r
+        assert r["n_exact"] == len(ex[r["qid"]])
+        assert r["exact_cid_sum"] == sum(ex[r["qid"]])
+        assert r["exact_best_cosine"] == best[r["qid"]]
 
 
 def test_lsh_recall_and_subset_contract(spark, sf_dir):
@@ -768,40 +782,54 @@ def test_trained_centroids_beat_lowest_id_on_clustered_corpus(spark, tmp_path):
         topsets(llm.llm_similarity_ivfadc(spark, d, centroids=cmat)))
     assert trained_r >= 0.9, (trained_r, default_r)
 
-    # (c) the DECLARED trained query (r14) is exactly that composition:
-    # same >= 0.9 floor through the registry entry the driver certifies
-    declared_r = mean_recall(
-        topsets(REGISTRY["llm_similarity_ivfadc_trained"].fn(spark, d)))
+    # (c) the DECLARED trained query's engine composition (r15:
+    # trained centroids + nprobe=4 + shortlist=200) holds the same
+    # >= 0.9 floor, and the declared band-verdict rows are all green
+    declared_r = mean_recall(topsets(llm.llm_similarity_ivfadc(
+        spark, d, centroids=cmat, nprobe=4, shortlist=200)))
     assert declared_r >= 0.9, (declared_r, trained_r)
+    verdict = REGISTRY["llm_similarity_ivfadc_trained"].fn(spark, d).collect()
+    assert verdict and all(r["recall_ok"] for r in verdict)
 
     # (d) llm_similarity_ivf's diversity-filtered k-means init (the
     # r13 replacement for bare first-k-rows init) holds the same floor
-    ivf_r = mean_recall(topsets(REGISTRY["llm_similarity_ivf"].fn(spark, d)))
+    ivf_r = mean_recall(topsets(llm._ivf_ann(spark, d)))
     assert ivf_r >= 0.9, ivf_r
 
 
 def test_ivfadc_trained_declared_recall_on_fixture(spark, sf_dir):
-    """Recall floors for the DECLARED rows-only trained-quantizer query
-    (r14) on the random near-orthogonal fixture — k-means's worst case
-    (no cluster structure to learn, so training buys nothing over
-    lowest-id here; the clustered-corpus test above is where it wins).
-    Measured mean recall@10: 0.76 / 0.74 / 0.64 at sf0.001/0.01/0.1,
-    min 0.6 / 0.6 / 0.5; floors leave a regeneration margin."""
+    """Recall floors for the DECLARED trained-quantizer query on the
+    random near-orthogonal fixture — k-means's worst case (no cluster
+    structure to learn; the clustered-corpus test above is where
+    training wins).  At the r15 production probe budget (nprobe=4,
+    shortlist=200 — the ADC stage with its 8-codeword demo codebook
+    was the bottleneck, not the coarse cells) measured mean recall@10:
+    0.80 / 0.82 / 0.94 at sf0.001/0.01/0.1, min 0.7 / 0.8 / 0.8;
+    floors leave a regeneration margin.  The declared band-verdict
+    rows must agree with the independently recomputed recalls."""
     from collections import defaultdict
 
+    from data_eng_iceberg_demo_spark.operators import llm
     from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
                                                             _load_all_modules)
     _load_all_modules()
     ex, got = defaultdict(set), defaultdict(set)
     for r in REGISTRY["llm_similarity_topk"].fn(spark, sf_dir).collect():
         ex[r["qid"]].add(r["cid"])
-    for r in REGISTRY["llm_similarity_ivfadc_trained"].fn(
-            spark, sf_dir).collect():
+    raw = llm._pq_raw(spark, sf_dir)
+    for r in llm.llm_similarity_ivfadc(
+            spark, sf_dir, centroids=llm.ivfadc_trained_centroids(raw),
+            nprobe=4, shortlist=200).collect():
         got[r["qid"]].add(r["cid"])
-    recalls = [len(ex[q] & got[q]) / len(ex[q]) for q in ex]
-    n_corpus = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-                .filter("embedding IS NOT NULL").count())
-    floor_mean, floor_min = ((0.65, 0.5) if n_corpus <= 600
-                             else (0.55, 0.4))
-    assert sum(recalls) / len(recalls) >= floor_mean, recalls
-    assert min(recalls) >= floor_min, recalls
+    recalls = {q: len(ex[q] & got[q]) / len(ex[q]) for q in ex}
+    vals = list(recalls.values())
+    assert sum(vals) / len(vals) >= 0.7, recalls
+    assert min(vals) >= 0.6, recalls
+
+    verdict = REGISTRY["llm_similarity_ivfadc_trained"].fn(
+        spark, sf_dir).collect()
+    assert {r["qid"] for r in verdict} == set(ex)
+    for r in verdict:
+        # the declared boolean IS the recomputed band: floor 0.6
+        assert r["recall_ok"] == (recalls[r["qid"]] >= 0.6), (r, recalls)
+        assert r["recall_ok"], (r, recalls)

@@ -342,6 +342,11 @@ _BROADCAST_HINT_OK = {
         "query side is pinned to 5 vec_ids by construction — the same "
         "tiny-query-set contract as llm_similarity_topk, broadcast once "
         "per arm (prior snapshot + CDC delta)",
+    ("llm_similarity_ivfadc_trained", "embeddings"):
+        "both hinted subtrees are pinned to 5 vec_ids by construction: "
+        "the r15 band-verdict's exact brute-force replay broadcasts the "
+        "query set twice (ranked top-10 + the ANN-hit probe of the same "
+        "top-10) — the llm_similarity_topk query-side contract",
 }
 
 
@@ -435,6 +440,8 @@ _BNLJ_OK = {"events_funnel",        # cross of three 1-row stage counts
             "llm_hard_negatives",   # same 5-row broadcast query side
             "llm_similarity_funnel",  # same 5-row broadcast query side
             "llm_similarity_incremental",  # same 5-row broadcast query side
+            "llm_similarity_ivfadc_trained",  # same 5-row query side in the
+                                              # r15 band-verdict exact arm
             "llm_decontaminate_semantic",  # <=20-row broadcast eval side
             "llm_tfidf_terms",      # broadcast corpus-size scalar
             "llm_unigram_logprob",  # broadcast corpus-total scalar (1 row)
