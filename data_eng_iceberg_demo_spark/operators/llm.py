@@ -4870,10 +4870,13 @@ def llm_dedup_embedding_lsh(spark, d, threshold: float = 0.45):
     wall, 92x shuffle at 10x data).  Buckets larger than DEDUP_DF_CAP
     now get the llm_dedup_minhash STAR treatment: every probing vector
     pairs with the bucket's min-id representative only — O(|bucket|)
-    per bucket, cluster connectivity preserved for downstream
-    connected-components, within-cluster non-representative pairs the
-    documented trade (counted via
-    DEDUP_OBSERVATIONS['llm_dedup_embedding_lsh']).  The guard carries
+    per bucket; for a SINGLE-cluster hot bucket connectivity is
+    preserved for downstream connected-components, while a MIXED hot
+    bucket (two distinct dup clusters colliding) loses its non-min
+    cluster's intra edges to failed verifies — the r15 counters
+    (star_candidate_pairs vs star_pairs_kept, see the in-code note)
+    make that trade measurable per run alongside the starred-bucket
+    count (DEDUP_OBSERVATIONS['llm_dedup_embedding_lsh']).  The guard carries
     NO posting lists: per-bucket size + min-id come from a plain
     partial aggregate (at most tables * 2^bits rows) broadcast to both
     probe arms, so hot-bucket members never ride an agg buffer or the
@@ -4929,15 +4932,39 @@ def llm_dedup_embedding_lsh(spark, d, threshold: float = 0.45):
                                .select("t", "bucket", "rep")),
                    ["t", "bucket"])
             .select("va", F.col("rep").alias("vb")))
-    cand = (under.unionByName(over)
+    # star pairs stay tagged so the operational counters below can see
+    # them; max(star) replaces the bare distinct (same exchange — a
+    # pair reachable through both an under-cap and a starred bucket
+    # must not emit twice)
+    cand = (under.withColumn("star", F.lit(False))
+            .unionByName(over.withColumn("star", F.lit(True)))
             .filter(F.col("va") != F.col("vb"))
             .select(F.least("va", "vb").alias("va"),
-                    F.greatest("va", "vb").alias("vb"))
-            .distinct())
+                    F.greatest("va", "vb").alias("vb"), "star")
+            .groupBy("va", "vb").agg(F.max("star").alias("star")))
 
     ea = nz.select(F.col("vec_id").alias("va"), F.col("e").alias("ea"))
     eb = nz.select(F.col("vec_id").alias("vb"), F.col("e").alias("eb"))
-    paired = cand.join(ea, "va").join(eb, "vb")
+    # MIXED-CLUSTER LIMIT of the star arm (r14 advisor, documented +
+    # counted): an over-cap bucket holding TWO distinct dup clusters
+    # (different directions colliding in one LSH bucket) pairs the
+    # non-min cluster's members only with the OTHER cluster's min-id
+    # rep — those star pairs fail the cosine verify and the bucket
+    # contributes no intra-cluster edges for them; recovery relies on
+    # the cluster surfacing in some other table's bucket (8 tables ×
+    # Hamming-1 probes make a full 8-way collision of two distinct
+    # directions vanishingly rare, but it is a trade, not a theorem).
+    # The counters make it visible operationally: star_candidate_pairs
+    # (pre-verify) minus star_pairs_kept (post-verify) = verify-failed
+    # star pairs — a LARGE gap on a starred corpus is exactly the
+    # mixed-hot-bucket signature that says "raise DEDUP_DF_CAP or add
+    # bits for this corpus".
+    star_obs = Observation()
+    DEDUP_OBSERVATIONS["llm_dedup_embedding_lsh_star"] = star_obs
+    paired = (cand.join(ea, "va").join(eb, "vb")
+              .observe(star_obs,
+                       F.count(F.when(F.col("star"), 1))
+                        .alias("star_candidate_pairs")))
 
     def verify(batches):
         for pdf in batches:
@@ -4951,10 +4978,18 @@ def llm_dedup_embedding_lsh(spark, d, threshold: float = 0.45):
             keep = cos >= threshold
             yield pd.DataFrame({"vec_a": pdf["va"].to_numpy()[keep],
                                 "vec_b": pdf["vb"].to_numpy()[keep],
-                                "cosine": cos[keep]})
+                                "cosine": cos[keep],
+                                "star": pdf["star"].to_numpy()[keep]})
 
-    return paired.mapInPandas(
-        verify, "vec_a bigint, vec_b bigint, cosine double")
+    kept_obs = Observation()
+    DEDUP_OBSERVATIONS["llm_dedup_embedding_lsh_star_kept"] = kept_obs
+    return (paired.mapInPandas(
+                verify,
+                "vec_a bigint, vec_b bigint, cosine double, star boolean")
+            .observe(kept_obs,
+                     F.count(F.when(F.col("star"), 1))
+                      .alias("star_pairs_kept"))
+            .drop("star"))
 
 
 @register(

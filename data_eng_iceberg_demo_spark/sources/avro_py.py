@@ -592,19 +592,35 @@ def read_block(path: str, offset: int, schema: dict, codec: str):
     if codec == "deflate":
         payload = zlib.decompress(payload, -15)
     decoders = [_compile_field_decoder(t) for _n, t in fields]
-    # corruption guards (r14): the row count comes straight from the
-    # (possibly corrupted) block header, and rows of a zero-width
-    # schema consume ZERO payload bytes — an attacker-controlled count
-    # over an empty payload decoded 50M phantom rows in the repro
-    # (executor OOM at container scale).  Any real row with >= 1 field
-    # consumes >= 1 byte, so count <= payload length for nonzero-width
-    # schemas; zero-width (fieldless / all-null) schemas get an
-    # absolute plausibility cap instead.
+    # corruption guards (r14, tightened r15): the row count comes
+    # straight from the (possibly corrupted) block header, and rows of
+    # a zero-width schema consume ZERO payload bytes — an attacker-
+    # controlled count over an empty payload decoded 50M phantom rows
+    # in the repro (executor OOM at container scale).  Any real row
+    # with >= 1 decoding field consumes >= 1 byte (every non-null leaf
+    # reads bytes and a union reads its branch index), so for a
+    # nonzero-width schema ANY count above the payload length is a
+    # classified corruption — the r14 `and n > 2^24` conjunction let a
+    # mid-range corrupt count escape to die as a raw struct.error
+    # mid-decode (r14 advisor).  Zero-width (fieldless / all-null-
+    # field) schemas have no per-row byte floor, so they keep the
+    # absolute plausibility cap.
     if n < 0 or nbytes < 0:
         raise ValueError(
             f"corrupt avro block header at offset {offset}: "
             f"count={n} byte_size={nbytes}")
-    if n > len(payload) and n > (1 << 24):
+
+    def _zero_width(t):
+        if isinstance(t, dict) and "logicalType" in t:
+            return _zero_width(t["type"])
+        return t == "null"
+
+    if all(_zero_width(t) for _n, t in fields):
+        if n > (1 << 24):
+            raise ValueError(
+                f"implausible avro block at offset {offset}: count={n} "
+                f"phantom rows of a zero-width schema")
+    elif n > len(payload):
         raise ValueError(
             f"implausible avro block at offset {offset}: count={n} "
             f"exceeds payload capacity ({len(payload)} bytes)")

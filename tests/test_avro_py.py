@@ -514,15 +514,34 @@ def test_phantom_row_count_on_zero_width_schema_rejected(tmp_path):
 
 
 def test_oversized_count_on_real_schema_fails_on_payload_bounds(tmp_path):
-    p = str(tmp_path / "overcount.avro")
+    """Any count above the payload length on a nonzero-width schema is
+    the CLASSIFIED implausible-block error (r15): the r14 guard's
+    `and n > 2^24` conjunction let a mid-range corrupt count (payload
+    < n <= 2^24) escape to die as a raw struct.error mid-decode — the
+    advisor find; every field consumes >= 1 byte, so the bound is
+    exact, not heuristic."""
     schema = {"type": "record", "name": "r",
               "fields": [{"name": "k", "type": "long"}]}
-    # 1000 declared rows, 2 bytes of payload: must raise, not fabricate
+    # 1000 declared rows, 2 bytes of payload: well under the old 2^24
+    # absolute cap — must still raise the classified error
+    p = str(tmp_path / "overcount.avro")
     with open(p, "wb") as f:
         f.write(_craft(schema, [_zz(1000) + _zz(2) + _zz(7)]))
     schema_r, codec, _sync, hdr_end = read_header(p)
-    with pytest.raises(_DECODE_ERRORS):
+    with pytest.raises(ValueError, match="implausible avro block"):
         read_block(p, hdr_end, schema_r, codec)
+
+
+def test_zero_width_schema_within_cap_still_decodes(tmp_path):
+    """The zero-width arm's absolute cap must not reject LEGITIMATE
+    fieldless blocks: a row of a fieldless record consumes zero bytes
+    by spec, so a modest count over an empty payload is valid data."""
+    p = str(tmp_path / "fieldless.avro")
+    schema = {"type": "record", "name": "r", "fields": []}
+    with open(p, "wb") as f:
+        f.write(_craft(schema, [_zz(3) + _zz(0)]))
+    schema_r, codec, _sync, hdr_end = read_header(p)
+    assert read_block(p, hdr_end, schema_r, codec) == [(), (), ()]
 
 
 @given(data=st.data())

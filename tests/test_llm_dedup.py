@@ -431,6 +431,71 @@ def test_embedding_lsh_hot_bucket_star_expanded(spark, tmp_path):
     assert (1000, 1001) in got
     el = llm.DEDUP_OBSERVATIONS["llm_dedup_embedding_lsh"].get
     assert el["starred_hot_buckets"] >= 1, el
+    # r15 star-pair telemetry: every clone->rep pair is a star
+    # candidate, all of them verify at cosine 1.0 (single-cluster hot
+    # bucket => no verify-failed star pairs; a LARGE candidate-vs-kept
+    # gap is the documented mixed-cluster signature)
+    star_cand = llm.DEDUP_OBSERVATIONS[
+        "llm_dedup_embedding_lsh_star"].get["star_candidate_pairs"]
+    star_kept = llm.DEDUP_OBSERVATIONS[
+        "llm_dedup_embedding_lsh_star_kept"].get["star_pairs_kept"]
+    assert star_cand >= 199, star_cand
+    assert star_kept >= 199, (star_cand, star_kept)
+    assert star_kept <= star_cand
+
+
+def test_embedding_lsh_mixed_hot_bucket_failed_star_pairs_counted(
+        spark, tmp_path):
+    """The star arm's documented mixed-cluster limitation (r14 advisor,
+    r15): two DISTINCT duplicate clusters colliding in the same
+    over-cap bucket — cluster B's members pair only with cluster A's
+    min-id rep, fail the cosine verify, and that bucket contributes no
+    intra-B edges.  Construction: cluster B = clones of a direction
+    ORTHOGONAL to cluster A's (cosine 0 < threshold) that still shares
+    LSH buckets.  The contract under test is the OBSERVABILITY promise:
+    when a starred bucket pairs members with a rep
+    they do NOT duplicate, the failed verifies show up as
+    star_candidate_pairs > star_pairs_kept — the operational signature
+    the docstring promises.  Seed 20 chosen by a deterministic numpy
+    sweep over the engine's own _lsh_weights: this orthogonal pair
+    (cosine 0.0, far below the 0.45 threshold) lands at signature
+    Hamming distance 0 in five of the eight tables, so the mixed
+    bucket is guaranteed, not probabilistic."""
+    import numpy as np
+
+    from data_eng_iceberg_demo_spark.operators import llm
+
+    rng = np.random.default_rng(20)
+    a_dir = rng.standard_normal(64)
+    # orthogonalize a second direction against the first
+    b_dir = rng.standard_normal(64)
+    b_dir -= b_dir @ a_dir / (a_dir @ a_dir) * a_dir
+    rows = []
+    # cluster A: 150 clones, ids 0..149 (min-id rep = 0)
+    for i in range(150):
+        rows.append((i, [float(x) for x in a_dir]))
+    # cluster B: 150 clones of the orthogonal direction, ids 10000+
+    # (rep inside any MIXED bucket is cluster A's id 0, so B members
+    # starred into a mixed bucket pair with 0 and fail the verify)
+    for i in range(150):
+        rows.append((10000 + i, [float(x) for x in b_dir]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    d = str(tmp_path / "mixedhot")
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    got = {(r["vec_a"], r["vec_b"]) for r in
+           llm.llm_dedup_embedding_lsh(spark, d).collect()}
+    star_cand = llm.DEDUP_OBSERVATIONS[
+        "llm_dedup_embedding_lsh_star"].get["star_candidate_pairs"]
+    star_kept = llm.DEDUP_OBSERVATIONS[
+        "llm_dedup_embedding_lsh_star_kept"].get["star_pairs_kept"]
+    # both clusters' intra edges survive via their own reps
+    assert {(0, i) for i in range(1, 150)} <= got
+    assert {(10000, 10000 + i) for i in range(1, 150)} <= got
+    # Hamming-1 probing makes SOME bucket mixed for orthogonal
+    # directions on 8 tables of 8-bit signatures; every such star pair
+    # (B member vs rep 0, cosine 0) fails the verify and is counted
+    assert star_cand > star_kept, (star_cand, star_kept)
 
 
 def test_line_dedup_report_is_internally_consistent(spark, sf_dir):
