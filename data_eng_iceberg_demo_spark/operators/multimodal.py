@@ -287,21 +287,31 @@ def decode_bmp(buf: bytes):
     stride = (width * 3 + 3) // 4 * 4
     # the declared pixel array (stride padding included) must fit the
     # payload: rejects truncated downloads whose missing bytes are only
-    # trailing padding (r14 corruption-sweep catch) and bounds the walk
+    # trailing padding (r14 corruption-sweep catch) and bounds the read
     # before a corrupted dimension field is trusted
     if width < 0 or off + stride * abs(height) > len(buf):
         raise ValueError("truncated BMP pixel array")
-    sum_r = sum_g = sum_b = 0
-    top_left_b = None
-    for yy in range(abs(height)):
-        y = (height - 1 - yy) if height > 0 else yy  # logical row (0 = top)
-        rowoff = off + yy * stride
-        for x in range(width):
-            b, g, r = buf[rowoff + 3 * x: rowoff + 3 * x + 3]
-            sum_r += r; sum_g += g; sum_b += b
-            if y == 0 and x == 0:
-                top_left_b = b
-    return width, abs(height), bpp, sum_r, sum_g, sum_b, top_left_b
+    # vectorized pixel plane (r15; r14 verdict task 3): the per-pixel
+    # Python walk was interpreter-speed — at an image-corpus scale the
+    # decode kernel IS the bottleneck, and np.frombuffer + a stride
+    # reshape computes the identical sums (stride padding sliced off
+    # BEFORE summing, exactly like the walk skipped it).  int64
+    # accumulators: a 2^31-pixel image would overflow int32 sums.
+    import numpy as np
+
+    ah = abs(height)
+    if width == 0 or ah == 0:
+        return width, ah, bpp, 0, 0, 0, None
+    plane = (np.frombuffer(buf, dtype=np.uint8, count=stride * ah,
+                           offset=off)
+             .reshape(ah, stride)[:, :width * 3]
+             .reshape(ah, width, 3))          # stored rows x px x BGR
+    sums = plane.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    # logical row 0 (top) is the LAST stored row when height > 0
+    # (bottom-up), the first when negative (top-down)
+    top_left_b = int(plane[ah - 1 if height > 0 else 0, 0, 0])
+    return (width, ah, bpp,
+            int(sums[2]), int(sums[1]), int(sums[0]), top_left_b)
 
 
 @register(
@@ -460,11 +470,20 @@ def decode_wav(buf: bytes):
         raise UnsupportedEncoding(
             f"unsupported WAV encoding tag={tag} bits={bits} "
             f"channels={n_channels}")
-    samples = struct.unpack(f"<{len(data) // 2}h", data)
-    return (n_channels, rate, bits, len(samples) // n_channels,
-            sum(samples), sum(abs(s) for s in samples),
-            max(abs(s) for s in samples) if samples else 0,
-            samples[0] if samples else 0)
+    # vectorized sample stats (r15; r14 verdict task 3): the generator
+    # sums over a struct.unpack tuple were interpreter-speed; one
+    # np.frombuffer view computes identical integer stats.  int64
+    # BEFORE abs: |int16 -32768| overflows int16, and a long capture's
+    # sum overflows int32.
+    import numpy as np
+
+    v = np.frombuffer(data, dtype="<i2", count=len(data) // 2) \
+        .astype(np.int64)
+    a = np.abs(v)
+    return (n_channels, rate, bits, len(v) // n_channels,
+            int(v.sum()), int(a.sum()),
+            int(a.max()) if len(v) else 0,
+            int(v[0]) if len(v) else 0)
 
 
 @register(
