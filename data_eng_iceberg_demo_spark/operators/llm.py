@@ -5360,7 +5360,7 @@ def ivfadc_trained_centroids(raw, k=16, iters=5, sample_n=2048):
 
 @register("llm_similarity_ivfadc", oracle=_IVFADC_ORACLE)
 def llm_similarity_ivfadc(spark, d, centroids=None, nprobe=2,
-                          shortlist=50):
+                          shortlist=50, by_residual=False):
     """ANN scale path #5 — IVFADC (r12; the composition
     llm_similarity_pq's docstring promises): an IVF coarse quantizer
     (16 cells, centroids = the 16 lowest-id unit-normalized quantized
@@ -5370,10 +5370,11 @@ def llm_similarity_ivfadc(spark, d, centroids=None, nprobe=2,
     instead of all of them — then PQ Asymmetric Distance ranks the
     probed candidates (8 LUT adds each), a top-50 shortlist re-ranks by
     exact cosine, and the top-10 emit.  This is faiss's IVFPQ layout
-    with by_residual=false (codes encode the vectors, not the
-    cell residuals — residual encoding buys accuracy, not a different
-    plan shape, and is stated out of scope).  Every stage is integer or
-    4dp-rounded with explicit tiebreaks, so unlike the rows-only
+    with by_residual=false by default (codes encode the vectors, not
+    the cell residuals; the residual arm — faiss's production default,
+    r15 — is the by_residual parameter, declared through
+    llm_similarity_ivfadc_residual).  Every stage is integer or
+    4dp-rounded with explicit tiebreaks, so unlike the band-verdict
     llm_similarity_ivf entry the whole pipeline is hash-oracled; recall
     vs the exact top-10 is pinned in tests/test_llm_dedup.py (random
     near-orthogonal vectors are the worst case for BOTH stages).
@@ -5441,15 +5442,10 @@ def llm_similarity_ivfadc(spark, d, centroids=None, nprobe=2,
              .mapInPandas(probe_fn, "qid bigint, cell bigint"))
     cand = (casg.join(F.broadcast(probe), "cell")
             .filter(F.col("vec_id") != F.col("qid"))
-            .select("qid", F.col("vec_id").alias("cid")))
+            .select("qid", F.col("vec_id").alias("cid"), "cell"))
 
     _subspaces = _pq_subspaces
     wj = Window.orderBy("vec_id")
-    cb = _subspaces(
-        raw.orderBy("vec_id").limit(8)
-           .withColumn("j", F.row_number().over(wj) - 1)
-           .withColumn("vec_id", F.col("j")), "j") \
-        .select("j", "s", F.col("sv").alias("cv"))
     d2 = F.aggregate(F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
                      F.lit(0).cast("bigint"), lambda acc, x: acc + x)
     # encode only vectors some query actually probes — the query-time
@@ -5459,21 +5455,81 @@ def llm_similarity_ivfadc(spark, d, centroids=None, nprobe=2,
     cand_ids = cand.select("cid").distinct()
     probed = raw.join(cand_ids, raw["vec_id"] == cand_ids["cid"],
                       "left_semi")
-    codes = (_subspaces(probed, "cid").join(F.broadcast(cb), "s")
-             .select("cid", "s", "j", d2.alias("d2"))
-             .groupBy("cid", "s")
-             .agg(F.min(F.struct("d2", "j"))["j"].alias("code")))
-    lut = (_subspaces(raw.filter(F.col("vec_id") < 5), "qid")
-           .join(F.broadcast(cb), "s")
-           .select("qid", "s", "j", d2.alias("d2")))
+    if by_residual:
+        # faiss by_residual=true (r15; r14 verdict task 6): PQ codes
+        # encode the RESIDUAL qv - centroid[cell] instead of the raw
+        # vector.  Residuals cluster around zero with the coarse
+        # structure removed, so the 8-codeword codebook spends its
+        # entire budget on intra-cell variation — the accuracy step
+        # every production IVFPQ deploys.  Same plan shape: the 16
+        # centroids become a broadcast 16-row dim joined on cell; the
+        # LUT gains a cell key (a query's residual is PER PROBED CELL,
+        # the defining asymmetry of residual ADC) but stays
+        # queries x nprobe x 8 x 8 rows — broadcast-bounded.
+        cent_df = spark.createDataFrame(
+            [(int(i), [int(x) for x in cmat[i]])
+             for i in range(len(cmat))],
+            "cell bigint, cent array<bigint>")
+        rsub = F.zip_with("qv", "cent", lambda a, b: a - b)
+        cb = _subspaces(
+            raw.orderBy("vec_id").limit(8)
+               .join(casg, "vec_id")
+               .join(F.broadcast(cent_df), "cell")
+               .withColumn("qv", rsub)
+               .withColumn("j", F.row_number().over(wj) - 1)
+               .withColumn("vec_id", F.col("j")), "j") \
+            .select("j", "s", F.col("sv").alias("cv"))
+        codes = (_subspaces(probed.join(casg, "vec_id")
+                            .join(F.broadcast(cent_df), "cell")
+                            .withColumn("qv", rsub), "cid")
+                 .join(F.broadcast(cb), "s")
+                 .select("cid", "s", "j", d2.alias("d2"))
+                 .groupBy("cid", "s")
+                 .agg(F.min(F.struct("d2", "j"))["j"].alias("code")))
+        lut_src = (probe
+                   .join(raw.select(F.col("vec_id").alias("qid"), "qv"),
+                         "qid")
+                   .join(F.broadcast(cent_df), "cell")
+                   .withColumn("rqv", F.zip_with(
+                       "qv", "cent", lambda a, b: a - b)))
+        lut_r = (lut_src.select(
+                     F.col("qid").alias("lqid"),
+                     F.col("cell").alias("lcell"),
+                     F.posexplode(F.array(*[F.slice("rqv", s * 8 + 1, 8)
+                                            for s in range(8)]))
+                     .alias("s", "sv"))
+                 .join(F.broadcast(cb), "s")
+                 .select("lqid", "lcell", F.col("s").alias("ls"), "j",
+                         d2.alias("d2")))
+        adc = (cand.join(codes, "cid")
+               .join(F.broadcast(lut_r),
+                     (F.col("qid") == F.col("lqid"))
+                     & (F.col("cell") == F.col("lcell"))
+                     & (F.col("s") == F.col("ls"))
+                     & (F.col("code") == F.col("j")))
+               .groupBy("qid", "cid").agg(F.sum("d2").alias("pq_dist2")))
+    else:
+        cb = _subspaces(
+            raw.orderBy("vec_id").limit(8)
+               .withColumn("j", F.row_number().over(wj) - 1)
+               .withColumn("vec_id", F.col("j")), "j") \
+            .select("j", "s", F.col("sv").alias("cv"))
+        codes = (_subspaces(probed, "cid").join(F.broadcast(cb), "s")
+                 .select("cid", "s", "j", d2.alias("d2"))
+                 .groupBy("cid", "s")
+                 .agg(F.min(F.struct("d2", "j"))["j"].alias("code")))
+        lut = (_subspaces(raw.filter(F.col("vec_id") < 5), "qid")
+               .join(F.broadcast(cb), "s")
+               .select("qid", "s", "j", d2.alias("d2")))
 
-    lut_r = lut.select(F.col("qid").alias("lqid"), F.col("s").alias("ls"),
-                       "j", "d2")
-    adc = (cand.join(codes, "cid")
-           .join(F.broadcast(lut_r),
-                 (F.col("qid") == F.col("lqid")) & (F.col("s") == F.col("ls"))
-                 & (F.col("code") == F.col("j")))
-           .groupBy("qid", "cid").agg(F.sum("d2").alias("pq_dist2")))
+        lut_r = lut.select(F.col("qid").alias("lqid"),
+                           F.col("s").alias("ls"), "j", "d2")
+        adc = (cand.join(codes, "cid")
+               .join(F.broadcast(lut_r),
+                     (F.col("qid") == F.col("lqid"))
+                     & (F.col("s") == F.col("ls"))
+                     & (F.col("code") == F.col("j")))
+               .groupBy("qid", "cid").agg(F.sum("d2").alias("pq_dist2")))
     w_adc = Window.partitionBy("qid").orderBy(F.col("pq_dist2").asc(),
                                               F.col("cid").asc())
     shortlist = (adc.withColumn("rn", F.row_number().over(w_adc))
@@ -6594,4 +6650,32 @@ def llm_similarity_ivfadc_trained(spark, d):
     ann = llm_similarity_ivfadc(
         spark, d, centroids=ivfadc_trained_centroids(raw),
         nprobe=4, shortlist=200)
+    return _ann_recall_verdict(spark, d, ann, floor=0.6)
+
+
+@register("llm_similarity_ivfadc_residual",
+          oracle=_ANN_VERDICT_ORACLE_FMT.format(exact=_COSINE_ORACLE))
+def llm_similarity_ivfadc_residual(spark, d):
+    """ANN scale path #6 — IVFADC with RESIDUAL encoding (r15; r14
+    verdict task 6): llm_similarity_ivfadc_trained's composition with
+    by_residual=true — PQ codes encode qv − centroid[cell] instead of
+    the raw vector, the accuracy step every production IVFPQ deploys
+    (faiss's default).  Residuals cluster around zero with the coarse
+    structure removed, so the codebook's 8 codewords spend their whole
+    budget on intra-cell variation; the LUT gains a probed-cell key
+    (a query's residual differs per probed cell — the defining
+    asymmetry of residual ADC) but stays queries × nprobe × 8 × 8
+    rows, broadcast-bounded.
+
+    Measured where ADC is decisive (clustered corpus, shortlist=10 so
+    the exact re-rank cannot hide PQ mis-ranking): residual 0.62 mean
+    recall vs non-residual 0.20 — the contrast pinned in
+    tests/test_llm_dedup.py.  Declared at the production budget
+    (nprobe=4, shortlist=200): fixture per-query minimum 0.7 / mean
+    0.82-0.92 across all three scales; recall_ok floor 0.6 (the
+    band-verdict form — see _ann_recall_verdict)."""
+    raw = _pq_raw(spark, d)
+    ann = llm_similarity_ivfadc(
+        spark, d, centroids=ivfadc_trained_centroids(raw),
+        nprobe=4, shortlist=200, by_residual=True)
     return _ann_recall_verdict(spark, d, ann, floor=0.6)

@@ -898,3 +898,81 @@ def test_ivfadc_trained_declared_recall_on_fixture(spark, sf_dir):
         # the declared boolean IS the recomputed band: floor 0.6
         assert r["recall_ok"] == (recalls[r["qid"]] >= 0.6), (r, recalls)
         assert r["recall_ok"], (r, recalls)
+
+
+def test_residual_encoding_beats_raw_pq_where_adc_is_decisive(
+        spark, tmp_path):
+    """r15 (r14 verdict task 6): by_residual=true must measurably beat
+    raw-vector PQ exactly where the theory says it should — a clustered
+    corpus with the shortlist squeezed to 10 so the exact re-rank
+    cannot hide ADC mis-ranking.  Residuals remove the coarse cell
+    structure, so the 8-codeword codebook models intra-cell variation
+    instead of wasting its budget re-describing the 16 cluster means
+    (measured 0.62 vs 0.20 mean recall@10).  At the declared budget
+    (shortlist 200) both saturate and the registry entry's band-verdict
+    rows are green."""
+    from collections import defaultdict
+
+    from data_eng_iceberg_demo_spark.operators import llm
+    from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
+                                                            _load_all_modules)
+    _load_all_modules()
+
+    d = _clustered_adversarial_corpus(spark, tmp_path)
+
+    def topsets(df):
+        out = defaultdict(set)
+        for r in df.collect():
+            out[r["qid"]].add(r["cid"])
+        return out
+
+    ex = topsets(REGISTRY["llm_similarity_topk"].fn(spark, d))
+
+    def mean_recall(got):
+        return sum(len(ex[q] & got[q]) / len(ex[q]) for q in ex) / len(ex)
+
+    cmat = llm.ivfadc_trained_centroids(llm._pq_raw(spark, d))
+    raw_r = mean_recall(topsets(llm.llm_similarity_ivfadc(
+        spark, d, centroids=cmat, nprobe=4, shortlist=10)))
+    res_r = mean_recall(topsets(llm.llm_similarity_ivfadc(
+        spark, d, centroids=cmat, nprobe=4, shortlist=10,
+        by_residual=True)))
+    assert res_r >= raw_r + 0.2, (res_r, raw_r)
+    assert res_r >= 0.5, res_r
+
+    verdict = REGISTRY["llm_similarity_ivfadc_residual"].fn(
+        spark, d).collect()
+    assert verdict and all(r["recall_ok"] for r in verdict)
+
+
+def test_ivfadc_residual_declared_recall_on_fixture(spark, sf_dir):
+    """Fixture floors for the declared residual query (random
+    near-orthogonal vectors): measured mean 0.82 / 0.82 / 0.92 and min
+    0.7 / 0.8 / 0.8 at sf0.001/0.01/0.1 — at or above the raw-PQ
+    trained path everywhere; verdict booleans must agree with an
+    independent recomputation at the declared 0.6 floor."""
+    from collections import defaultdict
+
+    from data_eng_iceberg_demo_spark.operators import llm
+    from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
+                                                            _load_all_modules)
+    _load_all_modules()
+    ex, got = defaultdict(set), defaultdict(set)
+    for r in REGISTRY["llm_similarity_topk"].fn(spark, sf_dir).collect():
+        ex[r["qid"]].add(r["cid"])
+    raw = llm._pq_raw(spark, sf_dir)
+    for r in llm.llm_similarity_ivfadc(
+            spark, sf_dir, centroids=llm.ivfadc_trained_centroids(raw),
+            nprobe=4, shortlist=200, by_residual=True).collect():
+        got[r["qid"]].add(r["cid"])
+    recalls = {q: len(ex[q] & got[q]) / len(ex[q]) for q in ex}
+    vals = list(recalls.values())
+    assert sum(vals) / len(vals) >= 0.7, recalls
+    assert min(vals) >= 0.6, recalls
+
+    verdict = REGISTRY["llm_similarity_ivfadc_residual"].fn(
+        spark, sf_dir).collect()
+    assert {r["qid"] for r in verdict} == set(ex)
+    for r in verdict:
+        assert r["recall_ok"] == (recalls[r["qid"]] >= 0.6), (r, recalls)
+        assert r["recall_ok"], (r, recalls)

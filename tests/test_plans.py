@@ -347,6 +347,10 @@ _BROADCAST_HINT_OK = {
         "the r15 band-verdict's exact brute-force replay broadcasts the "
         "query set twice (ranked top-10 + the ANN-hit probe of the same "
         "top-10) — the llm_similarity_topk query-side contract",
+    ("llm_similarity_ivfadc_residual", "embeddings"):
+        "same shape as llm_similarity_ivfadc_trained (5-vec_id verdict "
+        "arm) plus the residual LUT subtree, which is bounded at "
+        "queries x nprobe = 20 rows by the vec_id < 5 probe filter",
 }
 
 
@@ -442,6 +446,8 @@ _BNLJ_OK = {"events_funnel",        # cross of three 1-row stage counts
             "llm_similarity_incremental",  # same 5-row broadcast query side
             "llm_similarity_ivfadc_trained",  # same 5-row query side in the
                                               # r15 band-verdict exact arm
+            "llm_similarity_ivfadc_residual",  # same, plus the 16-row
+                                               # centroid dim join
             "llm_decontaminate_semantic",  # <=20-row broadcast eval side
             "llm_tfidf_terms",      # broadcast corpus-size scalar
             "llm_unigram_logprob",  # broadcast corpus-total scalar (1 row)
