@@ -1129,27 +1129,32 @@ def llm_image_phash_dedup(spark, d, width: int = 6, height: int = 4,
 
 
 @register("llm_image_phash_dedup_wide",
-          oracle=_phash_oracle(63, 7, 9, one="1::BIGINT"))
+          oracle=_phash_oracle(63, 4, 16, one="1::BIGINT"))
 def llm_image_phash_dedup_wide(spark, d):
     """The pHash dedup's SCALE form, declared (r15; r14 verdict task 2):
-    llm_image_phash_dedup at 7x9 pixels / 9-bit bands — 63 hash bits
-    (the full Spark-long budget below the sign bit), 7 bands.  The r14
-    10x rehearsal measured the 24-bit demo width at O(n^2/2^bits)
-    candidate growth (12.9x per 10x docs) because a FIXED hash space
-    saturates: expected band-bucket size is n/2^band_bits, so the scale
-    knob is DIMENSIONAL — grow the hash and the band width with
-    log2(corpus) and buckets stay bounded under the SAME plan shape
-    (mapInPandas hash, one band-value equi-self-join, popcount verify).
-    Until r15 that knob existed only as parameters pinned by pytest;
-    this entry makes the wide geometry a first-class declared query
-    with its own hash oracle (the generator, threshold hash, 9-bit
-    band split with a 64-bit divisor — a 32-bit `1 <<` wraps at band 4,
-    the r14 advisor find — and Hamming<=2 verify all replayed in SQL),
-    so the driver certifies the production width every rotation.
-    Planted retouch recall >= 0.95 at this geometry is pinned in
-    tests/test_multimodal_corruption.py alongside the engine-computed
-    bucket-bound check."""
-    return llm_image_phash_dedup(spark, d, width=7, height=9, band_bits=9)
+    llm_image_phash_dedup at 7x9 pixels — 63 hash bits (the full
+    Spark-long budget below the sign bit) — split into 4 bands of 16
+    bits.  The r14 10x rehearsal measured the 24-bit demo width at
+    O(n^2/2^bits) candidate growth because a FIXED hash space
+    saturates; the r15 candidate-count sweep showed even 9-bit bands
+    saturating at 50k docs (17.2M candidates, 97x per 10x).  The
+    4x16-bit split is the geometry with a RECALL THEOREM: a Hamming<=2
+    pair leaves at least 4-2=2 bands untouched (pigeonhole), so
+    candidate generation catches EVERY pair the verify would accept —
+    banding recall is exactly 1.0 at the verify threshold, not
+    probabilistic — while buckets shrink 2^7x vs 9-bit bands (136k
+    candidates at 50k docs; measured planted-retouch recall 0.995 at
+    both 1x and 10x, the misses being pairs whose mean-shift pushed
+    them past Hamming 2, which NO band split can admit).  Same plan
+    shape as the demo form: mapInPandas hash, one band-value
+    equi-self-join (64-bit divisors — a 32-bit `1 <<` wraps at band
+    >= 2 of this width, the r14 advisor find class), popcount verify;
+    oracle replays generator, threshold hash, band split and verify in
+    SQL, so the driver certifies the production geometry every
+    rotation.  The dimensional knob stays open for 100 TB: >63-bit
+    hashes need a second long column, and band_bits grows with
+    log2(corpus/target_bucket)."""
+    return llm_image_phash_dedup(spark, d, width=7, height=9, band_bits=16)
 
 
 def try_decode(decoder, buf: bytes):
