@@ -34,6 +34,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every hash-checkable query; rows-only
-    queries (approximate/streaming-stateful/metadata) are omitted."""
+    """DuckDB-equivalent SQL for every declared query.  As of r15 this
+    covers the WHOLE registry: former rows-only names (approximate
+    sketches / ANN) emit band-verdict output — deterministic exact
+    columns the oracle replays plus a within-band boolean computed from
+    the approximate result — so none is omitted."""
     return registry.oracle_map()

@@ -232,8 +232,15 @@ def agg_approx_percentile(spark, d):
                 F.approx_percentile("l_extendedprice", 0.5, 1000)
                 .alias("_approx"))
             .select("l_returnflag", "p50_exact", "cnt",
-                    (F.abs(F.col("_approx") - F.col("p50_exact"))
-                     <= F.col("p50_exact") * 0.05).alias("within_band")))
+                    # all-NULL group: both percentiles are NULL (they
+                    # aggregate the same non-null set), so there is no
+                    # estimate to certify — vacuously TRUE, mirroring
+                    # the oracle's literal (caught by the null-mirror
+                    # sweep: a bare comparison yields NULL there)
+                    F.when(F.col("p50_exact").isNull(), F.lit(True))
+                    .otherwise(F.abs(F.col("_approx") - F.col("p50_exact"))
+                               <= F.col("p50_exact") * 0.05)
+                    .alias("within_band")))
 
 
 @register(
