@@ -477,8 +477,13 @@ def decode_wav(buf: bytes):
     # sum overflows int32.
     import numpy as np
 
-    v = np.frombuffer(data, dtype="<i2", count=len(data) // 2) \
-        .astype(np.int64)
+    if len(data) % 2:
+        # the replaced struct.unpack(f"<{n}h") raised on an odd-length
+        # data chunk (a corrupt size field); frombuffer(count=n) would
+        # silently drop the trailing byte and decode 'ok' with wrong
+        # stats — keep the fail-the-row contract explicit (r15 review)
+        raise ValueError("odd-length WAV data chunk for 16-bit samples")
+    v = np.frombuffer(data, dtype="<i2").astype(np.int64)
     a = np.abs(v)
     return (n_channels, rate, bits, len(v) // n_channels,
             int(v.sum()), int(a.sum()),

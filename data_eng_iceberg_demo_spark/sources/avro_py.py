@@ -611,8 +611,14 @@ def read_block(path: str, offset: int, schema: dict, codec: str):
             f"count={n} byte_size={nbytes}")
 
     def _zero_width(t):
+        # a field decodes zero bytes iff it is "null" or a record of
+        # only zero-width fields (vacuously: a fieldless record) —
+        # arrays/maps always read their terminating 0 block count and
+        # unions their branch index, so they are >= 1 byte per row
         if isinstance(t, dict) and "logicalType" in t:
             return _zero_width(t["type"])
+        if isinstance(t, dict) and t.get("type") == "record":
+            return all(_zero_width(f["type"]) for f in t.get("fields", []))
         return t == "null"
 
     if all(_zero_width(t) for _n, t in fields):

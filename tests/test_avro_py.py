@@ -544,6 +544,34 @@ def test_zero_width_schema_within_cap_still_decodes(tmp_path):
     assert read_block(p, hdr_end, schema_r, codec) == [(), (), ()]
 
 
+def test_nested_zero_width_record_field_still_decodes(tmp_path):
+    """Zero-width detection must recurse (r15 review): a field whose
+    type is a fieldless NESTED record also consumes zero bytes per
+    row, so the strict count-vs-payload arm must not classify a valid
+    file of such rows as implausible."""
+    p = str(tmp_path / "nestedzero.avro")
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "sub",
+                          "type": {"type": "record", "name": "n",
+                                   "fields": []}}]}
+    with open(p, "wb") as f:
+        f.write(_craft(schema, [_zz(3) + _zz(0)]))
+    schema_r, codec, _sync, hdr_end = read_header(p)
+    assert read_block(p, hdr_end, schema_r, codec) == [({},)] * 3
+    # and a nested record with a REAL field keeps the strict bound
+    p2 = str(tmp_path / "nestedreal.avro")
+    schema2 = {"type": "record", "name": "r",
+               "fields": [{"name": "sub",
+                           "type": {"type": "record", "name": "n",
+                                    "fields": [{"name": "k",
+                                                "type": "long"}]}}]}
+    with open(p2, "wb") as f:
+        f.write(_craft(schema2, [_zz(1000) + _zz(2) + _zz(7)]))
+    schema_r2, codec2, _sync2, hdr_end2 = read_header(p2)
+    with pytest.raises(ValueError, match="implausible avro block"):
+        read_block(p2, hdr_end2, schema_r2, codec2)
+
+
 @given(data=st.data())
 @settings(max_examples=150, deadline=2000,
           suppress_health_check=[HealthCheck.too_slow,

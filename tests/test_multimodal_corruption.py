@@ -84,6 +84,31 @@ def test_garbage_is_classified(codec, data):
     assert err in _CLASSES
 
 
+def test_wav_odd_length_data_chunk_is_classified_corrupt():
+    """r15 review: the vectorized decode must keep the old unpack
+    contract — a data chunk whose declared size is ODD (a corrupt size
+    field; 16-bit PCM data is always even) previously died in
+    struct.unpack as a classified struct.error, and
+    np.frombuffer(count=n//2) would instead silently drop the trailing
+    byte and decode 'ok' with wrong stats."""
+    import struct
+
+    buf = bytearray(_payload("wav", 3))
+    # find the data chunk and shrink its declared size by 1 (odd),
+    # keeping the body — the truncation guard passes, the odd-length
+    # check must fire
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = bytes(buf[pos:pos + 4])
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        if cid == b"data":
+            struct.pack_into("<I", buf, pos + 4, size - 1)
+            break
+        pos += 8 + size + (size & 1)
+    res, err = try_decode(decode_wav, bytes(buf))
+    assert err == "corrupt", (res, err)
+
+
 def test_phash_wide_band_bounds_buckets(spark, sf_dir):
     """r14: the pHash dedup scale knob is DIMENSIONAL (the
     ivfadc-centroids pattern) — the 10x rehearsal measured the fixed
