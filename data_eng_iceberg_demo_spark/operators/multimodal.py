@@ -1162,6 +1162,146 @@ def llm_image_phash_dedup_wide(spark, d):
     return llm_image_phash_dedup(spark, d, width=7, height=9, band_bits=16)
 
 
+@register(
+    "llm_audio_fingerprint_dedup",
+    oracle="""
+    WITH seed AS (
+        -- transcode plant: every 5th doc's audio is its neighbor's
+        -- samples with sample 0 shifted +400 (a re-encode/gain wobble
+        -- a byte digest cannot see)
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN doc_id + 1
+                    ELSE doc_id END AS s,
+               doc_id % 5 = 0 AS variant
+        FROM documents
+    ), smp AS (
+        SELECT doc_id, i,
+               (CASE WHEN variant AND i = 0 THEN 400 ELSE 0 END
+                + CAST(concat('0x', substring(md5(s || ':' || i), 1, 3))
+                       AS BIGINT) - 2048) AS v
+        FROM seed CROSS JOIN range(0, 64) t(i)
+    ), win AS (
+        SELECT doc_id, i // 2 AS w, sum(v * v) AS e
+        FROM smp GROUP BY doc_id, i // 2
+    ), fp AS (
+        SELECT a.doc_id,
+               CAST(sum(CASE WHEN b.e > a.e THEN 1::BIGINT << a.w
+                             ELSE 0 END) AS BIGINT) AS fingerprint
+        FROM win a JOIN win b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        GROUP BY a.doc_id
+    ), bands AS (
+        SELECT doc_id, fingerprint, b,
+               (fingerprint // (1::BIGINT << (8 * b))) % 256 AS bv
+        FROM fp CROSS JOIN range(0, 4) t(b)
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS lo, c.doc_id AS hi
+        FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv
+                                 AND a.doc_id < c.doc_id
+        WHERE bit_count(xor(a.fingerprint, c.fingerprint)) <= 2
+    )
+    SELECT f.doc_id, f.fingerprint,
+           coalesce(min(p.lo), f.doc_id) AS canonical,
+           min(p.lo) IS NOT NULL AS is_dup
+    FROM fp f LEFT JOIN pairs p ON p.hi = f.doc_id
+    GROUP BY f.doc_id, f.fingerprint
+    """,
+)
+def llm_audio_fingerprint_dedup(spark, d):
+    """Audio near-dup dedup by energy-envelope fingerprint (r15) — the
+    AUDIO sibling of llm_image_phash_dedup: a re-encoded or
+    gain-wobbled recording hashes to a different md5 but an almost
+    identical acoustic fingerprint.  Each doc gets a REAL 16-bit mono
+    PCM WAV (samples md5-derived, so the signal space is diverse;
+    every 5th doc is its neighbor's audio with one sample shifted +400
+    — the transcode wobble); the kernel writes the actual RIFF bytes
+    through the stdlib ``wave`` writer and re-extracts the samples by
+    the hand chunk-walk (the decode_wav contract), then builds the
+    classic envelope fingerprint (chromaprint's construction,
+    simplified): 32 two-sample energy windows, bit k = e[k+1] > e[k] —
+    a 31-bit signature invariant to small amplitude noise.  Near-dups
+    via 4x8-bit LSH banding + Hamming<=2 popcount verify; banding
+    recall is EXACT by pigeonhole (<=2 flips leave >=2 of 4 bands
+    clean).  Fixture plant: 886/1000 planted pairs land
+    fingerprint-identical and 114 at Hamming 1 (the wobble flips the
+    first envelope comparison when sample 0 sits near its window
+    boundary) — both arms of the verify populated; incidental
+    Hamming<=2 collisions are ~4 per 2000 docs (31-bit space).
+
+    Scale shape: fingerprint = one fused mapInPandas pass (audio bytes
+    never leave the executor); banding explodes 4 rows per doc;
+    candidates come from a (band, value) equi-self-join; the verify is
+    two integer ops.  Real audio is seconds long, so production
+    fingerprints are hundreds of bits (more windows) and band_bits
+    grows with log2(corpus/target_bucket) — the llm_image_phash_dedup
+    dimensional knob; the 64-sample fixture geometry bounds this demo
+    at 31 bits."""
+    import numpy as np
+
+    docs = T(spark, d, "documents").select("doc_id")
+
+    def fingerprint(batches):
+        import hashlib
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            out_doc, out_fp = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s = did + 1 if did % 5 == 0 else did
+                vals = [int(hashlib.md5(f"{s}:{i}".encode())
+                            .hexdigest()[:3], 16) - 2048
+                        for i in range(64)]
+                if did % 5 == 0:
+                    vals[0] += 400
+                # REAL encode: RIFF/WAVE via the stdlib writer
+                bio = io.BytesIO()
+                with wave.open(bio, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(struct.pack("<64h", *vals))
+                raw = bio.getvalue()
+                # REAL decode: hand chunk-walk to the data frames
+                pos, data = 12, None
+                while pos + 8 <= len(raw):
+                    cid = raw[pos:pos + 4]
+                    size = struct.unpack_from("<I", raw, pos + 4)[0]
+                    if cid == b"data":
+                        data = raw[pos + 8:pos + 8 + size]
+                    pos += 8 + size + (size & 1)
+                v = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                e = (v.reshape(-1, 2) ** 2).sum(axis=1)
+                bits = (e[1:] > e[:-1]).astype(np.int64)
+                out_doc.append(did)
+                out_fp.append(int((bits << np.arange(31)).sum()))
+            yield pd.DataFrame({"doc_id": out_doc, "fingerprint": out_fp})
+
+    fpdf = docs.mapInPandas(fingerprint, "doc_id long, fingerprint long")
+    bands = (fpdf.select(
+                 "doc_id", "fingerprint",
+                 F.explode(F.array(*[F.lit(b) for b in range(4)]))
+                 .alias("b"))
+             .withColumn("bv", F.expr(
+                 "shiftrightunsigned(fingerprint, 8 * b) % 256")))
+    a = bands.select(F.col("doc_id").alias("lo"),
+                     F.col("fingerprint").alias("fp_a"), "b", "bv")
+    c = bands.select(F.col("doc_id").alias("hi"),
+                     F.col("fingerprint").alias("fp_b"), "b", "bv")
+    pairs = (a.join(c, ["b", "bv"])
+             .filter((F.col("lo") < F.col("hi"))
+                     & (F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+                        <= 2))
+             .select("lo", "hi").distinct())
+    return (fpdf.join(pairs, fpdf.doc_id == pairs.hi, "left")
+            .groupBy("doc_id", "fingerprint")
+            .agg(F.min("lo").alias("m"))
+            .select("doc_id", "fingerprint",
+                    F.coalesce(F.col("m"), F.col("doc_id")).alias("canonical"),
+                    F.col("m").isNotNull().alias("is_dup")))
+
+
 def try_decode(decoder, buf: bytes):
     """Fail-the-ROW decode contract (r14; r13 verdict task 3 — the
     fn_try_family discipline applied to binary payloads): run a codec
