@@ -351,6 +351,12 @@ _BROADCAST_HINT_OK = {
         "same shape as llm_similarity_ivfadc_trained (5-vec_id verdict "
         "arm) plus the residual LUT subtree, which is bounded at "
         "queries x nprobe = 20 rows by the vec_id < 5 probe filter",
+    ("llm_similarity_ivf_scaled", "embeddings"):
+        "both hinted subtrees are pinned to 5 vec_ids by construction "
+        "— the band-verdict exact arm, identical to "
+        "llm_similarity_ivfadc_trained's justification (the IVF engine "
+        "side is the _ivf_ann plan llm_similarity_ivf lint-skips for "
+        "its training collect)",
 }
 
 
@@ -448,6 +454,7 @@ _BNLJ_OK = {"events_funnel",        # cross of three 1-row stage counts
                                               # r15 band-verdict exact arm
             "llm_similarity_ivfadc_residual",  # same, plus the 16-row
                                                # centroid dim join
+            "llm_similarity_ivf_scaled",  # same 5-row verdict query side
             "llm_decontaminate_semantic",  # <=20-row broadcast eval side
             "llm_tfidf_terms",      # broadcast corpus-size scalar
             "llm_unigram_logprob",  # broadcast corpus-total scalar (1 row)
