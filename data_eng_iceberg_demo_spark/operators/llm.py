@@ -1517,7 +1517,7 @@ def _ann_recall_verdict(spark, d, ann, floor):
                       / F.col("n_exact")) >= floor).alias("recall_ok")))
 
 
-def _ivf_ann(spark, d, k=16, nprobe=None):
+def _ivf_ann(spark, d, k=16, nprobe=None, sample_n=2048):
     """ANN scale path #2 — IVF (inverted-file) partitioning: a 16-cell
     coarse quantizer assigns every vector to its nearest centroid; each
     query probes only its nprobe=6 nearest cells, so the exact re-rank
@@ -1536,7 +1536,7 @@ def _ivf_ann(spark, d, k=16, nprobe=None):
            .select("vec_id",
                    F.col("embedding").cast("array<double>").alias("e"))
            .filter(F.col("e").isNotNull()))  # quantizer needs dense rows
-    C = ivf_centroids(emb, k=k)
+    C = ivf_centroids(emb, k=k, sample_n=sample_n)
     if C is None:  # empty corpus: empty result, same schema, no crash
         return emb.select(F.col("vec_id").alias("qid"),
                           F.col("vec_id").alias("cid"),
@@ -1629,18 +1629,35 @@ def llm_similarity_ivf_scaled(spark, d):
     Measured recall@10 at the scaled geometry: mean 0.90-0.96 / min
     0.8 across all three fixture scales (k=23/np=9 at 500 vectors,
     k=45/np=17 at 2000); band-verdict floor 0.7 (see
-    _ann_recall_verdict)."""
+    _ann_recall_verdict).
+
+    The training sample scales WITH k (r15 review): a fixed 2048-row
+    sample under sqrt(n) cells silently degenerates past n ~ 160k
+    (fewer than ~13 training vectors per cell) and saturates outright
+    at k = 2048 — while nprobe, derived from the UNCLAMPED k, would
+    quietly drift the scan fraction off the documented 3/8.  Here
+    sample_n = 40k (the faiss points-per-centroid floor), k is clamped
+    to what the driver-side training cap can support (cap 65536 rows =
+    ~34 MB of float64 at 64 dims, so k saturates honestly at 1638),
+    and nprobe derives from the FINAL k.  Beyond the cap a production
+    build trains k-means distributedly (the
+    _quantized_cluster_assign / mapInPandas assignment stages are
+    already cluster-side); the cap is a driver-memory bound, not a
+    plan-shape one."""
     import math
 
     n = (T(spark, d, "embeddings")
          .filter(F.col("embedding").isNotNull()).count())
-    if n == 0:
-        return _ann_recall_verdict(
-            spark, d, _ivf_ann(spark, d), floor=0.7)
-    k = min(max(16, math.isqrt(n - 1) + 1), n)
+    if n == 0:  # empty corpus: same empty verdict as the fixed form
+        return llm_similarity_ivf(spark, d)
+    train_cap = 65536
+    k = min(max(16, math.isqrt(n - 1) + 1), n, train_cap // 40)
+    sample_n = min(max(2048, 40 * k), train_cap)
     nprobe = max(6, -(-3 * k // 8))
     return _ann_recall_verdict(
-        spark, d, _ivf_ann(spark, d, k=k, nprobe=nprobe), floor=0.7)
+        spark, d,
+        _ivf_ann(spark, d, k=k, nprobe=nprobe, sample_n=sample_n),
+        floor=0.7)
 
 
 @register(

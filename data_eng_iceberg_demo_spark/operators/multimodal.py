@@ -945,28 +945,59 @@ def llm_audio_vad(spark, d):
                       (F.col("energy") >= 100000).alias("active"))
 
 
-def phash_bands(h, n_bands: int, band_bits: int):
-    """Explode a (doc_id, phash) frame into its LSH band rows with the
-    ENGINE-computed band value ``bv`` — shared by the declared query,
-    the wide scale form, and the bucket-bound test (which must measure
-    the join keys Spark actually used, not a Python re-derivation).
+def phash_bands(h, n_bands: int, band_bits: int, col: str = "phash"):
+    """Explode a (doc_id, <hash>) frame into its LSH band rows with the
+    ENGINE-computed band value ``bv`` — shared by the pHash queries,
+    the audio-fingerprint dedup, and the bucket-bound test (which must
+    measure the join keys Spark actually used, not a Python
+    re-derivation).
 
-    The band value is ``(phash >> (band_bits * b)) % 2^band_bits`` via
+    The band value is ``(hash >> (band_bits * b)) % 2^band_bits`` via
     ``shiftrightunsigned``: a plain ``1 << (band_bits * b)`` divisor
     wraps — Spark masks an INT left-shift count mod 32 (``1 << 54`` =
     ``1 << 22``), so any band starting at bit >= 32 (exactly the wide
     forms the scale knob exists for) would silently read the wrong
     bits: high hash bits never reach candidate generation and high
     bands alias low bits, INFLATING buckets instead of bounding them.
-    ``phash`` is always < 2^63 here (the 63-pixel cap keeps the sign
-    bit clear), so the unsigned right shift is the plain bit window."""
+    The hash is always < 2^63 here (the 63-pixel / 31-window caps keep
+    the sign bit clear), so the unsigned right shift is the plain bit
+    window."""
     return (h.select(
-                "doc_id", "phash",
+                "doc_id", col,
                 F.explode(F.array(*[F.lit(b) for b in range(n_bands)]))
                 .alias("b"))
             .withColumn(
-                "bv", F.expr(f"shiftrightunsigned(phash, {band_bits} * b)"
+                "bv", F.expr(f"shiftrightunsigned({col}, {band_bits} * b)"
                              f" % {1 << band_bits}")))
+
+
+def banded_near_dup(h, n_bands: int, band_bits: int, col: str = "phash",
+                    max_hamming: int = 2):
+    """The shared banded-LSH near-dup tail (r15 review: one copy, not
+    two): candidates from a (band, value) equi-self-join over
+    :func:`phash_bands`, Hamming verify via popcount(xor), then the
+    per-doc canonical/is_dup roll-up (canonical = smallest matching
+    doc id, LEFT join so non-dups keep themselves).  Used by
+    llm_image_phash_dedup (+ wide form) and
+    llm_audio_fingerprint_dedup — their oracles replay this tail
+    verbatim in SQL, so a future fix here (e.g. a band-arithmetic or
+    hot-bucket change) reaches every banded hash dedup at once."""
+    bands = phash_bands(h, n_bands, band_bits, col=col)
+    a = bands.select(F.col("doc_id").alias("lo"),
+                     F.col(col).alias("h_a"), "b", "bv")
+    c = bands.select(F.col("doc_id").alias("hi"),
+                     F.col(col).alias("h_b"), "b", "bv")
+    pairs = (a.join(c, ["b", "bv"])
+             .filter((F.col("lo") < F.col("hi"))
+                     & (F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+                        <= max_hamming))
+             .select("lo", "hi").distinct())
+    return (h.join(pairs, h.doc_id == pairs.hi, "left")
+            .groupBy("doc_id", col)
+            .agg(F.min("lo").alias("m"))
+            .select("doc_id", col,
+                    F.coalesce(F.col("m"), F.col("doc_id")).alias("canonical"),
+                    F.col("m").isNotNull().alias("is_dup")))
 
 
 def _phash_oracle(n_pix: int, n_bands: int, band_bits: int,
@@ -1115,22 +1146,7 @@ def llm_image_phash_dedup(spark, d, width: int = 6, height: int = 4,
             yield pd.DataFrame({"doc_id": out_doc, "phash": out_h})
 
     h = docs.mapInPandas(phash, "doc_id long, phash long")
-    bands = phash_bands(h, n_bands, band_bits)
-    a = bands.select(F.col("doc_id").alias("lo"), F.col("phash").alias("ph_a"),
-                     "b", "bv")
-    c = bands.select(F.col("doc_id").alias("hi"), F.col("phash").alias("ph_b"),
-                     "b", "bv")
-    pairs = (a.join(c, ["b", "bv"])
-             .filter((F.col("lo") < F.col("hi"))
-                     & (F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-                        <= 2))
-             .select("lo", "hi").distinct())
-    return (h.join(pairs, h.doc_id == pairs.hi, "left")
-            .groupBy("doc_id", "phash")
-            .agg(F.min("lo").alias("m"))
-            .select("doc_id", "phash",
-                    F.coalesce(F.col("m"), F.col("doc_id")).alias("canonical"),
-                    F.col("m").isNotNull().alias("is_dup")))
+    return banded_near_dup(h, n_bands, band_bits)
 
 
 @register("llm_image_phash_dedup_wide",
@@ -1279,27 +1295,7 @@ def llm_audio_fingerprint_dedup(spark, d):
             yield pd.DataFrame({"doc_id": out_doc, "fingerprint": out_fp})
 
     fpdf = docs.mapInPandas(fingerprint, "doc_id long, fingerprint long")
-    bands = (fpdf.select(
-                 "doc_id", "fingerprint",
-                 F.explode(F.array(*[F.lit(b) for b in range(4)]))
-                 .alias("b"))
-             .withColumn("bv", F.expr(
-                 "shiftrightunsigned(fingerprint, 8 * b) % 256")))
-    a = bands.select(F.col("doc_id").alias("lo"),
-                     F.col("fingerprint").alias("fp_a"), "b", "bv")
-    c = bands.select(F.col("doc_id").alias("hi"),
-                     F.col("fingerprint").alias("fp_b"), "b", "bv")
-    pairs = (a.join(c, ["b", "bv"])
-             .filter((F.col("lo") < F.col("hi"))
-                     & (F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-                        <= 2))
-             .select("lo", "hi").distinct())
-    return (fpdf.join(pairs, fpdf.doc_id == pairs.hi, "left")
-            .groupBy("doc_id", "fingerprint")
-            .agg(F.min("lo").alias("m"))
-            .select("doc_id", "fingerprint",
-                    F.coalesce(F.col("m"), F.col("doc_id")).alias("canonical"),
-                    F.col("m").isNotNull().alias("is_dup")))
+    return banded_near_dup(fpdf, 4, 8, col="fingerprint")
 
 
 def try_decode(decoder, buf: bytes):

@@ -300,6 +300,9 @@ SKEW_SAMPLE = [
     # char-frequency agg under the 201-copy family, and banded pHash
     "events_graph_triangles", "llm_kmv_source_jaccard",
     "llm_char_entropy", "llm_image_phash_dedup", "events_mann_whitney",
+    # r15: banded audio fingerprint under the 201-copy family and the
+    # sqrt(n)-cell IVF under the 101-copy hot vector
+    "llm_audio_fingerprint_dedup", "llm_similarity_ivf_scaled",
 ]
 
 

@@ -900,6 +900,47 @@ def test_ivfadc_trained_declared_recall_on_fixture(spark, sf_dir):
         assert r["recall_ok"], (r, recalls)
 
 
+def test_ivf_scaled_recall_on_fixture(spark, sf_dir):
+    """r15 pin for llm_similarity_ivf_scaled's measured band (mean
+    0.90-0.96 / min 0.8 across sfs — floors leave margin): recompute
+    the scaled geometry exactly as the query does, measure recall vs
+    brute force through the engine path, and assert the declared
+    verdict booleans agree at the 0.7 floor."""
+    import math
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from data_eng_iceberg_demo_spark.operators import llm
+    from data_eng_iceberg_demo_spark.operators._util import T
+    from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
+                                                            _load_all_modules)
+    _load_all_modules()
+    ex, got = defaultdict(set), defaultdict(set)
+    for r in REGISTRY["llm_similarity_topk"].fn(spark, sf_dir).collect():
+        ex[r["qid"]].add(r["cid"])
+    n = (T(spark, sf_dir, "embeddings")
+         .filter(F.col("embedding").isNotNull()).count())
+    train_cap = 65536
+    k = min(max(16, math.isqrt(n - 1) + 1), n, train_cap // 40)
+    nprobe = max(6, -(-3 * k // 8))
+    sample_n = min(max(2048, 40 * k), train_cap)
+    for r in llm._ivf_ann(spark, sf_dir, k=k, nprobe=nprobe,
+                          sample_n=sample_n).collect():
+        got[r["qid"]].add(r["cid"])
+    recalls = {q: len(ex[q] & got[q]) / len(ex[q]) for q in ex}
+    vals = list(recalls.values())
+    assert sum(vals) / len(vals) >= 0.85, recalls
+    assert min(vals) >= 0.7, recalls
+
+    verdict = REGISTRY["llm_similarity_ivf_scaled"].fn(
+        spark, sf_dir).collect()
+    assert {r["qid"] for r in verdict} == set(ex)
+    for r in verdict:
+        assert r["recall_ok"] == (recalls[r["qid"]] >= 0.7), (r, recalls)
+        assert r["recall_ok"], (r, recalls)
+
+
 def test_residual_encoding_beats_raw_pq_where_adc_is_decisive(
         spark, tmp_path):
     """r15 (r14 verdict task 6): by_residual=true must measurably beat

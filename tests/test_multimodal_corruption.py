@@ -84,6 +84,32 @@ def test_garbage_is_classified(codec, data):
     assert err in _CLASSES
 
 
+def test_audio_fingerprint_planted_recall_and_hamming_arms(spark, sf_dir):
+    """r15: the audio dedup's measured claims, pinned (the hash oracle
+    certifies exact output equality, but a band-width edit that stays
+    SQL-consistent could still collapse the detection arm): planted
+    +400-wobble pairs are found at >= 0.99 recall, every planted pair
+    sits within the Hamming<=2 verify budget (the pigeonhole guarantee
+    makes banding recall exact there), and the fingerprint-identical
+    arm is populated (the wobble usually does NOT flip an envelope
+    bit — invariance is the fingerprint's point)."""
+    from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
+                                                            _load_all_modules)
+    _load_all_modules()
+    rows = REGISTRY["llm_audio_fingerprint_dedup"].fn(
+        spark, sf_dir).collect()
+    fps = {r["doc_id"]: r["fingerprint"] for r in rows}
+    planted = [r for r in rows if r["doc_id"] % 5 == 1 and r["doc_id"] > 0]
+    found = [r for r in planted
+             if r["is_dup"] and r["canonical"] == r["doc_id"] - 1]
+    assert planted and len(found) / len(planted) >= 0.99, (
+        len(found), len(planted))
+    hams = [bin(fps[r["doc_id"]] ^ fps[r["doc_id"] - 1]).count("1")
+            for r in planted]
+    assert max(hams) <= 2, max(hams)      # wobble stays in verify budget
+    assert hams.count(0) >= len(hams) // 2  # invariance arm populated
+
+
 def test_wav_odd_length_data_chunk_is_classified_corrupt():
     """r15 review: the vectorized decode must keep the old unpack
     contract — a data chunk whose declared size is ODD (a corrupt size
