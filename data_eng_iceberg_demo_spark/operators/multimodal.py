@@ -1261,15 +1261,36 @@ def llm_audio_fingerprint_dedup(spark, d):
         import struct
         import wave
 
+        def synth(s, cache):
+            # md5-derived 12-bit samples, vectorized (r15 verdict
+            # task 4): the 64 digests land in ONE joined byte matrix
+            # and np.frombuffer + two integer ops replace the
+            # per-sample hexdigest slicing / int(_, 16) parse —
+            # int(hexdigest[:3], 16) == (digest[0] << 4) |
+            # (digest[1] >> 4), so the samples are bit-identical to
+            # the scalar form (fingerprint equality pinned in
+            # tests/test_multimodal_corruption.py).  The per-batch
+            # cache also halves the md5 work: every 5th doc reuses
+            # its neighbor's source signal (the transcode plant).
+            a = cache.get(s)
+            if a is None:
+                buf = b"".join(hashlib.md5(b"%d:%d" % (s, i)).digest()
+                               for i in range(64))
+                m = np.frombuffer(buf, dtype=np.uint8).reshape(64, 16)
+                a = (((m[:, 0].astype(np.int64) << 4) | (m[:, 1] >> 4))
+                     - 2048)
+                cache[s] = a
+            return a
+
         for pdf in batches:
             out_doc, out_fp = [], []
+            cache = {}
             for did in pdf["doc_id"]:
                 did = int(did)
                 s = did + 1 if did % 5 == 0 else did
-                vals = [int(hashlib.md5(f"{s}:{i}".encode())
-                            .hexdigest()[:3], 16) - 2048
-                        for i in range(64)]
+                vals = synth(s, cache)
                 if did % 5 == 0:
+                    vals = vals.copy()
                     vals[0] += 400
                 # REAL encode: RIFF/WAVE via the stdlib writer
                 bio = io.BytesIO()
@@ -1277,7 +1298,7 @@ def llm_audio_fingerprint_dedup(spark, d):
                     w.setnchannels(1)
                     w.setsampwidth(2)
                     w.setframerate(8000)
-                    w.writeframes(struct.pack("<64h", *vals))
+                    w.writeframes(vals.astype("<i2").tobytes())
                 raw = bio.getvalue()
                 # REAL decode: hand chunk-walk to the data frames
                 pos, data = 12, None
@@ -1287,6 +1308,13 @@ def llm_audio_fingerprint_dedup(spark, d):
                     if cid == b"data":
                         data = raw[pos + 8:pos + 8 + size]
                     pos += 8 + size + (size & 1)
+                if data is None:
+                    # classified-corruption contract (r15 advisor):
+                    # unreachable from the stdlib writer above, but a
+                    # generator change must surface as the typed
+                    # ValueError the quarantine path classifies, not
+                    # an unclassified TypeError from frombuffer(None)
+                    raise ValueError("RIFF payload has no data chunk")
                 v = np.frombuffer(data, dtype="<i2").astype(np.int64)
                 e = (v.reshape(-1, 2) ** 2).sum(axis=1)
                 bits = (e[1:] > e[:-1]).astype(np.int64)

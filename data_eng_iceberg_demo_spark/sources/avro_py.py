@@ -602,24 +602,28 @@ def read_block(path: str, offset: int, schema: dict, codec: str):
     # nonzero-width schema ANY count above the payload length is a
     # classified corruption — the r14 `and n > 2^24` conjunction let a
     # mid-range corrupt count escape to die as a raw struct.error
-    # mid-decode (r14 advisor).  Zero-width (fieldless / all-null-
-    # field) schemas have no per-row byte floor, so they keep the
-    # absolute plausibility cap.
+    # mid-decode (r14 advisor).  Zero-width (fieldless-record) schemas
+    # have no per-row byte floor, so they keep the absolute
+    # plausibility cap.
     if n < 0 or nbytes < 0:
         raise ValueError(
             f"corrupt avro block header at offset {offset}: "
             f"count={n} byte_size={nbytes}")
 
     def _zero_width(t):
-        # a field decodes zero bytes iff it is "null" or a record of
-        # only zero-width fields (vacuously: a fieldless record) —
-        # arrays/maps always read their terminating 0 block count and
-        # unions their branch index, so they are >= 1 byte per row
+        # a field decodes zero bytes iff it is a record of only
+        # zero-width fields — vacuously, a fieldless record (possibly
+        # nested: records of fieldless records).  A bare "null" field
+        # never reaches here (_compile_field_decoder rejects the plain
+        # "null" type before any block is decoded — r15 advisor: the
+        # old `t == "null"` leaf arm was dead code), arrays/maps always
+        # read their terminating 0 block count and unions their branch
+        # index, so every other shape is >= 1 byte per row
         if isinstance(t, dict) and "logicalType" in t:
             return _zero_width(t["type"])
         if isinstance(t, dict) and t.get("type") == "record":
             return all(_zero_width(f["type"]) for f in t.get("fields", []))
-        return t == "null"
+        return False
 
     if all(_zero_width(t) for _n, t in fields):
         if n > (1 << 24):

@@ -1017,3 +1017,38 @@ def test_ivfadc_residual_declared_recall_on_fixture(spark, sf_dir):
     for r in verdict:
         assert r["recall_ok"] == (recalls[r["qid"]] >= 0.6), (r, recalls)
         assert r["recall_ok"], (r, recalls)
+
+
+ANN_VERDICT_PLAN_MARKERS = {
+    # band-verdict ANN queries -> the Python eval node their ANN
+    # subtree cannot be planned without (IVF assigns/probes cells via
+    # scalar pandas_udf -> ArrowEvalPython; the ADC family assigns via
+    # mapInPandas -> MapInPandas)
+    "llm_similarity_ivf": "ArrowEvalPython",
+    "llm_similarity_ivf_scaled": "ArrowEvalPython",
+    "llm_similarity_ivfadc_trained": "MapInPandas",
+    "llm_similarity_ivfadc_residual": "MapInPandas",
+}
+
+
+def test_ann_verdict_plan_contains_ann_subtree(spark, sf_dir):
+    """r16 (r15 advisor): the band-verdict ``recall_ok`` boolean is
+    computed by the engine under test while the oracle contributes a
+    TRUE literal, so the driver hash certifies the exact replay but
+    not the boolean's DERIVATION — a regression that folded the
+    boolean to a constant would pass every driver sample.  Mirror of
+    the approx_percentile/HLL plan pins: the OPTIMIZED plan of every
+    ANN verdict query must (a) still contain the ANN subtree's Python
+    eval node (if recall_ok were a literal, column pruning would drop
+    the ann-hits join and the Python node with it), and (b) derive the
+    boolean from the hits join (``coalesce(n_hit`` — a constant-folded
+    boolean erases that expression)."""
+    from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
+                                                            _load_all_modules)
+    _load_all_modules()
+    for name, marker in sorted(ANN_VERDICT_PLAN_MARKERS.items()):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert marker in plan, name
+        assert "coalesce(n_hit" in plan, name
+        assert "true AS recall_ok" not in plan, name

@@ -135,6 +135,27 @@ def test_wav_odd_length_data_chunk_is_classified_corrupt():
     assert err == "corrupt", (res, err)
 
 
+def test_audio_sample_synthesis_matches_scalar_reference():
+    """r16 (r15 verdict task 4): the audio kernel's vectorized md5
+    sample synthesis (one joined digest matrix + np.frombuffer) must
+    stay bit-identical to the scalar reference form
+    ``int(md5(f"{s}:{i}").hexdigest()[:3], 16) - 2048`` — the exact
+    arithmetic the hash oracle replays in SQL.  The identity:
+    int(hexdigest[:3], 16) == (digest[0] << 4) | (digest[1] >> 4)."""
+    import hashlib
+
+    import numpy as np
+
+    for s in (0, 1, 7, 999, 54321):
+        ref = [int(hashlib.md5(f"{s}:{i}".encode()).hexdigest()[:3], 16)
+               - 2048 for i in range(64)]
+        buf = b"".join(hashlib.md5(b"%d:%d" % (s, i)).digest()
+                       for i in range(64))
+        m = np.frombuffer(buf, dtype=np.uint8).reshape(64, 16)
+        vec = ((m[:, 0].astype(np.int64) << 4) | (m[:, 1] >> 4)) - 2048
+        assert vec.tolist() == ref
+
+
 def test_phash_wide_band_bounds_buckets(spark, sf_dir):
     """r14: the pHash dedup scale knob is DIMENSIONAL (the
     ivfadc-centroids pattern) — the 10x rehearsal measured the fixed
