@@ -174,6 +174,12 @@ _REVERIFY = {
     # sweep; no fixture cohort fully churns, so certified values are
     # unchanged.
     "events_survival_km": 13,
+    # r16 (r15 verdict task 3): exact certification arm moved off
+    # countDistinct (Expand) onto the bitmap kernel + explicit
+    # hll_sketch_agg/hll_union_agg estimate — oracle text unchanged
+    # (same exact replay) but the engine side changed materially, so
+    # the next driver sample should re-certify it.
+    "agg_approx_count_distinct": 16,
 }
 
 # Round-8 target window (VERDICT r7 task 3): every name the driver has

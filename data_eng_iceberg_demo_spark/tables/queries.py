@@ -622,7 +622,15 @@ def table_partition_spec_evolution(spark, d):
     DROPS every pre-evolution row (the bug icelite's per-file spec_key
     now prevents; the oracle covers all three batches, so a mis-pruned
     file fails the hash).  Residual row filters finish the predicate on
-    the unpruned files."""
+    the unpruned files.
+
+    Perf watch adjudicated r16 (r15 verdict task 2): the r15 bench's
+    4.42 s reading (vs 2.87 s ledger base) reproduced at 2.213 s floor
+    over 8 warmed isolated sf0.1 runs at 10-12 effective cores — BELOW
+    base, so the excursion was host variance (the three staging
+    writes + two spec DDLs are filesystem-latency-sensitive, the
+    stream_foreach_batch_merge class); code unchanged, ledger
+    annotated."""
     cat = IceliteCatalog(spark, scratch_dir("icelite_"))
     cat.create_namespace("db")
     t = cat.create_table("db.pedidos_specevo", PEDIDOS_SCHEMA)

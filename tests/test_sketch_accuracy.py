@@ -72,16 +72,25 @@ def test_approx_percentile_within_tolerance(spark, sf_dir):
 
 def test_approx_count_distinct_within_5pct(spark, sf_dir):
     """The declared query's exact_parts must equal an independent exact
-    count-distinct, every within_band TRUE, and the HLL++ estimate
-    still in the plan."""
+    count-distinct, every within_band TRUE, and BOTH certification
+    arms still in the plan (r16: the exact arm rides the mergeable
+    bitmap kernel and the estimate the explicit hll_union_agg — no
+    Expand, no countDistinct; either aggregate vanishing means the
+    boolean degenerated to a constant)."""
     li = load(spark, sf_dir, "lineitem")
     exact = {r[0]: r[1] for r in
              li.groupBy("l_returnflag")
              .agg(F.countDistinct("l_partkey")).collect()}
+    cnt = {r[0]: r[1] for r in
+           li.groupBy("l_returnflag").agg(F.count("*")).collect()}
     df = REGISTRY["agg_approx_count_distinct"].fn(spark, sf_dir)
-    assert "approx_count_distinct" in df._jdf.queryExecution().optimizedPlan().toString()
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "hll_union_agg" in plan
+    assert "bitmap_construct_agg" in plan
+    assert "Expand" not in plan
     rows = df.collect()
     assert {r["l_returnflag"]: r["exact_parts"] for r in rows} == exact
+    assert {r["l_returnflag"]: r["cnt"] for r in rows} == cnt
     assert all(r["within_band"] for r in rows)
 
 
