@@ -6730,3 +6730,56 @@ def llm_similarity_ivfadc_residual(spark, d):
         spark, d, centroids=ivfadc_trained_centroids(raw),
         nprobe=4, shortlist=200, by_residual=True)
     return _ann_recall_verdict(spark, d, ann, floor=0.6)
+
+
+@register("llm_similarity_ivfadc_scaled",
+          oracle=_ANN_VERDICT_ORACLE_FMT.format(exact=_COSINE_ORACLE))
+def llm_similarity_ivfadc_scaled(spark, d):
+    """ANN scale path #7 — TRAINED centroids AT the corpus-scaled cell
+    count (r16; r15 verdict task 7): the composition a production
+    IVFADC index build actually runs.  llm_similarity_ivf_scaled makes
+    the "k ~ sqrt(n) cells" geometry executable and
+    llm_similarity_ivfadc_trained makes the sampled-k-means quantizer
+    executable — this entry composes them: k = clamp(ceil(sqrt(n)),
+    16, n) coarse cells trained by ivfadc_trained_centroids (bounded
+    deterministic sample that SCALES WITH k — the faiss ~40
+    points-per-centroid floor, capped at 65536 driver rows = k
+    saturating honestly at 1638), nprobe = ceil(k/4) derived from the
+    FINAL k (the trained fixture form's 4-of-16 scan fraction, so each
+    query touches a constant ~quarter of the corpus while per-cell
+    posting lists shrink as 1/sqrt(n)), ADC shortlist 200, exact
+    re-rank on the shortlist only.
+
+    Declared as its BAND-VERDICT form (see _ann_recall_verdict): exact
+    brute-force side replayed by the oracle + ``recall_ok`` = recall@10
+    >= 0.6 computed from the ANN result.  Measured at the scaled
+    trained geometry: per-query minimum 0.8 / mean 0.88-0.92 across
+    all three fixture scales (k=23/np=6 at ~500 vectors, k=45/np=12 at
+    ~2000) — floor 0.6 keeps the sibling queries' regeneration margin;
+    the clustered-corpus contrast (trained-at-scaled-k holds where
+    lowest-id seeding collapses) is pinned in tests/test_llm_dedup.py.
+
+    Scale shape: ONE bounded count picks k; training touches only
+    sample_n driver rows; assignment is one Arrow-batched numpy pass
+    against the k x 64 broadcast matrix; probing explodes queries x
+    nprobe cells; candidates come from ONE equi-join on the cell id;
+    ADC + exact re-rank touch candidates only.  Beyond the 65536-row
+    training cap a production build trains k-means distributedly (the
+    _quantized_cluster_assign / mapInPandas stages are already
+    cluster-side); the cap is a driver-memory bound, not a plan-shape
+    one."""
+    import math
+
+    raw = _pq_raw(spark, d)
+    n = raw.count()
+    if n == 0:  # empty corpus: same empty verdict as the trained form
+        return llm_similarity_ivfadc_trained(spark, d)
+    train_cap = 65536
+    k = min(max(16, math.isqrt(n - 1) + 1), n, train_cap // 40)
+    sample_n = min(max(2048, 40 * k), train_cap)
+    nprobe = max(4, -(-k // 4))
+    ann = llm_similarity_ivfadc(
+        spark, d,
+        centroids=ivfadc_trained_centroids(raw, k=k, sample_n=sample_n),
+        nprobe=nprobe, shortlist=200)
+    return _ann_recall_verdict(spark, d, ann, floor=0.6)

@@ -357,6 +357,12 @@ _BROADCAST_HINT_OK = {
         "llm_similarity_ivfadc_trained's justification (the IVF engine "
         "side is the _ivf_ann plan llm_similarity_ivf lint-skips for "
         "its training collect)",
+    ("llm_similarity_ivfadc_scaled", "embeddings"):
+        "same shape as llm_similarity_ivfadc_trained (5-vec_id "
+        "band-verdict exact arm + probe/LUT sides bounded at queries "
+        "x nprobe rows by the vec_id < 5 filter); only k, nprobe and "
+        "the training sample scale with the corpus, never a hinted "
+        "subtree",
 }
 
 
@@ -455,6 +461,9 @@ _BNLJ_OK = {"events_funnel",        # cross of three 1-row stage counts
             "llm_similarity_ivfadc_residual",  # same, plus the 16-row
                                                # centroid dim join
             "llm_similarity_ivf_scaled",  # same 5-row verdict query side
+            "llm_similarity_ivfadc_scaled",  # same 5-row verdict query
+                                             # side (trained-at-scaled-k
+                                             # composition)
             "llm_decontaminate_semantic",  # <=20-row broadcast eval side
             "llm_tfidf_terms",      # broadcast corpus-size scalar
             "llm_unigram_logprob",  # broadcast corpus-total scalar (1 row)
