@@ -5464,6 +5464,12 @@ def llm_similarity_ivfadc(spark, d, centroids=None, nprobe=2,
         cmat = np.array([list(c["qv"]) for c in cents], dtype=np.int64)
     else:
         cmat = np.asarray(centroids, dtype=np.int64)
+    # a corpus smaller than the probe budget has fewer cells than
+    # nprobe: argsort[:, :nprobe] then yields k probes per query while
+    # np.repeat emits nprobe ids — a length-mismatch crash on 1-3-row
+    # corpora (r16; the _ivf_ann clamp, mirrored — found probing the
+    # scaled composition at tiny n)
+    nprobe = min(nprobe, len(cmat))
 
     def _cell_d2(pdf):
         q = np.array(pdf["qv"].tolist(), dtype=np.int64)

@@ -472,3 +472,25 @@ def test_tpch_null_rows_match_oracle(driver_spark, tpch_nulls_sf_dir,
     surfacing as a driver hash flake on some future fixture."""
     _assert_parity(name, driver_spark, tpch_nulls_sf_dir,
                    tpch_nulls_duck)
+
+
+@pytest.mark.parametrize("name", ["llm_similarity_ivfadc",
+                                  "llm_similarity_ivfadc_trained",
+                                  "llm_similarity_ivfadc_residual",
+                                  "llm_similarity_ivfadc_scaled"])
+def test_ivfadc_family_survives_tiny_corpus(spark, tmp_path_factory, name):
+    """r16: a corpus SMALLER than the probe budget (1-3 vectors) has
+    fewer coarse cells than nprobe; before the _ivf_ann-style clamp
+    the ADC probe stage emitted nprobe ids per query against k probed
+    cells — a pandas length-mismatch crash inside mapInPandas.  Every
+    ADC-family query must run (n-1 neighbor rows per present query
+    vector, 0 when the only vector is the query itself)."""
+    for n in (1, 2, 3):
+        d = str(tmp_path_factory.mktemp(f"tiny{n}"))
+        rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(64)], 0)
+                for i in range(n)]
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int") \
+            .write.parquet(f"{d}/embeddings.parquet")
+        out = REGISTRY[name].fn(spark, d).collect()
+        assert len(out) == (n if n > 1 else 0), (name, n, out)
