@@ -932,6 +932,13 @@ def llm_audio_vad(spark, d):
                     if cid == b"data":
                         data = buf[pos + 8:pos + 8 + size]
                     pos += 8 + size + (size & 1)
+                if data is None:
+                    # classified-corruption contract (r16, the
+                    # llm_audio_fingerprint_dedup guard mirrored):
+                    # unreachable from the stdlib writer, but a
+                    # generator change must fail typed, not as
+                    # frombuffer(None)'s TypeError
+                    raise ValueError("RIFF payload has no data chunk")
                 v = np.frombuffer(data, dtype="<i2").astype(np.int64)
                 e = (v.reshape(-1, 16) ** 2).sum(axis=1)
                 out_doc += [int(did)] * len(e)
