@@ -6738,6 +6738,26 @@ def llm_similarity_ivfadc_residual(spark, d):
     return _ann_recall_verdict(spark, d, ann, floor=0.6)
 
 
+def _scaled_ivfadc_geometry(n: int):
+    """Corpus-scaled trained-ADC geometry — ONE definition shared by
+    llm_similarity_ivfadc_scaled and tests/test_llm_dedup.py's recall
+    pin (r16 review: the test recomputed the formula and would have
+    silently certified a stale geometry after any future clamp change).
+    k = clamp(ceil(sqrt(n)), 16, n, train_cap/40), sample_n =
+    clamp(40k, 2048, train_cap), nprobe = max(4, ceil(k/4)): the
+    4-probe FLOOR means the documented ~quarter scan fraction holds for
+    k >= 16 and deliberately widens on sub-16-cell corpora (probing
+    under 4 of <16 arbitrary Voronoi shards has no recall guarantee;
+    the cell-count clamp inside llm_similarity_ivfadc bounds it)."""
+    import math
+
+    train_cap = 65536
+    k = min(max(16, math.isqrt(n - 1) + 1), n, train_cap // 40)
+    sample_n = min(max(2048, 40 * k), train_cap)
+    nprobe = max(4, -(-k // 4))
+    return k, sample_n, nprobe
+
+
 @register("llm_similarity_ivfadc_scaled",
           oracle=_ANN_VERDICT_ORACLE_FMT.format(exact=_COSINE_ORACLE))
 def llm_similarity_ivfadc_scaled(spark, d):
@@ -6750,11 +6770,13 @@ def llm_similarity_ivfadc_scaled(spark, d):
     16, n) coarse cells trained by ivfadc_trained_centroids (bounded
     deterministic sample that SCALES WITH k — the faiss ~40
     points-per-centroid floor, capped at 65536 driver rows = k
-    saturating honestly at 1638), nprobe = ceil(k/4) derived from the
-    FINAL k (the trained fixture form's 4-of-16 scan fraction, so each
-    query touches a constant ~quarter of the corpus while per-cell
-    posting lists shrink as 1/sqrt(n)), ADC shortlist 200, exact
-    re-rank on the shortlist only.
+    saturating honestly at 1638), nprobe = max(4, ceil(k/4)) derived
+    from the FINAL k (the trained fixture form's 4-of-16 scan
+    fraction, so each query touches a constant ~quarter of the corpus
+    while per-cell posting lists shrink as 1/sqrt(n); the 4-probe
+    floor widens the fraction only on sub-16-cell corpora — see
+    _scaled_ivfadc_geometry), ADC shortlist 200, exact re-rank on the
+    shortlist only.
 
     Declared as its BAND-VERDICT form (see _ann_recall_verdict): exact
     brute-force side replayed by the oracle + ``recall_ok`` = recall@10
@@ -6774,16 +6796,11 @@ def llm_similarity_ivfadc_scaled(spark, d):
     _quantized_cluster_assign / mapInPandas stages are already
     cluster-side); the cap is a driver-memory bound, not a plan-shape
     one."""
-    import math
-
     raw = _pq_raw(spark, d)
     n = raw.count()
     if n == 0:  # empty corpus: same empty verdict as the trained form
         return llm_similarity_ivfadc_trained(spark, d)
-    train_cap = 65536
-    k = min(max(16, math.isqrt(n - 1) + 1), n, train_cap // 40)
-    sample_n = min(max(2048, 40 * k), train_cap)
-    nprobe = max(4, -(-k // 4))
+    k, sample_n, nprobe = _scaled_ivfadc_geometry(n)
     ann = llm_similarity_ivfadc(
         spark, d,
         centroids=ivfadc_trained_centroids(raw, k=k, sample_n=sample_n),

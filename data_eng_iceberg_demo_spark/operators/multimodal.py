@@ -881,6 +881,28 @@ def encode_wav_gained(doc_id: int, n_windows: int = 8,
     return buf.getvalue()
 
 
+def _riff_data_chunk(raw: bytes) -> bytes:
+    """Hand chunk-walk to a RIFF container's data payload — the ONE
+    definition the audio kernels share (r16 review: llm_audio_vad and
+    llm_audio_fingerprint_dedup carried verbatim copies of this walk,
+    so a bounds fix would have had to land twice).  Raises the
+    classified ValueError when no data chunk exists: unreachable from
+    the stdlib wave writer, but a generator change must fail typed,
+    not as frombuffer(None)'s TypeError (r15 advisor)."""
+    import struct
+
+    pos, data = 12, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos:pos + 4]
+        size = struct.unpack_from("<I", raw, pos + 4)[0]
+        if cid == b"data":
+            data = raw[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if data is None:
+        raise ValueError("RIFF payload has no data chunk")
+    return data
+
+
 @register(
     "llm_audio_vad",
     oracle="""
@@ -922,23 +944,8 @@ def llm_audio_vad(spark, d):
             for did in pdf["doc_id"]:
                 buf = encode_wav_gained(int(did))
                 (_ch, _rate, _bits, _n, _s, _sa, _pk, _f0) = decode_wav(buf)
-                import struct
-
                 # re-extract raw samples via the hand parser's walk
-                pos, data = 12, None
-                while pos + 8 <= len(buf):
-                    cid = buf[pos:pos + 4]
-                    size = struct.unpack_from("<I", buf, pos + 4)[0]
-                    if cid == b"data":
-                        data = buf[pos + 8:pos + 8 + size]
-                    pos += 8 + size + (size & 1)
-                if data is None:
-                    # classified-corruption contract (r16, the
-                    # llm_audio_fingerprint_dedup guard mirrored):
-                    # unreachable from the stdlib writer, but a
-                    # generator change must fail typed, not as
-                    # frombuffer(None)'s TypeError
-                    raise ValueError("RIFF payload has no data chunk")
+                data = _riff_data_chunk(buf)
                 v = np.frombuffer(data, dtype="<i2").astype(np.int64)
                 e = (v.reshape(-1, 16) ** 2).sum(axis=1)
                 out_doc += [int(did)] * len(e)
@@ -1265,7 +1272,6 @@ def llm_audio_fingerprint_dedup(spark, d):
     def fingerprint(batches):
         import hashlib
         import io
-        import struct
         import wave
 
         def synth(s, cache):
@@ -1308,20 +1314,8 @@ def llm_audio_fingerprint_dedup(spark, d):
                     w.writeframes(vals.astype("<i2").tobytes())
                 raw = bio.getvalue()
                 # REAL decode: hand chunk-walk to the data frames
-                pos, data = 12, None
-                while pos + 8 <= len(raw):
-                    cid = raw[pos:pos + 4]
-                    size = struct.unpack_from("<I", raw, pos + 4)[0]
-                    if cid == b"data":
-                        data = raw[pos + 8:pos + 8 + size]
-                    pos += 8 + size + (size & 1)
-                if data is None:
-                    # classified-corruption contract (r15 advisor):
-                    # unreachable from the stdlib writer above, but a
-                    # generator change must surface as the typed
-                    # ValueError the quarantine path classifies, not
-                    # an unclassified TypeError from frombuffer(None)
-                    raise ValueError("RIFF payload has no data chunk")
+                # (shared typed-failure walk — see _riff_data_chunk)
+                data = _riff_data_chunk(raw)
                 v = np.frombuffer(data, dtype="<i2").astype(np.int64)
                 e = (v.reshape(-1, 2) ** 2).sum(axis=1)
                 bits = (e[1:] > e[:-1]).astype(np.int64)

@@ -1064,8 +1064,10 @@ def test_ivfadc_scaled_trained_declared_recall_on_fixture(spark, sf_dir):
     and assert the declared band-verdict booleans agree at the 0.6
     floor.  Measured: min 0.8 / mean 0.88-0.92 across all three
     fixture scales (k=23/np=6 at ~500 vectors, k=45/np=12 at ~2000);
-    floors leave a regeneration margin."""
-    import math
+    floors leave a regeneration margin.  The geometry comes from the
+    SHARED _scaled_ivfadc_geometry helper (r16 review: a copy-pasted
+    formula here would silently certify a stale geometry after any
+    future clamp change)."""
     from collections import defaultdict
 
     from data_eng_iceberg_demo_spark.operators import llm
@@ -1077,9 +1079,7 @@ def test_ivfadc_scaled_trained_declared_recall_on_fixture(spark, sf_dir):
         ex[r["qid"]].add(r["cid"])
     raw = llm._pq_raw(spark, sf_dir)
     n = raw.count()
-    k = min(max(16, math.isqrt(n - 1) + 1), n, 65536 // 40)
-    sample_n = min(max(2048, 40 * k), 65536)
-    nprobe = max(4, -(-k // 4))
+    k, sample_n, nprobe = llm._scaled_ivfadc_geometry(n)
     for r in llm.llm_similarity_ivfadc(
             spark, sf_dir,
             centroids=llm.ivfadc_trained_centroids(raw, k=k,
