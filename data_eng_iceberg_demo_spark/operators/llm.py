@@ -6748,9 +6748,17 @@ def _scaled_ivfadc_geometry(n: int):
     4-probe FLOOR means the documented ~quarter scan fraction holds for
     k >= 16 and deliberately widens on sub-16-cell corpora (probing
     under 4 of <16 arbitrary Voronoi shards has no recall guarantee;
-    the cell-count clamp inside llm_similarity_ivfadc bounds it)."""
+    the cell-count clamp inside llm_similarity_ivfadc bounds it).
+
+    Precondition n >= 1 — callers route the empty corpus to the
+    trained form's empty verdict BEFORE computing a geometry (r16
+    review: fail typed here rather than as math.isqrt's opaque
+    domain error for any future caller that forgets the guard)."""
     import math
 
+    if n < 1:
+        raise ValueError("scaled IVFADC geometry needs n >= 1 "
+                         "(empty corpus handled by the caller)")
     train_cap = 65536
     k = min(max(16, math.isqrt(n - 1) + 1), n, train_cap // 40)
     sample_n = min(max(2048, 40 * k), train_cap)

@@ -22,6 +22,8 @@ so pruning/filtering happens on cheap typed columns without touching bytes.
 
 from __future__ import annotations
 
+import struct
+
 import pandas as pd
 import pyspark.sql.functions as F
 
@@ -886,17 +888,25 @@ def _riff_data_chunk(raw: bytes) -> bytes:
     definition the audio kernels share (r16 review: llm_audio_vad and
     llm_audio_fingerprint_dedup carried verbatim copies of this walk,
     so a bounds fix would have had to land twice).  Raises the
-    classified ValueError when no data chunk exists: unreachable from
-    the stdlib wave writer, but a generator change must fail typed,
-    not as frombuffer(None)'s TypeError (r15 advisor)."""
-    import struct
-
+    classified ValueError when no data chunk exists OR a chunk is
+    shorter than its declared size (decode_wav's truncation rule —
+    without it an even-length cut inside the data chunk fingerprints
+    'ok' with silently wrong bits): unreachable from the stdlib wave
+    writer, but a generator change must fail typed, not as
+    frombuffer(None)'s TypeError (r15 advisor; r16 review unified the
+    truncation semantics across both walks).  struct comes from module
+    scope — this runs per document inside the hot mapInPandas loops, so
+    a per-call import would be a per-row sys.modules lookup."""
     pos, data = 12, None
     while pos + 8 <= len(raw):
         cid = raw[pos:pos + 4]
         size = struct.unpack_from("<I", raw, pos + 4)[0]
+        body = raw[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk: "
+                             f"{len(body)} of {size} bytes")
         if cid == b"data":
-            data = raw[pos + 8:pos + 8 + size]
+            data = body
         pos += 8 + size + (size & 1)
     if data is None:
         raise ValueError("RIFF payload has no data chunk")

@@ -135,6 +135,54 @@ def test_wav_odd_length_data_chunk_is_classified_corrupt():
     assert err == "corrupt", (res, err)
 
 
+def test_riff_data_chunk_walk_fails_typed():
+    """r16 review: the shared audio-kernel chunk walk
+    (_riff_data_chunk) must keep BOTH typed-failure arms — missing
+    data chunk AND decode_wav's truncated-chunk rule (a data chunk
+    sliced short on a 4-byte boundary would otherwise fingerprint
+    'ok' with silently wrong bits)."""
+    import struct
+
+    from data_eng_iceberg_demo_spark.operators.multimodal import (
+        _riff_data_chunk, encode_wav_gained)
+
+    good = encode_wav_gained(7)
+    data = _riff_data_chunk(good)
+    assert len(data) >= 2 and len(data) % 2 == 0
+    # arm 1: data chunk renamed away -> "no data chunk"
+    renamed = good.replace(b"data", b"datx", 1)
+    with pytest.raises(ValueError, match="no data chunk"):
+        _riff_data_chunk(renamed)
+    # arm 2: buffer cut INSIDE the data chunk (4-byte-aligned cut so
+    # a reshape(-1, 2) downstream would succeed) -> "truncated"
+    with pytest.raises(ValueError, match="truncated"):
+        _riff_data_chunk(good[:len(good) - 4])
+    # arm 3: declared size inflated past the buffer -> "truncated"
+    buf = bytearray(good)
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = bytes(buf[pos:pos + 4])
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        if cid == b"data":
+            struct.pack_into("<I", buf, pos + 4, size + 8)
+            break
+        pos += 8 + size + (size & 1)
+    with pytest.raises(ValueError, match="truncated"):
+        _riff_data_chunk(bytes(buf))
+
+
+def test_scaled_ivfadc_geometry_rejects_empty_corpus():
+    """r16 review: the shared geometry helper fails typed on n=0
+    instead of surfacing math.isqrt's opaque domain error — the empty
+    corpus is the CALLER's branch (trained form's empty verdict)."""
+    from data_eng_iceberg_demo_spark.operators.llm import (
+        _scaled_ivfadc_geometry)
+
+    assert _scaled_ivfadc_geometry(1) == (1, 2048, 4)  # k clamps to n
+    with pytest.raises(ValueError, match="n >= 1"):
+        _scaled_ivfadc_geometry(0)
+
+
 def test_audio_sample_synthesis_matches_scalar_reference():
     """r16 (r15 verdict task 4): the audio kernel's vectorized md5
     sample synthesis (one joined digest matrix + np.frombuffer) must
