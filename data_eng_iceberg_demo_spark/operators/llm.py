@@ -1103,6 +1103,43 @@ _CLUSTER_EDGE_CTE = """
 """
 
 
+def _min_label_propagation(bidir, max_iter: int):
+    """Iterative min-label connected components over a (src, dst)
+    bidirectional edge frame the CALLER has already localCheckpointed:
+    each round every node takes the min of its own label and its
+    neighbors'; rounds = graph diameter (tiny for dup clusters — they
+    are near-cliques).  Returns (node, lbl) for every node with at
+    least one edge; isolated nodes are the caller's closing left-join.
+
+    Extracted r16 so llm_dedup_clusters (shingle-Jaccard edges) and
+    llm_dedup_embedding_lsh_canonical (embedding-cosine edges) share
+    the ONE loop — the convergence rule (labels are monotone
+    non-increasing, so the label SUM strictly decreases until the
+    fixpoint; an O(1)-output aggregate detects it without joining old
+    labels against new) must never drift between edge domains.  The
+    caller owns session isolation and the 8-partition loop conf."""
+    nodes = bidir.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    prev_cached = None
+    prev_sum = None
+    for _ in range(max_iter):
+        neigh = (bidir.join(labels, bidir.src == labels.node)
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.min("lbl").alias("nlbl")))
+        new_labels = (labels.join(neigh, "node", "left")
+                      .select("node",
+                              F.least("lbl", F.coalesce("nlbl", "lbl"))
+                              .alias("lbl"))).cache()
+        cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 @register(
     "llm_dedup_clusters",
     oracle=f"""
@@ -1164,28 +1201,8 @@ def llm_dedup_clusters(spark, d, max_iter: int = 20):
     # loop runs on the dup SUBGRAPH (a sliver of the corpus at 100 TB);
     # every isolated doc is its own canonical id, attached at the end
     # with one left join, outside the iteration entirely.
-    nodes = bidir.select(F.col("src").alias("doc_id")).distinct()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("lbl"))
-    prev_cached = None
-    prev_sum = None
-    for _ in range(max_iter):
-        neigh = (bidir.join(labels, bidir.src == labels.doc_id)
-                 .groupBy(F.col("dst").alias("doc_id"))
-                 .agg(F.min("lbl").alias("nlbl")))
-        new_labels = (labels.join(neigh, "doc_id", "left")
-                      .select("doc_id",
-                              F.least("lbl", F.coalesce("nlbl", "lbl"))
-                              .alias("lbl"))).cache()
-        # labels are monotone non-increasing, so the label sum strictly
-        # decreases until the fixpoint — an O(1)-output aggregate detects
-        # convergence without joining old labels against new ones
-        cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    labels = (_min_label_propagation(bidir, max_iter)
+              .withColumnRenamed("node", "doc_id"))
     # (bidir's checkpoint blocks free when the frame goes out of scope)
     # the closing attach join is corpus-sized — give it the caller's
     # full parallelism, not the loop's 8 label partitions (iso is
@@ -4839,8 +4856,12 @@ def llm_pipeline_end_to_end(spark, d):
             .unionByName(_stage(tr, "e_train")))
 
 
-_DEDUP_LSH_ORACLE = f"""
-    WITH nz AS (
+# the CTE chain shared by llm_dedup_embedding_lsh (pair output) and
+# llm_dedup_embedding_lsh_canonical (connected-components output): the
+# oracle replay of bucketing, Hamming-1 probing, candidate generation
+# and exact-cosine verification — ONE definition so the two replays can
+# never drift (r16).
+_DEDUP_LSH_CTES = f"""nz AS (
         SELECT vec_id, embedding FROM embeddings
         WHERE embedding IS NOT NULL
           AND len(list_filter(embedding, x -> x <> 0)) > 0
@@ -4877,7 +4898,10 @@ _DEDUP_LSH_ORACLE = f"""
                sum(CAST(ae[i] AS DOUBLE) * CAST(ae[i] AS DOUBLE)) AS aa,
                sum(CAST(be[i] AS DOUBLE) * CAST(be[i] AS DOUBLE)) AS bb
         FROM pos GROUP BY va, vb
-    )
+    )"""
+
+_DEDUP_LSH_ORACLE = f"""
+    WITH {_DEDUP_LSH_CTES}
     SELECT va AS vec_a, vb AS vec_b,
            round(dot / (sqrt(aa) * sqrt(bb)), 4) + 0 AS cosine
     FROM dots
@@ -5041,6 +5065,83 @@ def llm_dedup_embedding_lsh(spark, d, threshold: float = 0.45):
                      F.count(F.when(F.col("star"), 1))
                       .alias("star_pairs_kept"))
             .drop("star"))
+
+
+@register(
+    "llm_dedup_embedding_lsh_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_DEDUP_LSH_CTES},
+    pairs AS (
+        SELECT va, vb FROM dots
+        WHERE round(dot / (sqrt(aa) * sqrt(bb)), 4) >= 0.45
+    ),
+    bidir AS (
+        SELECT va AS src, vb AS dst FROM pairs
+        UNION ALL SELECT vb, va FROM pairs
+    ),
+    walk(node, lbl) AS (
+        SELECT vec_id, vec_id FROM nz
+        UNION
+        SELECT b.dst, w.lbl FROM walk w JOIN bidir b ON b.src = w.node
+        WHERE w.lbl < b.dst
+    )
+    SELECT node AS vec_id, min(lbl) AS canonical_id,
+           CAST(min(lbl) <> node AS BOOLEAN) AS is_duplicate
+    FROM walk GROUP BY node
+    """,
+)
+def llm_dedup_embedding_lsh_canonical(spark, d, max_iter: int = 20):
+    """LINEAR-OUTPUT embedding dedup at LSH scale: the LSH-verified
+    cosine pairs collapsed to a (vec_id, canonical_id) keep/drop
+    mapping via connected components — O(vectors) output regardless of
+    how mass-duplicated the corpus is.  This is the query the r16 100x
+    rehearsal receipt names as the production path for replica-heavy
+    corpora: llm_dedup_embedding_lsh's pair output is quadratic in
+    clone-chain length BY SEMANTICS (~5.6M true pairs at 100x staged
+    clones), while this canonical mapping stays one row per vector no
+    matter what.  Composition of two certified pieces — the emb-LSH
+    edge build (bucketing + Hamming-1 probing + exact verify, ONE
+    shared CTE replay `_DEDUP_LSH_CTES`) and the min-label propagation
+    loop shared with llm_dedup_clusters (`_min_label_propagation`).
+
+    Scale shape: the edge build is the emb-LSH plan verbatim
+    (equi-self-join on (t, bucket), hot-bucket star guard, vectorized
+    verify) and localCheckpoints once so each CC round scans a short
+    in-storage frame; the loop runs on the dup SUBGRAPH only (isolated
+    vectors never enter it — attached by ONE closing left join), one
+    8-partition shuffle per round on frames that are O(dup vectors);
+    rounds = cluster diameter, and the star guard keeps hot buckets'
+    edges star-shaped (diameter 2) so mass-dup corpora CONVERGE FASTER.
+    The loop runs in a dedicated child session (own SQLConf) so the
+    caller's shuffle-partition conf is never touched."""
+    from ..session import ensure_session_defaults
+
+    caller_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    iso = spark.newSession()
+    ensure_session_defaults(iso)
+    spark = iso
+    edges = llm_dedup_embedding_lsh(spark, d).select("vec_a", "vec_b")
+    bidir = (edges.select(F.col("vec_a").alias("src"),
+                          F.col("vec_b").alias("dst"))
+             .unionByName(
+                 edges.select(F.col("vec_b").alias("src"),
+                              F.col("vec_a").alias("dst")))
+             ).localCheckpoint(eager=True)
+    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    labels = (_min_label_propagation(bidir, max_iter)
+              .withColumnRenamed("node", "vec_id"))
+    iso.conf.set("spark.sql.shuffle.partitions", caller_parts)
+    nz = (T(spark, d, "embeddings")
+          .select("vec_id",
+                  F.col("embedding").cast("array<double>").alias("e"))
+          .filter(F.col("e").isNotNull())
+          .filter(F.exists("e", lambda x: x != 0))
+          .select("vec_id"))
+    return (nz.join(labels, "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce("lbl", "vec_id").alias("canonical_id"),
+                    (F.coalesce("lbl", "vec_id") != F.col("vec_id"))
+                    .alias("is_duplicate")))
 
 
 @register(

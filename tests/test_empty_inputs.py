@@ -24,7 +24,7 @@ _TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 SAMPLE = [
     "llm_dedup_exact", "llm_dedup_near", "llm_dedup_minhash",
     "llm_dedup_simhash", "llm_dedup_embedding", "llm_dedup_clusters",
-    "llm_dedup_keep_best",
+    "llm_dedup_keep_best", "llm_dedup_embedding_lsh_canonical",
     "llm_similarity_topk", "llm_similarity_lsh", "llm_similarity_ivf",
     "llm_text_stats", "llm_tfidf_terms", "llm_bm25_topk",
     "llm_repetition_filter", "llm_bpe_pair_counts", "llm_dedup_cross_source",
@@ -285,7 +285,7 @@ def skew_sf_dir(tmp_path_factory, sf_dir):
 SKEW_SAMPLE = [
     "llm_dedup_exact", "llm_dedup_near", "llm_dedup_minhash",
     "llm_dedup_simhash", "llm_dedup_embedding", "llm_dedup_clusters",
-    "llm_dedup_keep_best",
+    "llm_dedup_keep_best", "llm_dedup_embedding_lsh_canonical",
     "llm_dedup_cross_source", "llm_line_dedup", "llm_similarity_lsh",
     "llm_similarity_ivf", "llm_substring_dedup", "llm_similarity_funnel",
     "llm_perplexity_bucket", "events_rollup_ohlc",

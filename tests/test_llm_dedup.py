@@ -498,6 +498,48 @@ def test_embedding_lsh_mixed_hot_bucket_failed_star_pairs_counted(
     assert star_cand > star_kept, (star_cand, star_kept)
 
 
+def test_embedding_lsh_canonical_matches_union_find(spark, sf_dir):
+    """llm_dedup_embedding_lsh_canonical must equal an INDEPENDENT
+    union-find over llm_dedup_embedding_lsh's verified pairs (the
+    DuckDB oracle replays the same composition in SQL; this pins it
+    against a third, loop-free implementation) — and the mass-dup
+    invariant the query exists for: output is exactly one row per
+    non-null nonzero vector, however duplicated the corpus."""
+    from data_eng_iceberg_demo_spark.operators import llm
+    from data_eng_iceberg_demo_spark.operators._util import T
+    import pyspark.sql.functions as F
+
+    pairs = [(r["vec_a"], r["vec_b"]) for r in
+             llm.llm_dedup_embedding_lsh(spark, sf_dir).collect()]
+    got = {r["vec_id"]: (r["canonical_id"], r["is_duplicate"]) for r in
+           llm.llm_dedup_embedding_lsh_canonical(spark, sf_dir).collect()}
+
+    nz = [r["vec_id"] for r in
+          (T(spark, sf_dir, "embeddings")
+           .filter(F.col("embedding").isNotNull()
+                   & F.exists(F.col("embedding").cast("array<double>"),
+                              lambda x: x != 0))
+           .select("vec_id").collect())]
+    parent = {v: v for v in nz}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for v in nz:
+        c = find(v)
+        want[v] = (c, c != v)
+    assert got == want
+    assert len(got) == len(nz)  # one row per vector, mass-dup-proof
+
+
 def test_line_dedup_report_is_internally_consistent(spark, sf_dir):
     """llm_line_dedup's per-doc report must reconcile with the raw
     corpus: every doc appears once, token totals add up (kept tokens ==
