@@ -540,6 +540,33 @@ def test_embedding_lsh_canonical_matches_union_find(spark, sf_dir):
     assert len(got) == len(nz)  # one row per vector, mass-dup-proof
 
 
+def test_min_label_propagation_converges_on_long_path(spark):
+    """r16: the shared CC loop must label a duplicate CHAIN whose
+    diameter exceeds max_iter — the drifted re-crawl shape where only
+    near neighbors pass the similarity threshold (a path graph; the
+    100x staged corpus measured exactly this chain structure).  Plain
+    neighbor-min propagation needs diameter rounds and would have
+    EXITED max_iter=20 with silently wrong labels on this 400-node
+    path; the pointer-jumping shortcut covers diameter ~2^max_iter.
+    Also pins the typed non-convergence contract: max_iter too small
+    must RAISE, never return wrong labels."""
+    import pytest as _pytest
+
+    from data_eng_iceberg_demo_spark.operators import llm
+
+    n = 400  # path 0-1-2-...-399: diameter 399 >> 20 rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long")
+    bidir = (edges.selectExpr("a AS src", "b AS dst")
+             .unionByName(edges.selectExpr("b AS src", "a AS dst"))
+             .localCheckpoint(eager=True))
+    labels = {r["node"]: r["lbl"]
+              for r in llm._min_label_propagation(bidir, 20).collect()}
+    assert labels == {i: 0 for i in range(n)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        llm._min_label_propagation(bidir, 2).collect()
+
+
 def test_line_dedup_report_is_internally_consistent(spark, sf_dir):
     """llm_line_dedup's per-doc report must reconcile with the raw
     corpus: every doc appears once, token totals add up (kept tokens ==
