@@ -1103,6 +1103,19 @@ _CLUSTER_EDGE_CTE = """
 """
 
 
+def _cc_loop_partitions(bidir, caller_parts) -> str:
+    """Size the CC loop's shuffle partitions from the MATERIALIZED
+    edge count (the count is free — callers localCheckpoint bidir
+    first): dup subgraphs are tiny on healthy corpora, where a small
+    floor bounds per-round task overhead, but a mass-dup corpus makes
+    the edge frame the round's real payload (r16 100x probe: 11.2M
+    directed edges ran 4x core-starved at the previously pinned 8).
+    One partition per ~500k edges, never below 8, never above the
+    caller's own conf."""
+    n_edges = bidir.count()
+    return str(max(8, min(int(caller_parts), n_edges // 500_000 + 1)))
+
+
 def _min_label_propagation(bidir, max_iter: int):
     """Iterative min-label connected components over a (src, dst)
     bidirectional edge frame the CALLER has already localCheckpointed:
@@ -1239,7 +1252,8 @@ def llm_dedup_clusters(spark, d, max_iter: int = 20):
                  edges.select(F.col("doc_b").alias("src"),
                               F.col("doc_a").alias("dst")))
              ).localCheckpoint(eager=True)
-    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    iso.conf.set("spark.sql.shuffle.partitions",
+                 _cc_loop_partitions(bidir, caller_parts))
 
     # only nodes with at least one dup edge can ever change label — the
     # loop runs on the dup SUBGRAPH (a sliver of the corpus at 100 TB);
@@ -5171,7 +5185,8 @@ def llm_dedup_embedding_lsh_canonical(spark, d, max_iter: int = 20):
                  edges.select(F.col("vec_b").alias("src"),
                               F.col("vec_a").alias("dst")))
              ).localCheckpoint(eager=True)
-    iso.conf.set("spark.sql.shuffle.partitions", "8")
+    iso.conf.set("spark.sql.shuffle.partitions",
+                 _cc_loop_partitions(bidir, caller_parts))
     labels = (_min_label_propagation(bidir, max_iter)
               .withColumnRenamed("node", "vec_id"))
     iso.conf.set("spark.sql.shuffle.partitions", caller_parts)
