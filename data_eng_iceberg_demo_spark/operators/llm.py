@@ -1110,10 +1110,11 @@ def _cc_loop_partitions(bidir, caller_parts) -> str:
     floor bounds per-round task overhead, but a mass-dup corpus makes
     the edge frame the round's real payload (r16 100x probe: 11.2M
     directed edges ran 4x core-starved at the previously pinned 8).
-    One partition per ~500k edges, never below 8, never above the
-    caller's own conf."""
+    One partition per ~500k edges, floor 8, never above the caller's
+    own conf (the caller cap WINS over the floor — a deliberately tiny
+    session must not be out-parallelized by the loop)."""
     n_edges = bidir.count()
-    return str(max(8, min(int(caller_parts), n_edges // 500_000 + 1)))
+    return str(min(int(caller_parts), max(8, n_edges // 500_000 + 1)))
 
 
 def _min_label_propagation(bidir, max_iter: int):
@@ -1238,6 +1239,12 @@ def llm_dedup_clusters(spark, d, max_iter: int = 20):
     caller_parts = spark.conf.get("spark.sql.shuffle.partitions")
     iso = spark.newSession()
     ensure_session_defaults(iso)
+    # newSession's fresh SQLConf falls back to the CONTEXT-level value,
+    # not the caller's runtime conf — carry the caller's setting over
+    # explicitly or a runtime-tuned session (conf.set(..., "2000") on a
+    # big run) would see its corpus-sized edge build silently
+    # under-parallelized at the context default (r16 review)
+    iso.conf.set("spark.sql.shuffle.partitions", caller_parts)
     spark = iso
     docs = T(spark, d, "documents").select("doc_id")
     # the edge BUILD is corpus-sized — it runs at the caller's full
@@ -5171,12 +5178,26 @@ def llm_dedup_embedding_lsh_canonical(spark, d, max_iter: int = 20):
     rounds = cluster diameter, and the star guard keeps hot buckets'
     edges star-shaped (diameter 2) so mass-dup corpora CONVERGE FASTER.
     The loop runs in a dedicated child session (own SQLConf) so the
-    caller's shuffle-partition conf is never touched."""
+    caller's shuffle-partition conf is never touched.
+
+    Oracle scope (r16 review): the SQL replay generates the GUARD-FREE
+    candidate set — like llm_dedup_embedding_lsh's own oracle — so the
+    hash contract rests on the cap never firing on the driver fixtures
+    (starred_hot_buckets == 0, pinned for THIS op in
+    tests/test_llm_dedup.py's union-find test, not just for the pair
+    op).  When the cap fires on a real mass-dup corpus the mixed-bucket
+    edge loss documented on llm_dedup_embedding_lsh applies at CLUSTER
+    granularity here (a dropped spoke-spoke edge can split a
+    component); the star counters make it observable per run."""
     from ..session import ensure_session_defaults
 
     caller_parts = spark.conf.get("spark.sql.shuffle.partitions")
     iso = spark.newSession()
     ensure_session_defaults(iso)
+    # carry the caller's runtime conf into the fresh SQLConf — the
+    # corpus-sized edge build must run at the caller's parallelism,
+    # not the context default (r16 review; the llm_dedup_clusters fix)
+    iso.conf.set("spark.sql.shuffle.partitions", caller_parts)
     spark = iso
     edges = llm_dedup_embedding_lsh(spark, d).select("vec_a", "vec_b")
     bidir = (edges.select(F.col("vec_a").alias("src"),

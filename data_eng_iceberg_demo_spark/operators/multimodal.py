@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 
@@ -254,7 +255,6 @@ def encode_bmp(doc_id: int, width: int = 6, height: int = 4) -> bytes:
     (BITMAPINFOHEADER) whose pixels derive deterministically from doc_id.
     Width 6 makes the row stride (18 bytes) pad to 20 — so a decoder
     that ignores BMP's 4-byte row alignment reads garbage."""
-    import struct
 
     stride = (width * 3 + 3) // 4 * 4
     header = struct.pack("<2sIHHI", b"BM", 54 + stride * height, 0, 0, 54)
@@ -278,7 +278,6 @@ def decode_bmp(buf: bytes):
     dimensions, bpp, 4-byte row stride, bottom-up row order, BGR channel
     order.  Returns (width, height, bpp, sum_r, sum_g, sum_b,
     top_left_b)."""
-    import struct
 
     if buf[:2] != b"BM":
         raise BadMagic("not a BMP payload")
@@ -299,7 +298,6 @@ def decode_bmp(buf: bytes):
     # reshape computes the identical sums (stride padding sliced off
     # BEFORE summing, exactly like the walk skipped it).  int64
     # accumulators: a 2^31-pixel image would overflow int32 sums.
-    import numpy as np
 
     ah = abs(height)
     if width == 0 or ah == 0:
@@ -421,7 +419,6 @@ def encode_wav(doc_id: int, n_samples: int = 64, rate: int = 8000) -> bytes:
     (-2048..2047), so a decoder that reads them unsigned or big-endian
     gets wildly different sums."""
     import io
-    import struct
     import wave
 
     buf = io.BytesIO()
@@ -442,7 +439,6 @@ def decode_wav(buf: bytes):
     rate, bits), data chunk of little-endian int16 frames.  Returns
     (n_channels, rate, bits, n_samples, sum_samples, sum_abs, peak,
     first_sample)."""
-    import struct
 
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise BadMagic("not a RIFF/WAVE payload")
@@ -477,7 +473,6 @@ def decode_wav(buf: bytes):
     # np.frombuffer view computes identical integer stats.  int64
     # BEFORE abs: |int16 -32768| overflows int16, and a long capture's
     # sum overflows int32.
-    import numpy as np
 
     if len(data) % 2:
         # the replaced struct.unpack(f"<{n}h") raised on an odd-length
@@ -866,7 +861,6 @@ def encode_wav_gained(doc_id: int, n_windows: int = 8,
     ``(d*7 + w*13) % 4`` — gain 0 windows are true digital silence, so
     an energy detector has real speech/silence structure to find."""
     import io
-    import struct
     import wave
 
     buf = io.BytesIO()
@@ -1362,7 +1356,6 @@ def try_decode(decoder, buf: bytes):
     microseconds instead of stalling an executor); the hypothesis sweep
     in tests/test_multimodal_corruption.py drives random truncations
     and bit flips through every codec to hold exactly this contract."""
-    import struct
 
     try:
         return decoder(buf), None
@@ -1431,7 +1424,6 @@ def llm_multimodal_decode_quarantine(spark, d):
     ValueError in a million-row batch would otherwise retry-loop the
     whole task (4 attempts, then job death) — the quarantine column
     turns poison rows into a filterable audit trail instead."""
-    import struct
 
     def encode_and_corrupt(batches):
         for pdf in batches:

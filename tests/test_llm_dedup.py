@@ -513,6 +513,12 @@ def test_embedding_lsh_canonical_matches_union_find(spark, sf_dir):
              llm.llm_dedup_embedding_lsh(spark, sf_dir).collect()]
     got = {r["vec_id"]: (r["canonical_id"], r["is_duplicate"]) for r in
            llm.llm_dedup_embedding_lsh_canonical(spark, sf_dir).collect()}
+    # the canonical oracle replays the GUARD-FREE candidate set, so its
+    # hash contract rests on the star cap never firing on the fixture —
+    # pin it for THIS op's run, not just the pair op's (r16 review; a
+    # dropped spoke-spoke edge splits components, not just pair rows)
+    el = llm.DEDUP_OBSERVATIONS["llm_dedup_embedding_lsh"].get
+    assert el["starred_hot_buckets"] == 0, el
 
     nz = [r["vec_id"] for r in
           (T(spark, sf_dir, "embeddings")
@@ -538,6 +544,23 @@ def test_embedding_lsh_canonical_matches_union_find(spark, sf_dir):
         want[v] = (c, c != v)
     assert got == want
     assert len(got) == len(nz)  # one row per vector, mass-dup-proof
+
+
+def test_scaled_ivfadc_geometry_rejects_empty_corpus():
+    """r16 review: the shared geometry helper fails typed on n=0
+    instead of surfacing math.isqrt's opaque domain error — the empty
+    corpus is the CALLER's branch (trained form's empty verdict).
+    Lives here next to the geometry recall pin the helper's docstring
+    cites (moved out of the multimodal corruption module, r16 review
+    finding 5)."""
+    import pytest as _pytest
+
+    from data_eng_iceberg_demo_spark.operators.llm import (
+        _scaled_ivfadc_geometry)
+
+    assert _scaled_ivfadc_geometry(1) == (1, 2048, 4)  # k clamps to n
+    with _pytest.raises(ValueError, match="n >= 1"):
+        _scaled_ivfadc_geometry(0)
 
 
 def test_min_label_propagation_converges_on_long_path(spark):

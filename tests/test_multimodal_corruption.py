@@ -171,18 +171,6 @@ def test_riff_data_chunk_walk_fails_typed():
         _riff_data_chunk(bytes(buf))
 
 
-def test_scaled_ivfadc_geometry_rejects_empty_corpus():
-    """r16 review: the shared geometry helper fails typed on n=0
-    instead of surfacing math.isqrt's opaque domain error — the empty
-    corpus is the CALLER's branch (trained form's empty verdict)."""
-    from data_eng_iceberg_demo_spark.operators.llm import (
-        _scaled_ivfadc_geometry)
-
-    assert _scaled_ivfadc_geometry(1) == (1, 2048, 4)  # k clamps to n
-    with pytest.raises(ValueError, match="n >= 1"):
-        _scaled_ivfadc_geometry(0)
-
-
 def test_audio_sample_synthesis_matches_scalar_reference():
     """r16 (r15 verdict task 4): the audio kernel's vectorized md5
     sample synthesis (one joined digest matrix + np.frombuffer) must
