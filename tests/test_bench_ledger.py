@@ -52,6 +52,13 @@ def test_cores_probe_returns_calibration_yardstick():
     from bench import host_effective_cores
 
     cores, calib = host_effective_cores(n=2)
+    if cores <= 0.5:
+        # The probe measures the HOST, not the code: a cold first call
+        # (process-pool spawn + numpy import not yet in page cache) or a
+        # transiently saturated box can legitimately read <= 0.5 with
+        # n=2 (observed 0.5 exactly at suite start on a fresh boot,
+        # r16).  One retry separates a broken probe from a busy host.
+        cores, calib = host_effective_cores(n=2)
     assert cores > 0.5, cores
     assert 0.001 < calib < 30.0, calib
 
