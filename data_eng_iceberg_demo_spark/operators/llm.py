@@ -38,6 +38,21 @@ DEDUP_DF_CAP = 64
 DEDUP_OBSERVATIONS: dict[str, Observation] = {}
 
 
+def _shingle_array():
+    """Distinct 3-gram shingle array over the tokenized column ``w`` —
+    the ONE definition the shingle-dedup family (near / minhash /
+    containment) derives both its exploded posting rows AND its per-doc
+    shingle counts from.  Counting via size() of this array is a narrow
+    map; the previous per-query ``sh.groupBy(doc_id).count()`` re-ran
+    the explode subtree and shuffled every shingle string a second time
+    just to count distinct shingles per doc (r16 optimization round)."""
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size("w") - 3),
+        lambda i: F.concat_ws(" ", F.element_at(F.col("w"), i + 1),
+                              F.element_at(F.col("w"), i + 2),
+                              F.element_at(F.col("w"), i + 3))))
+
+
 @register(
     "llm_dedup_exact",
     oracle="""
@@ -98,15 +113,26 @@ def llm_dedup_near(spark, d):
     DEDUP_OBSERVATIONS['llm_dedup_near'].  Scale path: llm_dedup_minhash."""
     docs = T(spark, d, "documents").select("doc_id", F.split("text", " ").alias("w"))
     docs = docs.filter(F.size("w") >= 3)
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.transform(
-            F.sequence(F.lit(0), F.size("w") - 3),
-            lambda i: F.concat_ws(" ", F.element_at(F.col("w"), i + 1),
-                                  F.element_at(F.col("w"), i + 2),
-                                  F.element_at(F.col("w"), i + 3)),
-        ))).alias("shingle"))
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # the shingle array stays INLINE in both consumers: staging it as a
+    # column and exploding the reference triggers InferFiltersFromGenerate
+    # + pushdown, which re-materializes the WHOLE array expression inside
+    # a pre-projection filter where split(text) re-evaluates per lambda
+    # element — measured 9x slower (r16 optimization round)
+    sh = docs.select("doc_id", F.explode(_shingle_array()).alias("shingle"))
+    # per-doc shingle count as a NARROW map (size of the distinct-shingle
+    # array), not an aggregate over the exploded rows: the old
+    # sh.groupBy(doc_id).count() re-executed the explode subtree and
+    # shuffled every shingle string a second time just to count them —
+    # the exchange now carries 16 bytes/doc instead of the doc's shingle
+    # strings (r16 optimization round).  The groupBy over the unique
+    # doc_id looks redundant but is LOAD-BEARING: without an aggregate
+    # boundary, the downstream jaccard filter's inferred isnotnull(n)
+    # pushes below the projection and re-materializes the whole shingle
+    # expression over raw split(text) — per-lambda-element re-splitting,
+    # measured 2x the query (plan audit in OPTIMIZATION_r16.md).
+    cnt = (docs.select("doc_id",
+                       F.size(_shingle_array()).cast("bigint").alias("n0"))
+           .groupBy("doc_id").agg(F.max("n0").alias("n")))
     # inverted-index pair generation with ONE shuffle: posting lists per
     # shingle (df==1 postings — most of a real corpus — drop before any
     # pair exists), then a narrow in-place expansion of each list's
@@ -200,14 +226,16 @@ def llm_dedup_minhash(spark, d, n_hashes: int = 6):
     docs = T(spark, d, "documents").select(
         "doc_id", F.split("text", " ").alias("w"))
     docs = docs.filter(F.size("w") >= 3)
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.transform(
-            F.sequence(F.lit(0), F.size("w") - 3),
-            lambda i: F.concat_ws(" ", F.element_at(F.col("w"), i + 1),
-                                  F.element_at(F.col("w"), i + 2),
-                                  F.element_at(F.col("w"), i + 3)),
-        ))).alias("s"))
+    sh = docs.select("doc_id", F.explode(_shingle_array()).alias("s"))
+    # Signatures stay the ONE-shuffle aggregate over the exploded
+    # shingles.  The r16 optimization round probed a zero-shuffle narrow
+    # form (array_min over xxhash64-transformed shingle arrays) and
+    # REJECTED it: higher-order functions evaluate interpreted (no
+    # whole-stage codegen, no subexpression elimination), so the
+    # n_hashes+1 projections rebuilt the shingle array 7x per row —
+    # measured 1.7x slower than this aggregate at fixture scale, and the
+    # verify stage below re-shuffles the shingle strings anyway, so the
+    # narrow form saves no scan and only one of two string exchanges.
     sigs = sh.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
           for i in range(n_hashes)],
@@ -1103,18 +1131,38 @@ _CLUSTER_EDGE_CTE = """
 """
 
 
-def _cc_loop_partitions(bidir, caller_parts) -> str:
+def _cc_loop_partitions(n_edges: int, caller_parts) -> str:
     """Size the CC loop's shuffle partitions from the MATERIALIZED
-    edge count (the count is free — callers localCheckpoint bidir
-    first): dup subgraphs are tiny on healthy corpora, where a small
+    edge count: dup subgraphs are tiny on healthy corpora, where a small
     floor bounds per-round task overhead, but a mass-dup corpus makes
     the edge frame the round's real payload (r16 100x probe: 11.2M
     directed edges ran 4x core-starved at the previously pinned 8).
     One partition per ~500k edges, floor 8, never above the caller's
     own conf (the caller cap WINS over the floor — a deliberately tiny
     session must not be out-parallelized by the loop)."""
-    n_edges = bidir.count()
     return str(min(int(caller_parts), max(8, n_edges // 500_000 + 1)))
+
+
+def _cc_bidir(edges):
+    """Materialize the DIRECTED dup-pair frame once and derive the
+    bidirectional edge frame from the checkpointed blocks with two
+    narrow selects.  The previous form unioned two selects over the
+    LAZY edge plan and localCheckpointed the union — executing the
+    whole edge build (inverted-index / LSH candidate join + verify)
+    TWICE for one materialization (r16 optimization round: the plan
+    showed the verify subtree duplicated under Union; only the
+    candidate-join exchanges were reused).  Checkpointing the directed
+    pairs halves the edge build at every scale — what the loop iterates
+    is O(dup pairs) either way, and the two direction selects are
+    narrow maps over the checkpoint blocks.  Returns
+    ``(bidir, directed_edge_count)``; the count is a cheap
+    checkpoint-block scan the callers feed to _cc_loop_partitions."""
+    a, b = edges.columns
+    ck = edges.localCheckpoint(eager=True)
+    bidir = (ck.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+             .unionByName(
+                 ck.select(F.col(b).alias("src"), F.col(a).alias("dst"))))
+    return bidir, ck.count() * 2
 
 
 def _min_label_propagation(bidir, max_iter: int):
@@ -1139,10 +1187,15 @@ def _min_label_propagation(bidir, max_iter: int):
     diameter rounds, so a duplicate CHAIN longer than max_iter (drifted
     re-crawls where only near neighbors pass the threshold — a path
     graph, measured on the r16 100x staged corpus) would previously
-    exit the loop with silently wrong labels; with the shortcut,
-    max_iter=20 covers diameter ~2^20.  If the sum STILL has not
-    reached its fixpoint after max_iter rounds the loop now fails
-    typed (RuntimeError) instead of returning a wrong answer."""
+    exit the loop with silently wrong labels.  The jump engages from
+    the THIRD round only (r16 optimization round): dup graphs are
+    near-cliques or guard-produced stars that reach their fixpoint in
+    1-2 plain rounds, so rounds 0-1 skip the jump's extra self-join +
+    exchange (the fixpoint is identical — the jump only accelerates);
+    long chains still get 18 jumped rounds, covering diameter ~3+2^18.
+    If the sum STILL has not reached its fixpoint after max_iter
+    rounds the loop fails typed (RuntimeError) instead of returning a
+    wrong answer."""
     nodes = bidir.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("lbl"))
     prev_sum = None
@@ -1159,13 +1212,20 @@ def _min_label_propagation(bidir, max_iter: int):
         # pointer jumping: look the round's label up as a NODE and take
         # ITS label — labels are always node ids of the subgraph, so
         # the self-join always resolves; effective propagation distance
-        # doubles per round at the cost of one more tiny-frame join
-        jump = prop.select(F.col("node").alias("lbl"),
-                           F.col("lbl").alias("ll"))
-        new_labels = (prop.join(jump, "lbl", "left")
-                      .select("node",
-                              F.least("lbl", F.coalesce("ll", "lbl"))
-                              .alias("lbl")))
+        # doubles per round at the cost of one more tiny-frame join.
+        # Skipped for the first two rounds (see docstring): near-clique
+        # / star dup graphs converge before the jump can pay for its
+        # exchange, and on a chain the first two plain rounds cost one
+        # join less while the later jumped rounds still cover 2^18.
+        if rnd >= 2:
+            jump = prop.select(F.col("node").alias("lbl"),
+                               F.col("lbl").alias("ll"))
+            new_labels = (prop.join(jump, "lbl", "left")
+                          .select("node",
+                                  F.least("lbl", F.coalesce("ll", "lbl"))
+                                  .alias("lbl")))
+        else:
+            new_labels = prop
         # cache each round, but localCheckpoint every 3rd: round plans
         # NEST (round N's lineage contains round N-1's), so an
         # unbounded-round run (long-chain graphs) OOMs the driver just
@@ -1254,13 +1314,9 @@ def llm_dedup_clusters(spark, d, max_iter: int = 20):
     # CC round scans a short in-storage frame — 4.1 -> 2.8 s at sf0.1,
     # and at 100 TB the edge join must never be throttled to 8)
     edges = llm_dedup_near(spark, d).select("doc_a", "doc_b")
-    bidir = (edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-             .unionByName(
-                 edges.select(F.col("doc_b").alias("src"),
-                              F.col("doc_a").alias("dst")))
-             ).localCheckpoint(eager=True)
+    bidir, n_edges = _cc_bidir(edges)
     iso.conf.set("spark.sql.shuffle.partitions",
-                 _cc_loop_partitions(bidir, caller_parts))
+                 _cc_loop_partitions(n_edges, caller_parts))
 
     # only nodes with at least one dup edge can ever change label — the
     # loop runs on the dup SUBGRAPH (a sliver of the corpus at 100 TB);
@@ -5200,14 +5256,9 @@ def llm_dedup_embedding_lsh_canonical(spark, d, max_iter: int = 20):
     iso.conf.set("spark.sql.shuffle.partitions", caller_parts)
     spark = iso
     edges = llm_dedup_embedding_lsh(spark, d).select("vec_a", "vec_b")
-    bidir = (edges.select(F.col("vec_a").alias("src"),
-                          F.col("vec_b").alias("dst"))
-             .unionByName(
-                 edges.select(F.col("vec_b").alias("src"),
-                              F.col("vec_a").alias("dst")))
-             ).localCheckpoint(eager=True)
+    bidir, n_edges = _cc_bidir(edges)
     iso.conf.set("spark.sql.shuffle.partitions",
-                 _cc_loop_partitions(bidir, caller_parts))
+                 _cc_loop_partitions(n_edges, caller_parts))
     labels = (_min_label_propagation(bidir, max_iter)
               .withColumnRenamed("node", "vec_id"))
     iso.conf.set("spark.sql.shuffle.partitions", caller_parts)
@@ -5270,15 +5321,16 @@ def llm_containment_dedup(spark, d):
     docs = T(spark, d, "documents").select(
         "doc_id", F.split("text", " ").alias("w"))
     docs = docs.filter(F.size("w") >= 3)
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.transform(
-            F.sequence(F.lit(0), F.size("w") - 3),
-            lambda i: F.concat_ws(" ", F.element_at(F.col("w"), i + 1),
-                                  F.element_at(F.col("w"), i + 2),
-                                  F.element_at(F.col("w"), i + 3)),
-        ))).alias("shingle"))
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # generator input INLINE — see llm_dedup_near (staged references
+    # trigger inferred-filter expression duplication)
+    sh = docs.select("doc_id", F.explode(_shingle_array()).alias("shingle"))
+    # narrow per-doc count with the load-bearing tiny aggregate — see
+    # llm_dedup_near's cnt (r16: the exchange carries 16 bytes/doc
+    # instead of the shingle strings; the agg blocks the inferred
+    # isnotnull(n) from re-materializing the shingle expression)
+    cnt = (docs.select("doc_id",
+                       F.size(_shingle_array()).cast("bigint").alias("n0"))
+           .groupBy("doc_id").agg(F.max("n0").alias("n")))
     obs = Observation()
     DEDUP_OBSERVATIONS["llm_containment_dedup"] = obs
     posts = (sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("ids"))
