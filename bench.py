@@ -99,16 +99,35 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def regression_flags(times: dict, baseline: dict, cores_now: float) -> list:
+def regression_flags(times: dict, baseline: dict, cores_now: float,
+                     calib_now: float = -1.0,
+                     ref_calib: float = -1.0) -> list:
     """Names whose timing exceeds 2x their first-measurement baseline,
-    CORE-NORMALIZED when the baseline recorded host_effective_cores
+    CAPACITY-NORMALIZED when the baseline recorded host_effective_cores
     (VERDICT r6 task 7): the shared host swings ~7-32 effective cores
     and per-query times scale ~proportionally (r5 vs r6: core-seconds
     per query flat at ~6.5 while wall times moved 1.4x), so a quiet
     host would otherwise mask a real regression behind headroom and a
     busy one would flag phantoms.  Entries without a recorded cores
-    figure compare raw, as before."""
+    figure compare raw, as before.
+
+    r16 measurement fix: the cores ratio alone is HALF the capacity
+    picture — the probe also measures per-core speed (calibration_sec,
+    recorded since r9 precisely because r9 read MORE cores than r8 on a
+    uniformly slower box).  A host that presents many slow cores (r16
+    round start: 16.3 cores at 0.39 s calibration vs the ledger's
+    ~10-12 cores at ~0.22 s) made the cores-only normalization INFLATE
+    every time by ~1.5x and flag 33 phantom names.  When this run's
+    calibration and the ledger's reference calibration
+    (BASELINE_QUERIES.json `_ref_calibration_sec`) are both usable, the
+    normalized time also scales by (ref_calib / calib_now) — a slower
+    core honestly discounts, a faster one honestly penalizes.  Probe
+    failure sentinels (-1.0) on either figure fall back to the old
+    cores-only (or raw) comparison."""
     out = []
+    speed = (ref_calib / calib_now
+             if ref_calib and ref_calib > 0 and calib_now and calib_now > 0
+             else 1.0)
     for n, t in times.items():
         if t < 0 or n not in baseline:
             continue
@@ -117,8 +136,13 @@ def regression_flags(times: dict, baseline: dict, cores_now: float) -> list:
         # sentinel is -1.0, and a baseline that ever recorded it would
         # otherwise flip tn negative and suppress flags forever
         cores_then = e.get("cores")
-        tn = (t * cores_now / cores_then
-              if cores_then and cores_then > 0 and cores_now > 0 else t)
+        # the speed factor is a HOST attribute, so it applies to legacy
+        # no-cores entries too (their raw comparison was recorded on a
+        # nominal-speed box); the cores ratio still needs the entry's
+        # own figure
+        tn = (t * speed * cores_now / cores_then
+              if cores_then and cores_then > 0 and cores_now > 0
+              else t * speed)
         if tn > 2.0 * e["sec"]:
             out.append(n)
     return sorted(out)
@@ -256,12 +280,18 @@ def main() -> None:
     regressions: list[str] = []
     try:
         with open(os.path.join(here, "BASELINE_QUERIES.json")) as f:
-            baseline = json.load(f)["queries"]
+            _ledger = json.load(f)
+        baseline = _ledger["queries"]
+        # reference per-core speed the ledger's entries were recorded
+        # around (median of the r10-r15 driver benches); see
+        # regression_flags for how it completes the capacity picture
+        ref_calib = float(_ledger.get("_ref_calibration_sec", -1.0))
     except OSError:
-        baseline = {}
+        baseline, ref_calib = {}, -1.0
     cores_now, calib_sec = host_effective_cores()
     def flagged():
-        return regression_flags(times, baseline, cores_now)
+        return regression_flags(times, baseline, cores_now,
+                                calib_sec, ref_calib)
     for _retry in range(2):
         for name in flagged():
             t0 = time.time()

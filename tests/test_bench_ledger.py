@@ -94,3 +94,55 @@ def test_bad_baseline_cores_sentinel_falls_back_to_raw():
     # cores 0.0 is equally unusable
     assert regression_flags({"q": 2.1}, {"q": {"sec": 1.0, "cores": 0.0}},
                             cores_now=9.0) == ["q"]
+
+
+def test_slow_cores_host_does_not_flag_phantoms_with_calibration():
+    """r16 measurement fix: a host presenting MANY SLOW cores (high
+    parallelism ratio, high per-core calibration time) must not flag
+    phantom regressions.  Round-start r16: 16.3 effective cores at
+    0.39 s calibration vs a 10.9-core/0.22 s baseline — cores-only
+    normalization inflated a flat 1.3 s reading to ~1.9x+ and flagged
+    33 names; the calibration factor (0.22/0.39) restores it."""
+    baseline = {"q": {"sec": 1.0, "cores": 10.9}}
+    # cores-only view (no calibration figures): 1.4 * 16.3/10.9 = 2.09 > 2
+    assert regression_flags({"q": 1.4}, baseline, 16.3) == ["q"]
+    # with calibration: 2.09 * (0.22/0.39) = 1.18 — host shape, not code
+    assert regression_flags({"q": 1.4}, baseline, 16.3,
+                            calib_now=0.39, ref_calib=0.22) == []
+    # a genuinely regressed query still flags through the speed factor
+    assert regression_flags({"q": 2.4}, baseline, 16.3,
+                            calib_now=0.39, ref_calib=0.22) == ["q"]
+    # fast cores penalize symmetrically: 1.1 raw on a 2x-fast-core box
+    # of the same width is a real regression
+    assert regression_flags({"q": 1.1}, baseline, 10.9,
+                            calib_now=0.11, ref_calib=0.22) == ["q"]
+    # sentinel calibration figures fall back to cores-only
+    assert regression_flags({"q": 1.4}, baseline, 16.3,
+                            calib_now=-1.0, ref_calib=0.22) == ["q"]
+    assert regression_flags({"q": 1.4}, baseline, 16.3,
+                            calib_now=0.39, ref_calib=-1.0) == ["q"]
+
+
+def test_ledger_carries_reference_calibration():
+    """BASELINE_QUERIES.json must hold the _ref_calibration_sec the
+    capacity normalization reads; losing it silently reverts the r16
+    measurement fix to cores-only flagging."""
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "BASELINE_QUERIES.json")) as f:
+        ledger = json.load(f)
+    assert 0.05 < float(ledger["_ref_calibration_sec"]) < 1.0
+
+
+def test_speed_factor_applies_to_legacy_no_cores_entries():
+    """The calibration speed factor is a host attribute, so legacy
+    ledger entries without a cores figure get it too: a 2.1s raw
+    reading on a half-speed-core box is ~1.05s of work, not a flag —
+    while the same reading with healthy calibration still flags."""
+    legacy = {"q": {"sec": 1.0}}
+    assert regression_flags({"q": 2.1}, legacy, 9.0,
+                            calib_now=0.44, ref_calib=0.22) == []
+    assert regression_flags({"q": 2.1}, legacy, 9.0,
+                            calib_now=0.22, ref_calib=0.22) == ["q"]
