@@ -501,13 +501,19 @@ class AvroSinkWriter(DataSourceWriter):
 
         os.makedirs(self.path, exist_ok=True)
         fp = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
-        rows = [(r.event_id, r.event_type, r.value_r) for r in iterator]
-        # 1000-row (~tens-of-KB) blocks: the block is the read side's
+        # positional access: Row.__getattr__ does a field-name lookup per
+        # cell, ~3x the cost of indexing on a 100k-row partition (r16
+        # optimization round); the projection order is pinned by the
+        # sink_avro_roundtrip select
+        rows = [(r[0], r[1], r[2]) for r in iterator]
+        # 4000-row (~100 KB) blocks: the block is the read side's
         # parallelism unit, so tiny blocks turn a rescan into thousands
         # of micro-tasks (the scan fixture keeps 100-row blocks on
-        # purpose to pin the multi-partition plumbing cheaply)
+        # purpose to pin the multi-partition plumbing cheaply); 4000
+        # keeps ~3 blocks per fixture container while cutting the
+        # rescan's task count 4x (guide §6 output sizing)
         write_avro(fp, rows, _AVRO_SINK_SCHEMA, codec="deflate",
-                   block_rows=1000)
+                   block_rows=4000)
         return _AvroCommit(fp, len(rows))
 
     def commit(self, messages):
