@@ -123,15 +123,27 @@ def regression_flags(times: dict, baseline: dict, cores_now: float,
     normalized time also scales by (ref_calib / calib_now) — a slower
     core honestly discounts, a faster one honestly penalizes.  Probe
     failure sentinels (-1.0) on either figure fall back to the old
-    cores-only (or raw) comparison."""
+    cores-only (or raw) comparison.
+
+    r17 refinement (r16 advisor): entries recorded at a KNOWN per-core
+    speed carry a structured ``calib`` field (the figure was already in
+    their prose notes) and normalize against THAT instead of the global
+    _ref_calibration_sec — one global reference silently widened the
+    effective threshold for entries recorded on slower-than-reference
+    hosts (an entry recorded at 0.297 s calib replayed on an identical
+    host got tn = t*0.74, a ~2.7x gate) and tightened it for
+    faster-recorded ones.  Legacy entries without the field keep the
+    global reference."""
     out = []
-    speed = (ref_calib / calib_now
-             if ref_calib and ref_calib > 0 and calib_now and calib_now > 0
-             else 1.0)
     for n, t in times.items():
         if t < 0 or n not in baseline:
             continue
         e = baseline[n]
+        entry_calib = e.get("calib")
+        rc = entry_calib if entry_calib and entry_calib > 0 else ref_calib
+        speed = (rc / calib_now
+                 if rc and rc > 0 and calib_now and calib_now > 0
+                 else 1.0)
         # both cores figures must be POSITIVE: the probe's failure
         # sentinel is -1.0, and a baseline that ever recorded it would
         # otherwise flip tn negative and suppress flags forever

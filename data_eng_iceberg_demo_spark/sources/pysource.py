@@ -490,8 +490,21 @@ class AvroSinkWriter(DataSourceWriter):
     per partition before the block write — fine at fixture scale; the
     scale path streams 100-row blocks straight to disk, same format."""
 
-    def __init__(self, options):
+    def __init__(self, options, schema=None):
         self.path = options["path"]
+        # resolve the Avro record's field positions from the WRITE
+        # schema once (r17; r16 advisor): hardcoded (r[0], r[1], r[2])
+        # would silently shuffle values into wrong Avro fields for any
+        # future caller whose projection order differs from
+        # sink_avro_roundtrip's — the sink format is generic even if its
+        # one current caller pins the order.  Falls back to 0/1/2 when
+        # the engine hands no schema (older DataSource API surface).
+        names = [f["name"] for f in _AVRO_SINK_SCHEMA["fields"]]
+        if schema is not None:
+            fields = list(schema.fieldNames())
+            self.idx = tuple(fields.index(n) for n in names)
+        else:
+            self.idx = tuple(range(len(names)))
 
     def write(self, iterator):
         import os
@@ -503,9 +516,10 @@ class AvroSinkWriter(DataSourceWriter):
         fp = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
         # positional access: Row.__getattr__ does a field-name lookup per
         # cell, ~3x the cost of indexing on a 100k-row partition (r16
-        # optimization round); the projection order is pinned by the
-        # sink_avro_roundtrip select
-        rows = [(r[0], r[1], r[2]) for r in iterator]
+        # optimization round); positions resolved from the write schema
+        # in __init__, keeping the speed win order-safe
+        i0, i1, i2 = self.idx
+        rows = [(r[i0], r[i1], r[i2]) for r in iterator]
         # 4000-row (~100 KB) blocks: the block is the read side's
         # parallelism unit, so tiny blocks turn a rescan into thousands
         # of micro-tasks (the scan fixture keeps 100-row blocks on
@@ -538,7 +552,7 @@ class AvroSink(DataSource):
         return "pyavro_sink"
 
     def writer(self, schema, overwrite):
-        return AvroSinkWriter(self.options)
+        return AvroSinkWriter(self.options, schema)
 
 
 @register(

@@ -146,3 +146,24 @@ def test_speed_factor_applies_to_legacy_no_cores_entries():
                             calib_now=0.44, ref_calib=0.22) == []
     assert regression_flags({"q": 2.1}, legacy, 9.0,
                             calib_now=0.22, ref_calib=0.22) == ["q"]
+
+
+def test_entry_calibration_overrides_global_reference():
+    """r17 (r16 advisor): an entry that recorded its own per-core
+    calibration normalizes against THAT, not the global reference — a
+    rerun on an identical-speed host must get a plain 2x gate, neither
+    the ~2.7x one the global 0.22 reference would grant a 0.297-calib
+    entry, nor a tightened one for fast-recorded entries."""
+    e = {"q": {"sec": 1.0, "cores": 12.0, "calib": 0.297}}
+    # identical host shape: 2.05 raw is a real >2x regression; the
+    # global-reference discount (0.22/0.297 = 0.74 -> tn 1.52) would
+    # have silently passed it
+    assert regression_flags({"q": 2.05}, e, 12.0,
+                            calib_now=0.297, ref_calib=0.22) == ["q"]
+    # the same raw time on a genuinely slower-core host is host shape
+    assert regression_flags({"q": 2.05}, e, 12.0,
+                            calib_now=0.45, ref_calib=0.22) == []
+    # entries without the field keep the global-reference behavior
+    legacy = {"q": {"sec": 1.0, "cores": 12.0}}
+    assert regression_flags({"q": 2.05}, legacy, 12.0,
+                            calib_now=0.297, ref_calib=0.22) == []

@@ -12,6 +12,7 @@ import os
 
 import duckdb
 import pytest
+from conftest import sweep
 
 from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
                                                         _load_all_modules)
@@ -209,7 +210,7 @@ EMPTY_PARITY = sorted(
     and n != "project_transpose")
 
 
-@pytest.mark.parametrize("name", EMPTY_PARITY)
+@pytest.mark.parametrize("name", sweep(EMPTY_PARITY, stride=4))
 def test_empty_input_matches_oracle(driver_spark, empty_sf_dir, empty_duck,
                                     name):
     """Zero-row input: both engines must agree exactly (usually on an

@@ -7,6 +7,11 @@ The comparison is STRICTER than a hash: values are canonicalized (floats
 via repr of float64, timestamps to ISO strings) and compared cell by cell
 after sorting rows by all columns — so a mismatch shows the offending rows
 instead of just a hash difference.
+
+Default runs replay a deterministic cross-family stride-subset of the
+registry (the full 384-query sweep overran the driver's pytest window —
+r16 verdict task 6); set SPARK_GRAFT_FULL_PARITY=1 for the exhaustive
+replay (the builder's own pre-commit gate).
 """
 
 from __future__ import annotations
@@ -18,6 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
+from conftest import sweep
 
 from data_eng_iceberg_demo_spark.plans.registry import (REGISTRY,
                                                         _load_all_modules)
@@ -120,7 +126,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return res.sort_values(by=list(res.columns), kind="mergesort").reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", HASHED)
+@pytest.mark.parametrize("name", sweep(HASHED))
 def test_hash_query_matches_oracle(name, driver_spark, duck, sf_dir):
     spec = REGISTRY[name]
     got = canon(spark_frame(spec.fn(driver_spark, sf_dir)))
