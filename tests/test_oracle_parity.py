@@ -266,7 +266,11 @@ def test_no_hash_query_is_vacuously_empty():
     tpch_q8 (region literal 'REGION_1' matched no real region name at
     any SF), tpch_q7/tpch_q11 (nation picks without sf0.001 presence),
     set_except / subquery_scalar (subtrahend/threshold saturated from
-    sf0.01 up), llm_decontaminate (eval cut 10 had no sf0.1 overlap)."""
+    sf0.01 up), llm_decontaminate (eval cut 10 had no sf0.1 overlap).
+    Stride-gated by default (r17, window fit): fixtures are immutable
+    between rounds, so the full 384x3 sweep runs under
+    SPARK_GRAFT_FULL_PARITY=1 (the pre-commit gate), a rotating quarter
+    per default run."""
     import os
 
     import duckdb
@@ -282,7 +286,7 @@ def test_no_hash_query_is_vacuously_empty():
         for t in tables:
             con.execute(f"CREATE VIEW {t} AS SELECT * "
                         f"FROM read_parquet('{d}/{t}.parquet')")
-        empty = [n for n in HASHED
+        empty = [n for n in sweep(HASHED, stride=4)
                  if con.execute(f"SELECT count(*) FROM ({REGISTRY[n].oracle})")
                  .fetchone()[0] == 0]
         assert not empty, f"vacuously empty hash oracles at {sf}: {empty}"
