@@ -301,6 +301,19 @@ def main() -> None:
     except OSError:
         baseline, ref_calib = {}, -1.0
     cores_now, calib_sec = host_effective_cores()
+    # r17 (verdict item 5): the r16@32 driver bench ran on a 5.4-core
+    # window (16-round ledger floor was 7.8) and produced 19 phantom
+    # regressions on untouched code.  The probe figures already ride the
+    # stdout JSON; additionally flag a collapsed window LOUDLY on stderr
+    # so a human (or the next round's log reader) knows this run's
+    # absolute times are not comparable round-over-round and should be
+    # re-run on a calmer window.  stderr only — the stdout contract and
+    # the timed region are untouched.
+    if cores_now < 7.0:
+        print(f"# WARNING: host window degraded (effective cores "
+              f"{cores_now:.1f} < 7.0 ledger floor, calibration "
+              f"{calib_sec:.3f}s) — absolute times from this run are "
+              "not comparable; prefer a rerun", file=sys.stderr)
     def flagged():
         return regression_flags(times, baseline, cores_now,
                                 calib_sec, ref_calib)
