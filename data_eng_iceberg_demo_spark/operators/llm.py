@@ -1149,6 +1149,31 @@ def _cc_loop_partitions(n_edges: int, caller_parts) -> str:
     return str(min(int(caller_parts), max(8, n_edges // 500_000 + 1)))
 
 
+# directed-edge count below which the CC loop is LATENCY-bound rather
+# than data-bound: the per-round frames are O(dup nodes) ≤ 2×edges rows,
+# so under this bound every stage is a handful of KB and the round cost
+# is stage scheduling, not work (r17 interleaved A/B at sf0.1 with 180
+# edges: 8 parts + AQE ≈ 2.03 s/loop vs 2 parts + AQE-off ≈ 1.55 s).
+# 500k directed edges ≈ the same knee _cc_loop_partitions already uses.
+_CC_TINY_EDGES = 500_000
+
+
+def _cc_loop_conf(iso, n_edges: int, caller_parts) -> None:
+    """Size the CC loop's child session from the MATERIALIZED edge count
+    (scale-adaptive, never a local-core constant): tiny dup subgraphs
+    run the per-round label frames at 2 partitions with AQE OFF — each
+    round is 4-6 tiny stages whose cost is scheduling latency, and
+    adaptive re-planning only adds to it — while real edge volumes keep
+    AQE on (runtime coalescing/skew handling matter there) and the
+    one-partition-per-~500k-edges formula.  The caller restores its own
+    partitions AND re-enables AQE after the loop (the closing attach
+    join is corpus-sized)."""
+    tiny = n_edges < _CC_TINY_EDGES
+    iso.conf.set("spark.sql.shuffle.partitions",
+                 "2" if tiny else _cc_loop_partitions(n_edges, caller_parts))
+    iso.conf.set("spark.sql.adaptive.enabled", str(not tiny).lower())
+
+
 def _cc_bidir(edges):
     """Materialize the DIRECTED dup-pair frame once and derive the
     bidirectional edge frame from the checkpointed blocks with two
@@ -1326,8 +1351,7 @@ def llm_dedup_clusters(spark, d, max_iter: int = 20):
     # and at 100 TB the edge join must never be throttled to 8)
     edges = llm_dedup_near(spark, d).select("doc_a", "doc_b")
     bidir, n_edges = _cc_bidir(edges)
-    iso.conf.set("spark.sql.shuffle.partitions",
-                 _cc_loop_partitions(n_edges, caller_parts))
+    _cc_loop_conf(iso, n_edges, caller_parts)
 
     # only nodes with at least one dup edge can ever change label — the
     # loop runs on the dup SUBGRAPH (a sliver of the corpus at 100 TB);
@@ -1340,6 +1364,7 @@ def llm_dedup_clusters(spark, d, max_iter: int = 20):
     # full parallelism, not the loop's 8 label partitions (iso is
     # private, so this set races with nothing)
     iso.conf.set("spark.sql.shuffle.partitions", caller_parts)
+    iso.conf.set("spark.sql.adaptive.enabled", "true")
     return (docs.join(labels, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("lbl", "doc_id").alias("canonical_id"),
@@ -5366,11 +5391,11 @@ def llm_dedup_embedding_lsh_canonical(spark, d, max_iter: int = 20):
     spark = iso
     edges = llm_dedup_embedding_lsh(spark, d).select("vec_a", "vec_b")
     bidir, n_edges = _cc_bidir(edges)
-    iso.conf.set("spark.sql.shuffle.partitions",
-                 _cc_loop_partitions(n_edges, caller_parts))
+    _cc_loop_conf(iso, n_edges, caller_parts)
     labels = (_min_label_propagation(bidir, max_iter)
               .withColumnRenamed("node", "vec_id"))
     iso.conf.set("spark.sql.shuffle.partitions", caller_parts)
+    iso.conf.set("spark.sql.adaptive.enabled", "true")
     nz = (T(spark, d, "embeddings")
           .select("vec_id",
                   F.col("embedding").cast("array<double>").alias("e"))
