@@ -1711,11 +1711,17 @@ def orders_market_basket(spark, d):
     item-domain sized; the 1-row order count broadcasts.  At 100 TB
     this is FP-Growth's candidate-pair base case, and min-support
     pruning is what keeps it tractable there too."""
+    # the distinct basket frame feeds FOUR consumers (the order count
+    # below, per-item support, and both self-join arms) — without the
+    # checkpoint each re-ran the scan + distinct exchange (plan read 12
+    # scans / 32 exchanges; guide §2.4/§5), and the count pass is
+    # forced anyway, so materializing it here is strictly cheaper.
     items = (T(spark, d, "lineitem")
              .filter(F.col("l_partkey").isNotNull())
              .select(F.col("l_orderkey").alias("ok"),
                      (F.col("l_partkey") % 50).alias("item"))
-             .distinct())
+             .distinct()
+             .localCheckpoint(eager=True))
     n_orders = items.select("ok").distinct().count()
     supp = items.groupBy("item").agg(F.count("*").alias("s"))
     a = items.select("ok", F.col("item").alias("item_a"))

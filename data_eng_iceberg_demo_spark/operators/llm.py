@@ -3751,7 +3751,11 @@ def llm_source_overlap_matrix(spark, d):
     carry 32-char digests, not text (dedup discipline); containment is
     one exact integer ratio rounded to fixed-point ppm so both engines
     feed round() the identical double."""
-    sh = _word_shingles(spark, d, "source", 5)
+    # the distinct (source, digest) frame feeds the size aggregate AND
+    # both self-join arms — three evaluations of the corpus shingle
+    # pipeline without the checkpoint (plan read 8 scans / 20 exchanges
+    # — guide §2.4/§5); what is stored is digests, never text.
+    sh = _word_shingles(spark, d, "source", 5).localCheckpoint(eager=True)
     sz = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     pr = (a.join(b, "h")
@@ -6121,17 +6125,27 @@ def llm_hybrid_retrieval_rrf(spark, d):
                           F.round(term_score * 1000000).cast("bigint"))
               .groupBy("qid", "doc_id").agg(F.sum("sfix").alias("sf")))
     w_lex = Window.partitionBy("qid").orderBy(F.col("sf").desc(), "doc_id")
+    # lex (<=20 rows/query) feeds the PRF centroid AND the fusion join;
+    # vlong (corpus x dim long form) feeds vnorm, the centroid and the
+    # dot pass.  Without the checkpoints each consumer re-ran the whole
+    # upstream pipeline — the r17 plan read 32 parquet scans / 82
+    # exchanges / 20 Generates for ONE query (guide §2.4/§5, the same
+    # fan-out defect class as the r16/r17 ANN-family fix).  Values are
+    # untouched: the checkpoint stores the exact rows each subtree
+    # already produced.
     lex = (scored.withColumn("lex_rank",
                              F.row_number().over(w_lex).cast("bigint"))
            .filter(F.col("lex_rank") <= 20).select("qid", "doc_id",
-                                                   "lex_rank"))
+                                                   "lex_rank")
+           .localCheckpoint(eager=True))
 
     vlong = (T(spark, d, "embeddings")
              .filter(F.col("embedding").isNotNull())
              .select("vec_id", F.posexplode(
                  F.col("embedding").cast("array<double>"))
                  .alias("i0", "v"))
-             .select("vec_id", (F.col("i0") + 1).alias("i"), "v"))
+             .select("vec_id", (F.col("i0") + 1).alias("i"), "v")
+             .localCheckpoint(eager=True))
     vnorm = vlong.groupBy("vec_id").agg(
         F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"))
     cent = (lex.filter(F.col("lex_rank") <= 3)
@@ -6440,8 +6454,14 @@ def llm_kmv_source_jaccard(spark, d):
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
         .alias("hv")).distinct()
     wk = Window.partitionBy("source").orderBy("hv")
+    # the |sources| x k sketch is the ONLY pass over data and feeds
+    # THREE subtrees (source list + both pair-tag arms); checkpointing
+    # it keeps that pass single (the plan read 12 scans / 36 exchanges
+    # before — guide §2.4/§5) and the frame is laptop-sized by
+    # construction at any corpus scale.
     sk = (sh.withColumn("r", F.row_number().over(wk))
-          .filter(F.col("r") <= 32).drop("r"))
+          .filter(F.col("r") <= 32).drop("r")
+          .localCheckpoint(eager=True))
     srcs = sk.select("source").distinct()
     pairs = (srcs.select(F.col("source").alias("s1"))
              .join(srcs.select(F.col("source").alias("s2")),
