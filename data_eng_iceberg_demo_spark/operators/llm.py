@@ -2338,7 +2338,12 @@ def llm_bm25_topk(spark, d):
     tok = docs.select(
         "doc_id",
         F.explode(F.filter("w", lambda x: x.isin(terms))).alias("tok"))
-    tfq = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # the query-term postings aggregate is BOUNDED (docs x |terms| max,
+    # keep-list filtered) and feeds both the df aggregate and the score
+    # join — without the checkpoint each consumer re-ran the corpus
+    # explode (guide §2.4/§5, the r17 fan-out class)
+    tfq = (tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+           .localCheckpoint(eager=True))
     dfq = tfq.groupBy("tok").agg(F.count("*").alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0)
@@ -2942,11 +2947,16 @@ def llm_perplexity_bucket(spark, d):
            .select("doc_id", F.explode(F.split("text", " ")).alias("tok")))
     tf = tok.groupBy("tok").agg(F.count("*").cast("double").alias("cnt"))
     total = tf.agg(F.sum("cnt").alias("n"))
+    # the per-doc score frame (doc_id, avg_logprob — O(docs) narrow)
+    # feeds the distinct-score grid, the doc count AND the final
+    # routing join; each re-ran the corpus explode + tf join without
+    # the checkpoint (guide §2.4/§5)
     scored = (tok.join(tf, "tok")
               .join(F.broadcast(total))
               .groupBy("doc_id")
               .agg(F.round(F.avg(F.log(F.col("cnt") / F.col("n"))), 4)
-                   .alias("avg_logprob")))
+                   .alias("avg_logprob"))
+              .localCheckpoint(eager=True))
     vals = scored.groupBy(F.col("avg_logprob").alias("v")).agg(
         F.count("*").alias("c"))
     nd = scored.agg(F.count("*").alias("nd"))
@@ -4980,8 +4990,13 @@ def llm_bigram_kneser_ney(spark, d):
                 F.element_at(F.col("w"), i).alias("cur"),
                 F.element_at(F.col("w"), i + 1).alias("nxt")))).alias("p")
     ).select("doc_id", "p.cur", "p.nxt")
-    big = tok.groupBy("cur", "nxt").agg(
+    # the bigram-type counts feed FOUR consumers (uni, cont, tot and the
+    # scoring join) — each re-ran the corpus explode + pair aggregation
+    # without the checkpoint (guide §2.4/§5); count tables are exactly
+    # what an n-gram LM pipeline materializes
+    big = (tok.groupBy("cur", "nxt").agg(
         F.count("*").cast("double").alias("c2"))
+        .localCheckpoint(eager=True))
     uni = big.groupBy("cur").agg(
         F.sum("c2").cast("double").alias("c1"),
         F.count("*").cast("double").alias("n_follow"))
@@ -5071,9 +5086,15 @@ def llm_pipeline_end_to_end(spark, d):
     q = raw.filter(F.col("nt").between(15, 90))
     h = F.md5(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", "")))
     wdup = Window.partitionBy(h)
+    # the deduped stage feeds its own funnel row, the contamination
+    # probe AND every later stage — without the checkpoint the dedup
+    # window re-ran four times per funnel (guide §2.4/§5); a real
+    # pipeline materializes each stage's output, which is exactly what
+    # the checkpoint does
     dd = (q.withColumn("keep", F.min("doc_id").over(wdup))
           .filter(F.col("doc_id") == F.col("keep"))
-          .drop("keep"))
+          .drop("keep")
+          .localCheckpoint(eager=True))
 
     def _shingles(df):
         # w staged as a COLUMN before the lambda (raw split(text) in a
@@ -5091,7 +5112,8 @@ def llm_pipeline_end_to_end(spark, d):
                             & (F.col("doc_id") < 50)))
           .select("sh").distinct())
     contam = (_shingles(dd).join(ev, "sh").select("doc_id").distinct())
-    dc = dd.join(contam, "doc_id", "left_anti")
+    dc = (dd.join(contam, "doc_id", "left_anti")
+          .localCheckpoint(eager=True))
     bucket = (F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
               .cast("bigint") % 1000)
     tr = dc.filter(bucket < 900)
