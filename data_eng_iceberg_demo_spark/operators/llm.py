@@ -670,7 +670,10 @@ def llm_tfidf_terms(spark, d):
     tokens = (T(spark, d, "documents")
               .filter(F.col("source").isNotNull())
               .select("source", F.explode(F.split("text", " ")).alias("term")))
-    tf = tokens.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    # (source, term) tf feeds df, the source count AND the score join —
+    # checkpointed so the corpus explode runs once (guide §2.4/§5)
+    tf = (tokens.groupBy("source", "term").agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=True))
     # df/n_sources derive from tf, not raw tokens: one row per (source,
     # term) instead of one per token crosses the second shuffle
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -2037,7 +2040,11 @@ def llm_unigram_logprob(spark, d):
     All arithmetic in the JVM."""
     tok = (T(spark, d, "documents")
            .select("doc_id", F.explode(F.split("text", " ")).alias("tok")))
-    tf = tok.groupBy("tok").agg(F.count("*").cast("double").alias("cnt"))
+    # the vocab-sized frequency table feeds the corpus total AND the
+    # scoring join — each re-ran the corpus explode + aggregation
+    # without the checkpoint (guide §2.4/§5)
+    tf = (tok.groupBy("tok").agg(F.count("*").cast("double").alias("cnt"))
+          .localCheckpoint(eager=True))
     total = tf.agg(F.sum("cnt").alias("n"))
     return (tok.join(tf, "tok")
             .join(F.broadcast(total))
@@ -2603,7 +2610,11 @@ def llm_bigram_logprob(spark, d):
                 F.element_at(F.col("w"), i).alias("cur"),
                 F.element_at(F.col("w"), i + 1).alias("nxt")))).alias("p")
     ).select("doc_id", "p.cur", "p.nxt")
-    big = tok.groupBy("cur", "nxt").agg(F.count("*").alias("c2"))
+    # bigram-type counts feed the predecessor aggregate, the vocab
+    # count AND the scoring join (3 consumers; guide §2.4/§5 — the
+    # kneser-ney fix, same shape)
+    big = (tok.groupBy("cur", "nxt").agg(F.count("*").alias("c2"))
+           .localCheckpoint(eager=True))
     uni = big.groupBy("cur").agg(F.sum("c2").alias("c1"))
     v = big.agg(F.countDistinct("nxt").alias("vs"))
     lp = F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vs")))
@@ -4079,7 +4090,10 @@ def llm_pmi_collocations(spark, d):
             F.element_at(F.col("w"), i).alias("cur"),
             F.element_at(F.col("w"), i + 1).alias("nxt")))).alias("p")
     ).select("p.cur", "p.nxt")
-    big = tok.groupBy("cur", "nxt").agg(F.count("*").alias("c2"))
+    # pair counts feed both marginals, the total AND the output join
+    # (4 consumers; guide §2.4/§5 — the kneser-ney fix, same shape)
+    big = (tok.groupBy("cur", "nxt").agg(F.count("*").alias("c2"))
+           .localCheckpoint(eager=True))
     una = big.groupBy("cur").agg(F.sum("c2").alias("ca"))
     unb = big.groupBy("nxt").agg(F.sum("c2").alias("cb"))
     tot = big.agg(F.sum("c2").alias("np"))
@@ -6733,9 +6747,14 @@ def llm_topic_labels(spark, d):
     tok = (assign.join(docs, assign.vec_id == docs.doc_id)
            .select("cid", F.explode(F.split("text", " ")).alias("tk"))
            .filter("tk <> ''"))
-    tf = tok.groupBy("cid", "tk").agg(F.count("*").alias("tf"))
-    df_ = (tok.select("cid", "tk").distinct()
-           .groupBy("tk").agg(F.count("*").alias("df")))
+    # tf rows are unique by (cid, tk) by construction, so the df count
+    # over distinct (cid, tk) pairs equals a count of tf rows per tk —
+    # deriving df from the CHECKPOINTED tf removes the second
+    # assignment-join + corpus-explode pass (guide §2.4/§5); values are
+    # identical by construction and hash-verified
+    tf = (tok.groupBy("cid", "tk").agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=True))
+    df_ = tf.groupBy("tk").agg(F.count("*").alias("df"))
     scored = (tf.join(df_, "tk")
               .withColumn("score", F.expr("tf * 1000000 div df")))
     wc = Window.partitionBy("cid").orderBy(F.col("score").desc(), "tk")
