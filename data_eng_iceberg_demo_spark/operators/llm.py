@@ -2313,6 +2313,24 @@ _BM25_ORACLE = """
 """
 
 
+def _bm25_postings(spark, d):
+    """The bounded query-term postings frame (doc_id, tok, tf).  The
+    term filter runs INSIDE the explode (higher-order filter over the
+    token array, keeping duplicates for tf), so non-query tokens are
+    never even generated — for a parameterized query set too large to
+    inline, this becomes a broadcast join after the explode.  Extracted
+    (r17) so the keep-list plan pin can inspect this exact subtree: the
+    caller checkpoints the aggregate, which hides the explode from the
+    final query's explain."""
+    docs = T(spark, d, "documents").select(
+        "doc_id", F.split("text", " ").alias("w"))
+    terms = sorted({t for _qid, ts in _BM25_QUERY_TERMS for t in ts})
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.filter("w", lambda x: x.isin(terms))).alias("tok"))
+    return tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+
+
 @register("llm_bm25_topk", oracle=_BM25_ORACLE)
 def llm_bm25_topk(spark, d):
     """BM25 top-10 retrieval (k1=1.2, b=0.75, Lucene idf) for a fixed
@@ -2337,20 +2355,14 @@ def llm_bm25_topk(spark, d):
         "doc_id", F.split("text", " ").alias("w"))
     dl = docs.select("doc_id", F.size("w").alias("dl"))
     stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    # the term filter runs INSIDE the explode (higher-order filter over
-    # the token array, keeping duplicates for tf), so non-query tokens
-    # are never even generated — for a parameterized query set too large
-    # to inline, this becomes a broadcast join after the explode
-    terms = sorted({t for _qid, ts in _BM25_QUERY_TERMS for t in ts})
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.filter("w", lambda x: x.isin(terms))).alias("tok"))
     # the query-term postings aggregate is BOUNDED (docs x |terms| max,
     # keep-list filtered) and feeds both the df aggregate and the score
     # join — without the checkpoint each consumer re-ran the corpus
-    # explode (guide §2.4/§5, the r17 fan-out class)
-    tfq = (tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-           .localCheckpoint(eager=True))
+    # explode (guide §2.4/§5, the r17 fan-out class).  The keep-list
+    # discipline itself lives in _bm25_postings so the plan pin
+    # (tests/test_plans.py) inspects the exact production subtree even
+    # though the checkpoint hides it from the final explain.
+    tfq = _bm25_postings(spark, d).localCheckpoint(eager=True)
     dfq = tfq.groupBy("tok").agg(F.count("*").alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0)

@@ -563,6 +563,25 @@ def test_scaled_ivfadc_geometry_rejects_empty_corpus():
         _scaled_ivfadc_geometry(0)
 
 
+def test_cc_loop_conf_scales_with_edge_count(spark):
+    """r17: the CC loop's child session drops to 2 partitions with AQE
+    off ONLY below the tiny-graph knee; at real edge volumes the
+    one-partition-per-500k formula and AQE stay (the conf must be
+    edge-count-adaptive, never a local-core constant)."""
+    from data_eng_iceberg_demo_spark.operators import llm
+
+    iso = spark.newSession()
+    llm._cc_loop_conf(iso, 180, "200")
+    assert iso.conf.get("spark.sql.shuffle.partitions") == "2"
+    assert iso.conf.get("spark.sql.adaptive.enabled") == "false"
+    llm._cc_loop_conf(iso, 5_000_000, "200")
+    assert iso.conf.get("spark.sql.shuffle.partitions") == "11"
+    assert iso.conf.get("spark.sql.adaptive.enabled") == "true"
+    # the caller's own cap still wins over the formula
+    llm._cc_loop_conf(iso, 50_000_000, "16")
+    assert iso.conf.get("spark.sql.shuffle.partitions") == "16"
+
+
 def test_min_label_propagation_converges_on_long_path(spark):
     """r16: the shared CC loop must label a duplicate CHAIN whose
     diameter exceeds max_iter — the drifted re-crawl shape where only

@@ -590,12 +590,22 @@ def test_bm25_term_filter_runs_inside_the_explode(spark, sf_dir):
     keep-list is a higher-order array filter inside the explode, so the
     corpus token stream is never materialized.  A Generate over the raw
     split (no lambda filter) re-introduces the full-token shuffle."""
-    p = plan_of(spark, sf_dir, "llm_bm25_topk")
-    gen = [l for l in p.splitlines() if "Generate explode" in l
-           or l.startswith("Arguments") and "explode" in l]
-    joined = " ".join(gen) or p
+    # r17: the postings aggregate is checkpointed inside llm_bm25_topk
+    # (fan-out fix), which hides the explode from the final explain —
+    # pin the exact production subtree via _bm25_postings instead.
+    import contextlib
+    import io
+
+    from data_eng_iceberg_demo_spark.operators.llm import _bm25_postings
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _bm25_postings(spark, sf_dir).explain("formatted")
+    p = buf.getvalue()
     assert "lambdafunction" in p and "filter(" in p, p[:2000]
     assert "CartesianProduct" not in p
+    # and the full query must still be cartesian-free
+    assert "CartesianProduct" not in plan_of(spark, sf_dir, "llm_bm25_topk")
 
 
 def test_kmv_ranks_in_salted_buckets_before_region(spark, sf_dir):
